@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-level API for the vector-math surface (`pgml.*` vector functions,
+  * reference pgml-extension/src/vectors.rs) plus SQL registration so every
+  * function is callable from `spark.sql` too.
+  *
+  * Elementwise arithmetic maps to Spark's codegen'd higher-order functions
+  * (`transform` / `zip_with`) — no custom expression needed; the scalar
+  * reductions (dot/cosine/norm/distance) are custom codegen expressions in
+  * [[VectorExpressions]]; the aggregates are [[VectorAggregate]].
+  */
+object VecFunctions {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(col)
+  private def agg(a: AggregateFunction): Column = c(a.toAggregateExpression())
+
+  // ---- elementwise: vector ∘ scalar (vectors.rs:4-42) ----
+  def vecAddScalar(v: Column, s: Column): Column = transform(v, x => x + s)
+  def vecSubScalar(v: Column, s: Column): Column = transform(v, x => x - s)
+  def vecMulScalar(v: Column, s: Column): Column = transform(v, x => x * s)
+  def vecDivScalar(v: Column, s: Column): Column = transform(v, x => x / s)
+
+  // ---- elementwise: vector ∘ vector (vectors.rs:44-114) ----
+  def vecAdd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+  def vecSub(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x - y)
+  def vecMul(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x * y)
+  def vecDiv(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x / y)
+
+  // ---- scalar reductions ----
+  def vecDot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def cosineSimilarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  /** pgvector `<=>` operator: cosine *distance* = 1 − similarity
+    * (score formula at pgml-sdks/pgml/src/search_query_builder.rs:149-151). */
+  def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosineSimilarity(a, b)
+  def vecDistanceL1(a: Column, b: Column): Column = c(DistanceL1(e(a), e(b)))
+  def vecDistanceL2(a: Column, b: Column): Column = c(DistanceL2(e(a), e(b)))
+  def vecNormL0(a: Column): Column = c(NormL0(e(a)))
+  def vecNormL1(a: Column): Column = c(NormL1(e(a)))
+  def vecNormL2(a: Column): Column = c(NormL2(e(a)))
+  def vecNormMax(a: Column): Column = c(NormMax(e(a)))
+  def vecNormalizeL1(a: Column): Column = c(NormalizeVector(e(a), "l1"))
+  def vecNormalizeL2(a: Column): Column = c(NormalizeVector(e(a), "l2"))
+  def vecNormalizeMax(a: Column): Column = c(NormalizeVector(e(a), "max"))
+
+  // ---- aggregates (vectors.rs:320-900) ----
+  def vecSumAgg(v: Column): Column = agg(VectorAggregate(e(v), "sum"))
+  def vecMinAgg(v: Column): Column = agg(VectorAggregate(e(v), "min"))
+  def vecMaxAgg(v: Column): Column = agg(VectorAggregate(e(v), "max"))
+  def vecMinAbsAgg(v: Column): Column = agg(VectorAggregate(e(v), "minAbs"))
+  def vecMaxAbsAgg(v: Column): Column = agg(VectorAggregate(e(v), "maxAbs"))
+  /** Mean vector — the documented idiom `pgml.divide(pgml.sum(v), count(v))`
+    * (pgml-extension/examples/vectors.sql:37-50). */
+  def vecAvgAgg(v: Column): Column = {
+    val s = vecSumAgg(v); val n = count(v)
+    transform(s, x => x / n)
+  }
+
+  /** Make a float32 vector literal (e.g. a query embedding) matching the
+    * element type of stored `array<float>` embedding columns. */
+  def floatVec(values: Seq[Float]): Column = typedLit(values.toArray)
+
+  /** Register every function in the session's FunctionRegistry for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    def r1(name: String, f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
+    def r2(name: String, f: (org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.catalyst.expressions.Expression) => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es.head, es(1)), "built-in")
+
+    r2("vec_dot", DotProduct(_, _))
+    r2("cosine_similarity", CosineSimilarity(_, _))
+    r2("vec_distance_l1", DistanceL1(_, _))
+    r2("vec_distance_l2", DistanceL2(_, _))
+    r1("vec_norm_l0", NormL0(_))
+    r1("vec_norm_l1", NormL1(_))
+    r1("vec_norm_l2", NormL2(_))
+    r1("vec_norm_max", NormMax(_))
+    r1("vec_normalize_l1", NormalizeVector(_, "l1"))
+    r1("vec_normalize_l2", NormalizeVector(_, "l2"))
+    r1("vec_normalize_max", NormalizeVector(_, "max"))
+    r1("vec_sum", ex => VectorAggregate(ex, "sum").toAggregateExpression())
+    r1("vec_min", ex => VectorAggregate(ex, "min").toAggregateExpression())
+    r1("vec_max", ex => VectorAggregate(ex, "max").toAggregateExpression())
+    r1("vec_min_abs", ex => VectorAggregate(ex, "minAbs").toAggregateExpression())
+    r1("vec_max_abs", ex => VectorAggregate(ex, "maxAbs").toAggregateExpression())
+  }
+}
