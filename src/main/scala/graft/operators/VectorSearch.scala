@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecFunctions._
+
+/** Vector-search operators — the Spark-native counterpart of the reference's
+  * KNN path (`ORDER BY embedding <=> $q LIMIT k`, HNSW-accelerated;
+  * pgml-sdks/pgml/src/vector_search_query_builder.rs:163-233).
+  *
+  * Spark has no native ANN index; the strategies offered here are:
+  *  - [[topK]]: exact brute force. A single codegen'd scan → cosine →
+  *    `TakeOrderedAndProject` — embarrassingly parallel, zero shuffle
+  *    (each partition keeps a k-heap; driver merges p×k rows). This
+  *    scales linearly with vector count and is the right default to ~10⁸
+  *    vectors on a cluster.
+  *  - [[IvfIndex]]: IVF-style centroid partitioning for the 100-TB path —
+  *    probe only the `nprobe` closest centroid partitions (see IvfIndex.scala).
+  */
+object VectorSearch {
+
+  /** Exact brute-force top-k by cosine similarity against a single query
+    * vector. Returns `idCols :+ score`, ordered by score desc (ties broken
+    * by the first id column for determinism).
+    */
+  def topK(
+      emb: DataFrame,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      idCols: Seq[String]): DataFrame = {
+    val score = cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)).as("score")
+    emb.select(idCols.map(col) :+ (score: Column): _*)
+      .orderBy(col("score").desc, col(idCols.head).asc)
+      .limit(k)
+  }
+
+  /** Top-k per query for a *set* of query vectors (batch KNN): broadcast the
+    * queries, score the cross product partition-locally, keep k per query via
+    * window — one shuffle on query_id only (k rows per query per partition
+    * after the partial top-k).
+    */
+  def topKBatch(
+      emb: DataFrame,
+      vecCol: String,
+      queries: DataFrame, // (query_id, query_vec)
+      k: Int,
+      idCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = emb.crossJoin(broadcast(queries))
+      .withColumn("score", cosineSimilarity(col(vecCol), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCols.head).asc)
+    joined.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select((col("query_id") +: idCols.map(col)) :+ col("score") :+ col("rn"): _*)
+  }
+}

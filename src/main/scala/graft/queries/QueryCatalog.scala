@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VecFunctions._
+import graft.operators.VectorSearch
+
+/** One verifiable query per implemented operator (SURVEY.md §2 inventory).
+  * Each entry pairs a Spark DataFrame program with the ANSI-SQL oracle the
+  * driver runs in DuckDB on the same parquet. Column names/aliases MUST match
+  * between both sides; floating aggregates are rounded identically on both
+  * sides (the driver hash-compares values).
+  */
+final case class GraftQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryCatalog {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------------- relational
+
+  /** Pricing-summary aggregation (grouped agg with partial/map-side combine). */
+  val q1PricingAgg: GraftQuery = GraftQuery(
+    "q1_pricing_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity),2) AS sum_qty,
+            round(sum(l_extendedprice),2) AS sum_base_price,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+            round(avg(l_quantity),4) AS avg_qty,
+            round(avg(l_discount),4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Multi-way join + grouped agg + top-k: revenue per nation.
+    * nation/region are broadcast (tiny dims); customer/orders/lineitem join
+    * on their natural keys — at cluster scale AQE picks shuffle strategy.
+    */
+  val q2TopkJoin: GraftQuery = GraftQuery(
+    "q2_revenue_by_nation",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+        .limit(10)
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+            count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10"""))
+
+  /** Predicate-pushdown scan (TPC-H Q6 shape): filters must reach parquet. */
+  val q3FilterPushdown: GraftQuery = GraftQuery(
+    "q3_filter_pushdown",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** Window function: top-3 orders per customer (row_number dedup pattern —
+    * the rewrite of the reference's recursive-CTE best-chunk-per-document,
+    * search_query_builder.rs:111-187).
+    */
+  val q4WindowTopn: GraftQuery = GraftQuery(
+    "q4_window_topn",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+            ORDER BY o_custkey, rn"""))
+
+  /** Keyset pagination (collection.rs:776-829: id > last_row_id ORDER BY id LIMIT n). */
+  val q5KeysetPage: GraftQuery = GraftQuery(
+    "q5_keyset_page",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") > 100)
+        .orderBy(col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id > 100 ORDER BY doc_id LIMIT 50"""))
+
+  /** Anti join: customers with no orders (NOT EXISTS shape). */
+  val q6AntiJoin: GraftQuery = GraftQuery(
+    "q6_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o.where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            ORDER BY c_custkey"""))
+
+  /** Semi join: parts that appear in any lineitem (EXISTS shape). */
+  val q7SemiJoin: GraftQuery = GraftQuery(
+    "q7_semi_join",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+      p.join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_brand FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+            ORDER BY p_partkey"""))
+
+  /** Tumbling-window event aggregation (batch form of the Structured
+    * Streaming windowed agg; `window()` aligns to epoch = date_trunc hour).
+    */
+  val q8EventsHourly: GraftQuery = GraftQuery(
+    "q8_events_hourly",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+    Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+            count(*) AS n, round(sum(value),4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** JSON extraction from a string column (jsonb-style metadata access,
+    * filter_builder.rs semantics are tested separately).
+    */
+  val q9JsonExtract: GraftQuery = GraftQuery(
+    "q9_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .where(col("k") > 50)
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+            ORDER BY event_id"""))
+
+  /** Union + distinct across sources (set-op surface, §2.7). */
+  val q10Union: GraftQuery = GraftQuery(
+    "q10_union",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val hi = e.where(col("value") > 50).select(col("user_id"))
+      val lo = e.where(col("event_type") === "purchase").select(col("user_id"))
+      hi.union(lo).distinct().orderBy(col("user_id"))
+    },
+    Some("""SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE value > 50
+              UNION ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+            ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- vector
+
+  /** Brute-force exact KNN: top-10 cosine to the vec_id=0 embedding.
+    * Plan: pruned parquet scan → codegen cosine → TakeOrderedAndProject
+    * (no shuffle; per-partition k-heaps merged on the driver).
+    */
+  val v1KnnCosine: GraftQuery = GraftQuery(
+    "v1_knn_cosine",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      import s.implicits._
+      val q = emb.where(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+      VectorSearch.topK(emb, "embedding", q, 10, Seq("vec_id"))
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    Some("""SELECT vec_id,
+            round(CAST(list_cosine_similarity(embedding,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE),5) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10"""))
+
+  /** Grouped elementwise vector aggregate (pgml.sum / divide idiom →
+    * mean vector per label), flattened to (label, pos, val) for the oracle.
+    */
+  val v2VecAvgByLabel: GraftQuery = GraftQuery(
+    "v2_vec_avg_by_label",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(vecAvgAgg(col("embedding")).as("avg_vec"))
+        .select(col("label"), posexplode(col("avg_vec")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"), round(col("v"), 5).as("val"))
+        .orderBy(col("label"), col("pos")),
+    Some("""SELECT label, CAST(i - 1 AS INT) AS pos, round(avg(embedding[CAST(i AS INT)]),5) AS val
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY label, i ORDER BY label, pos"""))
+
+  /** Vector norms surface (norm_l1/l2 + dot with self). */
+  val v3VecNorms: GraftQuery = GraftQuery(
+    "v3_vec_norms",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(vecNormL1(col("embedding")), 5).as("n1"),
+          round(vecNormL2(col("embedding")), 5).as("n2"),
+          round(vecDot(col("embedding"), col("embedding")), 5).as("self_dot"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+            round(list_aggregate(list_transform(embedding, x -> abs(x)), 'sum'),5) AS n1,
+            round(sqrt(list_dot_product(embedding, embedding)),5) AS n2,
+            round(list_dot_product(embedding, embedding),5) AS self_dot
+            FROM embeddings ORDER BY vec_id"""))
+
+  // ---------------------------------------------------------------- text / docs
+
+  /** Exact deduplication: representative (min id) + duplicate count per
+    * identical text (hash-groupBy; at scale this groups on a 128-bit text
+    * hash rather than the full text — same result, smaller shuffle).
+    */
+  val t1DedupExact: GraftQuery = GraftQuery(
+    "t1_dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+        .select(col("doc_id"), col("dup_count"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
+
+  /** Token / length stats per document (whitespace tokenization). */
+  val t2TokenStats: GraftQuery = GraftQuery(
+    "t2_token_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_text"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, length(text) AS n_chars_text,
+            len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Everything, in presentation order. */
+  val all: Seq[GraftQuery] = Seq(
+    q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
+    q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
+    v1KnnCosine, v2VecAvgByLabel, v3VecNorms,
+    t1DedupExact, t2TokenStats)
+}

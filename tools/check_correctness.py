@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle the same way the driver does (sorted columns,
+row-count + value compare). Usage:
+    python3 tools/check_correctness.py /root/testdata/sf0.01 /tmp/verify_out
+(run `sbt "runMain graft.Verify <sfdir> <outdir>"` first)
+"""
+import sys, json, glob, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle_sql = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle_sql.items()):
+    try:
+        odf = con.execute(sql).fetchdf()
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); fails += 1; continue
+        sdf = duckdb.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        # driver compare: sort columns by name, then compare values
+        odf = odf[sorted(odf.columns)]
+        sdf = sdf[sorted(sdf.columns)]
+        if list(odf.columns) != list(sdf.columns):
+            print(f"FAIL {name}: columns {list(sdf.columns)} vs oracle {list(odf.columns)}"); fails += 1; continue
+        if len(odf) != len(sdf):
+            print(f"FAIL {name}: rows {len(sdf)} vs oracle {len(odf)}"); fails += 1; continue
+        o = odf.reset_index(drop=True)
+        s = sdf.reset_index(drop=True)
+        bad = None
+        for c in o.columns:
+            for i, (a, b) in enumerate(zip(o[c], s[c])):
+                eq = (a == b) or (a is None and b is None)
+                try:
+                    if not eq and isinstance(a, float) and isinstance(b, float):
+                        eq = (math.isnan(a) and math.isnan(b)) or a == b
+                except Exception:
+                    pass
+                if not eq:
+                    bad = (c, i, a, b); break
+            if bad: break
+        if bad:
+            print(f"FAIL {name}: col={bad[0]} row={bad[1]} oracle={bad[2]!r} spark={bad[3]!r}"); fails += 1
+        else:
+            print(f"PASS {name}: {len(odf)} rows")
+    except Exception as e:
+        print(f"ERROR {name}: {e}"); fails += 1
+print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'} / {len(oracle_sql)} queries")
+sys.exit(1 if fails else 0)
