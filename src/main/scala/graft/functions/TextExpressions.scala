@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Expression wrappers over [[TextKernels]] plus built-in compositions for
+  * the text-analysis operator family (language-ID, quality scoring, token
+  * counting, fingerprinting) — all codegen-friendly.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simhash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.simhash64($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class MinHashSignature(child: Expression, k: Int, shingle: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0 && shingle > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input, k>0, shingle>0")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhashSignature(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, shingle)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.minhashSignature($a, $k, $shingle)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class WinnowFingerprint(child: Expression, ngram: Int, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprint"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && ngram > 0 && window > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input, ngram>0, window>0")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.winnowFingerprint(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ngram, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.winnowFingerprint($a, $ngram, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class LangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.langId(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.langId($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object TextFunctions {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def simhash64(text: Column): Column = c(SimHash64(e(text)))
+  def minhashSignature(text: Column, k: Int = 128, shingle: Int = 1): Column =
+    c(MinHashSignature(e(text), k, shingle))
+  def winnowFingerprint(text: Column, ngram: Int = 8, window: Int = 4): Column =
+    c(WinnowFingerprint(e(text), ngram, window))
+  def langId(text: Column): Column = c(LangId(e(text)))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, single digits, punctuation marks —
+    * the GPT-2 pre-tokenizer shape, regex-only so it stays in codegen.
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** English stopword list shared by qualityScore and its SQL oracle. */
+  val qualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Document quality score in [0,1]: composite of length saturation,
+    * alpha ratio, and stopword hit ratio (the usual heuristic trio for
+    * pretraining-corpus filtering). Pure built-ins → codegen + SQL-oracle
+    * expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val nTok = size(toks)
+    val lenScore = least(col2double(length(text)) / lit(200.0), lit(1.0))
+    val alphaRatio = col2double(length(regexp_replace(text, "[^A-Za-z ]", ""))) /
+      greatest(col2double(length(text)), lit(1.0))
+    val stopRatio = col2double(size(filter(toks,
+      t => array_contains(typedLit(qualityStopwords), t)))) /
+      greatest(col2double(nTok), lit(1.0))
+    round((lenScore * 0.4 + alphaRatio * 0.4 + least(stopRatio * lit(5.0), lit(1.0)) * 0.2), 5)
+  }
+  private def col2double(c: Column): Column = c.cast("double")
+
+  /** Hamming distance between two 64-bit sketches (bit_count is built-in). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

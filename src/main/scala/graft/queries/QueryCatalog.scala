@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFunctions
 import graft.functions.VecFunctions._
-import graft.operators.VectorSearch
+import graft.operators.{Dedup, VectorSearch}
 
 /** One verifiable query per implemented operator (SURVEY.md §2 inventory).
   * Each entry pairs a Spark DataFrame program with the ANSI-SQL oracle the
@@ -288,10 +289,110 @@ object QueryCatalog {
             len(string_split_regex(trim(text), '\s+')) AS n_tokens
             FROM documents ORDER BY doc_id"""))
 
+  /** Quality scoring for corpus filtering — formula mirrored exactly in the
+    * oracle (same operation order → bit-identical doubles).
+    */
+  val t3QualityScore: GraftQuery = GraftQuery(
+    "t3_quality_score",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+            round(least(length(text)/200.0, 1.0)*0.4
+              + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)*0.4
+              + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+                / greatest(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 1.0)
+                * 5.0, 1.0)*0.2, 5) AS quality
+            FROM documents ORDER BY doc_id"""))
+
+  /** BPE-ish token counting (GPT-2 pre-tokenizer shape, regex-only). */
+  val t4BpeishCount: GraftQuery = GraftQuery(
+    "t4_bpeish_token_count",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+            FROM documents ORDER BY doc_id"""))
+
+  /** Language identification (stopword-profile heuristic; not
+    * SQL-expressible → rows-only check, exact-value spec in ScalaTest).
+    */
+  val t5LangId: GraftQuery = GraftQuery(
+    "t5_lang_id",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("pred_lang")),
+    None)
+
+  /** Winnowing fingerprints (Schleimer et al.): per-doc fingerprint set
+    * size + first hash (hash family not SQL-expressible → rows-only).
+    */
+  val t6Fingerprint: GraftQuery = GraftQuery(
+    "t6_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.winnowFingerprint(col("text"), 8, 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("fp_size"), element_at(col("fp"), 1).as("fp_first"))
+        .orderBy(col("doc_id")),
+    None)
+
+  /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
+    * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
+    * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
+    */
+  val d1MinhashLsh: GraftQuery = GraftQuery(
+    "d1_minhash_lsh_pairs",
+    (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH tk AS (SELECT doc_id,
+              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks))), 5) AS jaccard
+            FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+            ORDER BY id_a, id_b"""))
+
+  /** SimHash near-dup pairs (hamming <= 3 via 4×16-bit pigeonhole bands;
+    * hash family not SQL-expressible → rows-only + ScalaTest spec).
+    */
+  val d2Simhash: GraftQuery = GraftQuery(
+    "d2_simhash_pairs",
+    (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** Embedding cosine near-dup pairs (exact threshold self-join baseline). */
+  val e1EmbeddingPairs: GraftQuery = GraftQuery(
+    "e1_embedding_pairs",
+    (s, dir) =>
+      Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY id_a, id_b"""))
+
   /** Everything, in presentation order. */
   val all: Seq[GraftQuery] = Seq(
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms,
-    t1DedupExact, t2TokenStats)
+    t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
+    t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs)
 }

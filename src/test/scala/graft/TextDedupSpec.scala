@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.functions.TextKernels
+import graft.operators.Dedup
+
+class TextDedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("simhash: identical → 0 hamming; near < far at kernel level; bands catch <=3") {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val c = "completely different words about database engines and query optimizers"
+    // kernel-level monotonicity: near pair closer than far pair
+    val ha = TextKernels.simhash64(u(a))
+    assert(TextKernels.hamming64(ha, TextKernels.simhash64(u(b))) <
+      TextKernels.hamming64(ha, TextKernels.simhash64(u(c))))
+    // operator contract: hamming<=3 pairs are guaranteed caught (pigeonhole),
+    // identical docs give hamming 0, far docs are absent
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0)
+    assert(!m.contains((1L, 4L)) && !m.contains((3L, 4L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips distinct docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(math.abs(pairs((1L, 3L)) - 9.0 / 11.0) < 1e-9) // 9 shared of 11 union
+    assert(pairs.keys.forall { case (x, y) => y != 4L && x != 4L })
+  }
+
+  test("minhash signature estimates jaccard") {
+    // signature agreement rate ≈ true jaccard (k=256 → ±~6%)
+    val s1 = TextKernels.minhashSignature(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e f g h i j"), 256, 1).toLongArray()
+    val s2 = TextKernels.minhashSignature(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e f g h i k"), 256, 1).toLongArray()
+    val agree = s1.zip(s2).count { case (x, y) => x == y }.toDouble / 256
+    assert(math.abs(agree - 9.0 / 11.0) < 0.15)
+  }
+
+  test("winnow fingerprint: identical docs same prints; shared passages overlap") {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val f1 = TextKernels.winnowFingerprint(u("the cat sat on the mat and purred"), 8, 4).toLongArray()
+    val f2 = TextKernels.winnowFingerprint(u("the cat sat on the mat and purred"), 8, 4).toLongArray()
+    assert(f1.toSeq == f2.toSeq)
+    val f3 = TextKernels.winnowFingerprint(u("intro text. the cat sat on the mat and purred. outro"), 8, 4).toLongArray()
+    assert(f1.toSet.intersect(f3.toSet).nonEmpty) // contained passage shares prints
+  }
+
+  test("language id picks the dominant stopword profile") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy that the day is warm"),
+      (2L, "der hund ist nicht auf der couch und die katze ist da"),
+      (3L, "el perro es un animal y la casa es grande en la ciudad"),
+      (4L, "xyzzy qwerty plugh")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.langId($"text").as("l"))
+      .orderBy("id").as[(Long, String)].collect().map(_._2)
+    assert(got.toSeq == Seq("en", "de", "es", "und"))
+  }
+
+  test("quality score ranges and monotonicity") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river " * 3),
+      (2L, "@#$% ^&*! 1234 ~~ ||"),
+      (3L, "")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.qualityScore($"text").as("q"))
+      .orderBy("id").as[(Long, Double)].collect().map(_._2)
+    assert(got(0) > 0.7)       // long, clean, stopword-rich
+    assert(got(1) < 0.3)       // symbol soup
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("embedding near-dup: exact and SRP-blocked agree on high-cos pairs") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // near 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),    // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))    // opposite
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairsExact(vecs, "vec_id", "embedding", 0.95)
+      .as[(Long, Long, Double)].collect()
+    assert(exact.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val blocked = Dedup.srpBlockedPairs(vecs, "vec_id", "embedding", 4, 0.95)
+      .as[(Long, Long, Double)].collect()
+    assert(blocked.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+}
