@@ -388,11 +388,90 @@ object QueryCatalog {
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
             ORDER BY id_a, id_b"""))
 
+  // ---------------------------------------------------------------- doc store
+
+  /** Recursive-character chunking (pgml.chunk) over the documents table
+    * (algorithm not SQL-expressible → rows-only; exact semantics pinned in
+    * CollectionSpec).
+    */
+  val s1Chunk: GraftQuery = GraftQuery(
+    "s1_chunk",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.ChunkFunctions.chunkText(col("text"), 120, 20))
+            .as(Seq("chunk_index", "chunk")))
+        .select(col("doc_id"), col("chunk_index"), length(col("chunk")).as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_index")),
+    None)
+
+  /** Mongo-style filter compiler applied to relational columns — validates
+    * filter_builder semantics through the DuckDB gate.
+    */
+  val s2FilterCompiler: GraftQuery = GraftQuery(
+    "s2_filter_compiler",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .where(graft.store.FilterCompiler.compile(
+          """{"$and": [{"lang": {"$in": ["en", "de"]}}, {"n_chars": {"$gt": 500}}]}"""))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang IN ('en', 'de') AND n_chars > 500 ORDER BY doc_id"""))
+
+  /** ts_rank-style full-text scoring (normalization 32: r/(r+1)); the
+    * corpus vocabulary is stemmer-neutral so the oracle counts raw tokens
+    * with the exact same arithmetic order.
+    */
+  val s3FulltextRank: GraftQuery = GraftQuery(
+    "s3_fulltext_rank",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.store.TsRank.rank(
+            graft.store.TsRank.tsVector(col("text")), "spark data").as("r"))
+        .select(col("doc_id"), round(col("r"), 5).as("rank"))
+        .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            raw AS (SELECT doc_id,
+              CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+              + CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE)
+                / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS r FROM tk)
+            SELECT doc_id, round(r / (r + 1.0), 5) AS rank FROM raw ORDER BY doc_id"""))
+
+  /** End-to-end document-store flow: upsert documents-table rows as JSON
+    * docs → sync pipeline (chunk → hash-embed → tsvector) → chunk-level
+    * vector search. Deterministic but not SQL-expressible → rows-only;
+    * semantics pinned in CollectionSpec.
+    */
+  val s4VectorSearchE2e: GraftQuery = GraftQuery(
+    "s4_vector_search_e2e",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_q_wh_").toString
+      val c = new graft.store.Collection(s, "docs", wh)
+      c.upsertDocuments(
+        t(s, dir, "documents").select(
+          to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("document")))
+      val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+        "text", splitter = Some((200, 20)),
+        semanticSearch = Some(graft.functions.HashEmbedder(64)), fullTextSearch = true)))
+      c.syncPipeline(p)
+      c.vectorSearch(p,
+          Seq(graft.store.VectorSearchField("text", "spark query table join")), limit = 10)
+        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          col("chunk"), round(col("score"), 5).as("score"))
+    },
+    None)
+
   /** Everything, in presentation order. */
   val all: Seq[GraftQuery] = Seq(
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
-    t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs)
+    t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs,
+    s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e)
 }

@@ -1,0 +1,294 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ChunkFunctions.chunkText
+import graft.functions.{Embedder, HashEmbedder}
+import graft.functions.VecFunctions._
+import graft.functions.TextFunctions
+
+/** Document → chunk → embedding → index store: the Spark-native counterpart
+  * of the reference SDK's Collection/Pipeline (pgml-sdks/pgml/src/
+  * collection.rs, pipeline.rs, queries.rs:5-103).
+  *
+  * Layout (parquet under a warehouse dir; Delta MERGE is the production
+  * sink for the upsert path — plain-parquet snapshot rewrite here):
+  *
+  *   <warehouse>/<collection>/documents           (row_id, source_uuid, document, created_at)
+  *   <warehouse>/<collection>/<pipeline>/<field>_chunks      (document_id, chunk_index, chunk)
+  *   <warehouse>/<collection>/<pipeline>/<field>_embeddings  (document_id, chunk_index, embedding)
+  *   <warehouse>/<collection>/<pipeline>/<field>_tsvectors   (document_id, chunk_index, terms)
+  *
+  * `document` is a schemaless JSON string (the reference's JSONB); its "id"
+  * key defines identity via md5 (collection.rs:671-678).
+  */
+final case class PipelineField(
+    name: String,
+    splitter: Option[(Int, Int)] = Some((1500, 40)), // chunk_size, overlap
+    semanticSearch: Option[Embedder] = Some(HashEmbedder(64)),
+    fullTextSearch: Boolean = false)
+
+final case class Pipeline(name: String, fields: Seq[PipelineField])
+
+class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
+  import spark.implicits._
+
+  private def docsPath = s"$warehouseDir/$name/documents"
+  private def tablePath(pipeline: String, field: String, kind: String) =
+    s"$warehouseDir/$name/$pipeline/${field}_$kind"
+
+  def documents: DataFrame = spark.read.parquet(docsPath)
+
+  /** Upsert a batch of JSON documents (each must contain an "id" key).
+    * `merge=true` shallow-merges new keys over the previous document
+    * (`document || EXCLUDED.document`, queries.rs:146-169).
+    */
+  def upsertDocuments(docJsons: DataFrame, merge: Boolean = false): Unit = {
+    val incoming = docJsons
+      .withColumn("source_uuid", md5(get_json_object(col("document"), "$.id")))
+      .withColumn("created_at", current_timestamp())
+      // last occurrence of a uuid within the batch wins
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("source_uuid")).orderBy(monotonically_increasing_id().desc)))
+      .where(col("_rn") === 1).drop("_rn")
+
+    val merged =
+      if (!new java.io.File(docsPath).exists()) {
+        incoming.select(col("source_uuid"), col("document"), col("created_at"))
+      } else {
+        val existing = documents.select(
+          col("source_uuid"), col("document").as("old_doc"),
+          col("created_at").as("old_created"))
+        existing.join(incoming.select(col("source_uuid"), col("document")), Seq("source_uuid"), "full_outer")
+          .select(
+            col("source_uuid"),
+            when(col("document").isNull, col("old_doc"))
+              .when(col("old_doc").isNull || !lit(merge), col("document"))
+              .otherwise(JsonOps.shallowMerge(col("old_doc"), col("document")))
+              .as("document"),
+            coalesce(col("old_created"), current_timestamp()).as("created_at"))
+      }
+    val out = merged
+      .withColumn("row_id", xxhash64(col("source_uuid"))) // stable keyset key
+      .select("row_id", "source_uuid", "document", "created_at")
+    writeSnapshot(out, docsPath)
+  }
+
+  /** Filtered / ordered / keyset-paginated document scan
+    * (collection.rs:769-848). */
+  def getDocuments(
+      limit: Int = 1000,
+      lastRowId: Option[Long] = None,
+      filterJson: Option[String] = None,
+      orderByJson: Option[String] = None): DataFrame = {
+    var df = documents
+    val resolver = FilterCompiler.jsonStringResolver(col("document"))
+    filterJson.foreach(f => df = df.where(FilterCompiler.compile(f, resolver)))
+    lastRowId.foreach(id => df = df.where(col("row_id") > id))
+    val sort = orderByJson.map(OrderByCompiler.compile(_, resolver))
+      .getOrElse(Seq(col("row_id").asc))
+    df.orderBy(sort: _*).limit(limit)
+  }
+
+  /** Filtered delete (collection.rs:872-884). */
+  def deleteDocuments(filterJson: String): Unit = {
+    val resolver = FilterCompiler.jsonStringResolver(col("document"))
+    val remaining = documents.where(!FilterCompiler.compile(filterJson, resolver))
+    writeSnapshot(remaining, docsPath)
+  }
+
+  /** Chunk → embed → tsvector for every pipeline field
+    * (pipeline.rs:591-934; full resync. Incremental changed-key sync is the
+    * Delta/CDF path — SURVEY.md §1.2 streams note).
+    */
+  def syncPipeline(p: Pipeline): Unit = p.fields.foreach { f =>
+    val (size, overlap) = f.splitter.getOrElse((1500, 40))
+    val chunks = documents
+      .select(col("source_uuid").as("document_id"),
+        posexplode(chunkText(get_json_object(col("document"), "$." + f.name), size, overlap))
+          .as(Seq("chunk_index", "chunk")))
+    writeSnapshot(chunks, tablePath(p.name, f.name, "chunks"))
+
+    f.semanticSearch.foreach { emb =>
+      val e = spark.read.parquet(tablePath(p.name, f.name, "chunks"))
+        .select(col("document_id"), col("chunk_index"), emb.embedCol(col("chunk")).as("embedding"))
+      writeSnapshot(e, tablePath(p.name, f.name, "embeddings"))
+    }
+    if (f.fullTextSearch) {
+      val ts = spark.read.parquet(tablePath(p.name, f.name, "chunks"))
+        .select(col("document_id"), col("chunk_index"),
+          TsRank.tsVector(col("chunk")).as("terms"))
+      writeSnapshot(ts, tablePath(p.name, f.name, "tsvectors"))
+    }
+  }
+
+  def chunks(p: Pipeline, field: String): DataFrame =
+    spark.read.parquet(tablePath(p.name, field, "chunks"))
+  def embeddings(p: Pipeline, field: String): DataFrame =
+    spark.read.parquet(tablePath(p.name, field, "embeddings"))
+  def tsvectors(p: Pipeline, field: String): DataFrame =
+    spark.read.parquet(tablePath(p.name, field, "tsvectors"))
+
+  /** Chunk-level KNN search across fields — `collection.vector_search`
+    * (vector_search_query_builder.rs:77-401). Per field: embed the query
+    * driver-side, score stored embeddings (cosine × boost), optional
+    * metadata filter + full-text chunk filter, UNION ALL across fields,
+    * global top-k; optional deterministic rerank stand-in.
+    *
+    * Returns (document_id, document, chunk, score [, rerank_score]).
+    */
+  def vectorSearch(
+      p: Pipeline,
+      fieldQueries: Seq[VectorSearchField],
+      limit: Int = 10,
+      filterJson: Option[String] = None,
+      rerank: Option[Int] = None): DataFrame = {
+    val docs = documents.select(
+      col("source_uuid").as("document_id"), col("document"))
+    val filtered = filterJson match {
+      case Some(f) =>
+        val resolver = FilterCompiler.jsonStringResolver(col("document"))
+        docs.where(FilterCompiler.compile(f, resolver))
+      case None => docs
+    }
+    val perField = fieldQueries.map { fq =>
+      val fieldDef = p.fields.find(_.name == fq.field)
+        .getOrElse(throw new IllegalArgumentException(s"field ${fq.field} not in pipeline"))
+      val emb = fieldDef.semanticSearch
+        .getOrElse(throw new IllegalArgumentException(s"field ${fq.field} has no semantic_search"))
+      val qv = emb.embedOne(fq.query)
+      var scored = embeddings(p, fq.field)
+        .withColumn("score", cosineSimilarity(col("embedding"), floatVec(qv.toIndexedSeq)) * fq.boost)
+        .join(chunks(p, fq.field), Seq("document_id", "chunk_index"))
+      fq.fullTextFilter.foreach(t => scored = scored.where(col("chunk").contains(t)))
+      scored
+        .join(filtered, Seq("document_id")) // broadcast-able doc side after filter
+        .select(col("document_id"), col("document"), col("chunk"), col("score"))
+    }
+    val unioned = perField.reduce(_ unionAll _)
+      .orderBy(col("score").desc, col("document_id")).limit(math.max(limit, rerank.getOrElse(0)))
+
+    rerank match {
+      case None => unioned
+      case Some(_) =>
+        // deterministic cross-scorer stand-in for pgml.rank (api.rs:612-625):
+        // token-overlap between query text and chunk — same alignment
+        // contract ((rank).corpus_id join) as the reference's cross-encoder.
+        val queryText = fieldQueries.map(_.query).mkString(" ")
+        unioned
+          .withColumn("rerank_score",
+            graft.operators.Dedup.tokenJaccard(lit(queryText), col("chunk")))
+          .orderBy(col("rerank_score").desc, col("document_id")).limit(limit)
+    }
+  }
+
+  /** Document-level hybrid search — `collection.search`
+    * (search_query_builder.rs:60-536): per-field best-chunk-per-document
+    * (window dedup replaces the recursive CTE), ts_rank×boost for text,
+    * cosine×boost for semantic, FULL OUTER JOIN + COALESCE-sum fusion,
+    * global top-k.
+    */
+  def search(
+      p: Pipeline,
+      semantic: Seq[VectorSearchField] = Nil,
+      fullText: Seq[FullTextField] = Nil,
+      limit: Int = 10,
+      filterJson: Option[String] = None): DataFrame = {
+    val resolver = FilterCompiler.jsonStringResolver(col("document"))
+    val docs = filterJson.foldLeft(
+      documents.select(col("source_uuid").as("document_id"), col("document")))(
+      (d, f) => d.where(FilterCompiler.compile(f, resolver)))
+
+    def bestPerDoc(df: DataFrame, scoreCol: String): DataFrame = {
+      val w = Window.partitionBy(col("document_id")).orderBy(col(scoreCol).desc, col("chunk_index"))
+      df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("document_id"), col(scoreCol))
+    }
+
+    val semScores = semantic.map { fq =>
+      val emb = p.fields.find(_.name == fq.field).flatMap(_.semanticSearch)
+        .getOrElse(throw new IllegalArgumentException(s"no semantic_search on ${fq.field}"))
+      val qv = emb.embedOne(fq.query)
+      bestPerDoc(
+        embeddings(p, fq.field).withColumn("s",
+          cosineSimilarity(col("embedding"), floatVec(qv.toIndexedSeq)) * fq.boost), "s")
+    }
+    val ftsScores = fullText.map { fq =>
+      bestPerDoc(
+        tsvectors(p, fq.field).withColumn("s",
+          TsRank.rank(col("terms"), fq.query) * fq.boost), "s")
+    }
+    val scoreFrames = (semScores ++ ftsScores).zipWithIndex.map { case (df, i) =>
+      df.withColumnRenamed("s", s"s_$i")
+    }
+    val fused = scoreFrames.reduce((a, b) => a.join(b, Seq("document_id"), "full_outer"))
+    val total = scoreFrames.indices.map(i => coalesce(col(s"s_$i"), lit(0.0))).reduce(_ + _)
+    fused.select(col("document_id"), total.as("score"))
+      .join(docs, Seq("document_id")) // also applies the metadata filter
+      .orderBy(col("score").desc, col("document_id"))
+      .limit(limit)
+      .select(col("document_id"), col("document"), col("score"))
+  }
+
+  /** RAG composition (rag_query_builder.rs:162-373): run named vector
+    * searches, aggregate each context with `array_join(collect_list)`,
+    * substitute `{VAR}` into the prompt, generate. Returns (rag, sources).
+    */
+  def rag(
+      p: Pipeline,
+      vars: Map[String, (Seq[VectorSearchField], Int)],
+      promptTemplate: String,
+      joinSep: String = "\n",
+      generator: Generator = new EchoGenerator): RagResult = {
+    val sources = vars.map { case (name, (fqs, k)) =>
+      name -> vectorSearch(p, fqs, limit = k).select("chunk").as[String].collect().toSeq
+    }
+    val prompt = sources.foldLeft(promptTemplate) { case (acc, (name, chunks)) =>
+      acc.replace(s"{$name}", chunks.mkString(joinSep))
+    }
+    RagResult(generator.generate(prompt), sources)
+  }
+
+  private def writeSnapshot(df: DataFrame, path: String): Unit = {
+    // write-then-swap so a failed job never truncates the live table
+    val tmp = path + "_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      val old = new java.io.File(path + "_old")
+      deleteRec(old)
+      target.renameTo(old)
+    }
+    new java.io.File(tmp).renameTo(target)
+    deleteRec(new java.io.File(path + "_old"))
+  }
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    if (f.exists()) f.delete()
+  }
+}
+
+final case class VectorSearchField(
+    field: String,
+    query: String,
+    boost: Double = 1.0,
+    fullTextFilter: Option[String] = None)
+
+final case class FullTextField(field: String, query: String, boost: Double = 1.0)
+
+final case class RagResult(rag: String, sources: Map[String, Seq[String]])
+
+/** Text-generation boundary. The reference runs HF pipelines in-process
+  * (pgml.transform); offline stand-in echoes a deterministic digest so RAG
+  * plumbing is testable. */
+trait Generator extends Serializable {
+  def generate(prompt: String): String
+}
+final class EchoGenerator extends Generator {
+  override def generate(prompt: String): String = {
+    val toks = prompt.split("\\s+").take(32)
+    s"[generated] ${toks.mkString(" ")}"
+  }
+}

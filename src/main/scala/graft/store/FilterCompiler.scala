@@ -1,0 +1,121 @@
+package graft.store
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** MongoDB-style metadata-filter compiler — the Spark counterpart of the
+  * reference's JSONB filter builder (pgml-sdks/pgml/src/filter_builder.rs:
+  * 18-163; semantics pinned by its unit tests at 224-405):
+  *
+  *   {"k": v} / {"k": {"$eq": v}}        equality
+  *   {"$ne": v}                           inequality (null-safe: NULL ≠ v)
+  *   {"$gt" | "$gte" | "$lt" | "$lte": v} ordered comparison
+  *   {"$in": [..]} / {"$nin": [..]}       membership
+  *   {"$and": [..]} / {"$or": [..]} / {"$not": f}   combinators
+  *   nested keys ({"a": {"b": {"$eq": 1}}}) → path a.b
+  *
+  * Instead of emitting SQL text against JSONB operators, we compile to
+  * `Column` expressions over a caller-supplied field resolver, so the same
+  * filter JSON works against top-level columns, nested structs, or JSON
+  * string columns — and Catalyst pushes the resulting predicates into the
+  * parquet scan (strictly better than the reference's GIN-indexed `@>`,
+  * SURVEY.md §4.1).
+  */
+object FilterCompiler {
+
+  /** Resolve a dotted path to (column, value-caster). The default resolver
+    * treats path segments as struct/column fields. */
+  type Resolver = Seq[String] => Column
+
+  val columnResolver: Resolver = path => col(path.mkString("."))
+
+  /** Resolver for a JSON-string document column: extracts with
+    * get_json_object (returns string; compile() casts by literal type). */
+  def jsonStringResolver(docCol: Column): Resolver =
+    path => get_json_object(docCol, "$." + path.mkString("."))
+
+  def compile(filterJson: String, resolve: Resolver = columnResolver): Column =
+    compileNode(JsonMethods.parse(filterJson), resolve)
+
+  private def compileNode(node: JValue, resolve: Resolver): Column = node match {
+    case JObject(fields) =>
+      fields.map { case (k, v) => compileField(k, v, Nil, resolve) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case other =>
+      throw new IllegalArgumentException(s"filter root must be an object, got $other")
+  }
+
+  private def compileField(key: String, value: JValue, path: Seq[String], resolve: Resolver): Column =
+    key match {
+      case "$and" => value match {
+        case JArray(items) => items.map(compileNode(_, resolve)).reduce(_ && _)
+        case _ => throw new IllegalArgumentException("$and expects an array")
+      }
+      case "$or" => value match {
+        case JArray(items) => items.map(compileNode(_, resolve)).reduce(_ || _)
+        case _ => throw new IllegalArgumentException("$or expects an array")
+      }
+      case "$not" => !compileNode(value, resolve)
+      case _ => compileValue(path :+ key, value, resolve)
+    }
+
+  private def compileValue(path: Seq[String], value: JValue, resolve: Resolver): Column =
+    value match {
+      case JObject(fields) if fields.nonEmpty && fields.forall(_._1.startsWith("$")) =>
+        fields.map { case (op, v) => compileOp(path, op, v, resolve) }.reduce(_ && _)
+      case JObject(fields) => // nested key path
+        fields.map { case (k, v) => compileField(k, v, path, resolve) }
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case v => compileOp(path, "$eq", v, resolve)
+    }
+
+  private def compileOp(path: Seq[String], op: String, v: JValue, resolve: Resolver): Column = {
+    val field = resolve(path)
+    def typed = castTo(field, v)
+    op match {
+      case "$eq" => typed === literal(v)
+      case "$ne" =>
+        // reference semantics: NOT(x = v) via JSONB containment negation —
+        // a missing/NULL field *does* satisfy $ne (it doesn't contain v)
+        !(typed <=> literal(v))
+      case "$gt" => typed > literal(v)
+      case "$gte" => typed >= literal(v)
+      case "$lt" => typed < literal(v)
+      case "$lte" => typed <= literal(v)
+      case "$in" => v match {
+        case JArray(items) => castTo(field, items.head).isin(items.map(scalaValue): _*)
+        case _ => throw new IllegalArgumentException("$in expects an array")
+      }
+      case "$nin" => v match {
+        case JArray(items) =>
+          val f = castTo(field, items.head)
+          !f.isin(items.map(scalaValue): _*) || f.isNull
+        case _ => throw new IllegalArgumentException("$nin expects an array")
+      }
+      case other => throw new IllegalArgumentException(s"unsupported filter operator $other")
+    }
+  }
+
+  /** Cast an extracted field to the JSON literal's type (needed for the
+    * JSON-string resolver where everything extracts as string). */
+  private def castTo(field: Column, v: JValue): Column = v match {
+    case _: JInt | _: JLong | _: JDouble | _: JDecimal => field.cast("double")
+    case _: JBool => field.cast("boolean")
+    case _ => field
+  }
+
+  private def literal(v: JValue): Column = lit(scalaValue(v))
+
+  private def scalaValue(v: JValue): Any = v match {
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JString(s) => s
+    case JBool(b) => b
+    case JNull => null
+    case other => throw new IllegalArgumentException(s"unsupported literal $other")
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ChunkKernel, HashEmbedder}
+import graft.store._
+
+/** SDK-style integration tests mirroring the reference's live-DB suite
+  * (pgml-sdks/pgml/python/tests/test.py:44-512: upsert → sync → search →
+  * vector_search → rag → get/delete/order) plus the filter-builder unit
+  * semantics (filter_builder.rs:224-405).
+  */
+class CollectionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def newCollection(n: String): Collection = {
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    new Collection(spark, n, wh)
+  }
+
+  // deterministic generator mirroring the reference's dummy docs
+  // (lib.rs:288-313 generate_dummy_documents)
+  private def dummyDocs(n: Int) = (0 until n).map { i =>
+    s"""{"id": $i, "title": "Test Document $i", "body": "Test body $i document ${"spark data engine " * (i % 3 + 1)}", "notes": "Here are some notes for $i", "category": ${i % 3}, "uuid": $i}"""
+  }.toDF("document")
+
+  private val pipeline = Pipeline("p1", Seq(
+    PipelineField("body", splitter = Some((64, 8)),
+      semanticSearch = Some(HashEmbedder(64)), fullTextSearch = true),
+    PipelineField("title", splitter = None,
+      semanticSearch = Some(HashEmbedder(64)), fullTextSearch = false)))
+
+  test("upsert + sync + chunk tables materialize") {
+    val c = newCollection("c1")
+    c.upsertDocuments(dummyDocs(10))
+    assert(c.documents.count() == 10)
+    c.syncPipeline(pipeline)
+    val chunks = c.chunks(pipeline, "body")
+    assert(chunks.count() >= 10)
+    assert(chunks.columns.toSeq == Seq("document_id", "chunk_index", "chunk"))
+    val emb = c.embeddings(pipeline, "body")
+    assert(emb.count() == chunks.count())
+    assert(emb.select(graft.functions.VecFunctions.vecNormL2(col("embedding")))
+      .as[Double].collect().forall(n => math.abs(n - 1.0) < 1e-5))
+    assert(c.tsvectors(pipeline, "body").count() == chunks.count())
+  }
+
+  test("upsert is idempotent and updates by id; merge is shallow") {
+    val c = newCollection("c2")
+    c.upsertDocuments(dummyDocs(5))
+    c.upsertDocuments(Seq("""{"id": 3, "title": "Updated", "extra": 1}""").toDF("document"))
+    assert(c.documents.count() == 5)
+    val doc3 = c.getDocuments(filterJson = Some("""{"id": {"$eq": 3}}"""))
+      .select("document").as[String].head()
+    assert(doc3.contains("Updated") && !doc3.contains("body")) // replaced, not merged
+    c.upsertDocuments(Seq("""{"id": 3, "note": "merged"}""").toDF("document"), merge = true)
+    val merged = c.getDocuments(filterJson = Some("""{"id": {"$eq": 3}}"""))
+      .select("document").as[String].head()
+    assert(merged.contains("Updated") && merged.contains("merged")) // shallow merge keeps both
+  }
+
+  test("filter compiler semantics (filter_builder.rs test matrix)") {
+    val df = Seq(
+      ("""{"id": 1, "meta": {"uuid": 10, "name": "a"}, "tag": "x"}"""),
+      ("""{"id": 2, "meta": {"uuid": 20, "name": "b"}, "tag": "y"}"""),
+      ("""{"id": 3, "meta": {"name": "c"}, "tag": "x"}""")
+    ).toDF("document")
+    val r = FilterCompiler.jsonStringResolver(col("document"))
+    def ids(filter: String): Set[Long] =
+      df.where(FilterCompiler.compile(filter, r))
+        .select(get_json_object(col("document"), "$.id").cast("long")).as[Long].collect().toSet
+
+    assert(ids("""{"id": {"$eq": 1}}""") == Set(1))
+    assert(ids("""{"id": 2}""") == Set(2))
+    assert(ids("""{"meta": {"uuid": {"$eq": 10}}}""") == Set(1))          // nested path
+    assert(ids("""{"id": {"$ne": 1}}""") == Set(2, 3))
+    assert(ids("""{"meta": {"uuid": {"$ne": 10}}}""") == Set(2, 3))       // missing key satisfies $ne
+    assert(ids("""{"id": {"$gt": 1}}""") == Set(2, 3))
+    assert(ids("""{"id": {"$gte": 2}}""") == Set(2, 3))
+    assert(ids("""{"id": {"$lt": 2}}""") == Set(1))
+    assert(ids("""{"id": {"$lte": 2}}""") == Set(1, 2))
+    assert(ids("""{"id": {"$in": [1, 3]}}""") == Set(1, 3))
+    assert(ids("""{"id": {"$nin": [1, 3]}}""") == Set(2))
+    assert(ids("""{"meta": {"uuid": {"$nin": [10]}}}""") == Set(2, 3))    // missing key satisfies $nin
+    assert(ids("""{"$and": [{"tag": "x"}, {"id": {"$lt": 3}}]}""") == Set(1))
+    assert(ids("""{"$or": [{"id": 1}, {"tag": "y"}]}""") == Set(1, 2))
+    assert(ids("""{"$not": {"tag": "x"}}""") == Set(2))
+    assert(ids("""{"tag": "x", "id": {"$gt": 1}}""") == Set(3))           // implicit AND
+  }
+
+  test("getDocuments: keyset pagination and order_by") {
+    val c = newCollection("c3")
+    c.upsertDocuments(dummyDocs(20))
+    val page1 = c.getDocuments(limit = 5)
+    assert(page1.count() == 5)
+    val last = page1.select("row_id").as[Long].collect().max
+    val page2 = c.getDocuments(limit = 5, lastRowId = Some(last))
+    assert(page2.count() == 5)
+    val p1 = page1.select("source_uuid").as[String].collect().toSet
+    assert(page2.select("source_uuid").as[String].collect().toSet.intersect(p1).isEmpty)
+    val ordered = c.getDocuments(limit = 3, orderByJson = Some("""{"category": "desc", "id": "asc"}"""))
+      .select(get_json_object(col("document"), "$.category").cast("int")).as[Int].collect()
+    assert(ordered.toSeq == ordered.sorted(Ordering[Int].reverse).toSeq)
+  }
+
+  test("deleteDocuments removes filtered docs only") {
+    val c = newCollection("c4")
+    c.upsertDocuments(dummyDocs(9))
+    c.deleteDocuments("""{"category": {"$eq": 0}}""")
+    val cats = c.documents
+      .select(get_json_object(col("document"), "$.category").cast("int")).as[Int].collect()
+    assert(cats.nonEmpty && !cats.contains(0))
+  }
+
+  test("vector_search returns relevant docs first, respects filter and rerank shape") {
+    val c = newCollection("c5")
+    c.upsertDocuments(dummyDocs(12))
+    c.syncPipeline(pipeline)
+    val res = c.vectorSearch(pipeline,
+      Seq(VectorSearchField("body", "Test body 7 document")), limit = 5)
+    assert(res.count() == 5)
+    assert(res.columns.toSeq == Seq("document_id", "document", "chunk", "score"))
+    // BoW-cosine ranks all "Test body N document ..." chunks high; the doc
+    // actually containing token "7" must be among the top hits
+    val topDocs = res.orderBy(col("score").desc).select("document").as[String].collect()
+    assert(topDocs.head.contains("Test body"))
+    assert(topDocs.exists(_.contains("\"id\": 7")))
+    // metadata filter restricts candidates
+    val filtered = c.vectorSearch(pipeline,
+      Seq(VectorSearchField("body", "Test body 7 document")), limit = 5,
+      filterJson = Some("""{"category": {"$eq": 1}}"""))
+    val cats = filtered.select(get_json_object(col("document"), "$.category").cast("int"))
+      .as[Int].collect()
+    assert(cats.forall(_ == 1))
+    // rerank adds the score column and keeps limit
+    val rr = c.vectorSearch(pipeline,
+      Seq(VectorSearchField("body", "Test body 7 document")), limit = 3, rerank = Some(8))
+    assert(rr.columns.contains("rerank_score") && rr.count() == 3)
+  }
+
+  test("hybrid search fuses semantic and full-text scores at document level") {
+    val c = newCollection("c6")
+    c.upsertDocuments(dummyDocs(12))
+    c.syncPipeline(pipeline)
+    val res = c.search(pipeline,
+      semantic = Seq(VectorSearchField("title", "Test Document 4")),
+      fullText = Seq(FullTextField("body", "spark data engine")),
+      limit = 6)
+    assert(res.count() == 6)
+    assert(res.columns.toSeq == Seq("document_id", "document", "score"))
+    // one doc per document_id (window dedup worked)
+    assert(res.select("document_id").distinct().count() == 6)
+    // full-text-only search is monotone in term frequency: category 2 docs
+    // repeat "spark data engine" 3x in a longer body — just assert scores > 0
+    val ft = c.search(pipeline, fullText = Seq(FullTextField("body", "spark data engine")), limit = 12)
+    assert(ft.select("score").as[Double].collect().forall(_ > 0))
+  }
+
+  test("rag composes retrieval into prompt with {VAR} substitution") {
+    val c = newCollection("c7")
+    c.upsertDocuments(dummyDocs(8))
+    c.syncPipeline(pipeline)
+    val out = c.rag(pipeline,
+      vars = Map("CONTEXT" -> (Seq(VectorSearchField("body", "Test body 2")), 2)),
+      promptTemplate = "Answer from: {CONTEXT}\nQ: what is doc 2?")
+    assert(out.sources("CONTEXT").size == 2)
+    assert(out.rag.startsWith("[generated]"))
+    assert(out.rag.contains("Answer from:"))
+  }
+
+  test("chunker: size bound, overlap carry, separator preference") {
+    val text = "para one sentence.\n\npara two is here.\n\n" + ("word " * 50).trim
+    val chunks = ChunkKernel.chunk(text, 60, 10)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length <= 60))
+    // overlap: consecutive chunks share a suffix/prefix when split mid-paragraph
+    val longRun = ChunkKernel.chunk(("word " * 50).trim, 40, 10)
+    assert(longRun.size >= 2)
+    // overlap carry: each following chunk begins with the tail of its predecessor
+    assert(longRun.sliding(2).forall(p => p(1).startsWith(p(0).takeRight(10))))
+    // short text → single chunk unchanged
+    assert(ChunkKernel.chunk("short", 100, 10).toSeq == Seq("short"))
+  }
+}
