@@ -1,0 +1,165 @@
+package graft.ml
+
+import org.apache.spark.ml.util.MLWritable
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Model registry + deployment semantics — the `pgml.projects/models/
+  * deployments` tables (pgml-extension/src/api.rs:376-430, orm/project.rs,
+  * orm/strategy.rs) as parquet tables under a registry dir, with MLlib
+  * native model persistence standing in for `pgml.files` estimator bytes.
+  *
+  * Deploy strategies: best_score | most_recent | rollback | specific
+  * (src/api.rs:332-437).
+  */
+class Registry(spark: SparkSession, dir: String) {
+  import spark.implicits._
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def modelsPath = s"$dir/models"
+  private def deploymentsPath = s"$dir/deployments"
+  private def modelDir(id: Long) = s"$dir/files/model_$id"
+
+  def models: DataFrame =
+    if (new java.io.File(modelsPath).exists()) spark.read.parquet(modelsPath)
+    else spark.emptyDataset[ModelRow].toDF()
+
+  def deployments: DataFrame =
+    if (new java.io.File(deploymentsPath).exists()) spark.read.parquet(deploymentsPath)
+    else spark.emptyDataset[DeploymentRow].toDF()
+
+  def saveModel(
+      project: String, task: String, algorithm: String,
+      hyperparams: Map[String, Any], metrics: Map[String, Double],
+      model: Any, fitted: Seq[FittedColumn], featNames: Seq[String]): Long = {
+    val id = models.agg(coalesce(max(col("model_id")), lit(0L))).head().getLong(0) + 1
+    model match {
+      case w: MLWritable => w.write.overwrite().save(modelDir(id))
+      case other => throw new IllegalArgumentException(s"model not persistable: $other")
+    }
+    // fitted preprocessing + feature layout, JSON beside the estimator
+    val meta = Serialization.write(RegistryMeta(
+      model.getClass.getName, featNames,
+      fitted.map(f => FittedColumnJson(f.plan.name, f.plan.encode, f.plan.ordinalValues,
+        f.plan.impute, f.plan.scale, f.categorical, f.categories, f.imputeValue,
+        f.scaleOffset, f.scaleDiv, f.oneHotCats))))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(modelDir(id)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${modelDir(id)}/graft_meta.json"), meta)
+
+    val row = ModelRow(id, project, task, algorithm,
+      Serialization.write(hyperparams.map { case (k, v) => k -> v.toString }),
+      Serialization.write(metrics), java.time.Instant.now().toString)
+    append(Seq(row).toDF(), modelsPath)
+    id
+  }
+
+  /** Deploy if first model for the project or strictly better on the task
+    * default metric (value_is_better, task.rs:83-89: r2 for regression, f1
+    * for classification — higher is better; silhouette/cev likewise).
+    */
+  def maybeDeploy(project: String, task: String, modelId: Long,
+      metrics: Map[String, Double]): Boolean = {
+    val metricName = defaultMetric(task)
+    val current = currentDeployment(project)
+    val better = current match {
+      case None => true
+      case Some(dep) =>
+        val prev = modelMetrics(dep.model_id).getOrElse(metricName, Double.NegativeInfinity)
+        metrics.getOrElse(metricName, Double.NegativeInfinity) > prev
+    }
+    if (better) deploy(project, modelId, "new_score")
+    better
+  }
+
+  def defaultMetric(task: String): String = task match {
+    case "regression" => "r2"
+    case "classification" => "f1"
+    case "clustering" => "silhouette"
+    case "decomposition" => "cumulative_explained_variance"
+  }
+
+  def deploy(project: String, modelId: Long, strategy: String): Unit =
+    append(Seq(DeploymentRow(project, modelId, strategy,
+      java.time.Instant.now().toString, System.nanoTime())).toDF(), deploymentsPath)
+
+  /** Strategy resolver (orm/strategy.rs): pick the model id to deploy. */
+  def resolveStrategy(project: String, strategy: String,
+      algorithm: Option[String] = None): Option[Long] = strategy match {
+    case "best_score" =>
+      val metricExpr = get_json_object(col("metrics"), "$." +
+        defaultMetric(models.where(col("project") === project)
+          .select("task").head().getString(0))).cast("double")
+      var m = models.where(col("project") === project)
+      algorithm.foreach(a => m = m.where(col("algorithm") === a))
+      m.orderBy(metricExpr.desc_nulls_last).select("model_id")
+        .as[Long].collect().headOption
+    case "most_recent" =>
+      var m = models.where(col("project") === project)
+      algorithm.foreach(a => m = m.where(col("algorithm") === a))
+      m.orderBy(col("model_id").desc).select("model_id").as[Long].collect().headOption
+    case "rollback" =>
+      deployments.where(col("project") === project)
+        .orderBy(col("seq").desc).select("model_id").as[Long].collect()
+        .distinct.drop(1).headOption
+    case other => throw new IllegalArgumentException(s"unknown strategy $other")
+  }
+
+  def currentDeployment(project: String): Option[DeploymentRow] =
+    deployments.where(col("project") === project)
+      .orderBy(col("seq").desc).as[DeploymentRow].collect().headOption
+
+  def modelMetrics(modelId: Long): Map[String, Double] =
+    models.where(col("model_id") === modelId).select("metrics").as[String]
+      .collect().headOption
+      .map(JsonMethods.parse(_).extract[Map[String, Double]])
+      .getOrElse(Map.empty)
+
+  /** `pgml.predict(project, df)` — resolve deployed model, apply stored
+    * preprocessing + estimator. Model loading happens once on the driver;
+    * the loaded MLlib model broadcasts itself through transform.
+    */
+  def predict(project: String, df: DataFrame): DataFrame = {
+    val dep = currentDeployment(project)
+      .getOrElse(throw new IllegalStateException(s"no deployment for project $project"))
+    predictWithModel(dep.model_id, df)
+  }
+
+  def predictWithModel(modelId: Long, df: DataFrame): DataFrame = {
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${modelDir(modelId)}/graft_meta.json")))
+      .extract[RegistryMeta]
+    val fitted = meta.fitted.map(j => FittedColumn(
+      ColumnPlan(j.name, j.encode, j.ordinalValues, j.impute, j.scale),
+      j.categorical, j.categories, j.imputeValue, j.scaleOffset, j.scaleDiv, j.oneHotCats))
+    val prepped = new VectorAssembler()
+      .setInputCols(meta.featNames.toArray).setOutputCol("features")
+      .transform(Preprocessor.transform(df, fitted))
+    val model = loadModel(meta.modelClass, modelDir(modelId))
+    model.transform(prepped)
+  }
+
+  private def loadModel(className: String, path: String): org.apache.spark.ml.Transformer = {
+    val clazz = Class.forName(className + "$") // companion object
+    val companion = clazz.getField("MODULE$").get(null)
+    companion.asInstanceOf[org.apache.spark.ml.util.MLReadable[_]]
+      .load(path).asInstanceOf[org.apache.spark.ml.Transformer]
+  }
+
+  private def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+}
+
+final case class ModelRow(model_id: Long, project: String, task: String,
+    algorithm: String, hyperparams: String, metrics: String, created_at: String)
+final case class DeploymentRow(project: String, model_id: Long, strategy: String,
+    created_at: String, seq: Long)
+final case class RegistryMeta(modelClass: String, featNames: Seq[String],
+    fitted: Seq[FittedColumnJson])
+final case class FittedColumnJson(name: String, encode: String,
+    ordinalValues: Seq[String], impute: String, scale: String,
+    categorical: Boolean, categories: Map[String, Double], imputeValue: Double,
+    scaleOffset: Double, scaleDiv: Double, oneHotCats: Seq[String])

@@ -1,0 +1,191 @@
+package graft.ml
+
+import org.apache.spark.ml.{PredictionModel, Predictor}
+import org.apache.spark.ml.classification.{GBTClassifier, LinearSVC, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** `pgml.train` orchestration (pgml-extension/src/api.rs:92-330 lifecycle,
+  * §3.1): project resolution → snapshot (schema reflect + stats) → split
+  * sampling → per-column preprocessing → estimator fit (MLlib) → test
+  * metrics → registry persist → deploy decision (better-metric wins, like
+  * `value_is_better`, task.rs:83-89).
+  *
+  * Algorithm → MLlib mapping per SURVEY.md §2.12; unsupported reference
+  * algorithms degrade to the nearest MLlib family and the substitution is
+  * recorded in the model row (`runtime` field).
+  */
+final case class TrainResult(
+    projectName: String, task: String, algorithm: String, modelId: Long,
+    deployed: Boolean, metrics: Map[String, Double])
+
+object Sampling {
+  /** random | last | stratified (src/orm/sampling.rs:48-68). */
+  def split(df: DataFrame, testSize: Double, sampling: String, labelCol: String,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val n = df.count()
+    val nTest = if (testSize > 1) testSize.toLong else math.round(n * testSize)
+    val ordered = sampling match {
+      case "random" => df.orderBy(rand(seed))
+      case "last" => df
+      case "stratified" =>
+        // round-robin by label via row_number-per-label (sampling.rs:55-68)
+        df.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(labelCol)).orderBy(rand(seed))))
+          .orderBy(col("__rn"), col(labelCol)).drop("__rn")
+      case other => throw new IllegalArgumentException(s"unknown sampling $other")
+    }
+    val indexed = ordered.withColumn("__idx", monotonically_increasing_id())
+    val cut = n - nTest
+    // monotonically_increasing_id is ordering-stable within this plan: we
+    // materialize to make the split deterministic
+    val cached = indexed.cache()
+    (cached.orderBy("__idx").limit(cut.toInt).drop("__idx"),
+      cached.orderBy(col("__idx").desc).limit(nTest.toInt).drop("__idx"))
+  }
+}
+
+class Trainer(spark: SparkSession, registryDir: String) {
+
+  val registry = new Registry(spark, registryDir)
+  private implicit val fmts: Formats = DefaultFormats
+
+  /** The `pgml.train(...)` entry. `relation` is the snapshot frame. */
+  def train(
+      projectName: String,
+      task: String, // regression | classification | clustering | decomposition
+      relation: DataFrame,
+      yCol: Option[String],
+      algorithm: String = "linear",
+      hyperparams: Map[String, Any] = Map.empty,
+      preprocess: Map[String, ColumnPlan] = Map.empty,
+      testSize: Double = 0.25,
+      testSampling: String = "random",
+      automaticDeploy: Boolean = true): TrainResult = {
+
+    val featureCols = relation.columns.filterNot(yCol.contains(_)).toSeq
+    val plans = featureCols.map(c =>
+      preprocess.getOrElse(c, ColumnPlan(c,
+        impute = if (preprocess.contains(c)) "error" else "zero")))
+
+    val (trainDf, testDf) = task match {
+      case "clustering" | "decomposition" => (relation, relation)
+      case _ if testSize <= 0.0 => (relation, relation) // fit on everything
+      case _ => Sampling.split(relation, testSize,
+        if (task == "classification" && testSampling == "stratified") "stratified" else testSampling,
+        yCol.getOrElse(featureCols.head))
+    }
+
+    val fitted = Preprocessor.fit(trainDf, plans, yCol.getOrElse(featureCols.head))
+    val featNames = Preprocessor.featureNames(fitted)
+    val assembler = new VectorAssembler()
+      .setInputCols(featNames.toArray).setOutputCol("features")
+    def prep(df: DataFrame): DataFrame = assembler.transform(Preprocessor.transform(df, fitted))
+
+    val trainPrep = prep(trainDf).cache()
+    val testPrep = prep(testDf)
+
+    val (model, metrics) = fitAndEvaluate(task, algorithm, hyperparams,
+      trainPrep, testPrep, yCol)
+
+    val modelId = registry.saveModel(projectName, task, algorithm,
+      hyperparams, metrics, model, fitted, featNames)
+
+    val deployed = if (automaticDeploy) registry.maybeDeploy(projectName, task, modelId, metrics)
+      else false
+    trainPrep.unpersist()
+    TrainResult(projectName, task, algorithm, modelId, deployed, metrics)
+  }
+
+  private def fitAndEvaluate(
+      task: String, algorithm: String, hp: Map[String, Any],
+      train: DataFrame, test: DataFrame, yCol: Option[String]): (Any, Map[String, Double]) = {
+
+    def d(k: String, dft: Double) = hp.get(k).map(_.toString.toDouble).getOrElse(dft)
+    def i(k: String, dft: Int) = hp.get(k).map(_.toString.toDouble.toInt).getOrElse(dft)
+
+    task match {
+      case "regression" =>
+        val y = yCol.get
+        val est: org.apache.spark.ml.Estimator[_] = algorithm match {
+          case "linear" => new LinearRegression().setSolver("normal").setRegParam(0.0)
+            .setLabelCol(y).setFeaturesCol("features")
+          case "ridge" => new LinearRegression().setRegParam(d("alpha", 1.0))
+            .setElasticNetParam(0.0).setLabelCol(y).setFeaturesCol("features")
+          case "lasso" => new LinearRegression().setRegParam(d("alpha", 1.0))
+            .setElasticNetParam(1.0).setLabelCol(y).setFeaturesCol("features")
+          case "elastic_net" => new LinearRegression()
+            .setRegParam(d("alpha", 1.0)).setElasticNetParam(d("l1_ratio", 0.5))
+            .setLabelCol(y).setFeaturesCol("features")
+          case "random_forest" | "extra_trees" => new RandomForestRegressor()
+            .setNumTrees(i("n_estimators", 20)).setSeed(42)
+            .setLabelCol(y).setFeaturesCol("features")
+          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" =>
+            new GBTRegressor().setMaxIter(i("n_estimators", 20)).setSeed(42)
+              .setLabelCol(y).setFeaturesCol("features")
+          case _ => new LinearRegression().setSolver("normal") // nearest-family fallback
+            .setLabelCol(y).setFeaturesCol("features")
+        }
+        val m = est.fit(train).asInstanceOf[org.apache.spark.ml.Transformer]
+        val pred = m.transform(test)
+        (m, Metrics.regression(pred, y, "prediction"))
+
+      case "classification" =>
+        val y = yCol.get
+        val est: org.apache.spark.ml.Estimator[_] = algorithm match {
+          case "linear" | "ridge" => new LogisticRegression().setMaxIter(100)
+            .setLabelCol(y).setFeaturesCol("features")
+          case "svm" | "linear_svm" | "nu_svm" => new LinearSVC()
+            .setLabelCol(y).setFeaturesCol("features")
+          case "random_forest" | "extra_trees" => new RandomForestClassifier()
+            .setNumTrees(i("n_estimators", 20)).setSeed(42)
+            .setLabelCol(y).setFeaturesCol("features")
+          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" =>
+            new GBTClassifier().setMaxIter(i("n_estimators", 20)).setSeed(42)
+              .setLabelCol(y).setFeaturesCol("features")
+          case _ => new LogisticRegression().setMaxIter(100)
+            .setLabelCol(y).setFeaturesCol("features")
+        }
+        val m = est.fit(train).asInstanceOf[org.apache.spark.ml.Transformer]
+        val pred = m.transform(test)
+        val base = Metrics.classification(pred, y, "prediction")
+        val extra = if (pred.columns.contains("probability") &&
+            pred.select(col(y)).distinct().count() == 2) {
+          val withP1 = pred.withColumn("p1", VectorOps.element(col("probability"), 1))
+          Map("roc_auc" -> Metrics.rocAuc(withP1, y, "p1"),
+            "log_loss" -> Metrics.logLoss(withP1, y, "p1"))
+        } else Map.empty[String, Double]
+        (m, base ++ extra)
+
+      case "clustering" =>
+        val m = new KMeans().setK(i("n_clusters", 8)).setSeed(42)
+          .setFeaturesCol("features").fit(train)
+        val pred = m.transform(test)
+        val silhouette = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+          .setFeaturesCol("features").evaluate(pred)
+        (m, Map("silhouette" -> silhouette))
+
+      case "decomposition" =>
+        val dim = train.select("features").head().getAs[Vector](0).size
+        val k = math.min(i("n_components", 2), dim)
+        val m = new PCA().setK(k).setInputCol("features").setOutputCol("pca")
+          .fit(train)
+        (m, Map("cumulative_explained_variance" -> m.explainedVariance.toArray.sum))
+
+      case other => throw new IllegalArgumentException(s"unknown task $other")
+    }
+  }
+}
+
+object VectorOps {
+  private val getElem = udf((v: Vector, i: Int) => v(i))
+  def element(v: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    getElem(v, lit(i))
+}

@@ -466,6 +466,78 @@ object QueryCatalog {
     },
     None)
 
+  // ---------------------------------------------------------------- ML
+
+  /** pgml.train + pgml.predict lifecycle with an OLS oracle: fit linear
+    * regression (normal equations) of l_extendedprice on l_quantity over
+    * the whole table, predict the first 100 rows. DuckDB's
+    * regr_slope/regr_intercept is the closed form of the same fit.
+    */
+  val m1LinearRegression: GraftQuery = GraftQuery(
+    "m1_linear_regression",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_reg_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      tr.train("q_lin", "regression",
+        li.select(col("l_quantity"), col("l_extendedprice")), Some("l_extendedprice"),
+        "linear", testSize = 0.0)
+      tr.registry.predict("q_lin", li)
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("prediction"), 3).as("pred"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+    Some("""WITH fit AS (SELECT regr_slope(l_extendedprice, l_quantity) AS m,
+                     regr_intercept(l_extendedprice, l_quantity) AS b FROM lineitem)
+            SELECT l_orderkey, l_linenumber, round(b + m * l_quantity, 3) AS pred
+            FROM lineitem, fit ORDER BY l_orderkey, l_linenumber LIMIT 100"""))
+
+  /** Snapshot column analysis (analyze stats, snapshot.rs:224-338). */
+  val m2ColumnStats: GraftQuery = GraftQuery(
+    "m2_column_stats",
+    (s, dir) =>
+      graft.ml.Snapshot.analyze(t(s, dir, "lineitem"), Seq("l_quantity", "l_discount"))
+        .select(col("column"), col("metric"), round(col("value"), 4).as("value"))
+        .orderBy(col("column"), col("metric")),
+    Some("""WITH s AS (
+              SELECT 'l_quantity' AS "column", 'min' AS metric, min(l_quantity) AS value FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'max', max(l_quantity) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'mean', avg(l_quantity) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'median', median(l_quantity) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'std_dev', stddev_pop(l_quantity) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'variance', var_pop(l_quantity) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'missing', count(*) - count(l_quantity) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'distinct', count(DISTINCT l_quantity) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'min', min(l_discount) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'max', max(l_discount) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'mean', avg(l_discount) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'median', median(l_discount) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'std_dev', stddev_pop(l_discount) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'variance', var_pop(l_discount) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'missing', count(*) - count(l_discount) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'distinct', count(DISTINCT l_discount) FROM lineitem)
+            SELECT "column", metric, round(value, 4) AS value FROM s
+            ORDER BY "column", metric"""))
+
+  /** KMeans clustering over leading embedding dims (deterministic seed;
+    * centroid assignment not SQL-expressible → rows-only).
+    */
+  val m3Kmeans: GraftQuery = GraftQuery(
+    "m3_kmeans_sizes",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select((0 until 8).map(i => element_at(col("embedding"), i + 1).as(s"e$i")): _*)
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_km_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      val res = tr.train("q_km", "clustering", emb, None, "kmeans",
+        hyperparams = Map("n_clusters" -> 4))
+      tr.registry.predictWithModel(res.modelId, emb)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+        .select(col("n")).orderBy(col("n").desc)
+    },
+    None)
+
   /** Everything, in presentation order. */
   val all: Seq[GraftQuery] = Seq(
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
@@ -473,5 +545,6 @@ object QueryCatalog {
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs,
-    s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e)
+    s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e,
+    m1LinearRegression, m2ColumnStats, m3Kmeans)
 }

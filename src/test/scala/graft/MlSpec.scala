@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml._
+
+/** Train-lifecycle tests mirroring the reference's per-runtime train tests
+  * (api.rs:1581-1739) plus exact-semantics preprocessing/metrics checks.
+  */
+class MlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def newTrainer() =
+    new Trainer(spark, Files.createTempDirectory("graft_reg_").toString)
+
+  test("linear regression recovers a known linear function; predict via registry") {
+    // y = 3x + 2 exactly → OLS must recover it
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 2.0)).toDF("x", "y")
+    val t = newTrainer()
+    val res = t.train("proj_lin", "regression", df, Some("y"), "linear",
+      testSampling = "last")
+    assert(res.deployed)
+    assert(res.metrics("r2") > 0.99999)
+    assert(res.metrics("mse") < 1e-6)
+    val pred = t.registry.predict("proj_lin", Seq((200.0, 0.0)).toDF("x", "y"))
+    val p = pred.select("prediction").as[Double].head()
+    assert(math.abs(p - 602.0) < 1e-3)
+  }
+
+  test("classification: logistic + random_forest, metrics and auto-deploy compare") {
+    val df = (1 to 200).map { i =>
+      val x1 = (i % 40).toDouble
+      (x1, (i % 3).toDouble, if (x1 >= 20) 1.0 else 0.0)
+    }.toDF("x1", "x2", "label")
+    val t = newTrainer()
+    val r1 = t.train("proj_clf", "classification", df, Some("label"), "linear",
+      testSampling = "stratified")
+    assert(r1.deployed)
+    assert(r1.metrics("f1") > 0.9)
+    assert(r1.metrics.contains("roc_auc") && r1.metrics("roc_auc") > 0.9)
+    assert(r1.metrics.contains("log_loss"))
+    val r2 = t.train("proj_clf", "classification", df, Some("label"), "random_forest")
+    // second deploys only if strictly better f1
+    val dep = t.registry.currentDeployment("proj_clf").get
+    if (r2.metrics("f1") > r1.metrics("f1")) assert(dep.model_id == r2.modelId)
+    else assert(dep.model_id == r1.modelId && !r2.deployed)
+  }
+
+  test("kmeans clustering and pca decomposition produce metrics") {
+    val df = (1 to 90).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 5) * 0.1, c * -5.0 + (i % 7) * 0.1)
+    }.toDF("a", "b")
+    val t = newTrainer()
+    val km = t.train("proj_km", "clustering", df, None, "kmeans",
+      hyperparams = Map("n_clusters" -> 3))
+    assert(km.metrics("silhouette") > 0.8) // well-separated synthetic clusters
+    val pca = t.train("proj_pca", "decomposition", df, None, "pca",
+      hyperparams = Map("n_components" -> 1))
+    assert(pca.metrics("cumulative_explained_variance") > 0.9)
+  }
+
+  test("preprocessing: NULL category 0, unseen NaN -> impute, one-hot k-1, scaling") {
+    val train = Seq(
+      (Some("red"), Some(10.0)), (Some("blue"), Some(20.0)),
+      (None, Some(30.0)), (Some("red"), None)
+    ).toDF("color", "v")
+    // native encode: NULL -> 0; categories sorted get 1..k
+    val fitted = Preprocessor.fit(train,
+      Seq(ColumnPlan("color", encode = "native", impute = "zero"),
+        ColumnPlan("v", impute = "mean", scale = "standard")), "v")
+    val out = Preprocessor.transform(train, fitted)
+      .select(col("color__f"), col("v__f")).collect()
+    val colorVals = out.map(_.getDouble(0))
+    assert(colorVals.toSet == Set(0.0, 1.0, 2.0)) // __NULL__=0, blue=1, red=2
+    // unseen category at serve time -> NaN -> imputed to 0
+    val serve = Seq((Some("green"), Some(10.0))).toDF("color", "v")
+    val sv = Preprocessor.transform(serve, fitted).select("color__f").as[Double].head()
+    assert(sv == 0.0)
+    // v: mean imputation of the missing value; standard scaling uses
+    // train stats of non-null values (mean 20, std_pop ~8.165)
+    val vVals = Preprocessor.transform(train, fitted).select("v__f").as[Double].collect()
+    assert(math.abs(vVals.map(x => x).sum) < 1e-9) // imputed-with-mean → scaled mean 0
+
+    // one-hot drops last category
+    val oh = Preprocessor.fit(train, Seq(ColumnPlan("color", encode = "one_hot")), "v")
+    val ohNames = Preprocessor.featureNames(oh)
+    assert(ohNames.size == 2) // 3 categories -> 2 columns
+    // ordinal encoding with explicit order
+    val ord = Preprocessor.fit(train,
+      Seq(ColumnPlan("color", encode = "ordinal", ordinalValues = Seq("blue", "red"))), "v")
+    val ordVals = Preprocessor.transform(train, ord).select("color__f").as[Double].collect()
+    assert(ordVals.toSet == Set(0.0, 1.0, 2.0))
+  }
+
+  test("classification metrics match hand-computed confusion matrix") {
+    // y:    a a a b b c
+    // pred: a a b b b a
+    val pred = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"))
+      .toDF("y", "p")
+    val m = Metrics.classification(pred, "y", "p")
+    assert(math.abs(m("accuracy") - 4.0 / 6) < 1e-12)
+    // per-class: a: p=2/3 r=2/3 f1=2/3 ; b: p=2/3 r=1 f1=0.8 ; c: p=0 r=0 f1=0
+    assert(math.abs(m("f1") - (2.0 / 3 + 0.8 + 0.0) / 3) < 1e-12)
+    assert(math.abs(m("precision") - (2.0 / 3 + 2.0 / 3 + 0) / 3) < 1e-12)
+    assert(math.abs(m("recall") - (2.0 / 3 + 1.0 + 0) / 3) < 1e-12)
+  }
+
+  test("roc_auc matches the closed-form on a small example") {
+    // scores: pos {0.9, 0.8, 0.3}, neg {0.7, 0.2, 0.1} → 8 of 9 pos>neg pairs
+    val df = Seq((1, 0.9), (1, 0.8), (0, 0.7), (1, 0.3), (0, 0.2), (0, 0.1)).toDF("y", "s")
+    assert(math.abs(Metrics.rocAuc(df, "y", "s") - 8.0 / 9.0) < 1e-12)
+    // tie handling: all scores equal → AUC 0.5
+    val ties = Seq((1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)).toDF("y", "s")
+    assert(math.abs(Metrics.rocAuc(ties, "y", "s") - 0.5) < 1e-12)
+  }
+
+  test("deploy strategies: best_score, most_recent, rollback") {
+    val df = (1 to 60).map(i => (i.toDouble, 2.0 * i + (i % 7))).toDF("x", "y")
+    val t = newTrainer()
+    val a = t.train("p", "regression", df, Some("y"), "linear")
+    val b = t.train("p", "regression", df, Some("y"), "ridge",
+      hyperparams = Map("alpha" -> 100.0)) // worse
+    assert(t.registry.resolveStrategy("p", "best_score").contains(a.modelId))
+    assert(t.registry.resolveStrategy("p", "most_recent").contains(b.modelId))
+    t.registry.deploy("p", b.modelId, "specific")
+    assert(t.registry.resolveStrategy("p", "rollback").contains(a.modelId))
+  }
+}
