@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextKernels
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media as opaque `binary` columns + typed metadata structs,
+  * with decode / feature-extraction / resize / frame-sampling implemented
+  * as *batched per-partition* operators (the Scala analogue of Pandas UDFs
+  * over `mapInPandas` — one vectorized call per batch, not per row).
+  *
+  * The actual codec calls are STUBBED (this container ships no image/audio
+  * libraries): `StubCodec` produces deterministic pseudo-decodes from the
+  * bytes, so every Spark-side concern — schema, batching, partitioning,
+  * output shape — is real and tested, and a production build swaps
+  * `MediaCodec` for a JNI/FFI implementation with no pipeline changes.
+  */
+object Multimodal {
+
+  /** media table schema: (media_id, kind, bytes, meta{width,height,format,duration_ms}) */
+  final case class MediaMeta(width: Int, height: Int, format: String, duration_ms: Long)
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  final case class FrameRow(media_id: Long, frame_index: Int, frame_bytes: Array[Byte])
+
+  /** Codec boundary — the only stubbed piece. */
+  trait MediaCodec extends Serializable {
+    /** decode + embed one batch of media blobs into feature vectors. */
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures]
+    /** sample up to n frames from a video blob. */
+    def sampleFrames(row: MediaRow, n: Int): Seq[FrameRow]
+  }
+
+  /** Deterministic stand-in: features derive from a rolling hash over the
+    * bytes (STUB — a real codec decodes pixels/samples here). */
+  final class StubCodec(dim: Int = 16) extends MediaCodec {
+    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        val h = TextKernels.mix(TextKernels.fnv1a64(r.bytes, 0, r.bytes.length), d.toLong)
+        out(d) = ((h & 0xffff).toFloat / 0xffff) - 0.5f
+        d += 1
+      }
+      MediaFeatures(r.media_id, r.kind, out)
+    }
+    override def sampleFrames(row: MediaRow, n: Int): Seq[FrameRow] = {
+      // STUB frame sampling: slice the blob into n even segments
+      val len = row.bytes.length
+      (0 until math.min(n, math.max(1, len))).map { i =>
+        val from = i * len / n
+        val until = math.max(from + 1, (i + 1) * len / n)
+        FrameRow(row.media_id, i, java.util.Arrays.copyOfRange(row.bytes, from, until))
+      }
+    }
+  }
+
+  /** Batched feature extraction: one codec call per `batchSize` rows per
+    * partition (the mapInPandas batch shape). Output is a (media_id, kind,
+    * features) frame ready to join with text/embedding tables.
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => codec.decodeBatch(batch))
+    }
+  }
+
+  /** Frame sampling for video rows → exploded (media_id, frame_index, bytes). */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      framesPerVideo: Int = 4): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video")
+      .flatMap(r => codec.sampleFrames(r, framesPerVideo))
+  }
+
+  /** Metadata-level resize planning (pure column math — no decode needed):
+    * target box fit preserving aspect ratio. */
+  def planResize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW) / col("meta.width").cast("double"),
+      lit(maxH) / col("meta.height").cast("double"), lit(1.0))
+    media.select(col("media_id"),
+      col("meta.width").as("src_w"), col("meta.height").as("src_h"),
+      floor(col("meta.width") * scale).cast("int").as("dst_w"),
+      floor(col("meta.height") * scale).cast("int").as("dst_h"))
+  }
+
+  /** Deterministic synthetic media table (for tests/bench: binary payloads
+    * derived from doc text bytes). */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val kind = id % 3 match { case 0 => "image" case 1 => "audio" case _ => "video" }
+      MediaRow(id, kind, bytes,
+        MediaMeta(64 + (id % 16).toInt * 8, 64 + (id % 9).toInt * 8,
+          if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4",
+          if (kind == "video") 1000L + id % 5000 else 0L))
+    }
+  }
+}

@@ -538,6 +538,69 @@ object QueryCatalog {
     },
     None)
 
+  // ------------------------------------------------- transform / stream / media
+
+  /** pgml.transform task dispatch (text-classification): the deterministic
+    * classifier's decision rule is SQL-expressible on this corpus (its
+    * wordlists intersect the vocabulary only on fast/slow).
+    */
+  val x1TransformSentiment: GraftQuery = GraftQuery(
+    "x1_transform_sentiment",
+    (s, dir) =>
+      graft.operators.Transform(t(s, dir, "documents"), "text-classification", "text")
+        .select(col("doc_id"),
+          get_json_object(col("output"), "$[0].label").as("label"))
+        .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+            SELECT doc_id,
+              CASE WHEN len(list_filter(toks, x -> x = 'fast'))
+                     >= len(list_filter(toks, x -> x = 'slow'))
+                   THEN 'POSITIVE' ELSE 'NEGATIVE' END AS label
+            FROM tk ORDER BY doc_id"""))
+
+  /** Stateful sessionization (flatMapGroupsWithState in batch mode):
+    * closed sessions per user at a 30-minute event-time gap; oracle = SQL
+    * gap-and-island windows.
+    */
+  val x2Sessions: GraftQuery = GraftQuery(
+    "x2_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").as[graft.streaming.EventRow]
+      graft.streaming.EventStreams.sessionize(ev, gapMinutes = 30)
+        .select(col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("user_id"), col("n_events"), col("sum_value"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts, value,
+              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
+            s AS (SELECT user_id, ts, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+            agg AS (SELECT user_id, sid, count(*) AS n_events,
+              round(sum(value), 4) AS sum_value FROM s GROUP BY user_id, sid),
+            mx AS (SELECT user_id, max(sid) AS max_sid FROM s GROUP BY user_id)
+            SELECT a.user_id AS user_id, a.n_events AS n_events, a.sum_value AS sum_value
+            FROM agg a JOIN mx ON a.user_id = mx.user_id
+            WHERE a.sid < mx.max_sid
+            ORDER BY a.user_id, a.n_events, a.sum_value"""))
+
+  /** Multimodal batched feature extraction over synthetic media (decode is
+    * a deterministic stub; batching/schema plumbing is real → rows-only).
+    */
+  val mm1MediaFeatures: GraftQuery = GraftQuery(
+    "mm1_media_features",
+    (s, dir) => {
+      val media = graft.operators.Multimodal.syntheticMedia(s, t(s, dir, "documents"))
+      graft.operators.Multimodal.extractFeatures(media, new graft.operators.Multimodal.StubCodec(16))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          round(element_at(col("features"), 1), 5).as("f0"))
+        .orderBy(col("media_id"))
+    },
+    None)
+
   /** Everything, in presentation order. */
   val all: Seq[GraftQuery] = Seq(
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
@@ -546,5 +609,6 @@ object QueryCatalog {
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e,
-    m1LinearRegression, m2ColumnStats, m3Kmeans)
+    m1LinearRegression, m2ColumnStats, m3Kmeans,
+    x1TransformSentiment, x2Sessions, mm1MediaFeatures)
 }

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream. The reference has
+  * no stream engine (SURVEY.md §1.2: its only incremental flow is the
+  * changed-key pipeline re-sync, collection.rs:718-735); these operators
+  * provide the streaming counterpart a 100-TB training-data pipeline needs:
+  * watermarked windowed aggregation, exactly-once-style dedup, and stateful
+  * sessionization. Each transform is defined on an untyped DataFrame so the
+  * same code runs in batch mode (spark.read) and streaming mode
+  * (spark.readStream) — the Spark idiom for testing stream semantics.
+  */
+object EventStreams {
+
+  /** Tumbling-window count/sum per event type with a 10-minute watermark.
+    * In append mode a window emits once its watermark passes — at scale
+    * state is bounded by (watermark horizon × event types).
+    */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon
+    * (dropDuplicates + watermark bounds the dedup state). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  case class SessionState(count: Long, sumValue: Double, lastTs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user session aggregation with processing-timeout state —
+    * `mapGroupsWithState` (the KeyValueGroupedDataset custom-state surface).
+    * A session closes after `gapMinutes` of inactivity (event-time gap).
+    */
+  def sessionize(events: Dataset[EventRow], gapMinutes: Int = 30): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          val gapMs = gapMinutes * 60L * 1000L
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.count > 0 && t - st.lastTs > gapMs) {
+              closed += SessionOut(userId, st.count, st.sumValue)
+              st = SessionState(0L, 0.0, Long.MinValue)
+            }
+            st = SessionState(st.count + 1, st.sumValue + e.value, t)
+          }
+          state.update(st)
+          closed.iterator
+      }.toDF()
+  }
+}
+
+final case class EventRow(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)

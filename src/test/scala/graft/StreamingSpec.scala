@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{EventRow, EventStreams}
+
+/** Streaming semantics: drive each transform through a real streaming query
+  * (file source → memory sink, processAllAvailable) and check equivalence
+  * with the batch run of the same transform — the property that matters for
+  * an engine exposing one logical operator over both modes.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def eventsBatch = graft.Tables.load(spark, TestSpark.sf0001, "events")
+
+  test("windowed agg: streaming (complete) result equals batch result") {
+    // stage the parquet through our loader to normalize the nanos timestamp
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    eventsBatch.write.parquet(s"$dir/in")
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+
+    val q = EventStreams.hourlyStats(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select("hour_start", "event_type", "n", "sum_value")
+        .orderBy("hour_start", "event_type")
+        .collect()
+      val batch = EventStreams.hourlyStats(eventsBatch)
+        .orderBy("hour_start", "event_type").collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    } finally q.stop()
+  }
+
+  test("streaming dedup removes duplicate event ids") {
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    val dup = eventsBatch.limit(100).union(eventsBatch.limit(50)) // 50 dups
+    dup.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(dup.schema).parquet(s"$dir/in")
+    val q = EventStreams.dedupedEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 100)
+      assert(spark.table("dedup_out").select("event_id").distinct().count() == 100)
+    } finally q.stop()
+  }
+
+  test("sessionization: event-time gaps close sessions (batch-mode check)") {
+    val t0 = 1700000000000L
+    def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000)
+    val rows = Seq(
+      EventRow(1, ts(0), 7L, "click", 1.0, "{}"),
+      EventRow(2, ts(5), 7L, "click", 2.0, "{}"),
+      EventRow(3, ts(90), 7L, "click", 4.0, "{}"), // 85-min gap → new session
+      EventRow(4, ts(95), 7L, "click", 8.0, "{}"),
+      EventRow(5, ts(0), 9L, "view", 1.0, "{}")
+    ).toDS()
+    // flatMapGroupsWithState emits *closed* sessions; user 7's first session
+    // (events 1+2) closes when event 3 arrives
+    val out = EventStreams.sessionize(rows, gapMinutes = 30)
+      .as[EventStreams.SessionOut].collect()
+    assert(out.toSet == Set(EventStreams.SessionOut(7L, 2L, 3.0)))
+  }
+}

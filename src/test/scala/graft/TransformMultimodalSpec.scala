@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Transform}
+
+class TransformMultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("transform task dispatch returns reference JSON shapes") {
+    val df = Seq(
+      ("i love this fast great engine", 1L),
+      ("terrible slow broken awful thing", 2L)
+    ).toDF("text", "id")
+    val cls = Transform(df, "text-classification", "text")
+      .select(get_json_object(col("output"), "$[0].label").as("l")).as[String].collect()
+    assert(cls.toSeq == Seq("POSITIVE", "NEGATIVE"))
+
+    val sum = Transform(Seq(("One. Two. Three. Four.", 1)).toDF("text", "id"),
+      "summarization", "text")
+      .select(get_json_object(col("output"), "$[0].summary_text")).as[String].head()
+    assert(sum == "One. Two.")
+
+    val qa = Transform(Seq(("Spark is fast. DuckDB is embedded.", 1)).toDF("text", "id"),
+      "question-answering", "text", args = Map("question" -> "what is embedded?"))
+      .select(get_json_object(col("output"), "$.answer")).as[String].head()
+    assert(qa == "DuckDB is embedded.")
+
+    // determinism: same input → same output
+    val g1 = Transform(df, "text-generation", "text").select("output").as[String].collect()
+    val g2 = Transform(df, "text-generation", "text").select("output").as[String].collect()
+    assert(g1.toSeq == g2.toSeq)
+  }
+
+  test("allowlist guard blocks unlisted models") {
+    Transform.modelAllowlist = Some(Set("allowed-model"))
+    try {
+      intercept[IllegalArgumentException] {
+        Transform(Seq(("x", 1)).toDF("text", "id"), "summarization", "text",
+          args = Map("model" -> "forbidden-model"))
+      }
+      // allowed model passes
+      Transform(Seq(("x", 1)).toDF("text", "id"), "summarization", "text",
+        args = Map("model" -> "allowed-model")).collect()
+    } finally Transform.modelAllowlist = None
+  }
+
+  test("transformBatch batches per partition") {
+    val out = Transform.transformBatch(
+      spark.range(0, 10).map(i => s"item $i text"), "summarization", batchSize = 3)
+    assert(out.count() == 10)
+  }
+
+  test("transform_stream yields tokens incrementally") {
+    val it = Transform.transformStream("text-generation", "hello world engine")
+    val toks = it.toList
+    assert(toks.nonEmpty && toks.head.startsWith("[{"))
+  }
+
+  test("multimodal: batched feature extraction, frame sampling, resize planning") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").limit(30)
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val codec = new Multimodal.StubCodec(dim = 16)
+
+    val feats = Multimodal.extractFeatures(media, codec, batchSize = 8)
+    assert(feats.count() == 30)
+    assert(feats.head().features.length == 16)
+    // deterministic across runs
+    val f1 = feats.orderBy("media_id").collect().map(_.features.toSeq)
+    val f2 = Multimodal.extractFeatures(media, codec, batchSize = 8)
+      .orderBy("media_id").collect().map(_.features.toSeq)
+    assert(f1.toSeq == f2.toSeq)
+
+    val frames = Multimodal.sampleFrames(media, codec, framesPerVideo = 4)
+    assert(frames.count() > 0)
+    assert(frames.groupBy("media_id").count().select(max("count")).as[Long].head() <= 4)
+
+    val resized = Multimodal.planResize(media.toDF(), 64, 64)
+    val bad = resized.where(col("dst_w") > 64 || col("dst_h") > 64).count()
+    assert(bad == 0)
+    // aspect ratio preserved within integer floor
+    val r = resized.where(col("src_w") > 64).head()
+    assert(r.getAs[Int]("dst_w") == 64 ||  r.getAs[Int]("dst_h") == 64)
+  }
+}
