@@ -142,6 +142,59 @@ class Registry(spark: SparkSession, dir: String) {
     model.transform(prepped)
   }
 
+  /** Persist hyperparameter-search results beside the model
+    * (search_results JSON, model.rs:794-940). */
+  def attachSearchResults(modelId: Long,
+      results: Seq[(Map[String, String], Double, Double)]): Unit = {
+    val json = Serialization.write(results.map { case (params, mean, std) =>
+      Map("params" -> params, "mean_test_score" -> mean, "std_test_score" -> std)
+    })
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${modelDir(modelId)}/search_results.json"), json)
+  }
+
+  def searchResults(modelId: Long): String = {
+    val p = java.nio.file.Paths.get(s"${modelDir(modelId)}/search_results.json")
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else "[]"
+  }
+
+  /** `pgml.predict_proba`: class-probability array column appended
+    * (api.rs:469-472). */
+  def predictProba(project: String, df: DataFrame): DataFrame = {
+    val out = predict(project, df)
+    require(out.columns.contains("probability"), "deployed model has no probability output")
+    out.withColumn("proba", VectorOps.toArray(col("probability")))
+  }
+
+  /** `pgml.predict_batch`: flattened feature-array input, one prediction
+    * per `numFeatures` slice (api.rs:479-485). */
+  def predictBatch(project: String, features: Seq[Double], numFeatures: Int): Seq[Double] = {
+    require(features.length % numFeatures == 0, "features not a multiple of numFeatures")
+    val dep = currentDeployment(project)
+      .getOrElse(throw new IllegalStateException(s"no deployment for project $project"))
+    val meta = JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${modelDir(dep.model_id)}/graft_meta.json")))
+      .extract[RegistryMeta]
+    val colsNames = meta.fitted.map(_.name)
+    val rows = features.grouped(numFeatures).map(g => org.apache.spark.sql.Row(g: _*)).toSeq
+    val schema = org.apache.spark.sql.types.StructType(colsNames.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    predictWithModel(dep.model_id, df).select("prediction").as[Double].collect().toSeq
+  }
+
+  /** `pgml.dump_all` / `load_all` — registry tables to/from CSV
+    * (api.rs:1028-1074). */
+  def dumpAll(path: String): Unit = {
+    models.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true")
+      .csv(s"$path/models_csv")
+    deployments.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true")
+      .csv(s"$path/deployments_csv")
+  }
+  def loadAll(path: String): (DataFrame, DataFrame) = (
+    spark.read.option("header", "true").option("inferSchema", "true").csv(s"$path/models_csv"),
+    spark.read.option("header", "true").option("inferSchema", "true").csv(s"$path/deployments_csv"))
+
   private def loadModel(className: String, path: String): org.apache.spark.ml.Transformer = {
     val clazz = Class.forName(className + "$") // companion object
     val companion = clazz.getField("MODULE$").get(null)

@@ -104,6 +104,87 @@ class Trainer(spark: SparkSession, registryDir: String) {
     TrainResult(projectName, task, algorithm, modelId, deployed, metrics)
   }
 
+  /** Hyperparameter search — grid = full cartesian product of
+    * `searchParams` (× fixed hyperparams), random = n_iter-sized
+    * deterministic subsample (model.rs:560-610, 794-940; defaults n_iter=10,
+    * cv=5). Per combo: mean test metric over `cv` contiguous folds
+    * (dataset.rs:32-68 fold slicing); best combo refits on the full train
+    * split and is recorded with its search_results.
+    */
+  def trainWithSearch(
+      projectName: String, task: String, relation: DataFrame, yCol: Option[String],
+      algorithm: String,
+      searchParams: Map[String, Seq[Any]],
+      search: String = "grid",
+      nIter: Int = 10,
+      cv: Int = 5,
+      hyperparams: Map[String, Any] = Map.empty,
+      testSize: Double = 0.25,
+      testSampling: String = "random"): TrainResult = {
+
+    val keys = searchParams.keys.toSeq.sorted
+    val grid: Seq[Map[String, Any]] = keys.foldLeft(Seq(Map.empty[String, Any])) {
+      (acc, k) => acc.flatMap(m => searchParams(k).map(v => m + (k -> v)))
+    }
+    val combos = search match {
+      case "grid" => grid
+      case "random" =>
+        val rnd = new scala.util.Random(42)
+        rnd.shuffle(grid).take(math.min(nIter, grid.size))
+      case other => throw new IllegalArgumentException(s"unknown search $other")
+    }
+
+    val (trainDf, testDf) = Sampling.split(relation, testSize, testSampling,
+      yCol.getOrElse(relation.columns.head))
+    val metricName = registry.defaultMetric(task)
+
+    val featureCols = relation.columns.filterNot(yCol.contains(_)).toSeq
+    val plans = featureCols.map(c => ColumnPlan(c, impute = "zero"))
+    val fitted = Preprocessor.fit(trainDf, plans, yCol.getOrElse(featureCols.head))
+    val assembler = new VectorAssembler()
+      .setInputCols(Preprocessor.featureNames(fitted).toArray).setOutputCol("features")
+    val trainPrep = assembler.transform(Preprocessor.transform(trainDf, fitted))
+      .withColumn("__fold", monotonically_increasing_id()).cache()
+    val nRows = trainPrep.count()
+
+    val searchResults = combos.map { combo =>
+      val hp = hyperparams ++ combo
+      val foldScores = (0 until cv).map { f =>
+        val lo = f * nRows / cv; val hi = (f + 1) * nRows / cv
+        val inFold = col("__fold") >= lo && col("__fold") < hi
+        val (_, m) = fitAndEvaluate(task, algorithm, hp,
+          trainPrep.where(!inFold), trainPrep.where(inFold), yCol)
+        m.getOrElse(metricName, Double.NaN)
+      }
+      val mean = foldScores.sum / cv
+      val std = math.sqrt(foldScores.map(s => (s - mean) * (s - mean)).sum / cv)
+      (combo, mean, std)
+    }
+    val best = searchResults.maxBy(_._2)._1
+
+    // refit best combo through the standard lifecycle (records + deploys)
+    val result = train(projectName, task, relation, yCol, algorithm,
+      hyperparams ++ best, Map.empty, testSize, testSampling)
+    registry.attachSearchResults(result.modelId, searchResults.map { case (c, m, s) =>
+      (c.map { case (k, v) => k -> v.toString }, m, s)
+    })
+    trainPrep.unpersist()
+    result
+  }
+
+  /** `pgml.train_joint`: multi-target training — one model per y column,
+    * registered as `<project>:<y>` sub-projects (api.rs:136-162 capability).
+    */
+  def trainJoint(
+      projectName: String, task: String, relation: DataFrame, yCols: Seq[String],
+      algorithm: String = "linear", hyperparams: Map[String, Any] = Map.empty,
+      testSize: Double = 0.25, testSampling: String = "random"): Seq[TrainResult] =
+    yCols.map { y =>
+      val rel = relation.drop(yCols.filterNot(_ == y): _*)
+      train(s"$projectName:$y", task, rel, Some(y), algorithm, hyperparams,
+        Map.empty, testSize, testSampling)
+    }
+
   private def fitAndEvaluate(
       task: String, algorithm: String, hp: Map[String, Any],
       train: DataFrame, test: DataFrame, yCol: Option[String]): (Any, Map[String, Double]) = {
@@ -188,4 +269,6 @@ object VectorOps {
   private val getElem = udf((v: Vector, i: Int) => v(i))
   def element(v: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
     getElem(v, lit(i))
+  private val toArr = udf((v: Vector) => v.toArray)
+  def toArray(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = toArr(v)
 }

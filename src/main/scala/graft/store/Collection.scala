@@ -251,6 +251,61 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     RagResult(generator.generate(prompt), sources)
   }
 
+  /** Filesystem ingestion (collection.rs:1413, 1662): every file under
+    * `dir` becomes a document {"id": relativePath, "text": contents}. */
+  def upsertDirectory(dir: String): Unit = {
+    val docs = spark.read.option("wholetext", "true").text(dir)
+      .withColumn("path", input_file_name())
+      .select(to_json(struct(col("path").as("id"), col("value").as("text"))).as("document"))
+    upsertDocuments(docs)
+  }
+
+  def upsertFile(path: String): Unit = upsertDirectory(path)
+
+  // ---- search logging (queries.rs:78-103 searches/search_results/search_events)
+
+  private def searchesPath = s"$warehouseDir/$name/searches"
+  private def searchResultsPath = s"$warehouseDir/$name/search_results"
+  private def searchEventsPath = s"$warehouseDir/$name/search_events"
+
+  /** Run [[search]] and log the query + ranked results in the same pass
+    * (the reference logs via data-modifying CTEs,
+    * search_query_builder.rs:476-518). Returns (searchId, results).
+    */
+  def searchAndLog(
+      p: Pipeline,
+      semantic: Seq[VectorSearchField] = Nil,
+      fullText: Seq[FullTextField] = Nil,
+      limit: Int = 10,
+      filterJson: Option[String] = None): (Long, DataFrame) = {
+    val searchId = System.nanoTime()
+    val queryJson = s"""{"semantic": [${semantic.map(f => s""""${f.field}:${f.query}"""").mkString(",")}],""" +
+      s""" "full_text": [${fullText.map(f => s""""${f.field}:${f.query}"""").mkString(",")}]}"""
+    val results = search(p, semantic, fullText, limit, filterJson).cache()
+    Seq((searchId, queryJson, java.time.Instant.now().toString))
+      .toDF("search_id", "query", "created_at")
+      .write.mode(SaveMode.Append).parquet(searchesPath)
+    results.withColumn("search_id", lit(searchId))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("document_id"))))
+      .select("search_id", "document_id", "rank", "score")
+      .write.mode(SaveMode.Append).parquet(searchResultsPath)
+    (searchId, results)
+  }
+
+  /** Clickthrough feedback (INSERT_SEARCH_EVENT, queries.rs:131-133). */
+  def addSearchEvent(searchId: Long, documentId: String, eventJson: String): Unit =
+    Seq((searchId, documentId, eventJson, java.time.Instant.now().toString))
+      .toDF("search_id", "document_id", "event", "created_at")
+      .write.mode(SaveMode.Append).parquet(searchEventsPath)
+
+  def searches: DataFrame = spark.read.parquet(searchesPath)
+  def searchResults: DataFrame = spark.read.parquet(searchResultsPath)
+  def searchEvents: DataFrame = spark.read.parquet(searchEventsPath)
+
+  /** Deprecated fluent façade (query_builder.rs:1-113). */
+  def query(): QueryBuilder = new QueryBuilder(this)
+
   private def writeSnapshot(df: DataFrame, path: String): Unit = {
     // write-then-swap so a failed job never truncates the live table
     val tmp = path + "_tmp"
