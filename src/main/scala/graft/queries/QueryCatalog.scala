@@ -259,6 +259,46 @@ object QueryCatalog {
             round(list_dot_product(embedding, embedding),5) AS self_dot
             FROM embeddings ORDER BY vec_id"""))
 
+  /** Batch KNN: top-5 per query for 10 broadcast query vectors — the
+    * many-queries shape (cross score partition-locally, window top-k; one
+    * shuffle on query_id only).
+    */
+  val v4KnnBatch: GraftQuery = GraftQuery(
+    "v4_knn_batch",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      VectorSearch.topKBatch(emb, "embedding", queries, 5, Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"), round(col("score"), 5).as("score"), col("rn"))
+        .orderBy(col("query_id"), col("rn"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10)
+            SELECT qid AS query_id, vec_id,
+              round(CAST(list_cosine_similarity(embedding, qe) AS DOUBLE), 5) AS score,
+              CAST(rn AS INT) AS rn
+            FROM (SELECT q.qid, e.vec_id, e.embedding, q.qe,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn
+                  FROM embeddings e, q)
+            WHERE rn <= 5 ORDER BY query_id, rn"""))
+
+  /** IVF-pruned ANN (scale path): exact within nprobe probed clusters.
+    * Assignment depends on KMeans init → rows-only; recall contract tested
+    * in IvfSpec.
+    */
+  val v5KnnIvf: GraftQuery = GraftQuery(
+    "v5_knn_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+      val idx = graft.operators.IvfIndex.build(s, emb, "embedding", nlist = 16)
+      idx.search(q, 10, nprobe = 4, Seq("vec_id"))
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    None)
+
   // ---------------------------------------------------------------- text / docs
 
   /** Exact deduplication: representative (min id) + duplicate count per
@@ -605,7 +645,7 @@ object QueryCatalog {
   val all: Seq[GraftQuery] = Seq(
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
-    v1KnnCosine, v2VecAvgByLabel, v3VecNorms,
+    v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e,

@@ -124,6 +124,65 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     }
   }
 
+  /** Incremental re-sync: recompute embeddings/tsvectors ONLY for chunks
+    * whose content changed since the last sync — the changed-key diff flow
+    * (collection.rs:718-735; chunk diff `WHERE documents.%d <> COALESCE
+    * (chunks.chunk,'')`, queries.rs:325-339). Unchanged chunks keep their
+    * stored embeddings; stale chunks (removed docs / shortened tails) are
+    * dropped. At 100 TB this is the difference between re-embedding a
+    * corpus and re-embedding an upsert batch.
+    */
+  def syncPipelineIncremental(p: Pipeline): Unit = p.fields.foreach { f =>
+    val (size_, overlap) = f.splitter.getOrElse((1500, 40))
+    val newChunks = documents
+      .select(col("source_uuid").as("document_id"),
+        posexplode(chunkText(get_json_object(col("document"), "$." + f.name), size_, overlap))
+          .as(Seq("chunk_index", "chunk")))
+    val chunksP = tablePath(p.name, f.name, "chunks")
+    val firstSync = !new java.io.File(chunksP).exists()
+    val oldChunks =
+      if (firstSync) spark.emptyDataFrame.select(lit("").as("document_id"),
+        lit(0).as("chunk_index"), lit("").as("chunk")).limit(0)
+      else spark.read.parquet(chunksP)
+
+    val keyCols = Seq("document_id", "chunk_index", "chunk")
+    val changed = newChunks.join(oldChunks, keyCols, "left_anti").cache()
+    changed.count() // materialize BEFORE the chunks snapshot swap below —
+    // the diff plan reads the old chunks parquet lazily
+    writeSnapshot(newChunks, chunksP)
+
+    f.semanticSearch.foreach { emb =>
+      val embP = tablePath(p.name, f.name, "embeddings")
+      val newEmb = changed
+        .select(col("document_id"), col("chunk_index"), emb.embedCol(col("chunk")).as("embedding"))
+      val all =
+        if (firstSync || !new java.io.File(embP).exists()) newEmb
+        else {
+          // keep stored embeddings of chunks that still exist unchanged
+          val kept = spark.read.parquet(embP)
+            .join(newChunks.join(changed, keyCols, "left_anti")
+              .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
+          kept.unionByName(newEmb)
+        }
+      writeSnapshot(all, embP)
+    }
+    if (f.fullTextSearch) {
+      val tsP = tablePath(p.name, f.name, "tsvectors")
+      val newTs = changed
+        .select(col("document_id"), col("chunk_index"), TsRank.tsVector(col("chunk")).as("terms"))
+      val all =
+        if (firstSync || !new java.io.File(tsP).exists()) newTs
+        else {
+          val kept = spark.read.parquet(tsP)
+            .join(newChunks.join(changed, keyCols, "left_anti")
+              .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
+          kept.unionByName(newTs)
+        }
+      writeSnapshot(all, tsP)
+    }
+    changed.unpersist()
+  }
+
   def chunks(p: Pipeline, field: String): DataFrame =
     spark.read.parquet(tablePath(p.name, field, "chunks"))
   def embeddings(p: Pipeline, field: String): DataFrame =

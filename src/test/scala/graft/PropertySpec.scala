@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ChunkKernel, HashEmbedKernel, TextKernels, VectorKernels}
+import graft.store.FilterCompiler
+
+/** Property-based tests (SURVEY.md §5: filter-compiler ⇄ reference-semantics
+  * equivalence + kernel invariants), using scalacheck generators with a
+  * fixed-seed sampling loop (no scalatestplus bridge in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] = {
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until n).flatMap(i =>
+      gen.apply(params, org.scalacheck.rng.Seed(42L + i)))
+  }
+
+  private def arr(values: Seq[Float]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(values.toArray)
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(1, 16).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100.0f, 100.0f)))
+
+  test("vector kernel invariants over 200 random vectors") {
+    samples(vecGen, 200).foreach { v =>
+      val a = arr(v)
+      val c = VectorKernels.cosineF(a, a)
+      if (v.exists(_ != 0f)) assert(math.abs(c - 1.0) < 1e-6) else assert(c == 0.0)
+      val l1 = VectorKernels.normL1F(a); val l2 = VectorKernels.normL2F(a)
+      val mx = VectorKernels.normMaxF(a)
+      assert(l1 >= -1e-9 && l2 <= l1 + 1e-6 && mx <= l2 + 1e-6)
+      if (v.exists(_ != 0f)) {
+        val n = VectorKernels.normalizeF(a, l2)
+        assert(math.abs(VectorKernels.normL2F(n) - 1.0) < 1e-4)
+      }
+      assert(VectorKernels.distL2F(a, a) == 0.0)
+      assert(math.abs(VectorKernels.dotF(a, a) - l2 * l2) < math.max(1e-3, l2 * l2 * 1e-6))
+    }
+  }
+
+  test("embedder contract: fixed dim, unit norm, deterministic") {
+    samples(Gen.alphaStr.suchThat(_.trim.nonEmpty), 100).foreach { text =>
+      val u = UTF8String.fromString(text)
+      val e1 = HashEmbedKernel.embed(u, 32).toFloatArray()
+      val e2 = HashEmbedKernel.embed(u, 32).toFloatArray()
+      assert(e1.length == 32 && e1.toSeq == e2.toSeq)
+      val norm = math.sqrt(e1.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+  }
+
+  test("chunker invariants: size bound and no content loss") {
+    val textGen = for {
+      words <- Gen.chooseNum(1, 60)
+      ws <- Gen.listOfN(words, Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+    } yield ws.mkString(" ")
+    samples(Gen.zip(textGen, Gen.chooseNum(10, 80)), 100).foreach { case (text, size) =>
+      val chunks = ChunkKernel.chunk(text, size, size / 4)
+      assert(chunks.forall(_.length <= size), s"oversize chunk for size=$size")
+      val joined = chunks.mkString(" ")
+      text.sliding(3).filter(_.trim.length == 3).foreach(tri =>
+        assert(joined.contains(tri), s"lost trigram '$tri' for size=$size"))
+    }
+  }
+
+  test("simhash is permutation-invariant (vote sum over tokens)") {
+    samples(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd")), 100).foreach { toks =>
+      val rnd = new scala.util.Random(toks.hashCode)
+      val h1 = TextKernels.simhash64(UTF8String.fromString(toks.mkString(" ")))
+      val h2 = TextKernels.simhash64(UTF8String.fromString(rnd.shuffle(toks).mkString(" ")))
+      assert(h1 == h2)
+    }
+  }
+
+  test("filter compiler equals a direct in-memory evaluator on random filter trees") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"cat${i % 4}", i % 7, if (i % 5 == 0) null else s"v${i % 3}")
+    }
+    val df = docs.toDF("id", "cat", "num", "opt").cache()
+
+    case class F(json: String, pred: ((Long, String, Int, String)) => Boolean)
+    val leaf: Gen[F] = Gen.oneOf(
+      Gen.chooseNum(0, 6).map(v => F(s"""{"num": {"$$gt": $v}}""", r => r._3 > v)),
+      Gen.chooseNum(0, 6).map(v => F(s"""{"num": {"$$lte": $v}}""", r => r._3 <= v)),
+      Gen.oneOf("cat0", "cat1", "cat2", "cat3").map(v =>
+        F(s"""{"cat": {"$$eq": "$v"}}""", r => r._2 == v)),
+      Gen.oneOf("v0", "v1", "v2").map(v =>
+        F(s"""{"opt": {"$$ne": "$v"}}""", r => r._4 == null || r._4 != v)),
+      Gen.someOf(Seq(0, 1, 2, 3, 4, 5, 6)).suchThat(_.nonEmpty).map(vs =>
+        F(s"""{"num": {"$$in": [${vs.mkString(",")}]}}""", r => vs.contains(r._3))))
+    val node: Gen[F] = Gen.oneOf(
+      leaf,
+      Gen.zip(leaf, leaf).map { case (a, b) =>
+        F(s"""{"$$and": [${a.json}, ${b.json}]}""", r => a.pred(r) && b.pred(r)) },
+      Gen.zip(leaf, leaf).map { case (a, b) =>
+        F(s"""{"$$or": [${a.json}, ${b.json}]}""", r => a.pred(r) || b.pred(r)) },
+      leaf.map(a => F(s"""{"$$not": ${a.json}}""", r => !a.pred(r))))
+
+    samples(node, 30).foreach { f =>
+      val got = df.where(FilterCompiler.compile(f.json))
+        .select("id").as[Long].collect().toSet
+      val expected = docs.filter(f.pred).map(_._1).toSet
+      assert(got == expected, s"filter ${f.json}")
+    }
+  }
+}
