@@ -67,30 +67,13 @@ object VecFunctions {
     * element type of stored `array<float>` embedding columns. */
   def floatVec(values: Seq[Float]): Column = typedLit(values.toArray)
 
-  /** Register every function in the session's FunctionRegistry for SQL use. */
+  /** Register the full graft SQL function surface on a live session (same
+    * registration table as [[graft.GraftExtensions]]). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    def r1(name: String, f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
-    def r2(name: String, f: (org.apache.spark.sql.catalyst.expressions.Expression, org.apache.spark.sql.catalyst.expressions.Expression) => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es.head, es(1)), "built-in")
-
-    r2("vec_dot", DotProduct(_, _))
-    r2("cosine_similarity", CosineSimilarity(_, _))
-    r2("vec_distance_l1", DistanceL1(_, _))
-    r2("vec_distance_l2", DistanceL2(_, _))
-    r1("vec_norm_l0", NormL0(_))
-    r1("vec_norm_l1", NormL1(_))
-    r1("vec_norm_l2", NormL2(_))
-    r1("vec_norm_max", NormMax(_))
-    r1("vec_normalize_l1", NormalizeVector(_, "l1"))
-    r1("vec_normalize_l2", NormalizeVector(_, "l2"))
-    r1("vec_normalize_max", NormalizeVector(_, "max"))
-    r1("vec_sum", ex => VectorAggregate(ex, "sum").toAggregateExpression())
-    r1("vec_min", ex => VectorAggregate(ex, "min").toAggregateExpression())
-    r1("vec_max", ex => VectorAggregate(ex, "max").toAggregateExpression())
-    r1("vec_min_abs", ex => VectorAggregate(ex, "minAbs").toAggregateExpression())
-    r1("vec_max_abs", ex => VectorAggregate(ex, "maxAbs").toAggregateExpression())
+    graft.SqlRegistrations.all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

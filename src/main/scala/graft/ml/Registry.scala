@@ -183,6 +183,24 @@ class Registry(spark: SparkSession, dir: String) {
     predictWithModel(dep.model_id, df).select("prediction").as[Double].collect().toSeq
   }
 
+  /** `pgml.decompose(project, v)` — apply the deployed PCA model
+    * (api.rs:487-492): appends a `pca` array column. */
+  def decompose(project: String, df: DataFrame): DataFrame = {
+    val out = predict(project, df)
+    require(out.columns.contains("pca"), "deployed model is not a decomposition model")
+    out.withColumn("pca_arr", VectorOps.toArray(col("pca")))
+  }
+
+  /** `pgml.generate(project, input)` — generation from a tuned project
+    * (api.rs:826-844). The tuned-model runtime is a deterministic stand-in
+    * (same gap as transform); registry resolution is real. */
+  def generate(project: String, input: String): String = {
+    val dep = currentDeployment(project)
+      .getOrElse(throw new IllegalStateException(s"no deployment for project $project"))
+    graft.operators.TaskModels.run("text-generation", input,
+      Map("max_new_tokens" -> "16"))
+  }
+
   /** `pgml.dump_all` / `load_all` — registry tables to/from CSV
     * (api.rs:1028-1074). */
   def dumpAll(path: String): Unit = {

