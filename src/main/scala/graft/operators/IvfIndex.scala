@@ -52,6 +52,21 @@ class IvfIndex private (
 
 object IvfIndex {
 
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
+
+  /** Build-once-per-session cache — an index is built at ingest time and
+    * served for many queries (exactly like the reference's HNSW index,
+    * built at pipeline.rs:526-543 and reused per search). `key` should
+    * identify the underlying table (e.g. its path).
+    */
+  def buildOrGet(
+      key: String,
+      spark: SparkSession,
+      df: => DataFrame,
+      vecCol: String,
+      nlist: Int = 0): IvfIndex =
+    cache.getOrElseUpdate(key, build(spark, df, vecCol, nlist))
+
   /** Build over `df(vecCol)`. `nlist` defaults to ~√N (the IVF rule of
     * thumb); KMeans fits on a bounded sample so build cost is independent
     * of table size.

@@ -293,11 +293,37 @@ object QueryCatalog {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
-      val idx = graft.operators.IvfIndex.build(s, emb, "embedding", nlist = 16)
+      val idx = graft.operators.IvfIndex.buildOrGet(s"$dir/embeddings", s, emb, "embedding", nlist = 16)
       idx.search(q, 10, nprobe = 4, Seq("vec_id"))
         .select(col("vec_id"), round(col("score"), 5).as("score"))
     },
     None)
+
+  /** Pure-SQL surface (Builtins.query escape hatch, builtins.rs:51): the
+    * same KNN expressed entirely in spark.sql over registered views and
+    * graft-registered SQL functions.
+    */
+  val v6SqlSurface: GraftQuery = GraftQuery(
+    "v6_sql_surface",
+    (s, dir) => {
+      graft.functions.VecFunctions.registerAll(s)
+      Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        SELECT vec_id,
+               round(cosine_similarity(embedding,
+                 (SELECT embedding FROM embeddings_v WHERE vec_id = 42)), 5) AS score
+        FROM embeddings_v
+        ORDER BY cosine_similarity(embedding,
+          (SELECT embedding FROM embeddings_v WHERE vec_id = 42)) DESC, vec_id
+        LIMIT 10""")
+    },
+    Some("""SELECT vec_id,
+            round(CAST(list_cosine_similarity(embedding,
+              (SELECT embedding FROM embeddings WHERE vec_id = 42)) AS DOUBLE), 5) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+              (SELECT embedding FROM embeddings WHERE vec_id = 42)) DESC, vec_id
+            LIMIT 10"""))
 
   // ---------------------------------------------------------------- text / docs
 
@@ -645,7 +671,7 @@ object QueryCatalog {
   val all: Seq[GraftQuery] = Seq(
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
-    v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf,
+    v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e,

@@ -109,19 +109,21 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .select(col("source_uuid").as("document_id"),
         posexplode(chunkText(get_json_object(col("document"), "$." + f.name), size, overlap))
           .as(Seq("chunk_index", "chunk")))
+      .cache() // chunk once; chunks/embeddings/tsvectors all derive from it
     writeSnapshot(chunks, tablePath(p.name, f.name, "chunks"))
 
     f.semanticSearch.foreach { emb =>
-      val e = spark.read.parquet(tablePath(p.name, f.name, "chunks"))
+      val e = chunks
         .select(col("document_id"), col("chunk_index"), emb.embedCol(col("chunk")).as("embedding"))
       writeSnapshot(e, tablePath(p.name, f.name, "embeddings"))
     }
     if (f.fullTextSearch) {
-      val ts = spark.read.parquet(tablePath(p.name, f.name, "chunks"))
+      val ts = chunks
         .select(col("document_id"), col("chunk_index"),
           TsRank.tsVector(col("chunk")).as("terms"))
       writeSnapshot(ts, tablePath(p.name, f.name, "tsvectors"))
     }
+    chunks.unpersist()
   }
 
   /** Incremental re-sync: recompute embeddings/tsvectors ONLY for chunks
