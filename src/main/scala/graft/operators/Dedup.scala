@@ -99,9 +99,10 @@ object Dedup {
     val gb = groups.select(col("g").as("g_b"), col("toks").as("toks_b"), col("ids").as("ids_b"))
     val cross = candidates
       .join(ga, "g_a").join(gb, "g_b")
+      // merge-walk jaccard over the sorted distinct arrays (no per-pair
+      // intersection/union materialization — the verify hot path)
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+        graft.functions.JaccardFunctions.sortedJaccard(col("toks_a"), col("toks_b")))
       .where(col("jaccard") >= threshold)
       .select(col("ids_a"), col("ids_b"), col("jaccard"))
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
