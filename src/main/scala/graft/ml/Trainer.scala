@@ -143,8 +143,16 @@ class Trainer(spark: SparkSession, registryDir: String) {
     val fitted = Preprocessor.fit(trainDf, plans, yCol.getOrElse(featureCols.head))
     val assembler = new VectorAssembler()
       .setInputCols(Preprocessor.featureNames(fitted).toArray).setOutputCol("features")
-    val trainPrep = assembler.transform(Preprocessor.transform(trainDf, fitted))
-      .withColumn("__fold", monotonically_increasing_id()).cache()
+    val prepped = assembler.transform(Preprocessor.transform(trainDf, fitted))
+    // contiguous [0, nRows) fold index via zipWithIndex: monotonically_
+    // increasing_id jumps by 2^33 per partition, so under any
+    // multi-partition plan the [lo, hi) fold bounds would select nothing
+    // from partitions 1+ (empty folds → rows never held out)
+    val foldSchema = prepped.schema.add("__fold", org.apache.spark.sql.types.LongType, nullable = false)
+    val trainPrep = spark.createDataFrame(
+      prepped.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      foldSchema).cache()
     val nRows = trainPrep.count()
 
     val searchResults = combos.map { combo =>

@@ -67,6 +67,14 @@ object IvfIndex {
       nlist: Int = 0): IvfIndex =
     cache.getOrElseUpdate(key, build(spark, df, vecCol, nlist))
 
+  /** Drop a cached index after its underlying table is rewritten —
+    * writers (Collection.writeSnapshot) call this so queries never serve a
+    * stale index or recompute evicted blocks against swapped parquet. */
+  def invalidate(key: String): Unit =
+    cache.remove(key).foreach(_.data.unpersist())
+
+  def invalidateAll(): Unit = { cache.keys.foreach(invalidate); () }
+
   /** Build over `df(vecCol)`. `nlist` defaults to ~√N (the IVF rule of
     * thumb); KMeans fits on a bounded sample so build cost is independent
     * of table size.
@@ -83,7 +91,12 @@ object IvfIndex {
     val k = if (nlist > 0) nlist else math.max(2, math.sqrt(n.toDouble).toInt)
 
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val sample = df.select(toVec(col(vecCol)).as("features")).limit(sampleSize)
+    // Random sample, not limit(): limit() takes the first partitions, which
+    // on sorted/clustered tables biases every centroid toward the head of
+    // the table and degrades recall everywhere else.
+    val fraction = if (n <= sampleSize) 1.0 else math.min(1.0, sampleSize * 1.2 / n)
+    val sample = df.sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize).select(toVec(col(vecCol)).as("features"))
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(sample)
     val centroids = km.clusterCenters.map(_.toArray.map(_.toFloat))
 

@@ -46,13 +46,23 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * (`document || EXCLUDED.document`, queries.rs:146-169).
     */
   def upsertDocuments(docJsons: DataFrame, merge: Boolean = false): Unit = {
-    val incoming = docJsons
+    // Stamp batch order BEFORE any shuffle: the reference's ON CONFLICT
+    // upsert is statement-ordered, and an id expression evaluated after the
+    // window exchange would make "which duplicate wins" nondeterministic.
+    val seqSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("document", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_seq", org.apache.spark.sql.types.LongType, nullable = false)))
+    val stamped = spark.createDataFrame(
+      docJsons.select(col("document").cast("string")).rdd.zipWithIndex
+        .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i) },
+      seqSchema)
+    val incoming = stamped
       .withColumn("source_uuid", md5(get_json_object(col("document"), "$.id")))
       .withColumn("created_at", current_timestamp())
       // last occurrence of a uuid within the batch wins
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("source_uuid")).orderBy(monotonically_increasing_id().desc)))
-      .where(col("_rn") === 1).drop("_rn")
+        Window.partitionBy(col("source_uuid")).orderBy(col("_seq").desc)))
+      .where(col("_rn") === 1).drop("_rn", "_seq")
 
     val merged =
       if (!new java.io.File(docsPath).exists()) {
@@ -148,9 +158,14 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       else spark.read.parquet(chunksP)
 
     val keyCols = Seq("document_id", "chunk_index", "chunk")
-    val changed = newChunks.join(oldChunks, keyCols, "left_anti").cache()
-    changed.count() // materialize BEFORE the chunks snapshot swap below —
-    // the diff plan reads the old chunks parquet lazily
+    // Materialize the diff DURABLY before the chunks snapshot swap: a
+    // cache()+count() barrier is not enough — cached blocks are evictable,
+    // and any recomputation after the swap would diff new chunks against
+    // themselves (empty diff → changed chunks silently left un-embedded).
+    val changedTmp = chunksP + "_changed_tmp"
+    newChunks.join(oldChunks, keyCols, "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(changedTmp)
+    val changed = spark.read.parquet(changedTmp)
     writeSnapshot(newChunks, chunksP)
 
     f.semanticSearch.foreach { emb =>
@@ -182,7 +197,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         }
       writeSnapshot(all, tsP)
     }
-    changed.unpersist()
+    deleteRec(new java.io.File(changedTmp))
   }
 
   def chunks(p: Pipeline, field: String): DataFrame =
@@ -369,6 +384,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
 
   private def writeSnapshot(df: DataFrame, path: String): Unit = {
     // write-then-swap so a failed job never truncates the live table
+    graft.operators.IvfIndex.invalidate(path) // any index over the old files is stale
     val tmp = path + "_tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new java.io.File(path)

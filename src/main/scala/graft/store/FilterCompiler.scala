@@ -85,10 +85,12 @@ object FilterCompiler {
       case "$lt" => typed < literal(v)
       case "$lte" => typed <= literal(v)
       case "$in" => v match {
+        case JArray(Nil) => lit(false) // x IN () matches nothing
         case JArray(items) => castTo(field, items.head).isin(items.map(scalaValue): _*)
         case _ => throw new IllegalArgumentException("$in expects an array")
       }
       case "$nin" => v match {
+        case JArray(Nil) => lit(true) // x NOT IN () matches everything
         case JArray(items) =>
           val f = castTo(field, items.head)
           !f.isin(items.map(scalaValue): _*) || f.isNull
@@ -101,7 +103,11 @@ object FilterCompiler {
   /** Cast an extracted field to the JSON literal's type (needed for the
     * JSON-string resolver where everything extracts as string). */
   private def castTo(field: Column, v: JValue): Column = v match {
-    case _: JInt | _: JLong | _: JDouble | _: JDecimal => field.cast("double")
+    // integral literals compare in decimal so 64-bit ids above 2^53 stay
+    // exact (a double cast silently rounds them), while a fractional field
+    // value still compares correctly against an integral literal
+    case _: JInt | _: JLong => field.cast("decimal(38,9)")
+    case _: JDouble | _: JDecimal => field.cast("double")
     case _: JBool => field.cast("boolean")
     case _ => field
   }
@@ -109,8 +115,8 @@ object FilterCompiler {
   private def literal(v: JValue): Column = lit(scalaValue(v))
 
   private def scalaValue(v: JValue): Any = v match {
-    case JInt(i) => i.toDouble
-    case JLong(l) => l.toDouble
+    case JInt(i) => BigDecimal(i)
+    case JLong(l) => BigDecimal(l)
     case JDouble(d) => d
     case JDecimal(d) => d.toDouble
     case JString(s) => s
