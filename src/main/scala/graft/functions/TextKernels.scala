@@ -147,17 +147,26 @@ object TextKernels {
   /** Returns the language with the highest stopword hit-ratio, "und"
     * (undetermined) when nothing scores.
     */
+  private val stopwordsSorted: Array[(String, Set[String])] =
+    stopwords.toArray.sortBy(_._1)
+
   def langId(text: UTF8String): UTF8String = {
     val toks = tokens(text.toString)
     if (toks.isEmpty) return UTF8String.fromString("und")
     var bestLang = "und"
     var bestScore = 0.0
-    stopwords.foreach { case (lang, words) =>
+    // iterate languages in sorted order with a strict > so ties resolve to
+    // the lexicographically-smallest language — deterministic across JVMs
+    // (Map iteration order is not) and expressible as an ORDER BY oracle
+    var l = 0
+    while (l < stopwordsSorted.length) {
+      val (lang, words) = stopwordsSorted(l)
       var hits = 0
       var i = 0
       while (i < toks.length) { if (words.contains(toks(i))) hits += 1; i += 1 }
       val score = hits.toDouble / toks.length
       if (score > bestScore) { bestScore = score; bestLang = lang }
+      l += 1
     }
     UTF8String.fromString(bestLang)
   }

@@ -277,8 +277,26 @@ class Trainer(spark: SparkSession, registryDir: String) {
         (m, base ++ extra)
 
       case "clustering" =>
-        val m = new KMeans().setK(i("n_clusters", 8)).setSeed(42)
-          .setFeaturesCol("features").fit(train)
+        val k = i("n_clusters", 8)
+        // sklearn family → MLlib mapping (substitutions recorded in the
+        // model's runtime field by the registry). dbscan/optics have no
+        // predict() even in the reference's sklearn backend — they live as
+        // the graft.operators.Dbscan labeling operator instead.
+        val est: org.apache.spark.ml.Estimator[_] = algorithm match {
+          case "kmeans" | "mini_batch_kmeans" =>
+            new KMeans().setK(k).setSeed(42).setFeaturesCol("features")
+          case "agglomerative" | "birch" | "ward" | "feature_agglomeration" =>
+            new org.apache.spark.ml.clustering.BisectingKMeans()
+              .setK(k).setSeed(42).setFeaturesCol("features")
+          case "gaussian_mixture" | "spectral" | "affinity_propagation" | "mean_shift" =>
+            new org.apache.spark.ml.clustering.GaussianMixture()
+              .setK(k).setSeed(42).setFeaturesCol("features")
+          case "dbscan" | "optics" => throw new IllegalArgumentException(
+            s"$algorithm labels the fitted set and cannot serve predict() — " +
+              "use graft.operators.Dbscan.run(df, id, features, eps, minPts)")
+          case _ => new KMeans().setK(k).setSeed(42).setFeaturesCol("features")
+        }
+        val m = est.fit(train).asInstanceOf[org.apache.spark.ml.Transformer]
         val pred = m.transform(test)
         val silhouette = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
           .setFeaturesCol("features").evaluate(pred)

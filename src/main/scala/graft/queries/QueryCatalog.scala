@@ -299,6 +299,29 @@ object QueryCatalog {
     },
     None)
 
+  /** IVF probing ALL clusters (nprobe = nlist): partition pruning admits
+    * every partition, so the result must equal exact KNN — this puts the
+    * whole IVF build/assign/probe machinery behind the DuckDB gate (the
+    * pruned-recall contract stays in IvfSpec and v5).
+    */
+  val v7KnnIvfFull: GraftQuery = GraftQuery(
+    "v7_knn_ivf_full",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 7).select("embedding").as[Array[Float]].head()
+      val idx = graft.operators.IvfIndex.buildOrGet(s"$dir/embeddings", s, emb, "embedding", nlist = 16)
+      idx.search(q, 10, nprobe = 16, Seq("vec_id"))
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    Some("""SELECT vec_id,
+            round(CAST(list_cosine_similarity(embedding,
+              (SELECT embedding FROM embeddings WHERE vec_id = 7)) AS DOUBLE),5) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+              (SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC, vec_id
+            LIMIT 10"""))
+
   /** Pure-SQL surface (Builtins.query escape hatch, builtins.rs:51): the
     * same KNN expressed entirely in spark.sql over registered views and
     * graft-registered SQL functions.
@@ -385,8 +408,10 @@ object QueryCatalog {
             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
             FROM documents ORDER BY doc_id"""))
 
-  /** Language identification (stopword-profile heuristic; not
-    * SQL-expressible → rows-only check, exact-value spec in ScalaTest).
+  /** Language identification (stopword-profile heuristic). The kernel
+    * ranks languages by stopword hits with a lexicographic tie-break, so
+    * the per-doc argmax is exactly expressible in SQL (the shared
+    * denominator cancels — ranking by hit count is identical).
     */
   val t5LangId: GraftQuery = GraftQuery(
     "t5_lang_id",
@@ -395,7 +420,24 @@ object QueryCatalog {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
         .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("pred_lang")),
-    None)
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            sc AS (
+              SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> list_contains(
+                ['der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für'], x))) AS hits FROM tk
+              UNION ALL SELECT doc_id, 'en', len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','it','that','for','on','with','as','was'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'es', len(list_filter(toks, x -> list_contains(
+                ['el','la','de','y','que','en','un','una','es','no','con','por','para'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'fr', len(list_filter(toks, x -> list_contains(
+                ['le','la','de','et','est','un','une','que','pour','dans','sur','avec'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'zh', len(list_filter(toks, x -> list_contains(
+                ['的','是','了','在','和','有','我','不','这','他'], x))) FROM tk),
+            pred AS (SELECT doc_id,
+              CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+              row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn FROM sc)
+            SELECT pred_lang, count(*) AS n FROM pred WHERE rn = 1
+            GROUP BY pred_lang ORDER BY pred_lang"""))
 
   /** Winnowing fingerprints (Schleimer et al.): per-doc fingerprint set
     * size + first hash (hash family not SQL-expressible → rows-only).
@@ -604,6 +646,40 @@ object QueryCatalog {
     },
     None)
 
+  /** Distributed DBSCAN over the first two embedding dims (grid-blocked
+    * neighbor join + min-label components). Labels are deterministic (min
+    * core id per component) so the full per-point labeling goes through the
+    * DuckDB gate — the oracle is brute-force DBSCAN with a recursive-CTE
+    * reachability closure.
+    */
+  val m4Dbscan: GraftQuery = GraftQuery(
+    "m4_dbscan",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          element_at(col("embedding"), 1).as("x"),
+          element_at(col("embedding"), 2).as("y"))
+      graft.operators.Dbscan.run(emb, "vec_id", Seq("x", "y"), eps = 0.02, minPts = 5)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH RECURSIVE
+            pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+            nb AS (SELECT a.id, b.id AS nb FROM pts a JOIN pts b ON a.id <> b.id
+                   AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 0.02*0.02),
+            core AS (SELECT id FROM nb GROUP BY id HAVING count(*)+1 >= 5),
+            edges AS (SELECT n.id AS src, n.nb AS dst FROM nb n
+                      JOIN core c1 ON n.id=c1.id JOIN core c2 ON n.nb=c2.id),
+            reach(id, r) AS (SELECT id, id FROM core
+              UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+            comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+            border AS (SELECT n.id, min(comp.cluster) AS cluster FROM nb n
+                       JOIN comp ON n.nb = comp.id
+                       WHERE n.id NOT IN (SELECT id FROM core) GROUP BY n.id),
+            lab AS (SELECT id, cluster FROM comp UNION ALL SELECT id, cluster FROM border)
+            SELECT p.id AS vec_id, coalesce(l.cluster, -1) AS cluster
+            FROM pts p LEFT JOIN lab l ON p.id = l.id ORDER BY vec_id"""))
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -672,9 +748,10 @@ object QueryCatalog {
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
+    v7KnnIvfFull,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e,
-    m1LinearRegression, m2ColumnStats, m3Kmeans,
+    m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     x1TransformSentiment, x2Sessions, mm1MediaFeatures)
 }
