@@ -79,15 +79,34 @@ object Preprocessor {
   private def fitNumeric(train: DataFrame, p: ColumnPlan): FittedColumn = {
     val x = col(p.name).cast("double")
     val valid = train.where(x.isNotNull && !isnan(x))
-    val row = valid.agg(
-      avg(x), expr(s"percentile(double(${p.name}), 0.5)"),
-      min(x), max(x), stddev_pop(x), max(abs(x)),
-      expr(s"percentile(double(${p.name}), 0.3)"),
-      expr(s"percentile(double(${p.name}), 0.8)")).head()
-    val mean = row.getDouble(0); val median = row.getDouble(1)
-    val mn = row.getDouble(2); val mx = row.getDouble(3)
-    val std = row.getDouble(4); val maxAbs = row.getDouble(5)
-    val q03 = row.getDouble(6); val q08 = row.getDouble(7)
+    // Only aggregate the stats this column's impute/scale strategies need —
+    // the common path (impute zero/error, scale preserve) launches NO job,
+    // and the exact (sort-based) percentile only runs for median/robust.
+    val needMean = p.impute == "mean" || p.scale == "standard"
+    val needMedian = p.impute == "median" || p.scale == "robust"
+    val needMinMax = p.impute == "min" || p.impute == "max" || p.scale == "min_max"
+    val aggs = Seq.newBuilder[(String, Column)]
+    if (needMean) aggs += ("mean" -> avg(x))
+    if (needMedian) aggs += ("median" -> expr(s"percentile(double(${p.name}), 0.5)"))
+    if (needMinMax) { aggs += ("min" -> min(x)); aggs += ("max" -> max(x)) }
+    if (p.scale == "standard") aggs += ("std" -> stddev_pop(x))
+    if (p.scale == "max_abs") aggs += ("max_abs" -> max(abs(x)))
+    if (p.scale == "robust") {
+      aggs += ("q03" -> expr(s"percentile(double(${p.name}), 0.3)"))
+      aggs += ("q08" -> expr(s"percentile(double(${p.name}), 0.8)"))
+    }
+    val built = aggs.result()
+    val stats: Map[String, Double] =
+      if (built.isEmpty) Map.empty
+      else {
+        val row = valid.agg(built.head._2.as(built.head._1),
+          built.tail.map { case (n, c) => c.as(n) }: _*).head()
+        built.map { case (n, _) => n -> row.getAs[Double](n) }.toMap
+      }
+    val mean = stats.getOrElse("mean", 0.0); val median = stats.getOrElse("median", 0.0)
+    val mn = stats.getOrElse("min", 0.0); val mx = stats.getOrElse("max", 0.0)
+    val std = stats.getOrElse("std", 0.0); val maxAbs = stats.getOrElse("max_abs", 0.0)
+    val q03 = stats.getOrElse("q03", 0.0); val q08 = stats.getOrElse("q08", 0.0)
     val mode = p.impute match {
       case "mode" => valid.groupBy(x.as("v")).count()
         .orderBy(col("count").desc, col("v")).head().getDouble(0)

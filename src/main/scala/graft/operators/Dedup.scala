@@ -52,9 +52,19 @@ object Dedup {
     *     are jaccard 1.0 by construction, no LSH or verify needed;
     *  2. LSH and verification run over unique groups only;
     *  3. token arrays are computed once per group — candidate verification
-    *     is array_intersect/array_union on precomputed arrays, never
+    *     is a codegen merge-walk on precomputed sorted arrays, never
     *     re-tokenization per pair;
-    *  4. the band self-join carries (band, bucket, group_id) only.
+    *  4. the band self-join shuffles only O(groups × bands) small rows on
+    *     the (band, bucket) key;
+    *  5. size-ratio prefilter: jaccard >= t forces
+    *     min(|A|,|B|) >= t·max(|A|,|B|) — pairs failing it are dropped as
+    *     they stream out of the join, before any verify;
+    *  6. verification happens IN the join stream (no candidate
+    *     materialization): the distinct() that dedups band collisions runs
+    *     on verified near-duplicates only — on a near-dup-heavy corpus the
+    *     O(candidates) distinct shuffle, not the verify CPU, is the scale
+    *     bottleneck, so a true pair is re-verified once per colliding band
+    *     instead.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
@@ -82,28 +92,44 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .withColumn("jaccard", lit(1.0))
 
-    // (2) LSH over unique groups; signature from the canonical token text
-    val sig = groups.select(col("g"),
+    // (2) LSH over unique groups; signature from the canonical token text.
+    // `th` = sorted 64-bit token-hash array: the verify merge-walk compares
+    // primitive longs, not strings (set jaccard is hash-invariant).
+    val sig = groups.select(col("g"), size(col("toks")).as("sz"),
+      array_sort(transform(col("toks"), t => xxhash64(t))).as("th"),
       minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
-    val banded = sig.select(col("g"),
+    val banded = sig.select(col("g"), col("th"), col("sz"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"))
-    val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"))
+    val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"),
+      col("sz").as("sz_a"), col("th").as("th_a"))
+    val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"),
+      col("sz").as("sz_b"), col("th").as("th_b"))
+
+    // (3)+(5)+(6): verify IN the band-join stream. The only shuffle is the
+    // (band, bucket) key exchange of O(groups × bands) small rows; every
+    // band-collision occurrence is size-prefiltered then merge-walk
+    // verified as it streams out of the join, and the distinct() runs on
+    // the tiny surviving near-duplicate set — NOT on the O(candidates)
+    // explosion (on a near-dup-heavy corpus that distinct is the scale
+    // bottleneck; re-verifying a true pair once per colliding band is
+    // cheap codegen CPU, traded for an entire shuffle stage).
     val candidates = a.join(b, Seq("band", "bucket"))
       .where(col("g_a") < col("g_b"))
-      .select("g_a", "g_b").distinct()
+      // size-ratio prefilter — necessary condition for jaccard >= t
+      .where(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("jaccard",
+        graft.functions.JaccardFunctions.sortedJaccardLong(col("th_a"), col("th_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("g_a"), col("g_b"), col("jaccard"))
+      .distinct()
 
-    // (3) verify on precomputed arrays, then (4) expand group pairs to id pairs
-    val ga = groups.select(col("g").as("g_a"), col("toks").as("toks_a"), col("ids").as("ids_a"))
-    val gb = groups.select(col("g").as("g_b"), col("toks").as("toks_b"), col("ids").as("ids_b"))
+    // (4) expand group pairs to id pairs
+    val ga = groups.select(col("g").as("g_a"), col("ids").as("ids_a"))
+    val gb = groups.select(col("g").as("g_b"), col("ids").as("ids_b"))
     val cross = candidates
       .join(ga, "g_a").join(gb, "g_b")
-      // merge-walk jaccard over the sorted distinct arrays (no per-pair
-      // intersection/union materialization — the verify hot path)
-      .withColumn("jaccard",
-        graft.functions.JaccardFunctions.sortedJaccard(col("toks_a"), col("toks_b")))
-      .where(col("jaccard") >= threshold)
       .select(col("ids_a"), col("ids_b"), col("jaccard"))
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
