@@ -2,8 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan inspection helper: prints formatted plans for scale-critical
-  * queries. Run: sbt "Test/runMain graft.ExplainCheck"
+/** Plan inspection + assertions for scale-critical queries.
+  * Run: sbt "Test/runMain graft.ExplainCheck"
+  *
+  * Prints formatted plans AND asserts the plan properties the 100 TB
+  * design depends on: parquet filter pushdown, broadcast of small dims,
+  * no cartesian products, TakeOrdered for top-k.
   */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
@@ -13,10 +17,37 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q2_revenue_by_nation", "q3_filter_pushdown", "v1_knn_cosine")) {
+
+    def planOf(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
       println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      df.explain("formatted")
+      df.queryExecution.executedPlan.toString
     }
+
+    var failures = List.empty[String]
+    def check(name: String, what: String)(ok: String => Boolean): Unit = {
+      val p = planOf(name)
+      if (!ok(p)) failures ::= s"$name: $what"
+      else println(s"CHECK OK $name: $what")
+    }
+
+    check("q3_filter_pushdown", "filters pushed to parquet scan")(
+      p => p.contains("PushedFilters: [IsNotNull"))
+    check("q2_revenue_by_nation", "nation dim broadcast, no cartesian")(
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    check("v1_knn_cosine", "KNN is TakeOrderedAndProject (no global sort)")(
+      p => p.contains("TakeOrderedAndProject"))
+    check("m4_dbscan", "grid-blocked neighbor join, no cartesian")(
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("d1_minhash_lsh_pairs", "band join is a hash join, no cartesian")(
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+
+    if (failures.nonEmpty) {
+      failures.foreach(f => println(s"CHECK FAILED $f"))
+      sys.exit(1)
+    }
+    println("ALL PLAN CHECKS PASSED")
     spark.stop()
   }
 }
