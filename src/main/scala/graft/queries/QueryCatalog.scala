@@ -473,15 +473,47 @@ object QueryCatalog {
                   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
             ORDER BY id_a, id_b"""))
 
-  /** SimHash near-dup pairs (hamming <= 3 via 4×16-bit pigeonhole bands;
-    * hash family not SQL-expressible → rows-only + ScalaTest spec).
+  /** SimHash near-dup pairs (hamming <= 3 via 4×16-bit pigeonhole bands).
+    * The FNV-1a-64 hash family IS SQL-expressible: the oracle recomputes
+    * per-token FNV over UTF-8 bytes with HUGEINT mod-2⁶⁴ arithmetic, takes
+    * the 64 bit votes, and brute-forces all pairs at hamming <= 3 (the
+    * banding is exact by pigeonhole, so brute force is the right oracle).
     */
   val d2Simhash: GraftQuery = GraftQuery(
     "d2_simhash_pairs",
     (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""WITH tk AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                t -> t <> '') AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+            tb AS (SELECT doc_id, t,
+              flatten(list_transform(string_split(t, ''), ch ->
+                CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
+                     WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
+                     ELSE [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+                END)) AS bytes FROM tok),
+            th AS (SELECT doc_id, list_reduce(
+                list_concat([14695981039346656037::HUGEINT], list_transform(bytes, b -> b::HUGEINT)),
+                (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+              FROM tb),
+            votes AS (SELECT doc_id, bit,
+                sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(range(0, 64)) AS bit)
+              GROUP BY doc_id, bit),
+            sk0 AS (SELECT doc_id,
+                sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS u
+              FROM votes GROUP BY doc_id),
+            sh AS (SELECT doc_id,
+                CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS sk
+              FROM sk0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sk, b.sk)) <= 3
+            ORDER BY id_a, id_b"""))
 
   /** Embedding cosine near-dup pairs (exact threshold self-join baseline). */
   val e1EmbeddingPairs: GraftQuery = GraftQuery(

@@ -49,13 +49,13 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // Stamp batch order BEFORE any shuffle: the reference's ON CONFLICT
     // upsert is statement-ordered, and an id expression evaluated after the
     // window exchange would make "which duplicate wins" nondeterministic.
-    val seqSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("document", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_seq", org.apache.spark.sql.types.LongType, nullable = false)))
-    val stamped = spark.createDataFrame(
-      docJsons.select(col("document").cast("string")).rdd.zipWithIndex
-        .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i) },
-      seqSchema)
+    // monotonically_increasing_id is order-consistent with batch (partition)
+    // order when evaluated pre-shuffle; the EAGER localCheckpoint freezes
+    // the stamped values so no later re-execution can reassign them.
+    val stamped = docJsons
+      .select(col("document").cast("string").as("document"))
+      .withColumn("_seq", monotonically_increasing_id())
+      .localCheckpoint()
     val incoming = stamped
       .withColumn("source_uuid", md5(get_json_object(col("document"), "$.id")))
       .withColumn("created_at", current_timestamp())
