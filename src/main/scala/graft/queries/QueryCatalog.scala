@@ -761,7 +761,10 @@ object QueryCatalog {
             ORDER BY a.user_id, a.n_events, a.sum_value"""))
 
   /** Multimodal batched feature extraction over synthetic media (decode is
-    * a deterministic stub; batching/schema plumbing is real → rows-only).
+    * a deterministic stub; batching/schema plumbing is real). The stub's
+    * FNV-1a-64 + splitmix64 feature math IS SQL-expressible — the oracle
+    * recomputes it with HUGEINT mod-2⁶⁴ arithmetic (big multiplies split
+    * into 32-bit limbs to stay inside INT128) and float32 feature scaling.
     */
   val mm1MediaFeatures: GraftQuery = GraftQuery(
     "mm1_media_features",
@@ -770,10 +773,10 @@ object QueryCatalog {
       graft.operators.Multimodal.extractFeatures(media, new graft.operators.Multimodal.StubCodec(16))
         .toDF()
         .select(col("media_id"), col("kind"),
-          round(element_at(col("features"), 1), 5).as("f0"))
+          round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
         .orderBy(col("media_id"))
     },
-    None)
+    Some(Mm1OracleSql.sql))
 
   /** Everything, in presentation order. */
   val all: Seq[GraftQuery] = Seq(

@@ -91,6 +91,23 @@ class CollectionSpec extends AnyFunSuite {
     assert(ids("""{"$or": [{"id": 1}, {"tag": "y"}]}""") == Set(1, 2))
     assert(ids("""{"$not": {"tag": "x"}}""") == Set(2))
     assert(ids("""{"tag": "x", "id": {"$gt": 1}}""") == Set(3))           // implicit AND
+    assert(ids("""{"id": {"$in": []}}""") == Set())                       // empty IN matches nothing
+    assert(ids("""{"id": {"$nin": []}}""") == Set(1, 2, 3))               // empty NIN matches all
+  }
+
+  test("filter compiler keeps 64-bit integer comparisons exact above 2^53") {
+    // 2^53+1 and 2^53+2 collapse to the same Double; as decimals they don't
+    val big1 = 9007199254740993L // 2^53 + 1
+    val big2 = 9007199254740994L // 2^53 + 2
+    val df = Seq(
+      s"""{"id": $big1}""",
+      s"""{"id": $big2}""").toDF("document")
+    val r = FilterCompiler.jsonStringResolver(col("document"))
+    def ids(filter: String): Set[Long] =
+      df.where(FilterCompiler.compile(filter, r))
+        .select(get_json_object(col("document"), "$.id").cast("long")).as[Long].collect().toSet
+    assert(ids(s"""{"id": {"$$eq": $big1}}""") == Set(big1))
+    assert(ids(s"""{"id": {"$$in": [$big2]}}""") == Set(big2))
   }
 
   test("getDocuments: keyset pagination and order_by") {
