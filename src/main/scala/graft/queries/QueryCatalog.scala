@@ -528,6 +528,27 @@ object QueryCatalog {
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
             ORDER BY id_a, id_b"""))
 
+  /** Elementwise vector math surface (§2.8: ± × ÷ scalar|vector as
+    * codegen'd higher-order built-ins): v = 2a + a∘a per position.
+    */
+  val v8VecElementwise: GraftQuery = GraftQuery(
+    "v8_vec_elementwise",
+    (s, dir) => {
+      import graft.functions.VecFunctions._
+      val ad = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(vecAdd(vecMulScalar(ad, lit(2.0)), vecMul(ad, ad))).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), round(col("v"), 5).as("val"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+    Some("""SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+            round(2.0 * CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  + CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(i AS INT)] AS DOUBLE), 5) AS val
+            FROM embeddings, range(1, 65) t(i)
+            ORDER BY vec_id, pos"""))
+
   // ---------------------------------------------------------------- doc store
 
   /** Recursive-character chunking (pgml.chunk) over the documents table
@@ -606,7 +627,66 @@ object QueryCatalog {
     },
     None)
 
+  /** order_by over JSON document paths with NULLS LAST (order_by_builder
+    * semantics): docs whose `rank` key is absent sort last; output carries
+    * the materialized position so the ordering itself goes through the
+    * hash-compare gate. NOTE: over a JSON-string resolver values order
+    * lexicographically (like the raw text) — the query orders by a string
+    * field to keep reference semantics.
+    */
+  val s5OrderBy: GraftQuery = GraftQuery(
+    "s5_order_by",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(to_json(struct(
+          col("doc_id").as("id"),
+          when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+          col("source"))).as("document"))
+      val r = graft.store.FilterCompiler.jsonStringResolver(col("document"))
+      val order = graft.store.OrderByCompiler.compile("""{"lang": "desc", "id": "asc"}""", r)
+      docs
+        .withColumn("pos", row_number().over(Window.orderBy(order: _*)))
+        .select(col("pos"),
+          get_json_object(col("document"), "$.id").cast("long").as("doc_id"))
+        .orderBy(col("pos"))
+    },
+    Some("""SELECT row_number() OVER (
+              ORDER BY CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END DESC NULLS LAST,
+                       CAST(CAST(doc_id AS VARCHAR) AS VARCHAR) ASC) AS pos,
+              doc_id
+            FROM documents ORDER BY pos"""))
+
   // ---------------------------------------------------------------- ML
+
+  /** Preprocessing matrix through the DuckDB gate (§2.10 exact semantics):
+    * numeric mean-impute + standard scale, categorical one-hot with the
+    * NULL-category-first / k−1 (drop-last) layout.
+    */
+  val p1Preprocess: GraftQuery = GraftQuery(
+    "p1_preprocess",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val plans = Seq(
+        graft.ml.ColumnPlan("c_acctbal", impute = "mean", scale = "standard"),
+        graft.ml.ColumnPlan("c_mktsegment", encode = "one_hot", impute = "zero"))
+      val fitted = graft.ml.Preprocessor.fit(c, plans, "c_custkey")
+      graft.ml.Preprocessor.transform(c, fitted)
+        .select(col("c_custkey"),
+          round(col("c_acctbal__f"), 5).as("acctbal_scaled"),
+          col("c_mktsegment__AUTOMOBILE").as("seg_auto"),
+          col("c_mktsegment__BUILDING").as("seg_build"),
+          col("c_mktsegment__FURNITURE").as("seg_furn"),
+          col("c_mktsegment__HOUSEHOLD").as("seg_house"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH st AS (SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS sd FROM customer)
+            SELECT c_custkey,
+              round((c_acctbal - m) / sd, 5) AS acctbal_scaled,
+              CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END AS seg_auto,
+              CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS seg_build,
+              CASE WHEN c_mktsegment = 'FURNITURE' THEN 1.0 ELSE 0.0 END AS seg_furn,
+              CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1.0 ELSE 0.0 END AS seg_house
+            FROM customer, st ORDER BY c_custkey"""))
 
   /** pgml.train + pgml.predict lifecycle with an OLS oracle: fit linear
     * regression (normal equations) of l_extendedprice on l_quantity over
@@ -783,10 +863,10 @@ object QueryCatalog {
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
-    v7KnnIvfFull,
+    v7KnnIvfFull, v8VecElementwise,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs,
-    s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e,
-    m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
+    s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
+    m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, mm1MediaFeatures)
 }
