@@ -83,18 +83,32 @@ object Dbscan {
       .join(core.withColumnRenamed("id", "nb"), Seq("nb"))
       .localCheckpoint()
     var labels = core.select(col("id"), col("id").as("label")).localCheckpoint()
+    // convergence = sum(label) stops decreasing (labels only ever shrink):
+    // one cheap aggregate per round instead of a join + isEmpty probe
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // (a) hook: take the min label over direct neighbors
       val prop = edges.join(labels.withColumnRenamed("id", "nb")
           .withColumnRenamed("label", "nbl"), Seq("nb"))
         .groupBy("id").agg(min("nbl").as("nbl"))
-      val updated = labels.join(prop, Seq("id"), "left")
+      val hooked = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+      // (b) pointer-doubling path compression: label := label(label).
+      // Every label is a core id present in the table, so the lookup is
+      // total; this squares pointer-chain lengths each round — the loop
+      // converges in O(log diameter) rounds instead of O(diameter), which
+      // is the difference between ~6 and ~40 Spark jobs on a long chain.
+      val updated = hooked.as("l1")
+        .join(hooked.select(col("id").as("label"), col("label").as("ll")).as("l2"),
+          Seq("label"))
+        .select(col("id"), least(col("label"), col("ll")).as("label"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") < col("old")).isEmpty
+      val s = updated.agg(sum("label")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = updated
       it += 1
     }
