@@ -101,15 +101,28 @@ object Preprocessor {
       else {
         val row = valid.agg(built.head._2.as(built.head._1),
           built.tail.map { case (n, c) => c.as(n) }: _*).head()
-        built.map { case (n, _) => n -> row.getAs[Double](n) }.toMap
+        built.map { case (n, _) =>
+          // a NULL aggregate means the column had no valid values — imputing
+          // with a silent 0.0 would corrupt the feature; fail loudly instead
+          if (row.isNullAt(row.fieldIndex(n)))
+            throw new IllegalArgumentException(
+              s"column '${p.name}': stat '$n' is NULL (no non-null/non-NaN values) — " +
+                s"impute='${p.impute}'/scale='${p.scale}' need it; use impute=zero or drop the column")
+          n -> row.getAs[Double](n)
+        }.toMap
       }
     val mean = stats.getOrElse("mean", 0.0); val median = stats.getOrElse("median", 0.0)
     val mn = stats.getOrElse("min", 0.0); val mx = stats.getOrElse("max", 0.0)
     val std = stats.getOrElse("std", 0.0); val maxAbs = stats.getOrElse("max_abs", 0.0)
     val q03 = stats.getOrElse("q03", 0.0); val q08 = stats.getOrElse("q08", 0.0)
     val mode = p.impute match {
-      case "mode" => valid.groupBy(x.as("v")).count()
-        .orderBy(col("count").desc, col("v")).head().getDouble(0)
+      case "mode" =>
+        val top = valid.groupBy(x.as("v")).count()
+          .orderBy(col("count").desc, col("v")).limit(1).collect()
+        if (top.isEmpty)
+          throw new IllegalArgumentException(
+            s"column '${p.name}': impute=mode but no non-null/non-NaN values exist")
+        top.head.getDouble(0)
       case _ => 0.0
     }
     val imputeValue = p.impute match {

@@ -77,6 +77,17 @@ object Dbscan {
       .where(col("n") + 1 >= minPts) // DBSCAN counts the point itself
       .select("id")
 
+    // all-noise input: no core points means no clusters and no propagation
+    if (core.isEmpty) {
+      return pts.select(col("id").as(idCol), lit(-1L).as("cluster"))
+    }
+
+    // sum over an empty frame is NULL — read it null-safely so a round that
+    // empties the label set (can't happen today, but cheap insurance)
+    // converges instead of throwing
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+
     // min-label propagation over core-core edges
     val edges = nbrs
       .join(core, Seq("id"))
@@ -85,7 +96,7 @@ object Dbscan {
     var labels = core.select(col("id"), col("id").as("label")).localCheckpoint()
     // convergence = sum(label) stops decreasing (labels only ever shrink):
     // one cheap aggregate per round instead of a join + isEmpty probe
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -106,7 +117,7 @@ object Dbscan {
           Seq("label"))
         .select(col("id"), least(col("label"), col("ll")).as("label"))
         .localCheckpoint()
-      val s = updated.agg(sum("label")).head().getLong(0)
+      val s = labelSum(updated)
       converged = s == prevSum
       prevSum = s
       labels = updated

@@ -30,11 +30,16 @@ object ScaleOps {
       key: String,
       salts: Int = 8): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedLeft = left.withColumn("__salt",
+    // pick a working-column name that collides with neither input — a fixed
+    // "__salt" would silently overwrite a caller's column and corrupt the join
+    val taken = (left.columns ++ right.columns).toSet
+    val salt = Iterator.from(0).map(i => if (i == 0) "__salt" else s"__salt$i")
+      .find(!taken.contains(_)).get
+    val saltedLeft = left.withColumn(salt,
       (rand(42) * salts).cast("int"))
-    val saltedRight = right.withColumn("__salt",
+    val saltedRight = right.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+    saltedLeft.join(saltedRight, Seq(key, salt)).drop(salt)
   }
 
   /** Write `df` as a bucketed+sorted managed table (metastore-backed).
@@ -46,15 +51,28 @@ object ScaleOps {
       table: String,
       bucketCol: String,
       numBuckets: Int = 32): Unit = {
+    require(!table.contains("`") && table.nonEmpty,
+      s"invalid table name '$table'")
     val spark = df.sparkSession
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    val defaultLoc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    // only clear the default managed location when it's safe: either the
+    // table doesn't exist (orphaned dir from a killed write blocks CREATE
+    // TABLE) or the existing MANAGED table actually lives there. An external
+    // table pointing elsewhere must not trigger a delete under the warehouse.
+    val safeToClear =
+      if (!catalog.tableExists(ident)) true
+      else {
+        val meta = catalog.getTableMetadata(ident)
+        meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED &&
+          new org.apache.hadoop.fs.Path(meta.location) == defaultLoc
+      }
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // clear an orphaned location (a killed write can leave the directory
-    // behind without the metastore entry, which blocks CREATE TABLE)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (safeToClear) {
+      val fs = defaultLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(defaultLoc)) fs.delete(defaultLoc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table) // managed: spark.sql.warehouse.dir

@@ -86,13 +86,13 @@ object FilterCompiler {
       case "$lte" => typed <= literal(v)
       case "$in" => v match {
         case JArray(Nil) => lit(false) // x IN () matches nothing
-        case JArray(items) => castTo(field, items.head).isin(items.map(scalaValue): _*)
+        case JArray(items) => castForSet(field, items).isin(items.map(scalaValue): _*)
         case _ => throw new IllegalArgumentException("$in expects an array")
       }
       case "$nin" => v match {
         case JArray(Nil) => lit(true) // x NOT IN () matches everything
         case JArray(items) =>
-          val f = castTo(field, items.head)
+          val f = castForSet(field, items)
           !f.isin(items.map(scalaValue): _*) || f.isNull
         case _ => throw new IllegalArgumentException("$nin expects an array")
       }
@@ -100,16 +100,34 @@ object FilterCompiler {
     }
   }
 
+  private val SafeDoubleInt = BigInt(2).pow(53) // doubles are exact up to here
+
   /** Cast an extracted field to the JSON literal's type (needed for the
     * JSON-string resolver where everything extracts as string). */
   private def castTo(field: Column, v: JValue): Column = v match {
-    // integral literals compare in decimal so 64-bit ids above 2^53 stay
-    // exact (a double cast silently rounds them), while a fractional field
-    // value still compares correctly against an integral literal
-    case _: JInt | _: JLong => field.cast("decimal(38,9)")
+    // Integral literals: compare as double while the literal is exactly
+    // representable (|v| ≤ 2^53) — doubles compare fractional field values
+    // correctly at full precision. Only beyond 2^53 (64-bit ids) switch to
+    // decimal(38,18), which keeps the id exact; the trade-off there is that
+    // field values round at 18 fractional digits (documented, and such
+    // fields are ids in practice).
+    case JInt(i) if i.abs <= SafeDoubleInt => field.cast("double")
+    case JLong(l) if BigInt(l).abs <= SafeDoubleInt => field.cast("double")
+    case _: JInt | _: JLong => field.cast("decimal(38,18)")
     case _: JDouble | _: JDecimal => field.cast("double")
     case _: JBool => field.cast("boolean")
     case _ => field
+  }
+
+  /** For $in/$nin the cast must suit EVERY item: if any integral member
+    * exceeds 2^53, compare the whole set in decimal. */
+  private def castForSet(field: Column, items: List[JValue]): Column = {
+    val anyBig = items.exists {
+      case JInt(i) => i.abs > SafeDoubleInt
+      case JLong(l) => BigInt(l).abs > SafeDoubleInt
+      case _ => false
+    }
+    if (anyBig) field.cast("decimal(38,18)") else castTo(field, items.head)
   }
 
   private def literal(v: JValue): Column = lit(scalaValue(v))

@@ -110,6 +110,22 @@ class CollectionSpec extends AnyFunSuite {
     assert(ids(s"""{"id": {"$$in": [$big2]}}""") == Set(big2))
   }
 
+  test("filter compiler keeps full double precision against integral literals") {
+    // regression: a fixed decimal(38,9) cast rounded 1.0000000001 to
+    // 1.000000000 and wrongly excluded it from {"$gt": 1}
+    val df = Seq(
+      """{"v": 1.0000000001}""",
+      """{"v": 1.0}""",
+      """{"v": 0.9999999999}""").toDF("document")
+    val r = FilterCompiler.jsonStringResolver(col("document"))
+    def vs(filter: String): Set[String] =
+      df.where(FilterCompiler.compile(filter, r))
+        .select(get_json_object(col("document"), "$.v")).as[String].collect().toSet
+    assert(vs("""{"v": {"$gt": 1}}""") == Set("1.0000000001"))
+    assert(vs("""{"v": {"$lt": 1}}""") == Set("0.9999999999"))
+    assert(vs("""{"v": {"$gte": 1}}""") == Set("1.0000000001", "1.0"))
+  }
+
   test("getDocuments: keyset pagination and order_by") {
     val c = newCollection("c3")
     c.upsertDocuments(dummyDocs(20))

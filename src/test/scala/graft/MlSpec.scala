@@ -98,6 +98,23 @@ class MlSpec extends AnyFunSuite {
     assert(ordVals.toSet == Set(0.0, 1.0, 2.0))
   }
 
+  test("preprocessing fails loudly when a needed stat is NULL (all-null column)") {
+    // regression: impute=mean on an all-null column silently imputed 0.0
+    val train = Seq((Option.empty[Double], 1.0), (None, 2.0)).toDF("v", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Preprocessor.fit(train, Seq(ColumnPlan("v", impute = "mean")), "y")
+    }
+    assert(ex.getMessage.contains("mean") && ex.getMessage.contains("'v'"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Preprocessor.fit(train, Seq(ColumnPlan("v", impute = "mode")), "y")
+    }
+    assert(ex2.getMessage.contains("mode"))
+    // impute=zero needs no stats and still works on an all-null column
+    val ok = Preprocessor.fit(train, Seq(ColumnPlan("v", impute = "zero")), "y")
+    val vals = Preprocessor.transform(train, ok).select("v__f").as[Double].collect()
+    assert(vals.toSeq == Seq(0.0, 0.0))
+  }
+
   test("classification metrics match hand-computed confusion matrix") {
     // y:    a a a b b c
     // pred: a a b b b a

@@ -25,6 +25,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("__salt"))
   }
 
+  test("saltedJoin survives inputs that already have a __salt column") {
+    val left = Seq((1L, 10, "keep_l"), (1L, 11, "keep_l2"), (2L, 20, "x"))
+      .toDF("k", "lv", "__salt")
+    val right = Seq((1L, "a"), (2L, "b")).toDF("k", "rv")
+    val out = ScaleOps.saltedJoin(left, right, "k", salts = 4)
+    // caller's __salt column passes through untouched; join is uncorrupted
+    assert(out.columns.toSeq == Seq("k", "lv", "__salt", "rv"))
+    val rows = out.select("k", "lv", "__salt", "rv")
+      .as[(Long, Int, String, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, 10, "keep_l", "a"), (1L, 11, "keep_l2", "a"), (2L, 20, "x", "b")))
+  }
+
   test("bucketed tables join without an exchange") {
     val a = Tables.load(spark, TestSpark.sf0001, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
