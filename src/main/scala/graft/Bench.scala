@@ -39,10 +39,13 @@ object Bench {
       "m1_linear_regression")
 
     val queries = SparkEntry.queries
-    // warm the JVM/codegen/IO paths once, untimed; v5's warm-up also builds
-    // the IVF index (indexes are built at ingest, not per query — the
-    // reference's HNSW numbers likewise exclude the 2h51m index build)
-    for (w <- Seq("q1_pricing_agg", "v5_knn_ivf"))
+    // Warm every headline query once, untimed, then measure the second
+    // (steady-state) pass: the reference's published numbers are sustained
+    // throughput against a hot backend, not first-call JIT + classload.
+    // v5's warm-up also builds the IVF index (indexes are built at ingest,
+    // not per query — the reference's HNSW numbers likewise exclude the
+    // 2h51m index build).
+    for (w <- headline)
       try queries(w)(spark, sfDir).count() catch { case _: Throwable => }
 
     val results = headline.flatMap { name =>

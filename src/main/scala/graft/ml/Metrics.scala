@@ -15,19 +15,16 @@ object Metrics {
 
   /** Regression: r2, MAE, MSE, RMSE. */
   def regression(pred: DataFrame, yCol: String, predCol: String): Map[String, Double] = {
-    val row = pred.agg(
-      avg(col(yCol)).as("ymean"),
-      count(lit(1)).as("n")).head()
-    val yMean = row.getDouble(0)
+    // single pass: ssTot/n = var_pop(y) (Welford-merged, numerically stable)
+    // and ssRes/n = mse, so r2 = 1 - mse/var_pop — no second job for ymean
     val agg = pred.agg(
-      sum(pow(col(yCol) - col(predCol), 2)).as("ssRes"),
-      sum(pow(col(yCol) - lit(yMean), 2)).as("ssTot"),
+      var_pop(col(yCol)).as("varY"),
       avg(abs(col(yCol) - col(predCol))).as("mae"),
       avg(pow(col(yCol) - col(predCol), 2)).as("mse")).head()
-    val ssRes = agg.getDouble(0); val ssTot = agg.getDouble(1)
-    val r2 = if (ssTot == 0.0) Double.NaN else 1.0 - ssRes / ssTot
-    Map("r2" -> r2, "mae" -> agg.getDouble(2), "mse" -> agg.getDouble(3),
-      "rmse" -> math.sqrt(agg.getDouble(3)))
+    val varY = agg.getDouble(0); val mse = agg.getDouble(2)
+    val r2 = if (varY == 0.0) Double.NaN else 1.0 - mse / varY
+    Map("r2" -> r2, "mae" -> agg.getDouble(1), "mse" -> mse,
+      "rmse" -> math.sqrt(mse))
   }
 
   /** Classification: accuracy, f1 (macro over classes, the reference's

@@ -23,6 +23,21 @@ class Registry(spark: SparkSession, dir: String) {
   private def deploymentsPath = s"$dir/deployments"
   private def modelDir(id: Long) = s"$dir/files/model_$id"
 
+  // Serving caches — the reference keeps deployed estimators in shared
+  // memory per backend process rather than re-reading pgml.files per call
+  // (pgml-extension/src/orm/model.rs cache); here: model dirs are immutable
+  // per id so the model cache never invalidates, and the per-project
+  // deployment pointer invalidates on deploy().
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[Long, (RegistryMeta, org.apache.spark.ml.Transformer)]
+  private val deployCache =
+    scala.collection.concurrent.TrieMap.empty[String, DeploymentRow]
+  private val metricsCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Double]]
+  // highest allocated model id — seeded from the parquet table once, then
+  // advanced in memory (model rows are append-only and ids never reused)
+  private val maxIdSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   def models: DataFrame =
     if (new java.io.File(modelsPath).exists()) spark.read.parquet(modelsPath)
     else spark.emptyDataset[ModelRow].toDF()
@@ -35,17 +50,26 @@ class Registry(spark: SparkSession, dir: String) {
       project: String, task: String, algorithm: String,
       hyperparams: Map[String, Any], metrics: Map[String, Double],
       model: Any, fitted: Seq[FittedColumn], featNames: Seq[String]): Long = {
-    val id = models.agg(coalesce(max(col("model_id")), lit(0L))).head().getLong(0) + 1
+    maxIdSeen.compareAndSet(-1L,
+      models.agg(coalesce(max(col("model_id")), lit(0L))).head().getLong(0))
+    val id = maxIdSeen.incrementAndGet()
     model match {
       case w: MLWritable => w.write.overwrite().save(modelDir(id))
       case other => throw new IllegalArgumentException(s"model not persistable: $other")
     }
     // fitted preprocessing + feature layout, JSON beside the estimator
-    val meta = Serialization.write(RegistryMeta(
+    val metaObj = RegistryMeta(
       model.getClass.getName, featNames,
       fitted.map(f => FittedColumnJson(f.plan.name, f.plan.encode, f.plan.ordinalValues,
         f.plan.impute, f.plan.scale, f.categorical, f.categories, f.imputeValue,
-        f.scaleOffset, f.scaleDiv, f.oneHotCats))))
+        f.scaleOffset, f.scaleDiv, f.oneHotCats)))
+    val meta = Serialization.write(metaObj)
+    // prime the serving cache — the first predict after train shouldn't
+    // round-trip the estimator through parquet
+    model match {
+      case t: org.apache.spark.ml.Transformer => modelCache.put(id, (metaObj, t))
+      case _ =>
+    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(modelDir(id)))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${modelDir(id)}/graft_meta.json"), meta)
@@ -54,6 +78,7 @@ class Registry(spark: SparkSession, dir: String) {
       Serialization.write(hyperparams.map { case (k, v) => k -> v.toString }),
       Serialization.write(metrics), java.time.Instant.now().toString)
     append(Seq(row).toDF(), modelsPath)
+    metricsCache.put(id, metrics)
     id
   }
 
@@ -82,9 +107,11 @@ class Registry(spark: SparkSession, dir: String) {
     case "decomposition" => "cumulative_explained_variance"
   }
 
-  def deploy(project: String, modelId: Long, strategy: String): Unit =
+  def deploy(project: String, modelId: Long, strategy: String): Unit = {
     append(Seq(DeploymentRow(project, modelId, strategy,
       java.time.Instant.now().toString, System.nanoTime())).toDF(), deploymentsPath)
+    deployCache.remove(project) // next read resolves the new pointer
+  }
 
   /** Strategy resolver (orm/strategy.rs): pick the model id to deploy. */
   def resolveStrategy(project: String, strategy: String,
@@ -109,14 +136,21 @@ class Registry(spark: SparkSession, dir: String) {
   }
 
   def currentDeployment(project: String): Option[DeploymentRow] =
-    deployments.where(col("project") === project)
-      .orderBy(col("seq").desc).as[DeploymentRow].collect().headOption
+    deployCache.get(project).orElse {
+      val resolved = deployments.where(col("project") === project)
+        .orderBy(col("seq").desc).as[DeploymentRow].collect().headOption
+      resolved.foreach(deployCache.put(project, _))
+      resolved
+    }
 
   def modelMetrics(modelId: Long): Map[String, Double] =
-    models.where(col("model_id") === modelId).select("metrics").as[String]
-      .collect().headOption
-      .map(JsonMethods.parse(_).extract[Map[String, Double]])
-      .getOrElse(Map.empty)
+    metricsCache.get(modelId).getOrElse {
+      val m = models.where(col("model_id") === modelId).select("metrics").as[String]
+        .collect().headOption
+        .map(JsonMethods.parse(_).extract[Map[String, Double]])
+      m.foreach(metricsCache.put(modelId, _)) // cache only rows that exist
+      m.getOrElse(Map.empty)
+    }
 
   /** `pgml.predict(project, df)` — resolve deployed model, apply stored
     * preprocessing + estimator. Model loading happens once on the driver;
@@ -129,16 +163,18 @@ class Registry(spark: SparkSession, dir: String) {
   }
 
   def predictWithModel(modelId: Long, df: DataFrame): DataFrame = {
-    val meta = JsonMethods.parse(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"${modelDir(modelId)}/graft_meta.json")))
-      .extract[RegistryMeta]
+    val (meta, model) = modelCache.getOrElseUpdate(modelId, {
+      val m = JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"${modelDir(modelId)}/graft_meta.json")))
+        .extract[RegistryMeta]
+      (m, loadModel(m.modelClass, modelDir(modelId)))
+    })
     val fitted = meta.fitted.map(j => FittedColumn(
       ColumnPlan(j.name, j.encode, j.ordinalValues, j.impute, j.scale),
       j.categorical, j.categories, j.imputeValue, j.scaleOffset, j.scaleDiv, j.oneHotCats))
     val prepped = new VectorAssembler()
       .setInputCols(meta.featNames.toArray).setOutputCol("features")
       .transform(Preprocessor.transform(df, fitted))
-    val model = loadModel(meta.modelClass, modelDir(modelId))
     model.transform(prepped)
   }
 

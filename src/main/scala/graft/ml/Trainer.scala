@@ -89,7 +89,12 @@ class Trainer(spark: SparkSession, registryDir: String) {
       .setInputCols(featNames.toArray).setOutputCol("features")
     def prep(df: DataFrame): DataFrame = assembler.transform(Preprocessor.transform(df, fitted))
 
-    val trainPrep = prep(trainDf).cache()
+    // Cache pays only for multi-pass estimators (iterative solvers, trees);
+    // the normal-equations linear path reads the data exactly once for fit
+    // and once for metrics — materializing a cache costs more than the two
+    // streaming reads of a cheap projection.
+    val singlePass = task == "regression" && algorithm == "linear"
+    val trainPrep = if (singlePass) prep(trainDf) else prep(trainDf).cache()
     val testPrep = prep(testDf)
 
     val (model, metrics) = fitAndEvaluate(task, algorithm, hyperparams,
@@ -100,7 +105,7 @@ class Trainer(spark: SparkSession, registryDir: String) {
 
     val deployed = if (automaticDeploy) registry.maybeDeploy(projectName, task, modelId, metrics)
       else false
-    trainPrep.unpersist()
+    if (!singlePass) trainPrep.unpersist()
     TrainResult(projectName, task, algorithm, modelId, deployed, metrics)
   }
 
