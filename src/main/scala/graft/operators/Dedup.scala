@@ -139,6 +139,41 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** Near-duplicate GROUPS: connected components over the verified
+    * MinHash-LSH pair graph. Returns (id, group_id) for every document that
+    * has at least one near-duplicate; group_id = min doc id in the
+    * component (the canonical representative). Docs absent from the output
+    * are singletons. This is the full dedup pipeline's clustering step —
+    * "keep one per group" is then `where(col("id") === col("group_id"))`
+    * anti-joined back, see [[deduplicate]].
+    */
+  def nearDupGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    Components.minLabel(pairs)
+      .select(col("id").as(idCol), col("component").as("group_id"))
+  }
+
+  /** End-to-end near-dup deduplication: drop every document whose group
+    * representative (min id at `threshold` near-duplicity) is a different
+    * document. Keeps all singletons plus one representative per group —
+    * the operator a 100 TB pretraining pipeline runs before tokenization.
+    */
+  def deduplicate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val drop = nearDupGroups(df, idCol, textCol, threshold)
+      .where(col(idCol) =!= col("group_id"))
+      .select(col(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming (<=3
     * guaranteed caught by 4-band pigeonhole on the 64-bit sketch).
     */

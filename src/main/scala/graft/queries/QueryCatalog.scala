@@ -515,6 +515,32 @@ object QueryCatalog {
             WHERE bit_count(xor(a.sk, b.sk)) <= 3
             ORDER BY id_a, id_b"""))
 
+  /** Near-dup GROUPS (connected components over the verified LSH pair
+    * graph, group = min doc id): the dedup pipeline's clustering step.
+    * Oracle replays it as a transitive-closure recursive CTE over the exact
+    * brute-force pair graph.
+    */
+  val d3DedupGroups: GraftQuery = GraftQuery(
+    "d3_dedup_groups",
+    (s, dir) =>
+      Dedup.nearDupGroups(t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE tk AS (SELECT doc_id,
+              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+              FROM documents),
+            e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+            sym AS (SELECT ia AS a, ib AS b FROM e
+                    UNION ALL SELECT ib, ia FROM e),
+            reach(id, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id)
+            SELECT id AS doc_id, min(r) AS group_id
+            FROM reach GROUP BY id ORDER BY doc_id"""))
+
   /** Embedding cosine near-dup pairs (exact threshold self-join baseline). */
   val e1EmbeddingPairs: GraftQuery = GraftQuery(
     "e1_embedding_pairs",
@@ -865,7 +891,7 @@ object QueryCatalog {
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
     v7KnnIvfFull, v8VecElementwise,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
-    t6Fingerprint, d1MinhashLsh, d2Simhash, e1EmbeddingPairs,
+    t6Fingerprint, d1MinhashLsh, d2Simhash, d3DedupGroups, e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, mm1MediaFeatures)

@@ -75,4 +75,28 @@ class StreamingSpec extends AnyFunSuite {
       .as[EventStreams.SessionOut].collect()
     assert(out.toSet == Set(EventStreams.SessionOut(7L, 2L, 3.0)))
   }
+
+  test("transform task dispatch runs unchanged on an unbounded stream") {
+    // the Spark-native transform_stream: the same Transform operator applied
+    // to readStream — outputs arrive per micro-batch instead of per token
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    val docs = Seq(
+      (1L, "this is a great fast product i love it"),
+      (2L, "terrible slow broken experience i hate it"),
+      (3L, "neutral words about a table")).toDF("id", "text")
+    docs.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val q = graft.operators.Transform(stream, "text-classification", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("transform_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("transform_out")
+        .select("id", "output").as[(Long, String)].collect().toMap
+      val batch = graft.operators.Transform(docs, "text-classification", "text")
+        .select("id", "output").as[(Long, String)].collect().toMap
+      assert(streamed == batch && streamed(1L).contains("POSITIVE")
+        && streamed(2L).contains("NEGATIVE"))
+    } finally q.stop()
+  }
 }

@@ -87,6 +87,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("near-dup groups: connected components over LSH pairs; deduplicate keeps one per group") {
+    // 1,2,3 form a chain (1~2, 2~3 near; 1~3 only transitively); 4 distinct;
+    // 5,6 identical
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta mu lambda"),
+      (4L, "completely different words nothing shared here at all everyone"),
+      (5L, "same exact content in both documents word for word"),
+      (6L, "same exact content in both documents word for word")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.nearDupGroups(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long)].collect().toMap
+    // jaccard(1,2)=9/11≈0.818, jaccard(2,3)=9/11, jaccard(1,3)=8/12≈0.67:
+    // the chain still collapses to one component rooted at 1
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val kept = Dedup.deduplicate(docs, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+
+    // all-singleton input: empty pair graph, nothing dropped
+    val uniq = Seq((1L, "aa bb cc"), (2L, "dd ee ff"), (3L, "gg hh ii"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupGroups(uniq, "doc_id", "text", 0.9).isEmpty)
+    assert(Dedup.deduplicate(uniq, "doc_id", "text", 0.9).count() == 3)
+  }
+
   test("embedding near-dup: exact and SRP-blocked agree on high-cos pairs") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
