@@ -34,7 +34,7 @@ object Bench {
       "v4_knn_batch", "v5_knn_ivf",
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "d1_minhash_lsh_pairs",
-      "d2_simhash_pairs", "s1_chunk", "s3_fulltext_rank",
+      "d2_simhash_pairs", "d3_dedup_groups", "s1_chunk", "s3_fulltext_rank",
       "s4_vector_search_e2e", "x1_transform_sentiment", "x2_sessions",
       "m1_linear_regression")
 

@@ -82,49 +82,18 @@ object Dbscan {
       return pts.select(col("id").as(idCol), lit(-1L).as("cluster"))
     }
 
-    // sum over an empty frame is NULL — read it null-safely so a round that
-    // empties the label set (can't happen today, but cheap insurance)
-    // converges instead of throwing
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-
-    // min-label propagation over core-core edges
+    // cluster = connected components over core-core edges (min-label
+    // propagation with pointer doubling — shared Components primitive);
+    // cores with NO core neighbor are their own single-core cluster
     val edges = nbrs
       .join(core, Seq("id"))
       .join(core.withColumnRenamed("id", "nb"), Seq("nb"))
-      .localCheckpoint()
-    var labels = core.select(col("id"), col("id").as("label")).localCheckpoint()
-    // convergence = sum(label) stops decreasing (labels only ever shrink):
-    // one cheap aggregate per round instead of a join + isEmpty probe
-    var prevSum = labelSum(labels)
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      // (a) hook: take the min label over direct neighbors
-      val prop = edges.join(labels.withColumnRenamed("id", "nb")
-          .withColumnRenamed("label", "nbl"), Seq("nb"))
-        .groupBy("id").agg(min("nbl").as("nbl"))
-      val hooked = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
-      // (b) pointer-doubling path compression: label := label(label).
-      // Every label is a core id present in the table, so the lookup is
-      // total; this squares pointer-chain lengths each round — the loop
-      // converges in O(log diameter) rounds instead of O(diameter), which
-      // is the difference between ~6 and ~40 Spark jobs on a long chain.
-      val updated = hooked.as("l1")
-        .join(hooked.select(col("id").as("label"), col("label").as("ll")).as("l2"),
-          Seq("label"))
-        .select(col("id"), least(col("label"), col("ll")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(updated)
-      converged = s == prevSum
-      prevSum = s
-      labels = updated
-      it += 1
-    }
-
-    val coreLabeled = labels // (id, label)
+      .select(col("id").as("a"), col("nb").as("b"))
+    val connected = Components.minLabel(edges, maxIter)
+      .select(col("id"), col("component").as("label"))
+    val isolated = core.join(connected, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val coreLabeled = connected.unionByName(isolated).localCheckpoint() // (id, label)
     val borderLabels = nbrs
       .join(core.withColumnRenamed("id", "nb"), Seq("nb")) // neighbor is core
       .join(coreLabeled.withColumnRenamed("id", "nb"), Seq("nb"))

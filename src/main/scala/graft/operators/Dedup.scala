@@ -76,6 +76,41 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingle: Int = 1): DataFrame = {
+    val (groups, candidates) = lshGroupCandidates(df, idCol, textCol, threshold, k, bands, shingle)
+
+    // (1) identical token sets: all within-group pairs at jaccard 1.0
+    val within = groups.where(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+
+    // (4) expand group pairs to id pairs
+    val ga = groups.select(col("g").as("g_a"), col("ids").as("ids_a"))
+    val gb = groups.select(col("g").as("g_b"), col("ids").as("ids_b"))
+    val cross = candidates
+      .join(ga, "g_a").join(gb, "g_b")
+      .select(col("ids_a"), col("ids_b"), col("jaccard"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+
+    within.unionByName(cross)
+  }
+
+  /** Shared LSH core at GROUP granularity (docs with identical token sets
+    * collapse to one node). Returns (groups = (g, ids, toks) cached,
+    * candidates = verified distinct (g_a, g_b, jaccard) group pairs).
+    */
+  private def lshGroupCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int,
+      bands: Int,
+      shingle: Int): (DataFrame, DataFrame) = {
     val rows = k / bands
     val base = df.select(col(idCol).as("id"),
       array_sort(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("toks"))
@@ -84,13 +119,6 @@ object Dedup {
       .groupBy(xxhash64(col("toks")).as("g"))
       .agg(collect_list(col("id")).as("ids"), first(col("toks")).as("toks"))
       .cache()
-
-    // (1) identical token sets: all within-group pairs at jaccard 1.0
-    val within = groups.where(size(col("ids")) > 1)
-      .select(col("ids"), explode(col("ids")).as("id_a"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", lit(1.0))
 
     // (2) LSH over unique groups; signature from the canonical token text.
     // `th` = sorted 64-bit token-hash array: the verify merge-walk compares
@@ -125,18 +153,7 @@ object Dedup {
       .select(col("g_a"), col("g_b"), col("jaccard"))
       .distinct()
 
-    // (4) expand group pairs to id pairs
-    val ga = groups.select(col("g").as("g_a"), col("ids").as("ids_a"))
-    val gb = groups.select(col("g").as("g_b"), col("ids").as("ids_b"))
-    val cross = candidates
-      .join(ga, "g_a").join(gb, "g_b")
-      .select(col("ids_a"), col("ids_b"), col("jaccard"))
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
-
-    within.unionByName(cross)
+    (groups, candidates)
   }
 
   /** Near-duplicate GROUPS: connected components over the verified
@@ -152,10 +169,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, threshold)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-    Components.minLabel(pairs)
-      .select(col("id").as(idCol), col("component").as("group_id"))
+    // Components run over the GROUP graph (one node per unique token set),
+    // never the expanded id-pair graph: identical docs form cliques whose
+    // pair expansion is quadratic, but they're a single component node here.
+    val (groups, cands) = lshGroupCandidates(df, idCol, textCol, threshold, 64, 16, 1)
+    val comp = Components.minLabel(
+      cands.select(col("g_a").as("a"), col("g_b").as("b")))
+      .select(col("id").as("g"), col("component"))
+    // active = groups with an external near-dup edge, plus multi-member
+    // groups (internal jaccard-1.0 duplicates); component key = propagated
+    // min group hash, or the group itself when only internal
+    val active = groups.join(comp, Seq("g"), "left")
+      .where(col("component").isNotNull || size(col("ids")) > 1)
+      .select(coalesce(col("component"), col("g")).as("ck"), col("ids"))
+    val exploded = active.select(col("ck"), explode(col("ids")).as("id"))
+    // representative = min doc id across the whole component
+    val rep = exploded.groupBy("ck").agg(min("id").as("group_id"))
+    exploded.join(rep, Seq("ck"))
+      .select(col("id").as(idCol), col("group_id"))
   }
 
   /** End-to-end near-dup deduplication: drop every document whose group

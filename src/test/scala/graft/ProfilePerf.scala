@@ -100,6 +100,29 @@ object ProfilePerf {
         Seq(graft.store.VectorSearchField("text", "spark query table join")), limit = 10).count()
     }
 
+    // ---- d3 structure
+    {
+      val docs = graft.Tables.load(spark, dir, "documents")
+      val pairs = time("d3 lsh pairs (warm-ish)") {
+        val p = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
+        p.count()
+      }
+      println(s"PROFILE d3 id-pairs = $pairs")
+      val groups = time("d3 groups count") {
+        docs.select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.array_sort(org.apache.spark.sql.functions.array_distinct(
+            org.apache.spark.sql.functions.split(trim(lower(col("text"))), "\\s+")))).as("g"))
+          .distinct().count()
+      }
+      println(s"PROFILE d3 unique groups = $groups")
+      time("d3 nearDupGroups") {
+        graft.operators.Dedup.nearDupGroups(docs, "doc_id", "text", 0.9).count()
+      }
+      time("d3 nearDupGroups (warm)") {
+        graft.operators.Dedup.nearDupGroups(docs, "doc_id", "text", 0.9).count()
+      }
+    }
+
     // ---- d1
     time("d1 lsh pairs") {
       graft.operators.Dedup.minhashLshPairs(
