@@ -541,6 +541,35 @@ object QueryCatalog {
             SELECT id AS doc_id, min(r) AS group_id
             FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** Keep-one-per-group deduplication: the output a pretraining pipeline
+    * feeds to tokenization — all singletons plus the min-id representative
+    * of every near-dup group.
+    */
+  val d4Deduplicate: GraftQuery = GraftQuery(
+    "d4_deduplicate",
+    (s, dir) =>
+      Dedup.deduplicate(t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE tk AS (SELECT doc_id,
+              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+              FROM documents),
+            e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+            sym AS (SELECT ia AS a, ib AS b FROM e
+                    UNION ALL SELECT ib, ia FROM e),
+            reach(id, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id),
+            dropped AS (SELECT id FROM (
+              SELECT id, min(r) AS g FROM reach GROUP BY id) WHERE id <> g)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
+            ORDER BY doc_id"""))
+
   /** Embedding cosine near-dup pairs (exact threshold self-join baseline). */
   val e1EmbeddingPairs: GraftQuery = GraftQuery(
     "e1_embedding_pairs",
@@ -891,7 +920,8 @@ object QueryCatalog {
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
     v7KnnIvfFull, v8VecElementwise,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
-    t6Fingerprint, d1MinhashLsh, d2Simhash, d3DedupGroups, e1EmbeddingPairs,
+    t6Fingerprint, d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,
+    e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, mm1MediaFeatures)

@@ -25,16 +25,26 @@ import org.json4s.jackson.JsonMethods
   */
 object FilterCompiler {
 
-  /** Resolve a dotted path to (column, value-caster). The default resolver
-    * treats path segments as struct/column fields. */
-  type Resolver = Seq[String] => Column
+  /** Resolve a dotted path to a field Column. `typed` tells the compiler
+    * whether the resolved columns carry their real types (struct/top-level
+    * columns — leave them uncast so Catalyst's cast-unwrapping keeps the
+    * predicate pushable into the scan) or are string extracts that need an
+    * explicit cast chosen from the literal.
+    */
+  trait Resolver extends (Seq[String] => Column) {
+    def typed: Boolean = true
+  }
 
-  val columnResolver: Resolver = path => col(path.mkString("."))
+  val columnResolver: Resolver = (path: Seq[String]) => col(path.mkString("."))
 
   /** Resolver for a JSON-string document column: extracts with
-    * get_json_object (returns string; compile() casts by literal type). */
-  def jsonStringResolver(docCol: Column): Resolver =
-    path => get_json_object(docCol, "$." + path.mkString("."))
+    * get_json_object (returns string; compile() casts by literal type —
+    * there is no scan pushdown through get_json_object to preserve). */
+  def jsonStringResolver(docCol: Column): Resolver = new Resolver {
+    override def apply(path: Seq[String]): Column =
+      get_json_object(docCol, "$." + path.mkString("."))
+    override def typed: Boolean = false
+  }
 
   def compile(filterJson: String, resolve: Resolver = columnResolver): Column =
     compileNode(JsonMethods.parse(filterJson), resolve)
@@ -73,7 +83,7 @@ object FilterCompiler {
 
   private def compileOp(path: Seq[String], op: String, v: JValue, resolve: Resolver): Column = {
     val field = resolve(path)
-    def typed = castTo(field, v)
+    def typed = if (resolve.typed) field else castTo(field, v)
     op match {
       case "$eq" => typed === literal(v)
       case "$ne" =>
@@ -86,13 +96,15 @@ object FilterCompiler {
       case "$lte" => typed <= literal(v)
       case "$in" => v match {
         case JArray(Nil) => lit(false) // x IN () matches nothing
-        case JArray(items) => castForSet(field, items).isin(items.map(scalaValue): _*)
+        case JArray(items) =>
+          val f = if (resolve.typed) field else castForSet(field, items)
+          f.isin(items.map(scalaValue): _*)
         case _ => throw new IllegalArgumentException("$in expects an array")
       }
       case "$nin" => v match {
         case JArray(Nil) => lit(true) // x NOT IN () matches everything
         case JArray(items) =>
-          val f = castForSet(field, items)
+          val f = if (resolve.typed) field else castForSet(field, items)
           !f.isin(items.map(scalaValue): _*) || f.isNull
         case _ => throw new IllegalArgumentException("$nin expects an array")
       }

@@ -42,7 +42,7 @@ object ExplainCheck {
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("d1_minhash_lsh_pairs", "band join is a hash join, no cartesian")(
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    check("s2_filter_compiler", "compiled JSON filter pushed through decimal cast")(
+    check("s2_filter_compiler", "compiled JSON filter reaches parquet PushedFilters uncast")(
       p => p.contains("GreaterThan(n_chars,500)") && p.contains("In(lang"))
 
     if (failures.nonEmpty) {
