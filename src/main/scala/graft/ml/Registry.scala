@@ -35,8 +35,26 @@ class Registry(spark: SparkSession, dir: String) {
   private val metricsCache =
     scala.collection.concurrent.TrieMap.empty[Long, Map[String, Double]]
   // highest allocated model id — seeded from the parquet table once, then
-  // advanced in memory (model rows are append-only and ids never reused)
+  // advanced in memory (model rows are append-only and ids never reused).
+  // The in-memory counter is only a same-instance floor: another Registry
+  // over the same dir may allocate concurrently, so allocateId() re-seeds
+  // from disk whenever its candidate's model dir already exists, and
+  // saveModel() writes without overwrite so a true collision fails loudly
+  // instead of silently clobbering the other instance's model.
   private val maxIdSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def allocateId(): Long = {
+    maxIdSeen.compareAndSet(-1L,
+      models.agg(coalesce(max(col("model_id")), lit(0L))).head().getLong(0))
+    var id = maxIdSeen.incrementAndGet()
+    while (new java.io.File(modelDir(id)).exists()) {
+      val tableMax =
+        models.agg(coalesce(max(col("model_id")), lit(0L))).head().getLong(0)
+      maxIdSeen.getAndUpdate(cur => math.max(cur, math.max(tableMax, id)))
+      id = maxIdSeen.incrementAndGet()
+    }
+    id
+  }
 
   def models: DataFrame =
     if (new java.io.File(modelsPath).exists()) spark.read.parquet(modelsPath)
@@ -50,11 +68,11 @@ class Registry(spark: SparkSession, dir: String) {
       project: String, task: String, algorithm: String,
       hyperparams: Map[String, Any], metrics: Map[String, Double],
       model: Any, fitted: Seq[FittedColumn], featNames: Seq[String]): Long = {
-    maxIdSeen.compareAndSet(-1L,
-      models.agg(coalesce(max(col("model_id")), lit(0L))).head().getLong(0))
-    val id = maxIdSeen.incrementAndGet()
+    val id = allocateId()
     model match {
-      case w: MLWritable => w.write.overwrite().save(modelDir(id))
+      // no overwrite(): an existing dir means a cross-instance id collision
+      // allocateId() missed — fail rather than clobber the other model
+      case w: MLWritable => w.write.save(modelDir(id))
       case other => throw new IllegalArgumentException(s"model not persistable: $other")
     }
     // fitted preprocessing + feature layout, JSON beside the estimator

@@ -42,13 +42,21 @@ object Sampling {
           .orderBy(col("__rn"), col(labelCol)).drop("__rn")
       case other => throw new IllegalArgumentException(s"unknown sampling $other")
     }
-    val indexed = ordered.withColumn("__idx", monotonically_increasing_id())
+    // contiguous [0, n) index via zipWithIndex (monotonically_increasing_id
+    // jumps by 2^33 per partition, so a numeric cut over it selects garbage
+    // under any multi-partition plan). The split is then a FILTER on the
+    // index: no GlobalLimit funnels the train relation through a single
+    // partition, and the Long cut never overflows an Int.
+    val spark = df.sparkSession
+    val schema = ordered.schema
+      .add("__idx", org.apache.spark.sql.types.LongType, nullable = false)
+    val indexed = spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema).cache() // materialize so the split is deterministic
     val cut = n - nTest
-    // monotonically_increasing_id is ordering-stable within this plan: we
-    // materialize to make the split deterministic
-    val cached = indexed.cache()
-    (cached.orderBy("__idx").limit(cut.toInt).drop("__idx"),
-      cached.orderBy(col("__idx").desc).limit(nTest.toInt).drop("__idx"))
+    (indexed.where(col("__idx") < cut).drop("__idx"),
+      indexed.where(col("__idx") >= cut).drop("__idx"))
   }
 }
 

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   *  - Small edge sets (≤ `driverMaxEdges`, the common case — near-dup
   *    graphs are sparse AFTER group collapse, even over huge corpora)
   *    collect to the driver and run union-find with path compression:
-  *    one job, no iteration. 5M edges ≈ 80 MB of longs — well under any
-  *    sane driver heap; the alternative is ~10 shuffle-join rounds whose
-  *    fixed scheduling cost dwarfs the data.
+  *    one job, no iteration. The driver path is all primitive arrays —
+  *    a flat Array[Long] of endpoints (5M edges = 80 MB), a sorted
+  *    distinct-id Array[Long] (≤ 80 MB), and an Array[Int] parent table
+  *    (≤ 40 MB) — so the 5M threshold genuinely fits a 1 GB driver; no
+  *    boxed tuples or HashMaps are materialized. The alternative is ~10
+  *    shuffle-join rounds whose fixed scheduling cost dwarfs the data.
   *
   *  - Larger graphs run iterative min-label propagation with pointer
   *    doubling: each round (a) hooks every node to the min label among its
@@ -41,25 +44,54 @@ object Components {
     val e = edges.select(col("a").cast("long"), col("b").cast("long")).cache()
     val nEdges = e.count()
     if (nEdges <= driverMaxEdges) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+      // one job, reads the cache; RDD[Long] collects to a primitive array
+      val flat: Array[Long] = e.rdd
+        .mapPartitions(_.flatMap(r => Iterator(r.getLong(0), r.getLong(1))))
+        .collect()
+      e.unpersist()
+      // dense-index the node ids: sorted distinct array + binary search,
+      // so union-find runs over an Array[Int] with no boxing
+      val ids = flat.clone()
+      java.util.Arrays.sort(ids)
+      var n = 0
+      var i = 0
+      while (i < ids.length) {
+        if (n == 0 || ids(i) != ids(n - 1)) { ids(n) = ids(i); n += 1 }
+        i += 1
+      }
+      val parent = new Array[Int](n)
+      i = 0; while (i < n) { parent(i) = i; i += 1 }
+      def find(x: Int): Int = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x // path compression
         while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      val collected = e.as[(Long, Long)].collect() // one job, reads the cache
-      e.unpersist()
-      collected.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      i = 0
+      while (i < flat.length) {
+        val a = java.util.Arrays.binarySearch(ids, 0, n, flat(i))
+        val b = java.util.Arrays.binarySearch(ids, 0, n, flat(i + 1))
         val (ra, rb) = (find(a), find(b))
+        // ids is ascending, so min index = min id: pointing the larger root
+        // at the smaller keeps every root the component-min id
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        i += 2
       }
-      // second pass: root → min member id (roots are already component-min
-      // because unions always point the larger root at the smaller)
-      val out = parent.keysIterator.map(id => (id, find(id))).toSeq
-      spark.createDataFrame(out).toDF("id", "component")
+      val comp = new Array[Long](n)
+      i = 0; while (i < n) { comp(i) = ids(find(i)); i += 1 }
+      // ship the two primitive arrays out once; build rows executor-side
+      val sc = spark.sparkContext
+      val idsB = sc.broadcast(java.util.Arrays.copyOf(ids, n))
+      val compB = sc.broadcast(comp)
+      val slices = math.max(1, math.min(spark.sessionState.conf.numShufflePartitions, n))
+      spark
+        .createDataFrame(
+          sc.range(0L, n.toLong, 1L, slices)
+            .map(j => org.apache.spark.sql.Row(idsB.value(j.toInt), compB.value(j.toInt))),
+          new org.apache.spark.sql.types.StructType()
+            .add("id", "long", nullable = false)
+            .add("component", "long", nullable = false))
     } else {
       val labeled = propagate(e, maxIter)
       e.unpersist()

@@ -635,9 +635,12 @@ object QueryCatalog {
     Some("""SELECT doc_id, lang, n_chars FROM documents
             WHERE lang IN ('en', 'de') AND n_chars > 500 ORDER BY doc_id"""))
 
-  /** ts_rank-style full-text scoring (normalization 32: r/(r+1)); the
-    * corpus vocabulary is stemmer-neutral so the oracle counts raw tokens
-    * with the exact same arithmetic order.
+  /** ts_rank-style full-text scoring under plainto_tsquery AND semantics.
+    * The oracle is written from the REFERENCE definition
+    * (search_query_builder.rs:328-344): plainto_tsquery('spark data') is
+    * 'spark & data', the `@@` gate requires BOTH terms present (else rank
+    * 0), and normalization 32 maps the tf/len sum r to r/(r+1). The corpus
+    * vocabulary is stemmer-neutral so the oracle counts raw tokens.
     */
   val s3FulltextRank: GraftQuery = GraftQuery(
     "s3_fulltext_rank",
@@ -650,12 +653,15 @@ object QueryCatalog {
         .orderBy(col("doc_id")),
     Some("""WITH tk AS (SELECT doc_id,
               string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-            raw AS (SELECT doc_id,
-              CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
-                / greatest(CAST(len(toks) AS DOUBLE), 1.0)
-              + CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE)
-                / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS r FROM tk)
-            SELECT doc_id, round(r / (r + 1.0), 5) AS rank FROM raw ORDER BY doc_id"""))
+            cnt AS (SELECT doc_id,
+              CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS c1,
+              CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) AS c2,
+              greatest(CAST(len(toks) AS DOUBLE), 1.0) AS len FROM tk)
+            SELECT doc_id,
+              round(CASE WHEN c1 > 0 AND c2 > 0
+                THEN (c1 / len + c2 / len) / ((c1 / len + c2 / len) + 1.0)
+                ELSE 0.0 END, 5) AS rank
+            FROM cnt ORDER BY doc_id"""))
 
   /** End-to-end document-store flow: upsert documents-table rows as JSON
     * docs → sync pipeline (chunk → hash-embed → tsvector) → chunk-level

@@ -223,11 +223,14 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       rerank: Option[Int] = None): DataFrame = {
     val docs = documents.select(
       col("source_uuid").as("document_id"), col("document"))
-    val filtered = filterJson match {
-      case Some(f) =>
-        val resolver = FilterCompiler.jsonStringResolver(col("document"))
-        docs.where(FilterCompiler.compile(f, resolver))
-      case None => docs
+    // Score and top-k over (ids, score) ONLY; chunk text and document
+    // payloads join AFTER the limit. At scale the pre-limit relation is the
+    // whole corpus — joining payloads there shuffles every chunk's text to
+    // keep k rows. The metadata filter must still apply pre-limit (top-k of
+    // the filtered set), but as a semi-join on ids, not a payload join.
+    val filteredIds = filterJson.map { f =>
+      val resolver = FilterCompiler.jsonStringResolver(col("document"))
+      docs.where(FilterCompiler.compile(f, resolver)).select("document_id")
     }
     val perField = fieldQueries.map { fq =>
       val fieldDef = p.fields.find(_.name == fq.field)
@@ -237,23 +240,42 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       val qv = emb.embedOne(fq.query)
       var scored = embeddings(p, fq.field)
         .withColumn("score", cosineSimilarity(col("embedding"), floatVec(qv.toIndexedSeq)) * fq.boost)
-        .join(chunks(p, fq.field), Seq("document_id", "chunk_index"))
-      fq.fullTextFilter.foreach(t => scored = scored.where(col("chunk").contains(t)))
-      scored
-        .join(filtered, Seq("document_id")) // broadcast-able doc side after filter
-        .select(col("document_id"), col("document"), col("chunk"), col("score"))
+      // the full-text chunk filter needs chunk text pre-limit — join just
+      // the chunk column for this field and drop it again after filtering
+      fq.fullTextFilter.foreach { t =>
+        scored = scored
+          .join(chunks(p, fq.field), Seq("document_id", "chunk_index"))
+          .where(col("chunk").contains(t)).drop("chunk")
+      }
+      scored.select(col("document_id"), col("chunk_index"),
+        lit(fq.field).as("_field"), col("score"))
     }
-    val unioned = perField.reduce(_ unionAll _)
-      .orderBy(col("score").desc, col("document_id")).limit(math.max(limit, rerank.getOrElse(0)))
+    var unioned = perField.reduce(_ unionAll _)
+    filteredIds.foreach(ids => unioned = unioned.join(ids, Seq("document_id"), "left_semi"))
+    val k = math.max(limit, rerank.getOrElse(0))
+    val top = unioned
+      .orderBy(col("score").desc, col("document_id"), col("chunk_index"))
+      .limit(k)
+
+    // payload joins over the k-row result: broadcast the tiny side so chunk
+    // text and documents are probed map-side, never shuffled
+    val allChunks = fieldQueries.map(_.field).distinct
+      .map(fn => chunks(p, fn).withColumn("_field", lit(fn)))
+      .reduce(_ unionAll _)
+    val withChunk = allChunks
+      .join(broadcast(top), Seq("document_id", "chunk_index", "_field"))
+    val joined = docs.join(broadcast(withChunk), Seq("document_id"))
+      .orderBy(col("score").desc, col("document_id"), col("chunk_index"))
+      .select(col("document_id"), col("document"), col("chunk"), col("score"))
 
     rerank match {
-      case None => unioned
+      case None => joined
       case Some(_) =>
         // deterministic cross-scorer stand-in for pgml.rank (api.rs:612-625):
         // token-overlap between query text and chunk — same alignment
         // contract ((rank).corpus_id join) as the reference's cross-encoder.
         val queryText = fieldQueries.map(_.query).mkString(" ")
-        unioned
+        joined
           .withColumn("rerank_score",
             graft.operators.Dedup.tokenJaccard(lit(queryText), col("chunk")))
           .orderBy(col("rerank_score").desc, col("document_id")).limit(limit)
@@ -292,9 +314,13 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           cosineSimilarity(col("embedding"), floatVec(qv.toIndexedSeq)) * fq.boost), "s")
     }
     val ftsScores = fullText.map { fq =>
+      // the reference gates the fts arm on `tsvector @@ query` BEFORE
+      // ranking (search_query_builder.rs:328-344): non-matching documents
+      // don't enter the fusion at all, rather than joining with score 0
       bestPerDoc(
         tsvectors(p, fq.field).withColumn("s",
-          TsRank.rank(col("terms"), fq.query) * fq.boost), "s")
+          TsRank.rank(col("terms"), fq.query) * fq.boost)
+          .where(col("s") > 0), "s")
     }
     val scoreFrames = (semScores ++ ftsScores).zipWithIndex.map { case (df, i) =>
       df.withColumnRenamed("s", s"s_$i")

@@ -97,49 +97,57 @@ object FilterCompiler {
       case "$in" => v match {
         case JArray(Nil) => lit(false) // x IN () matches nothing
         case JArray(items) =>
-          val f = if (resolve.typed) field else castForSet(field, items)
-          f.isin(items.map(scalaValue): _*)
+          val (f, vals) =
+            if (resolve.typed) (field, items.map(scalaValue))
+            else castForSet(field, items)
+          f.isin(vals: _*)
         case _ => throw new IllegalArgumentException("$in expects an array")
       }
       case "$nin" => v match {
         case JArray(Nil) => lit(true) // x NOT IN () matches everything
         case JArray(items) =>
-          val f = if (resolve.typed) field else castForSet(field, items)
-          !f.isin(items.map(scalaValue): _*) || f.isNull
+          val (f, vals) =
+            if (resolve.typed) (field, items.map(scalaValue))
+            else castForSet(field, items)
+          !f.isin(vals: _*) || f.isNull
         case _ => throw new IllegalArgumentException("$nin expects an array")
       }
       case other => throw new IllegalArgumentException(s"unsupported filter operator $other")
     }
   }
 
-  private val SafeDoubleInt = BigInt(2).pow(53) // doubles are exact up to here
-
   /** Cast an extracted field to the JSON literal's type (needed for the
-    * JSON-string resolver where everything extracts as string). */
+    * JSON-string resolver where everything extracts as string). This path
+    * only serves the json-string resolver — there is no scan pushdown to
+    * preserve — so integral literals compare as decimal(38,18)
+    * unconditionally: 64-bit ids stay exact (a double-cast would round
+    * 2^53+1 onto 2^53 and falsely match), and fractional field values
+    * compare exactly to 18 fractional digits (documented trade-off). */
   private def castTo(field: Column, v: JValue): Column = v match {
-    // Integral literals: compare as double while the literal is exactly
-    // representable (|v| ≤ 2^53) — doubles compare fractional field values
-    // correctly at full precision. Only beyond 2^53 (64-bit ids) switch to
-    // decimal(38,18), which keeps the id exact; the trade-off there is that
-    // field values round at 18 fractional digits (documented, and such
-    // fields are ids in practice).
-    case JInt(i) if i.abs <= SafeDoubleInt => field.cast("double")
-    case JLong(l) if BigInt(l).abs <= SafeDoubleInt => field.cast("double")
     case _: JInt | _: JLong => field.cast("decimal(38,18)")
     case _: JDouble | _: JDecimal => field.cast("double")
     case _: JBool => field.cast("boolean")
     case _ => field
   }
 
-  /** For $in/$nin the cast must suit EVERY item: if any integral member
-    * exceeds 2^53, compare the whole set in decimal. */
-  private def castForSet(field: Column, items: List[JValue]): Column = {
-    val anyBig = items.exists {
-      case JInt(i) => i.abs > SafeDoubleInt
-      case JLong(l) => BigInt(l).abs > SafeDoubleInt
+  /** For $in/$nin the cast must suit EVERY item — and the item literals
+    * must match it, or Spark's In type coercion widens decimal+double back
+    * to double and re-rounds big ids. Any integral member ⇒ the whole set
+    * compares in decimal(38,18), with every numeric item converted to
+    * BigDecimal end to end. */
+  private def castForSet(field: Column, items: List[JValue]): (Column, Seq[Any]) = {
+    val anyIntegral = items.exists {
+      case _: JInt | _: JLong => true
       case _ => false
     }
-    if (anyBig) field.cast("decimal(38,18)") else castTo(field, items.head)
+    if (anyIntegral) {
+      val vals = items.map {
+        case JDouble(d) => BigDecimal(d)
+        case JDecimal(d) => d
+        case other => scalaValue(other) // JInt/JLong already BigDecimal
+      }
+      (field.cast("decimal(38,18)"), vals)
+    } else (castTo(field, items.head), items.map(scalaValue))
   }
 
   private def literal(v: JValue): Column = lit(scalaValue(v))

@@ -44,20 +44,21 @@ object TsRank {
   def tsVector(text: Column): Column =
     ColumnBridge.column(TsVectorExpr(ColumnBridge.expression(text)))
 
-  /** ts_rank with normalization 32: rank = Σ_t tf(t)/len, then
-    * rank/(rank+1). `query` is a plain-language string, stemmed with the
-    * same stemmer (plainto_tsquery AND semantics degrade gracefully: each
-    * matched term adds weight).
+  /** ts_rank with normalization 32 under `plainto_tsquery` AND semantics
+    * (search_query_builder.rs:328-344): plainto_tsquery joins all query
+    * terms with `&`, and the reference gates on `tsvector @@ query` before
+    * ranking — a document missing ANY stemmed query term scores 0. For
+    * matching documents: rank = Σ_t tf(t)/len, then rank/(rank+1).
     */
   def rank(termsCol: Column, query: String): Column = {
     val qTerms = TextKernels.tokens(query).map(stem).distinct
     if (qTerms.isEmpty) lit(0.0)
     else {
       val len = greatest(size(termsCol).cast("double"), lit(1.0))
-      val raw = qTerms.map { t =>
-        size(filter(termsCol, x => x === lit(t))).cast("double") / len
-      }.reduce(_ + _)
-      raw / (raw + lit(1.0))
+      val tfs = qTerms.map(t => size(filter(termsCol, x => x === lit(t))).cast("double"))
+      val allPresent = tfs.map(_ > lit(0.0)).reduce(_ && _)
+      val raw = tfs.map(_ / len).reduce(_ + _)
+      when(allPresent, raw / (raw + lit(1.0))).otherwise(lit(0.0))
     }
   }
 }

@@ -194,6 +194,20 @@ class CollectionSpec extends AnyFunSuite {
     assert(ft.select("score").as[Double].collect().forall(_ > 0))
   }
 
+  test("ts_rank requires ALL query terms (plainto_tsquery AND semantics)") {
+    val df = Seq(
+      "spark data pipelines at scale", // both terms present → score > 0
+      "spark spark spark only here",   // missing 'data' → 0 despite high tf
+      "data without the other term"    // missing 'spark' → 0
+    ).toDF("text")
+    val scores = df
+      .select(TsRank.rank(TsRank.tsVector(col("text")), "spark data").as("r"))
+      .as[Double].collect()
+    assert(scores(0) > 0.0)
+    assert(scores(1) == 0.0)
+    assert(scores(2) == 0.0)
+  }
+
   test("rag composes retrieval into prompt with {VAR} substitution") {
     val c = newCollection("c7")
     c.upsertDocuments(dummyDocs(8))

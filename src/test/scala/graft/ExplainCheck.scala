@@ -45,6 +45,18 @@ object ExplainCheck {
     check("s2_filter_compiler", "compiled JSON filter reaches parquet PushedFilters uncast")(
       p => p.contains("GreaterThan(n_chars,500)") && p.contains("In(lang"))
 
+    // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
+    // would funnel the whole train relation through one partition
+    {
+      val rel = Tables.load(spark, dir, "customer")
+      val (tr, te) = graft.ml.Sampling.split(rel, 0.25, "random", "c_custkey")
+      val plans = tr.queryExecution.executedPlan.toString +
+        te.queryExecution.executedPlan.toString
+      if (plans.contains("GlobalLimit"))
+        failures ::= "train_split: GlobalLimit in train/test split plan"
+      else println("CHECK OK train_split: split is a filter, no GlobalLimit")
+    }
+
     if (failures.nonEmpty) {
       failures.foreach(f => println(s"CHECK FAILED $f"))
       sys.exit(1)
