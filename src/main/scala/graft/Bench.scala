@@ -35,7 +35,8 @@ object Bench {
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "s1_chunk", "s3_fulltext_rank",
-      "s4_vector_search_e2e", "x1_transform_sentiment", "x2_sessions",
+      "s4_vector_search_e2e", "s6_vector_search_chunked",
+      "x1_transform_sentiment", "x2_sessions",
       "m1_linear_regression")
 
     val queries = SparkEntry.queries

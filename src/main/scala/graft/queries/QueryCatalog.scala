@@ -663,13 +663,91 @@ object QueryCatalog {
                 ELSE 0.0 END, 5) AS rank
             FROM cnt ORDER BY doc_id"""))
 
-  /** End-to-end document-store flow: upsert documents-table rows as JSON
-    * docs → sync pipeline (chunk → hash-embed → tsvector) → chunk-level
-    * vector search. Deterministic but not SQL-expressible → rows-only;
-    * semantics pinned in CollectionSpec.
+  /** End-to-end document-store flow, HASH-GATED: upsert documents-table
+    * rows as JSON docs → sync pipeline (chunk → hash-embed → tsvector) →
+    * chunk-level vector search (vector_search_query_builder.rs:77-401 is
+    * the reference contract). The chunk size exceeds every document (the
+    * recursive splitter is a separate oracled surface: s1 + s6 +
+    * CollectionSpec), so the synced chunks ARE the documents' text column —
+    * which lets the oracle replay the ENTIRE remaining path in DuckDB:
+    * md5 document identity, the FNV-1a-64 + splitmix64 ±1 bag-of-words
+    * projection with float32 rounding (HashEmbedder.scala:29-53), the
+    * sequential-fold cosine (VectorKernels.cosineF), and the
+    * (score desc, document_id) top-k — all in HUGEINT mod-2⁶⁴ SQL, the
+    * same replay family as d2/mm1.
     */
   val s4VectorSearchE2e: GraftQuery = GraftQuery(
     "s4_vector_search_e2e",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_q_wh_").toString
+      val c = new graft.store.Collection(s, "docs", wh)
+      c.upsertDocuments(
+        t(s, dir, "documents").select(
+          to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("document")))
+      val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+        "text", splitter = Some((100000, 0)),
+        semanticSearch = Some(graft.functions.HashEmbedder(64)), fullTextSearch = true)))
+      c.syncPipeline(p)
+      c.vectorSearch(p,
+          Seq(graft.store.VectorSearchField("text", "spark query table join")), limit = 10)
+        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          col("chunk"), round(col("score"), 5).as("score"))
+    },
+    Some("""WITH inp AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL SELECT -1, 'spark query table join'),
+            tok AS (SELECT doc_id,
+              unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> t <> '')) AS t FROM inp),
+            toku AS (SELECT DISTINCT t FROM tok),
+            th AS (SELECT t, list_reduce(
+                list_concat([14695981039346656037::HUGEINT],
+                  list_transform(flatten(list_transform(string_split(t, ''), ch ->
+                    CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
+                         WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
+                         ELSE [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+                    END)), b -> b::HUGEINT)),
+                (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+              FROM toku),
+            sgn AS (SELECT t, d,
+                xor(h, (d::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z0,
+                xor(z0, z0 >> 30) AS x1,
+                ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+                  + (((x1 // 4294967296::HUGEINT) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+                    * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1,
+                xor(z1, z1 >> 27) AS x2,
+                ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+                  + (((x2 // 4294967296::HUGEINT) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+                    * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2,
+                xor(z2, z2 >> 31) AS r,
+                CASE WHEN (r % 2::HUGEINT) = 0::HUGEINT THEN 1.0 ELSE -1.0 END AS s
+              FROM th, (SELECT unnest(range(0, 64)) AS d)),
+            acc AS (SELECT tok.doc_id, sgn.d, sum(sgn.s) AS a
+              FROM tok JOIN sgn ON tok.t = sgn.t GROUP BY tok.doc_id, sgn.d),
+            nrm AS (SELECT doc_id, sqrt(sum(a * a)) AS nr FROM acc GROUP BY doc_id),
+            fvec AS (SELECT acc.doc_id, acc.d, CAST(acc.a * (1.0 / nrm.nr) AS REAL) AS f
+              FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id),
+            vecs AS (SELECT doc_id, list(CAST(f AS DOUBLE) ORDER BY d) AS v
+              FROM fvec GROUP BY doc_id),
+            scored AS (SELECT dv.doc_id,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * q.v[i]), (x, y) -> x + y) AS dt,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * dv.v[i]), (x, y) -> x + y) AS na,
+                list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y) AS nb,
+                CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                     ELSE dt / (sqrt(na) * sqrt(nb)) END AS raw
+              FROM vecs dv, (SELECT v FROM vecs WHERE doc_id = -1) q
+              WHERE dv.doc_id >= 0)
+            SELECT sc.doc_id, d.text AS chunk, round(sc.raw, 5) AS score
+            FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+            ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
+
+  /** Chunked variant of the e2e flow (the recursive splitter in the loop,
+    * 200/20): deterministic but the splitter isn't SQL-expressible →
+    * rows-only here; chunker semantics pinned by s1 + CollectionSpec.
+    */
+  val s6VectorSearchChunked: GraftQuery = GraftQuery(
+    "s6_vector_search_chunked",
     (s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft_q_wh_").toString
       val c = new graft.store.Collection(s, "docs", wh)
@@ -929,6 +1007,7 @@ object QueryCatalog {
     t6Fingerprint, d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
+    s6VectorSearchChunked,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, mm1MediaFeatures)
 }
