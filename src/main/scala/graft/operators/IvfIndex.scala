@@ -29,6 +29,20 @@ class IvfIndex private (
     val centroids: Array[Array[Float]],
     vecCol: String) extends Serializable {
 
+  /** Persist as a cluster_id-partitioned parquet table + centroid sidecar —
+    * the build-once analogue of the reference's persisted HNSW index
+    * (pipeline.rs:526-543). Probes against the loaded index prune
+    * cluster_id=… directories at the parquet-scan level, so a query reads
+    * ~nprobe/nlist of the files across sessions with no rebuild.
+    */
+  def save(path: String): Unit = {
+    data.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(s"$path/data")
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "centroids.json"), json)
+  }
+
   /** Exact top-k within the nprobe nearest clusters. */
   def search(query: Array[Float], k: Int, nprobe: Int, idCols: Seq[String]): DataFrame = {
     val ranked = centroids.zipWithIndex.map { case (c, i) =>
@@ -45,6 +59,9 @@ class IvfIndex private (
       .where(col("cluster_id").isin(ranked.toIndexedSeq: _*))
       .select(idCols.map(col) :+
         (cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)) as "score"): _*)
+      // spill assignment stores each vector in nassign clusters; copies
+      // carry identical scores, so any-one-wins dedup is exact
+      .dropDuplicates(idCols)
       .orderBy(col("score").desc, col(idCols.head))
       .limit(k)
   }
@@ -75,6 +92,40 @@ object IvfIndex {
 
   def invalidateAll(): Unit = { cache.keys.foreach(invalidate); () }
 
+  /** Load a persisted index. The partition column comes back as a real
+    * `cluster_id` directory column, so `search`'s `isin` filter prunes
+    * whole directories at planning time (verify via PartitionFilters in
+    * `.explain`). No cache: cross-session serving reads only probed files.
+    */
+  def load(spark: SparkSession, path: String, vecCol: String): IvfIndex = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "centroids.json"))
+    // centroids.json is [[f,f,…],…] — parse without a JSON dependency here
+    val centroids = json.trim.stripPrefix("[").stripSuffix("]")
+      .split("\\],\\[").map(_.replaceAll("[\\[\\]]", ""))
+      .map(_.split(",").map(_.toFloat))
+    new IvfIndex(spark.read.parquet(s"$path/data"), centroids, vecCol)
+  }
+
+  /** Load the index if `path` holds one, else build from `df` and persist —
+    * the ingest-time contract: downstream sessions call this and only the
+    * first ever pays the KMeans + assignment cost.
+    */
+  def loadOrBuild(
+      spark: SparkSession,
+      path: String,
+      df: => DataFrame,
+      vecCol: String,
+      nlist: Int = 0): IvfIndex =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "centroids.json")))
+      load(spark, path, vecCol)
+    else {
+      val idx = build(spark, df, vecCol, nlist)
+      idx.save(path)
+      idx.data.unpersist()
+      load(spark, path, vecCol)
+    }
+
   /** Build over `df(vecCol)`. `nlist` defaults to ~√N (the IVF rule of
     * thumb); KMeans fits on a bounded sample so build cost is independent
     * of table size.
@@ -85,7 +136,8 @@ object IvfIndex {
       vecCol: String,
       nlist: Int = 0,
       sampleSize: Int = 20000,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      nassign: Int = 3): IvfIndex = {
     import spark.implicits._
     val n = df.count()
     val k = if (nlist > 0) nlist else math.max(2, math.sqrt(n.toDouble).toInt)
@@ -100,13 +152,20 @@ object IvfIndex {
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(sample)
     val centroids = km.clusterCenters.map(_.toArray.map(_.toFloat))
 
-    // nearest-centroid assignment as a single codegen'd expression: argmax
-    // over per-centroid cosine (centroid list is a broadcast-sized literal)
+    // Spill assignment (IVF literature's redundancy trick): each vector is
+    // stored in its `nassign` nearest clusters, as one codegen'd expression
+    // — sort the per-centroid cosine structs desc, explode the top slice.
+    // Storage ×nassign buys the recall that single-assignment IVF loses on
+    // hard (near-uniform) distributions; `search` dedups by id, so results
+    // are exact within the probed set.
     val centroidCols = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosineSimilarity(col(vecCol), floatVec(c.toIndexedSeq)).as("s"), lit(i).as("i"))
     }
-    val assigned = df.withColumn("cluster_id",
-      greatest(centroidCols.toIndexedSeq: _*).getField("i"))
+    val top = slice(
+      sort_array(array(centroidCols.toIndexedSeq: _*), asc = false),
+      1, math.max(1, math.min(nassign, k)))
+    val assigned = df
+      .withColumn("cluster_id", explode(top.getField("i")))
       // co-locate clusters: at scale this is a partitioned write; locally a
       // repartition so each probe scan touches few partitions
       .repartition(math.min(k, 64), col("cluster_id"))
