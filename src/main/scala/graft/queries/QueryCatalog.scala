@@ -293,7 +293,10 @@ object QueryCatalog {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
-      val idx = graft.operators.IvfIndex.buildOrGet(s"$dir/embeddings", s, emb, "embedding", nlist = 16)
+      // persisted path: first session builds + saves; later sessions load and
+      // probe only nprobe/nlist of the cluster_id=… directories
+      val idx = graft.operators.IvfIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", nlist = 16)
       idx.search(q, 10, nprobe = 4, Seq("vec_id"))
         .select(col("vec_id"), round(col("score"), 5).as("score"))
     },
@@ -310,7 +313,8 @@ object QueryCatalog {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 7).select("embedding").as[Array[Float]].head()
-      val idx = graft.operators.IvfIndex.buildOrGet(s"$dir/embeddings", s, emb, "embedding", nlist = 16)
+      val idx = graft.operators.IvfIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", nlist = 16)
       idx.search(q, 10, nprobe = 16, Seq("vec_id"))
         .select(col("vec_id"), round(col("score"), 5).as("score"))
     },

@@ -28,7 +28,10 @@ final case class PipelineField(
     name: String,
     splitter: Option[(Int, Int)] = Some((1500, 40)), // chunk_size, overlap
     semanticSearch: Option[Embedder] = Some(HashEmbedder(64)),
-    fullTextSearch: Boolean = false)
+    fullTextSearch: Boolean = false,
+    // nlist for a persisted IVF ANN index built at sync time (the
+    // reference's per-field hnsw config, pipeline.rs:526-543); 0 = ~√N
+    vectorIndex: Option[Int] = None)
 
 final case class Pipeline(name: String, fields: Seq[PipelineField])
 
@@ -126,6 +129,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       val e = chunks
         .select(col("document_id"), col("chunk_index"), emb.embedCol(col("chunk")).as("embedding"))
       writeSnapshot(e, tablePath(p.name, f.name, "embeddings"))
+      // ingest-time ANN index build (HNSW analogue, pipeline.rs:526-543):
+      // the synced embeddings just changed, so the old index is stale —
+      // drop and rebuild the persisted cluster_id-partitioned copy
+      f.vectorIndex.foreach { nlist =>
+        val ivfP = tablePath(p.name, f.name, "ivf")
+        graft.operators.IvfIndex.delete(spark, ivfP)
+        graft.operators.IvfIndex.loadOrBuild(
+          spark, ivfP, embeddings(p, f.name), "embedding", nlist)
+        ()
+      }
     }
     if (f.fullTextSearch) {
       val ts = chunks
@@ -200,6 +213,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     deleteRec(new java.io.File(changedTmp))
   }
 
+  /** The persisted IVF index a sync built for `field` (requires
+    * `vectorIndex` on the field). Loads from the warehouse — partition
+    * pruning serves probes across sessions with no rebuild. */
+  def ivfIndex(p: Pipeline, field: String): graft.operators.IvfIndex = {
+    val f = p.fields.find(_.name == field)
+      .getOrElse(throw new IllegalArgumentException(s"field $field not in pipeline"))
+    graft.operators.IvfIndex.loadOrBuild(
+      spark, tablePath(p.name, field, "ivf"),
+      embeddings(p, field), "embedding", f.vectorIndex.getOrElse(0))
+  }
+
   def chunks(p: Pipeline, field: String): DataFrame =
     spark.read.parquet(tablePath(p.name, field, "chunks"))
   def embeddings(p: Pipeline, field: String): DataFrame =
@@ -251,7 +275,15 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         lit(fq.field).as("_field"), col("score"))
     }
     var unioned = perField.reduce(_ unionAll _)
-    filteredIds.foreach(ids => unioned = unioned.join(ids, Seq("document_id"), "left_semi"))
+    // ALWAYS gate on live document ids BEFORE the limit (not only when a
+    // metadata filter is present): deleteDocuments doesn't cascade to
+    // pipeline tables until the next sync, and an orphaned embedding
+    // occupying a top-k slot would be silently dropped by the post-limit
+    // doc join — returning fewer than `limit` rows and omitting live
+    // documents that should have ranked. (The reference's FK cascade makes
+    // orphans impossible there.) Semi-join on ids only: no payload shuffle.
+    val liveIds = filteredIds.getOrElse(docs.select("document_id"))
+    unioned = unioned.join(liveIds, Seq("document_id"), "left_semi")
     val k = math.max(limit, rerank.getOrElse(0))
     val top = unioned
       .orderBy(col("score").desc, col("document_id"), col("chunk_index"))
@@ -264,8 +296,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .reduce(_ unionAll _)
     val withChunk = allChunks
       .join(broadcast(top), Seq("document_id", "chunk_index", "_field"))
-    val joined = docs.join(broadcast(withChunk), Seq("document_id"))
+    val joinedFull = docs.join(broadcast(withChunk), Seq("document_id"))
       .orderBy(col("score").desc, col("document_id"), col("chunk_index"))
+    val joined = joinedFull
       .select(col("document_id"), col("document"), col("chunk"), col("score"))
 
     rerank match {
@@ -274,11 +307,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // deterministic cross-scorer stand-in for pgml.rank (api.rs:612-625):
         // token-overlap between query text and chunk — same alignment
         // contract ((rank).corpus_id join) as the reference's cross-encoder.
+        // chunk_index is the final tie-break: overlapping chunks of one
+        // document can share a Jaccard score, and without it the ordering
+        // of equal-scored chunks is nondeterministic.
         val queryText = fieldQueries.map(_.query).mkString(" ")
-        joined
+        joinedFull
           .withColumn("rerank_score",
             graft.operators.Dedup.tokenJaccard(lit(queryText), col("chunk")))
-          .orderBy(col("rerank_score").desc, col("document_id")).limit(limit)
+          .orderBy(col("rerank_score").desc, col("document_id"), col("chunk_index"))
+          .limit(limit)
+          .select(col("document_id"), col("document"), col("chunk"),
+            col("score"), col("rerank_score"))
     }
   }
 

@@ -44,6 +44,11 @@ object ExplainCheck {
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("s2_filter_compiler", "compiled JSON filter reaches parquet PushedFilters uncast")(
       p => p.contains("GreaterThan(n_chars,500)") && p.contains("In(lang"))
+    // the persisted IVF index must serve probes via directory-level
+    // partition pruning (read ~nprobe/nlist of the files, the 100 TB
+    // serving contract)
+    check("v5_knn_ivf", "IVF probe shows cluster_id PartitionFilters")(
+      p => "PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(p).isDefined)
 
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition
