@@ -35,25 +35,36 @@ object Bench {
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "s1_chunk", "s3_fulltext_rank",
-      "s4_vector_search_e2e", "s6_vector_search_chunked",
+      "s4_ingest", "s4_vector_search_e2e", "s6_vector_search_chunked",
       "x1_transform_sentiment", "x2_sessions",
       "m1_linear_regression")
 
-    val queries = SparkEntry.queries
-    // Warm every headline query once, untimed, then measure the second
-    // (steady-state) pass: the reference's published numbers are sustained
-    // throughput against a hot backend, not first-call JIT + classload.
-    // v5's warm-up also builds the IVF index (indexes are built at ingest,
-    // not per query — the reference's HNSW numbers likewise exclude the
-    // 2h51m index build).
+    // s4_ingest times the store's ingest leg (upsert → chunk → embed →
+    // tsvector re-sync) in isolation; the s4/s6 entries then reuse the
+    // ingested warehouse, so their numbers are pure SEARCH latency — the
+    // split the reference's serving-vs-indexing numbers draw too.
+    val ingest: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        val (c, p) = graft.queries.QueryCatalog.e2eIngest(s, dir, 100000, 0)
+        c.chunks(p, "text").select("document_id")
+      }
+    val queries = SparkEntry.queries + ("s4_ingest" -> ingest)
+    // Warm every headline query once, untimed (JIT + classload + index/
+    // warehouse builds — indexes are built at ingest, not per query; the
+    // reference's HNSW numbers likewise exclude the 2h51m index build),
+    // then measure 3 passes and report the PER-QUERY MEDIAN: one pass
+    // cannot distinguish an 80% regression from scheduler noise.
     for (w <- headline)
       try queries(w)(spark, sfDir).count() catch { case _: Throwable => }
 
     val results = headline.flatMap { name =>
       queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(1)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The one parametrized dev tool (consolidates the former TimeProbe/
+  * TimeProbe2/PlanPeek/ProfilePerf/DriveManual/IvfRecallProbe one-offs).
+  * Not a test. Run: sbt "Test/runMain graft.Probe <cmd> [args]"
+  *
+  *   time <query>... [sfDir] [nPasses]   warm + median timing of catalog queries
+  *   explain <query> [sfDir]             executed plan of a catalog query
+  *   drive                               manual e2e drive of the public surface
+  *   ivf-recall [sfDir]                  measured recall@10 at nprobe=4/nlist=16
+  *   profile [sfDir]                     stage decomposition of m1 + s4 legs
+  */
+object Probe {
+
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"TIME $label%-32s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+  }
+
+  private def session(cores: Int = 32): SparkSession = {
+    val s = SparkSession.builder().master(s"local[$cores]")
+      .appName("graft-probe")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "time" :: rest =>
+      val (queries, opts) = rest.partition(SparkEntry.queries.contains)
+      val sfDir = opts.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+      val n = opts.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
+      val spark = session()
+      for (q <- queries) {
+        val fn = SparkEntry.queries(q)
+        try fn(spark, sfDir).count() catch { case e: Throwable => println(s"WARM FAIL $q: $e") }
+        val times = (1 to n).map { _ =>
+          val t0 = System.nanoTime(); fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"MEDIAN $q%-28s ${times(n / 2)}%.3f s  (min ${times.head}%.3f max ${times.last}%.3f)")
+      }
+      spark.stop()
+
+    case "explain" :: q :: rest =>
+      val sfDir = rest.headOption.getOrElse(TestSpark.sf001)
+      val spark = session(8)
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      println(s"=== $q EXECUTED PLAN ===")
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop()
+
+    case "drive" :: _ =>
+      val spark = session(4)
+      import spark.implicits._
+      import graft.functions.VecFunctions._
+      // Brute-force KNN over real embeddings: top-5 similar to vec_id 0
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val q = emb.where($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val knn = emb.select($"vec_id",
+          cosineSimilarity($"embedding", floatVec(q.toIndexedSeq)).as("score"))
+        .orderBy($"score".desc).limit(5)
+      knn.show(false)
+      knn.explain("formatted")
+      // SQL surface
+      registerAll(spark)
+      emb.createOrReplaceTempView("emb")
+      spark.sql("SELECT round(vec_norm_l2(embedding),4) n2 FROM emb ORDER BY vec_id LIMIT 3").show()
+      spark.sql("SELECT round(aggregate(vec_sum(embedding), 0D, (a,x) -> a + x),4) total FROM emb").show()
+      // probe: length mismatch must fail loudly, not return garbage
+      try {
+        emb.select(cosineSimilarity($"embedding", floatVec(Seq(1f, 2f)))).head()
+        println("PROBE-MISMATCH: no error (BAD)")
+      } catch {
+        case ex: Throwable =>
+          println("PROBE-MISMATCH error: " + ex.getMessage.linesIterator.toSeq.take(3).mkString(" | "))
+      }
+      // probe: null vector row → null result, no crash
+      val withNull = Seq((1L, Array(1f, 2f)), (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+      withNull.select($"id", cosineSimilarity($"v", floatVec(Seq(1f, 2f))).as("c")).show()
+      spark.stop()
+
+    case "ivf-recall" :: rest =>
+      val sfDir = rest.headOption.getOrElse(TestSpark.sf0001)
+      val spark = session()
+      import spark.implicits._
+      val emb = Tables.load(spark, sfDir, "embeddings").cache()
+      val queries = emb.where(col("vec_id") % 50 === 7)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().take(20)
+      val idx = graft.operators.IvfIndex.build(spark, emb, "embedding", nlist = 16)
+      val recalls = queries.map { case (_, qv) =>
+        val exact = graft.operators.VectorSearch.topK(emb, "embedding", qv, 10, Seq("vec_id"))
+          .select("vec_id").as[Long].collect().toSet
+        val approx = idx.search(qv, 10, nprobe = 4, Seq("vec_id"))
+          .select("vec_id").as[Long].collect().toSet
+        approx.intersect(exact).size / 10.0
+      }
+      println(f"MEAN RECALL: ${recalls.sum / recalls.length}%.3f  MIN: ${recalls.min}%.2f")
+      spark.stop()
+
+    case "profile" :: rest =>
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      val spark = session()
+      // m1 stage decomposition
+      val li = time("m1 load") {
+        val d = Tables.load(spark, dir, "lineitem")
+          .select(col("l_quantity"), col("l_extendedprice"))
+        d.count(); d
+      }
+      val reg = java.nio.file.Files.createTempDirectory("graft_prof_reg_").toString
+      val tr = new graft.ml.Trainer(spark, reg)
+      for (round <- 1 to 2)
+        time(s"m1 train (pass $round)") {
+          tr.train(s"probe_lin_$round", "regression", li, Some("l_extendedprice"),
+            "linear", testSize = 0.0)
+        }
+      // s4 ingest/search decomposition
+      val wh = java.nio.file.Files.createTempDirectory("graft_prof_wh_").toString
+      val c = new graft.store.Collection(spark, "docs", wh)
+      time("s4 upsert") {
+        c.upsertDocuments(
+          Tables.load(spark, dir, "documents").select(
+            to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))).as("document")))
+      }
+      val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+        "text", splitter = Some((200, 20)),
+        semanticSearch = Some(graft.functions.HashEmbedder(64)), fullTextSearch = true)))
+      time("s4 sync")(c.syncPipeline(p))
+      for (round <- 1 to 2)
+        time(s"s4 vectorSearch (pass $round)") {
+          c.vectorSearch(p,
+            Seq(graft.store.VectorSearchField("text", "spark query table join")), limit = 10).count()
+        }
+      spark.stop()
+
+    case other =>
+      println(s"unknown probe command: $other")
+      println("usage: Probe time <query>... [sfDir] [n] | explain <query> [sfDir] | drive | ivf-recall [sfDir] | profile [sfDir]")
+  }
+}
