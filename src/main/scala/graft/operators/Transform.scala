@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import graft.functions.{HashEmbedder, TextKernels}
 import graft.store.TsRank
@@ -32,12 +33,16 @@ object Transform {
 
   val supportedTasks: Set[String] = Set(
     "text-classification", "summarization", "translation", "fill-mask",
-    "text-generation", "question-answering", "zero-shot-classification",
-    "token-classification")
+    "text-generation", "text2text-generation", "question-answering",
+    "zero-shot-classification", "token-classification", "conversational")
 
   /** Apply a task over `inputCol`, producing JSON in `outputCol`. Batched
-    * mapPartitions — the executor-local `model` is instantiated once per
-    * partition (the per-backend model cache pattern, model.rs:24).
+    * mapPartitions over Rows: inputs are grouped into `batchSize` slices and
+    * each slice goes through ONE model call (`TaskModels.runBatch`) — the
+    * shape an accelerator-backed model needs (the reference batches the same
+    * way: `array_agg → one pgml.embed call`, queries.rs:217-231). The
+    * executor-local model is instantiated once per partition (the
+    * per-backend model cache pattern, model.rs:24); no per-row UDF.
     */
   def apply(
       df: DataFrame, task: String, inputCol: String, outputCol: String = "output",
@@ -45,7 +50,19 @@ object Transform {
     require(supportedTasks.contains(task), s"unsupported task $task")
     require(df.columns.contains(inputCol), s"missing input column $inputCol")
     args.get("model").foreach(checkAllowed)
-    df.withColumn(outputCol, TaskUdfs.taskUdf(task, args)(col(inputCol).cast("string")))
+    val idx = df.schema.fieldIndex(inputCol)
+    val outSchema = df.schema.add(outputCol, StringType)
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val inputs = batch.map { r =>
+          val v = r.get(idx)
+          if (v == null) "" else v.toString
+        }
+        val outs = TaskModels.runBatch(task, inputs, args)
+        batch.lazyZip(outs).map((r, o) => Row.fromSeq(r.toSeq :+ o))
+      }
+    }(enc)
   }
 
   /** Batch surface (`pgml.transform(inputs TEXT[])` / `embed_batch`): one
@@ -70,14 +87,18 @@ object Transform {
     * preserved as an Iterator over generated tokens).
     */
   def transformStream(task: String, input: String, args: Map[String, String] = Map.empty): Iterator[String] = {
-    val full = TaskModels.run(task, input, args)
-    full.split("\\s+").iterator
+    // conversational streams the decoded reply tokens, not the JSON envelope
+    // (transform_stream_conversational_json, api.rs:790-824)
+    if (task == "conversational") {
+      val reply = TaskModels.conversationalReply(
+        TaskModels.parseMessages(input),
+        args.get("max_tokens").orElse(args.get("max_new_tokens")).map(_.toInt).getOrElse(12))
+      reply.split("\\s+").iterator.filter(_.nonEmpty)
+    } else {
+      val full = TaskModels.run(task, input, args)
+      full.split("\\s+").iterator
+    }
   }
-}
-
-private object TaskUdfs {
-  def taskUdf(task: String, args: Map[String, String]) =
-    udf((s: String) => TaskModels.run(task, Option(s).getOrElse(""), args))
 }
 
 /** Deterministic per-task "models" producing the reference's JSON shapes. */
@@ -88,6 +109,47 @@ object TaskModels {
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  /** One "model call" over a whole batch — a real backend pads/stacks the
+    * batch and runs it on-device in one pass; the stand-in maps. */
+  def runBatch(task: String, texts: Seq[String], args: Map[String, String]): Seq[String] =
+    texts.map(run(task, _, args))
+
+  /** The default chat template (transformers.py:407-415
+    * apply_chat_template): role-tagged turns plus a generation prompt. */
+  def applyChatTemplate(messages: Seq[(String, String)]): String =
+    messages.map { case (role, content) => s"<|$role|>\n$content" }
+      .mkString("\n") + "\n<|assistant|>\n"
+
+  /** The conversational "generation": a deterministic reply derived from
+    * the last non-assistant turn (the reference decodes only the NEW tokens
+    * after the templated prompt, transformers.py:407-424 `outputs[:,
+    * input_ids.shape[1]:]`) — here the first `max_tokens` tokens of that
+    * turn, so the decision rule stays SQL-replayable for the oracle.
+    */
+  def conversationalReply(messages: Seq[(String, String)], maxTokens: Int): String = {
+    val lastUser = messages.reverse.collectFirst {
+      case (role, content) if role != "assistant" => content
+    }.getOrElse("")
+    TextKernels.tokens(lastUser).take(maxTokens).mkString(" ")
+  }
+
+  private def maxTokensArg(args: Map[String, String], dft: Int): Int =
+    args.get("max_tokens").orElse(args.get("max_new_tokens")).map(_.toInt).getOrElse(dft)
+
+  /** Parse a JSONB message array `[{"role": …, "content": …}, …]` (the
+    * transform_conversational_json input contract, api.rs:713-730). */
+  def parseMessages(json: String): Seq[(String, String)] = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JArray(items) => items.map { m =>
+        ((m \ "role").extractOrElse[String]("user"),
+          (m \ "content").extractOrElse[String](""))
+      }
+      case _ => Seq(("user", json))
+    }
+  }
 
   def run(task: String, text: String, args: Map[String, String]): String = task match {
     case "text-classification" =>
@@ -121,6 +183,24 @@ object TaskModels {
         seed(math.abs((h % math.max(seed.length, 1)).toInt))
       }.mkString(" ")
       s"""[{"generated_text": "${esc(text)} ${esc(continued)}"}]"""
+
+    case "text2text-generation" =>
+      // seq2seq stand-in (golden shape api.rs:1532-1547: a bare
+      // `[{"generated_text": …}]` with NO echo of the input — unlike causal
+      // text-generation): the instruction clause up to the first ':' is
+      // consumed and the conditioned payload is "generated"
+      val i = text.indexOf(':')
+      val generated = if (i >= 0) text.substring(i + 1).trim else text.trim
+      s"""[{"generated_text": "${esc(generated)}"}]"""
+
+    case "conversational" =>
+      // input = one conversation as a JSONB message array (the dedicated
+      // transform overloads, api.rs:713-751); output = the decoded NEW
+      // tokens only, a JSON array of reply strings (transform.rs:35-46
+      // Vec<String> → JSON; transformers.py:420-424)
+      val messages = parseMessages(text)
+      val reply = conversationalReply(messages, maxTokensArg(args, 12))
+      s"""["${esc(reply)}"]"""
 
     case "question-answering" =>
       // deterministic extractive stand-in: the document sentence with max

@@ -977,6 +977,43 @@ object QueryCatalog {
                    THEN 'POSITIVE' ELSE 'NEGATIVE' END AS label
             FROM tk ORDER BY doc_id"""))
 
+  /** pgml.transform text2text-generation (seq2seq, api.rs:1532-1547 shape):
+    * the deterministic stand-in consumes the instruction clause up to the
+    * first ':' and "generates" the conditioned payload — SQL-replayable.
+    */
+  val x3Text2Text: GraftQuery = GraftQuery(
+    "x3_text2text",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("input", concat(lit("summarize: "), col("text")))
+      graft.operators.Transform(docs, "text2text-generation", "input")
+        .select(col("doc_id"),
+          get_json_object(col("output"), "$[0].generated_text").as("generated"))
+        .orderBy(col("doc_id"))
+    },
+    // input = 'summarize: ' || text, so stripping through the first ':'
+    // plus whitespace leaves exactly `text` (corpus has no edge whitespace)
+    Some("SELECT doc_id, text AS generated FROM documents ORDER BY doc_id"))
+
+  /** pgml.transform conversational (api.rs:713-751 JSONB-message inputs):
+    * each document becomes a one-turn conversation; the reply is the
+    * deterministic generation rule (first 12 tokens of the last user turn),
+    * replayed in SQL.
+    */
+  val x4Conversational: GraftQuery = GraftQuery(
+    "x4_conversational",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("messages",
+        to_json(array(struct(lit("user").as("role"), col("text").as("content")))))
+      graft.operators.Transform(docs, "conversational", "messages")
+        .select(col("doc_id"), get_json_object(col("output"), "$[0]").as("reply"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+            array_to_string(list_slice(
+              string_split_regex(trim(lower(text)), '\s+'), 1, 12), ' ') AS reply
+            FROM documents ORDER BY doc_id"""))
+
   /** Stateful sessionization (flatMapGroupsWithState in batch mode):
     * closed sessions per user at a 30-minute event-time gap; oracle = SQL
     * gap-and-island windows.
@@ -1034,5 +1071,6 @@ object QueryCatalog {
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
-    x1TransformSentiment, x2Sessions, mm1MediaFeatures)
+    x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
+    mm1MediaFeatures)
 }

@@ -26,36 +26,55 @@ class QueryBuilder(collection: Collection) {
   }
 }
 
-/** OpenAI-compatible chat façade over the generation operator —
-  * `OpenSourceAI.chat_completions_create` (open_source_ai.rs:140-420).
-  * Applies a simple chat template and returns the chat-completion shape.
+/** OpenAI-compatible chat façade — `OpenSourceAI.chat_completions_create`
+  * (open_source_ai.rs:140-420). Routed through the `conversational`
+  * transform task exactly like the reference (it builds a conversational
+  * TransformerPipeline, open_source_ai.rs:147-163, and wraps each returned
+  * choice string in the chat-completion envelope, open_source_ai.rs:305-336).
+  * `id`/`created` are wall-clock in the reference; here they derive from the
+  * request so the envelope is deterministic and testable.
   */
 object OpenSourceAI {
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  private def messagesJson(messages: Seq[(String, String)]): String =
+    messages.map { case (role, content) =>
+      s"""{"role": "${esc(role)}", "content": "${esc(content)}"}"""
+    }.mkString("[", ", ", "]")
+
   def chatCompletionsCreate(
       model: String,
       messages: Seq[(String, String)], // (role, content)
       maxTokens: Int = 32): String = {
     graft.operators.Transform.checkAllowed(model)
-    val prompt = messages.map { case (role, content) => s"<|$role|>\n$content" }
-      .mkString("\n") + "\n<|assistant|>\n"
-    val gen = graft.operators.TaskModels.run("text-generation", prompt,
-      Map("max_new_tokens" -> maxTokens.toString))
-    val content = org.json4s.jackson.JsonMethods.parse(gen) \\ "generated_text" match {
-      case org.json4s.JString(s) => s.stripPrefix(prompt)
-      case other => other.toString
+    val msgs = messagesJson(messages)
+    // the conversational task returns a JSON array of choice strings
+    // (one per generation; transform.rs:35-46)
+    val out = graft.operators.TaskModels.run("conversational", msgs,
+      Map("max_tokens" -> maxTokens.toString, "model" -> model))
+    val choices = org.json4s.jackson.JsonMethods.parse(out) match {
+      case org.json4s.JArray(items) => items.collect { case org.json4s.JString(s) => s }
+      case other => Seq(other.toString)
     }
-    val esc = content.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
-    s"""{"choices": [{"index": 0, "message": {"role": "assistant", "content": "$esc"}}], "model": "$model"}"""
+    val choiceJson = choices.zipWithIndex.map { case (c, i) =>
+      s"""{"index": $i, "message": {"role": "assistant", "content": "${esc(c)}"}}"""
+    }.mkString("[", ", ", "]")
+    // system_fingerprint = md5-of-parameters analogue (open_source_ai.rs:293-296)
+    val fingerprint = java.lang.Long.toHexString(
+      graft.functions.TextKernels.fnv1a64(s"$model$maxTokens"))
+    val id = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(msgs))
+    s"""{"id": "$id", "object": "chat.completion", "created": 0, "model": "$model",""" +
+      s""" "choices": $choiceJson, "system_fingerprint": "$fingerprint"}"""
   }
 
-  /** Streaming variant: token iterator (rag_stream analogue). */
+  /** Streaming variant: per-token `chat.completion.chunk`-style deltas as a
+    * driver iterator (open_source_ai.rs:188-247). */
   def chatCompletionsCreateStream(
       model: String, messages: Seq[(String, String)], maxTokens: Int = 32): Iterator[String] = {
-    val full = chatCompletionsCreate(model, messages, maxTokens)
-    val content = org.json4s.jackson.JsonMethods.parse(full) \\ "content" match {
-      case org.json4s.JString(s) => s
-      case other => other.toString
-    }
-    content.split(" ").iterator
+    graft.operators.Transform.checkAllowed(model)
+    graft.operators.Transform.transformStream(
+      "conversational", messagesJson(messages), Map("max_tokens" -> maxTokens.toString))
   }
 }

@@ -49,6 +49,10 @@ object ExplainCheck {
     // serving contract)
     check("v5_knn_ivf", "IVF probe shows cluster_id PartitionFilters")(
       p => "PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(p).isDefined)
+    // the transform surface must be batched mapPartitions (one model call
+    // per batch), never a per-row UDF — the accelerator-backed-model shape
+    check("x1_transform_sentiment", "transform runs as MapPartitions, no per-row UDF")(
+      p => p.contains("MapPartitions") && !p.contains("ScalaUDF"))
 
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition

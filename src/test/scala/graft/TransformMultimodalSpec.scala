@@ -35,6 +35,66 @@ class TransformMultimodalSpec extends AnyFunSuite {
     assert(g1.toSeq == g2.toSeq)
   }
 
+  test("text2text-generation returns bare generated_text with no input echo") {
+    // golden shape api.rs:1532-1547: [{"generated_text": "Je suis très heureux"}]
+    val out = Transform(
+      Seq(("translate from English to French: I'm very happy", 1)).toDF("text", "id"),
+      "text2text-generation", "text")
+      .select(get_json_object(col("output"), "$[0].generated_text")).as[String].head()
+    assert(out == "I'm very happy")
+    // no instruction clause → pass-through
+    val plain = graft.operators.TaskModels.run("text2text-generation", "just text", Map.empty)
+    assert(plain == """[{"generated_text": "just text"}]""")
+  }
+
+  test("conversational consumes JSONB message arrays and returns reply-string arrays") {
+    // input contract api.rs:713-730 (ARRAY[]::JSONB message objects);
+    // output = decoded NEW tokens only, as a JSON array of strings
+    val msgs = """[{"role": "system", "content": "be terse"},
+                   {"role": "user", "content": "Tell Me About Spark Joins"}]"""
+    val out = graft.operators.TaskModels.run("conversational", msgs, Map("max_tokens" -> "3"))
+    assert(out == """["tell me about"]""")
+    // the reply derives from the last non-assistant turn
+    val withReply = """[{"role": "user", "content": "first question"},
+                        {"role": "assistant", "content": "an answer"},
+                        {"role": "user", "content": "second question here"}]"""
+    val out2 = graft.operators.TaskModels.run("conversational", withReply, Map.empty)
+    assert(out2 == """["second question here"]""")
+    // DataFrame surface dispatches it too
+    val df = Seq((msgs, 1L)).toDF("messages", "id")
+    val viaDf = Transform(df, "conversational", "messages", args = Map("max_tokens" -> "3"))
+      .select(get_json_object(col("output"), "$[0]")).as[String].head()
+    assert(viaDf == "tell me about")
+  }
+
+  test("conversational transform_stream yields reply tokens") {
+    val msgs = """[{"role": "user", "content": "alpha beta gamma delta"}]"""
+    val toks = Transform.transformStream("conversational", msgs).toList
+    assert(toks == List("alpha", "beta", "gamma", "delta"))
+  }
+
+  test("OpenSourceAI chat routes through the conversational task") {
+    val res = graft.store.OpenSourceAI.chatCompletionsCreate(
+      "test-model", Seq(("system", "be terse"), ("user", "Explain Shuffle Partitions Now")),
+      maxTokens = 2)
+    val parsed = org.json4s.jackson.JsonMethods.parse(res)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert((parsed \ "object").extract[String] == "chat.completion")
+    assert((parsed \ "model").extract[String] == "test-model")
+    val content = (parsed \ "choices")(0) \ "message" \ "content"
+    // the conversational generation rule, not a text-generation echo
+    assert(content.extract[String] == "explain shuffle")
+    assert(((parsed \ "choices")(0) \ "message" \ "role").extract[String] == "assistant")
+    // deterministic envelope (derived ids, not wall-clock)
+    assert(graft.store.OpenSourceAI.chatCompletionsCreate(
+      "test-model", Seq(("system", "be terse"), ("user", "Explain Shuffle Partitions Now")),
+      maxTokens = 2) == res)
+    // streaming variant yields the reply tokens as deltas
+    val stream = graft.store.OpenSourceAI.chatCompletionsCreateStream(
+      "test-model", Seq(("user", "one two three")), maxTokens = 2).toList
+    assert(stream == List("one", "two"))
+  }
+
   test("allowlist guard blocks unlisted models") {
     Transform.modelAllowlist = Some(Set("allowed-model"))
     try {
