@@ -54,22 +54,30 @@ object Bench {
     // reference's HNSW numbers likewise exclude the 2h51m index build),
     // then measure 3 passes and report the PER-QUERY MEDIAN: one pass
     // cannot distinguish an 80% regression from scheduler noise.
+    // warm-up failures surface in the timed loop below; don't hide them here
     for (w <- headline)
       try queries(w)(spark, sfDir).count() catch { case _: Throwable => }
 
+    // A query that throws must NOT contribute its (near-zero) failure time —
+    // that would silently IMPROVE the headline. Record it as -1 and leave it
+    // out of the total so a broken query is visible in the JSON.
     val results = headline.flatMap { name =>
       queries.get(name).map { fn =>
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> times(1)
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(1))
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    if (failed > 0) System.err.println(s"[bench] $failed queries failed; excluded from total")
     println(
       f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

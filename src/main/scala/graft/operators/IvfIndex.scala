@@ -56,6 +56,14 @@ class IvfIndex private[operators] (
     finally out.close()
     fs.mkdirs(target.getParent)
     if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost the race: winner's index serves
+    else {
+      // HDFS-semantics filesystems rename INTO an existing target directory
+      // and return true — the "loser deletes its staging dir" handling above
+      // only fires on local FS. Detect the nested stray and drop it; the
+      // winner's already-published index keeps serving.
+      val nested = new Path(target, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
   }
 
   /** Exact top-k within the nprobe nearest clusters. */
@@ -85,6 +93,11 @@ class IvfIndex private[operators] (
 object IvfIndex {
 
   private val Sidecar = "centroids.json"
+  private val SourceManifest = "source.path"
+  // bump when the on-disk layout or assignment scheme changes: the format
+  // version is part of the persisted-home key, so an old-format index is
+  // never served to new code
+  private val FormatVersion = 2
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
@@ -112,16 +125,26 @@ object IvfIndex {
       sourcePath: String,
       df: => DataFrame,
       vecCol: String,
-      nlist: Int = 0): IvfIndex =
-    cache.getOrElseUpdate(sourcePath,
-      loadOrBuild(spark, indexPathFor(spark, sourcePath), df, vecCol, nlist))
+      nlist: Int = 0): IvfIndex = {
+    // the session-cache key IS the resolved on-disk home (source path +
+    // mtime + build params): a mid-session rewrite of the source resolves
+    // to a new home and therefore a fresh cache entry — never stale
+    val home = indexPathFor(spark, sourcePath, nlist)
+    cache.getOrElseUpdate(home, {
+      val idx = loadOrBuild(spark, home, df, vecCol, nlist)
+      publishManifestAndPrune(spark, home, sourcePath)
+      idx
+    })
+  }
 
   /** Where the persisted index for a source table lives: under
     * GRAFT_INDEX_DIR (default java.io.tmpdir/graft-ivf), keyed by the
-    * source path AND its latest modification time — regenerated source
-    * data yields a new home, so a stale index is never served.
+    * source path, its latest modification time, AND the build parameters /
+    * format version — regenerated source data or changed build params yield
+    * a new home, so a stale or differently-built index is never served.
     */
-  def indexPathFor(spark: SparkSession, sourcePath: String): String = {
+  def indexPathFor(spark: SparkSession, sourcePath: String, nlist: Int = 0,
+      nassign: Int = 3): String = {
     val fs = fsFor(spark, sourcePath)
     val p = new Path(sourcePath)
     val mtime =
@@ -135,9 +158,41 @@ object IvfIndex {
       }
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       s"${sys.props("java.io.tmpdir")}/graft-ivf")
-    val key = java.lang.Long.toHexString(
-      graft.functions.TextKernels.fnv1a64(s"$sourcePath@$mtime"))
+    val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
+      s"$sourcePath@$mtime@nlist=$nlist@nassign=$nassign@v$FormatVersion"))
     s"$root/$key"
+  }
+
+  /** Record which source a persisted home derives from, then drop sibling
+    * homes of the SAME source with a different (stale-mtime / old-format)
+    * key — without this every source rewrite leaks a full nassign×N index
+    * copy into the tmpdir forever. */
+  private def publishManifestAndPrune(
+      spark: SparkSession, home: String, sourcePath: String): Unit = {
+    val fs = fsFor(spark, home)
+    val homeP = fs.makeQualified(new Path(home))
+    val manifest = new Path(homeP, SourceManifest)
+    if (!fs.exists(manifest)) {
+      val out = fs.create(manifest, true)
+      try out.write(sourcePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val root = homeP.getParent
+    if (fs.exists(root)) fs.listStatus(root).foreach { sib =>
+      if (sib.isDirectory && sib.getPath != homeP) {
+        val m = new Path(sib.getPath, SourceManifest)
+        val sameSource =
+          fs.exists(m) && {
+            val in = fs.open(m)
+            val s =
+              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            s == sourcePath
+          }
+        if (sameSource) fs.delete(sib.getPath, true)
+      }
+    }
   }
 
   /** Drop a cached index after its underlying table is rewritten —
@@ -177,21 +232,27 @@ object IvfIndex {
 
   /** Load the index if `path` holds one, else build from `df` and persist —
     * the ingest-time contract: downstream sessions call this and only the
-    * first ever pays the KMeans + assignment cost.
+    * first ever pays the KMeans + assignment cost. A loaded index whose
+    * centroid count contradicts the requested `nlist` (a fixed-path home,
+    * e.g. a Collection's ivf table, rebuilt under a changed Pipeline
+    * config) is discarded and rebuilt rather than silently served.
     */
   def loadOrBuild(
       spark: SparkSession,
       path: String,
       df: => DataFrame,
       vecCol: String,
-      nlist: Int = 0): IvfIndex =
-    if (existsAt(spark, path)) load(spark, path, vecCol)
-    else {
-      val idx = build(spark, df, vecCol, nlist)
-      idx.save(path)
-      idx.data.unpersist()
-      load(spark, path, vecCol)
+      nlist: Int = 0): IvfIndex = {
+    if (existsAt(spark, path)) {
+      val loaded = load(spark, path, vecCol)
+      if (nlist <= 0 || loaded.centroids.length == nlist) return loaded
+      delete(spark, path)
     }
+    val idx = build(spark, df, vecCol, nlist)
+    idx.save(path)
+    idx.data.unpersist()
+    load(spark, path, vecCol)
+  }
 
   /** Build over `df(vecCol)`. `nlist` defaults to ~√N (the IVF rule of
     * thumb); KMeans fits on a bounded sample so build cost is independent

@@ -22,7 +22,8 @@ object Mm1OracleSql {
        |  flatten(list_transform(string_split(text, ''), ch ->
        |    CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
        |         WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
-       |         ELSE [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+       |         WHEN unicode(ch) < 65536 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+       |         ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
        |    END)) AS bytes FROM documents),
        |fh AS (SELECT doc_id, list_reduce(
        |    list_concat([14695981039346656037::HUGEINT], list_transform(bytes, b -> b::HUGEINT)),

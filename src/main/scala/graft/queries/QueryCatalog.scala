@@ -496,7 +496,8 @@ object QueryCatalog {
               flatten(list_transform(string_split(t, ''), ch ->
                 CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
                      WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
-                     ELSE [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+                     WHEN unicode(ch) < 65536 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+                     ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
                 END)) AS bytes FROM tok),
             th AS (SELECT doc_id, list_reduce(
                 list_concat([14695981039346656037::HUGEINT], list_transform(bytes, b -> b::HUGEINT)),
@@ -740,7 +741,8 @@ object QueryCatalog {
                   list_transform(flatten(list_transform(string_split(t, ''), ch ->
                     CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
                          WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
-                         ELSE [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+                         WHEN unicode(ch) < 65536 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+                         ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
                     END)), b -> b::HUGEINT)),
                 (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
               FROM toku),

@@ -105,11 +105,53 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     df.orderBy(sort: _*).limit(limit)
   }
 
-  /** Filtered delete (collection.rs:872-884). */
+  /** Filtered delete (collection.rs:872-884), CASCADED to every pipeline
+    * table — the FK `ON DELETE CASCADE` semantics of the reference schema
+    * (queries.rs:49-66): after a delete no chunk/embedding/tsvector row can
+    * reference a dead document, so queries never need an orphan gate. The
+    * cascade is a per-delete-batch cost (an anti-join rewrite of the
+    * derived tables, the Delta `DELETE WHERE` shape), paid once per delete
+    * instead of a corpus-wide semi-join on every search.
+    */
   def deleteDocuments(filterJson: String): Unit = {
     val resolver = FilterCompiler.jsonStringResolver(col("document"))
-    val remaining = documents.where(!FilterCompiler.compile(filterJson, resolver))
-    writeSnapshot(remaining, docsPath)
+    val pred = FilterCompiler.compile(filterJson, resolver)
+    // Materialize the doomed ids DURABLY before the documents snapshot swap
+    // (same recompute hazard as the incremental-sync diff: a cached plan
+    // re-executed after the swap would see the new table and diff nothing).
+    val deadTmp = docsPath + "_dead_tmp"
+    documents.where(pred).select(col("source_uuid").as("document_id"))
+      .write.mode(SaveMode.Overwrite).parquet(deadTmp)
+    val dead = spark.read.parquet(deadTmp)
+    val nDead = dead.count()
+    writeSnapshot(documents.where(!pred), docsPath)
+    if (nDead > 0) cascadeDelete(dead)
+    deleteRec(new java.io.File(deadTmp))
+  }
+
+  /** Anti-join every pipeline table on disk against the deleted ids (AQE
+    * broadcasts the typically-small delete set). Persisted IVF indexes over
+    * rewritten embeddings are dropped — the next probe rebuilds via
+    * loadOrBuild, exactly like a re-sync. */
+  private def cascadeDelete(deadIds: DataFrame): Unit = {
+    val collDir = new java.io.File(s"$warehouseDir/$name")
+    val nonPipeline = Set("documents", "searches", "search_results", "search_events")
+    val pipelineDirs = Option(collDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !nonPipeline.contains(f.getName)
+        && !f.getName.endsWith("_tmp") && !f.getName.endsWith("_old"))
+    pipelineDirs.foreach { pDir =>
+      Option(pDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach { tbl =>
+        val path = tbl.getAbsolutePath
+        if (tbl.getName.endsWith("_ivf")) {
+          graft.operators.IvfIndex.delete(spark, path)
+        } else if (tbl.getName.endsWith("_chunks") || tbl.getName.endsWith("_embeddings")
+            || tbl.getName.endsWith("_tsvectors")) {
+          val kept = spark.read.parquet(path)
+            .join(deadIds, Seq("document_id"), "left_anti")
+          writeSnapshot(kept, path)
+        }
+      }
+    }
   }
 
   /** Chunk → embed → tsvector for every pipeline field
@@ -195,6 +237,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           kept.unionByName(newEmb)
         }
       writeSnapshot(all, embP)
+      // the embeddings just changed, so a persisted IVF index over them is
+      // stale — drop and rebuild, exactly like the full re-sync does
+      // (serving a stale index would miss new/changed vectors and still
+      // rank removed chunks)
+      f.vectorIndex.foreach { nlist =>
+        val ivfP = tablePath(p.name, f.name, "ivf")
+        graft.operators.IvfIndex.delete(spark, ivfP)
+        graft.operators.IvfIndex.loadOrBuild(
+          spark, ivfP, embeddings(p, f.name), "embedding", nlist)
+        ()
+      }
     }
     if (f.fullTextSearch) {
       val tsP = tablePath(p.name, f.name, "tsvectors")
@@ -219,9 +272,14 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   def ivfIndex(p: Pipeline, field: String): graft.operators.IvfIndex = {
     val f = p.fields.find(_.name == field)
       .getOrElse(throw new IllegalArgumentException(s"field $field not in pipeline"))
+    // a field without vectorIndex has no sync path invalidating a persisted
+    // index — building one here would guarantee stale serving after any
+    // re-sync, so refuse instead of defaulting
+    val nlist = f.vectorIndex.getOrElse(throw new IllegalArgumentException(
+      s"field $field has no vectorIndex configured; set PipelineField.vectorIndex"))
     graft.operators.IvfIndex.loadOrBuild(
       spark, tablePath(p.name, field, "ivf"),
-      embeddings(p, field), "embedding", f.vectorIndex.getOrElse(0))
+      embeddings(p, field), "embedding", nlist)
   }
 
   def chunks(p: Pipeline, field: String): DataFrame =
@@ -275,15 +333,15 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         lit(fq.field).as("_field"), col("score"))
     }
     var unioned = perField.reduce(_ unionAll _)
-    // ALWAYS gate on live document ids BEFORE the limit (not only when a
-    // metadata filter is present): deleteDocuments doesn't cascade to
-    // pipeline tables until the next sync, and an orphaned embedding
-    // occupying a top-k slot would be silently dropped by the post-limit
-    // doc join — returning fewer than `limit` rows and omitting live
-    // documents that should have ranked. (The reference's FK cascade makes
-    // orphans impossible there.) Semi-join on ids only: no payload shuffle.
-    val liveIds = filteredIds.getOrElse(docs.select("document_id"))
-    unioned = unioned.join(liveIds, Seq("document_id"), "left_semi")
+    // Gate on document ids BEFORE the limit ONLY when a metadata filter is
+    // present (top-k of the filtered set needs the pre-limit semi-join).
+    // With no filter there is nothing to gate: deleteDocuments cascades to
+    // every pipeline table synchronously (the reference's FK-cascade
+    // semantics, queries.rs:49-66), so orphaned embeddings cannot exist and
+    // the unfiltered path never pays a corpus-wide shuffle per search.
+    filteredIds.foreach { ids =>
+      unioned = unioned.join(ids, Seq("document_id"), "left_semi")
+    }
     val k = math.max(limit, rerank.getOrElse(0))
     val top = unioned
       .orderBy(col("score").desc, col("document_id"), col("chunk_index"))

@@ -150,6 +150,35 @@ class CollectionSpec extends AnyFunSuite {
     assert(cats.nonEmpty && !cats.contains(0))
   }
 
+  test("deleteDocuments cascades to pipeline tables; search after delete has no orphans") {
+    val c = newCollection("c4b")
+    c.upsertDocuments(dummyDocs(12))
+    c.syncPipeline(pipeline)
+    val before = c.embeddings(pipeline, "body").count()
+    c.deleteDocuments("""{"category": {"$eq": 0}}""")
+    // FK-cascade semantics (queries.rs:49-66): derived tables shrink with
+    // the documents table, no re-sync needed
+    val liveIds = c.documents.select("source_uuid").as[String].collect().toSet
+    for (tbl <- Seq(c.chunks(pipeline, "body"), c.embeddings(pipeline, "body"),
+        c.tsvectors(pipeline, "body"))) {
+      val ids = tbl.select("document_id").as[String].collect().toSet
+      assert(ids.subsetOf(liveIds), "cascade left orphaned rows")
+    }
+    assert(c.embeddings(pipeline, "body").count() < before)
+    // search still fills the full top-k from live documents — an orphaned
+    // embedding in a top-k slot would silently shrink the result
+    val res = c.vectorSearch(pipeline,
+      Seq(VectorSearchField("body", "Test body 7 document")), limit = 5)
+    assert(res.count() == 5)
+    val resIds = res.select("document_id").as[String].collect().toSet
+    assert(resIds.subsetOf(liveIds))
+    // and the unfiltered plan carries no pre-limit semi-join gate
+    val plan = c.vectorSearch(pipeline,
+      Seq(VectorSearchField("body", "x")), limit = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftSemi"), "unfiltered search must not pay a corpus-wide gate")
+  }
+
   test("vector_search returns relevant docs first, respects filter and rerank shape") {
     val c = newCollection("c5")
     c.upsertDocuments(dummyDocs(12))

@@ -70,4 +70,30 @@ class IncrementalSyncSpec extends AnyFunSuite {
       .select("document_id", "chunk_index").collect().toSeq
     assert(incEmb == fullEmb)
   }
+
+  test("incremental sync rebuilds the persisted IVF index for indexed fields") {
+    val c = new Collection(spark, "incivf", Files.createTempDirectory("graft_incivf_").toString)
+    val p = Pipeline("p", Seq(PipelineField("body",
+      splitter = Some((100000, 0)), semanticSearch = Some(HashEmbedder(64)),
+      vectorIndex = Some(4))))
+    c.upsertDocuments((0 until 60).map(i =>
+      s"""{"id": $i, "body": "document $i body ${"spark data " * (i % 5 + 1)}"}""")
+      .toDF("document"))
+    c.syncPipelineIncremental(p)
+    assert(c.ivfIndex(p, "body").centroids.length == 4)
+
+    // a new document arrives; after the incremental sync its embedding must
+    // be probe-able through the PERSISTED index (a stale index would miss it)
+    c.upsertDocuments(Seq(
+      """{"id": 777, "body": "completely unique zanzibar quixotic phrase"}""").toDF("document"))
+    c.syncPipelineIncremental(p)
+    val qv = HashEmbedder(64).embedOne("completely unique zanzibar quixotic phrase")
+    val hit = c.ivfIndex(p, "body")
+      .search(qv, 1, nprobe = 4, Seq("document_id", "chunk_index"))
+      .select("document_id").as[String].head()
+    val expected = c.documents
+      .where(get_json_object(col("document"), "$.id") === "777")
+      .select("source_uuid").as[String].head()
+    assert(hit == expected)
+  }
 }

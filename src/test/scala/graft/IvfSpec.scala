@@ -79,6 +79,59 @@ class IvfSpec extends AnyFunSuite {
     idx.data.unpersist()
   }
 
+  test("loadOrBuild rebuilds when the stored centroid count contradicts nlist") {
+    val idx = IvfIndex.build(spark, emb, "embedding", nlist = 16)
+    val home = java.nio.file.Files.createTempDirectory("graft_ivf_nl_").toString + "/idx"
+    idx.save(home)
+    idx.data.unpersist()
+    // same fixed path, different requested nlist (a Pipeline config change
+    // over a Collection's ivf table) → must rebuild, not serve 16 clusters
+    val rebuilt = IvfIndex.loadOrBuild(spark, home, emb, "embedding", nlist = 8)
+    assert(rebuilt.centroids.length == 8)
+    // and a matching request keeps loading without touching the df
+    val served = IvfIndex.loadOrBuild(
+      spark, home, sys.error("rebuilt despite matching nlist"), "embedding", nlist = 8)
+    assert(served.centroids.length == 8)
+  }
+
+  test("serveOrBuild prunes stale mtime-keyed homes of the same source") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_root_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_ivf_src_").toString + "/emb"
+    emb.limit(300).write.parquet(src)
+    // serveOrBuild uses the shared default root: count only homes whose
+    // manifest matches THIS source, so parallel suites don't interfere
+    def homesForSource(): Seq[String] = {
+      val r = new java.io.File(sys.env.getOrElse("GRAFT_INDEX_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-ivf"))
+      Option(r.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).flatMap { d =>
+        val m = new java.io.File(d, "source.path")
+        if (m.exists() && java.nio.file.Files.readString(m.toPath) == src)
+          Some(d.getAbsolutePath)
+        else None
+      }.toSeq
+    }
+    IvfIndex.serveOrBuild(spark, src, spark.read.parquet(src), "embedding", nlist = 4)
+    assert(homesForSource().size == 1)
+    val firstHome = homesForSource().head
+    Thread.sleep(1100) // parquet mtime granularity
+    spark.read.parquet(src).limit(200).write.mode("overwrite").parquet(src + "_v2")
+    // rewrite the source in place (new mtime ⇒ new home key)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.rename(new org.apache.hadoop.fs.Path(src + "_v2"), new org.apache.hadoop.fs.Path(src))
+    IvfIndex.serveOrBuild(spark, src, spark.read.parquet(src), "embedding", nlist = 4)
+    val after = homesForSource()
+    assert(after.size == 1, s"stale home not pruned: $after")
+    assert(after.head != firstHome, "source rewrite did not mint a new home")
+  }
+
+  test("ivfIndex on a field without vectorIndex refuses instead of building unmanaged") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_nofield_").toString
+    val c = new graft.store.Collection(spark, "noivf", wh)
+    val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField("text")))
+    intercept[IllegalArgumentException] { c.ivfIndex(p, "text") }
+  }
+
   test("Collection sync builds the persisted index; probe matches brute force") {
     val wh = java.nio.file.Files.createTempDirectory("graft_ivf_coll_").toString
     val c = new graft.store.Collection(spark, "ivfc", wh)
