@@ -84,4 +84,23 @@ object Metrics {
         least(greatest(col(probCol), lit(eps)), lit(1 - eps)).as("p"))
       .agg(avg(-(col("y") * log(col("p")) + (lit(1) - col("y")) * log(lit(1) - col("p")))))
       .head().getDouble(0)
+
+  /** BLEU-1 (clipped unigram precision × brevity penalty) for a single
+    * candidate/reference pair — conversation tuning's default target metric
+    * (orm/task.rs:60 maps `conversation` to bleu, higher is better). Pure
+    * scalar function so it can run inside a UDF over the test split.
+    */
+  def bleu1(candidate: String, reference: String): Double = {
+    val cand = graft.functions.TextKernels.tokens(candidate)
+    val ref = graft.functions.TextKernels.tokens(reference)
+    if (cand.isEmpty || ref.isEmpty) return 0.0
+    val refCounts = ref.groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val clipped = cand.groupBy(identity).map { case (t, xs) =>
+      math.min(xs.length, refCounts.getOrElse(t, 0))
+    }.sum
+    val precision = clipped.toDouble / cand.length
+    val bp = if (cand.length >= ref.length) 1.0
+      else math.exp(1.0 - ref.length.toDouble / cand.length)
+    precision * bp
+  }
 }

@@ -123,6 +123,10 @@ class Registry(spark: SparkSession, dir: String) {
     case "classification" => "f1"
     case "clustering" => "silhouette"
     case "decomposition" => "cumulative_explained_variance"
+    // tune tasks (orm/task.rs:46-63) — all higher-is-better, so the
+    // strictly-greater comparison in maybeDeploy applies unchanged
+    case "text_classification" | "text_pair_classification" => "f1"
+    case "conversation" => "bleu"
   }
 
   def deploy(project: String, modelId: Long, strategy: String): Unit = {
@@ -180,13 +184,16 @@ class Registry(spark: SparkSession, dir: String) {
     predictWithModel(dep.model_id, df)
   }
 
-  def predictWithModel(modelId: Long, df: DataFrame): DataFrame = {
-    val (meta, model) = modelCache.getOrElseUpdate(modelId, {
+  private def cachedModel(modelId: Long): (RegistryMeta, org.apache.spark.ml.Transformer) =
+    modelCache.getOrElseUpdate(modelId, {
       val m = JsonMethods.parse(java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"${modelDir(modelId)}/graft_meta.json")))
         .extract[RegistryMeta]
       (m, loadModel(m.modelClass, modelDir(modelId)))
     })
+
+  def predictWithModel(modelId: Long, df: DataFrame): DataFrame = {
+    val (meta, model) = cachedModel(modelId)
     val fitted = meta.fitted.map(j => FittedColumn(
       ColumnPlan(j.name, j.encode, j.ordinalValues, j.impute, j.scale),
       j.categorical, j.categories, j.imputeValue, j.scaleOffset, j.scaleDiv, j.oneHotCats))
@@ -245,14 +252,78 @@ class Registry(spark: SparkSession, dir: String) {
     out.withColumn("pca_arr", VectorOps.toArray(col("pca")))
   }
 
+  /** Per-cluster generation table beside a conversation-tuned model — the
+    * model-dir sidecar pattern (like search_results.json). */
+  def attachResponses(modelId: Long, responses: Map[Int, String]): Unit = {
+    val json = Serialization.write(responses.map { case (k, v) => k.toString -> v })
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${modelDir(modelId)}/responses.json"), json)
+  }
+
+  private def responsesOf(modelId: Long): Option[Map[Int, String]] = {
+    val p = java.nio.file.Paths.get(s"${modelDir(modelId)}/responses.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(JsonMethods.parse(java.nio.file.Files.readString(p))
+      .extract[Map[String, String]].map { case (k, v) => k.toInt -> v })
+  }
+
   /** `pgml.generate(project, input)` — generation from a tuned project
-    * (api.rs:826-844). The tuned-model runtime is a deterministic stand-in
-    * (same gap as transform); registry resolution is real. */
+    * (api.rs:826-844). A conversation-tuned deployment (Trainer.tune task
+    * `conversation`) serves its retrieval-generator: embed the input,
+    * assign the nearest KMeans centroid DRIVER-SIDE (no Spark job per
+    * call — the per-row serving path must not schedule), return the stored
+    * cluster reply. Other deployments fall back to the deterministic
+    * text-generation stand-in (same gap as transform). */
   def generate(project: String, input: String): String = {
     val dep = currentDeployment(project)
       .getOrElse(throw new IllegalStateException(s"no deployment for project $project"))
-    graft.operators.TaskModels.run("text-generation", input,
-      Map("max_new_tokens" -> "16"))
+    responsesOf(dep.model_id) match {
+      case Some(responses) =>
+        val (meta, model) = cachedModel(dep.model_id)
+        val km = model.asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
+        val dim = meta.featNames.length
+        val v = org.apache.spark.ml.linalg.Vectors.dense(
+          graft.functions.HashEmbedder(dim).embedOne(input).map(_.toDouble))
+        val cluster = km.clusterCenters.zipWithIndex
+          .minBy { case (c, i) =>
+            (org.apache.spark.ml.linalg.Vectors.sqdist(v, c), i) }._2
+        responses.getOrElse(cluster, "")
+      case None =>
+        graft.operators.TaskModels.run("text-generation", input,
+          Map("max_new_tokens" -> "16"))
+    }
+  }
+
+  /** `pgml.predict(project, row(...))` — the heterogeneous tuple entry
+    * (api.rs:494-497; model.rs:972-1143 predict_row semantics): a named
+    * mixed-type row goes through the SAME per-column preprocessing as batch
+    * predict — categorical lookup against fitted categories (NULL →
+    * `__NULL__` → 0, unseen → NaN → impute), numeric impute + scale — then
+    * the deployed estimator. Missing keys are NULLs, matching a SQL row()
+    * with NULL fields.
+    */
+  def predictRow(project: String, row: Map[String, Any]): Double = {
+    val dep = currentDeployment(project)
+      .getOrElse(throw new IllegalStateException(s"no deployment for project $project"))
+    val (meta, _) = cachedModel(dep.model_id)
+    import org.apache.spark.sql.types._
+    // schema follows the fitted snapshot: categoricals arrive as strings
+    // (any input datum is stringified for lookup, model.rs:1009-1090),
+    // numerics as doubles
+    val schema = StructType(meta.fitted.map(f =>
+      StructField(f.name, if (f.categorical) StringType else DoubleType, nullable = true)))
+    val values: Seq[Any] = meta.fitted.map { f =>
+      row.get(f.name).flatMap(Option(_)) match {
+        case None => null
+        case Some(v) if f.categorical => v.toString
+        case Some(v: Number) => v.doubleValue()
+        case Some(v: Boolean) => if (v) 1.0 else 0.0
+        case Some(v) => v.toString.toDouble
+      }
+    }
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(values: _*)), schema)
+    predictWithModel(dep.model_id, df).select("prediction").head().getDouble(0)
   }
 
   /** `pgml.dump_all` / `load_all` — registry tables to/from CSV

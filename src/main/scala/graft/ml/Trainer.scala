@@ -208,25 +208,131 @@ class Trainer(spark: SparkSession, registryDir: String) {
 
   /** `pgml.tune` — LLM fine-tuning (api.rs:846-995). True transformer
     * fine-tuning is out of Spark scope (documented gap); the capability is
-    * preserved as training a classifier over the deterministic text
-    * embedder's features, registered with the base model name so the
-    * registry/deploy/generate surfaces resolve identically.
+    * preserved per task over the deterministic text embedder's features,
+    * registered with the base model name so the registry/deploy/generate
+    * surfaces resolve identically. Dataset column contracts follow
+    * orm/dataset.rs:88-157:
+    *
+    *  - text_classification:       (textCol, yCol)
+    *  - text_pair_classification:  (text1, text2, yCol)   — dataset.rs:111
+    *  - conversation:              (system, user, assistant) — dataset.rs:137
     */
   def tune(
       projectName: String, task: String, relation: DataFrame,
       textCol: String, yCol: String, modelName: String,
       testSize: Double = 0.25, testSampling: String = "random"): TrainResult = {
-    require(task == "text_classification",
-      s"tune supports text_classification here; $task recorded as gap")
     val dim = 64
     val embedder = graft.functions.HashEmbedder(dim)
-    val emb = embedder.embedCol(col(textCol))
+    val tuneHp = Map("model_name" -> modelName, "project_name" -> projectName,
+      "tuned" -> "true")
+    task match {
+      case "text_classification" =>
+        val emb = embedder.embedCol(col(textCol))
+        val feat = relation.select(
+          (0 until dim).map(i => element_at(emb, i + 1).cast("double").as(s"e$i")) :+
+            col(yCol): _*)
+        train(projectName, "classification", feat, Some(yCol), "linear",
+          hyperparams = tuneHp, testSize = testSize, testSampling = testSampling)
+
+      case "text_pair_classification" =>
+        // pair features: per-dim |u−v| and u⊙v of the two text embeddings —
+        // the standard symmetric pair representation, so the linear head can
+        // express both similarity and per-dim interaction (the cross-encoder
+        // capability tune() fine-tunes in the reference, api.rs:846-995)
+        require(relation.columns.contains("text1") && relation.columns.contains("text2"),
+          "text_pair_classification tuning expects columns text1, text2 (orm/dataset.rs:111-124)")
+        val e1 = embedder.embedCol(col("text1"))
+        val e2 = embedder.embedCol(col("text2"))
+        val feat = relation.select(
+          (0 until dim).flatMap { i =>
+            val a = element_at(e1, i + 1).cast("double")
+            val b = element_at(e2, i + 1).cast("double")
+            Seq(abs(a - b).as(s"d$i"), (a * b).as(s"p$i"))
+          } :+ col(yCol): _*)
+        train(projectName, "classification", feat, Some(yCol), "linear",
+          hyperparams = tuneHp, testSize = testSize, testSampling = testSampling)
+
+      case "conversation" =>
+        tuneConversation(projectName, relation, modelName, testSize, testSampling)
+
+      case other => throw new IllegalArgumentException(
+        s"tune supports text_classification | text_pair_classification | conversation; got $other")
+    }
+  }
+
+  /** Conversation tuning (api.rs:846-995 with ConversationDataset,
+    * dataset.rs:137-148): a deterministic retrieval-generator stands in for
+    * causal-LM fine-tuning. KMeans clusters the embedded (system, user)
+    * contexts; each cluster stores its most-central training reply as the
+    * generation table (a model-dir sidecar, like search_results.json).
+    * `generate()` embeds the input, assigns the nearest centroid driver-side
+    * (no Spark job per call), and returns the stored reply. Metric is BLEU-1
+    * of retrieved-vs-true replies on the held-out split — the task's default
+    * target metric (task.rs:60), higher-better, so maybeDeploy composes.
+    */
+  private def tuneConversation(
+      projectName: String, relation: DataFrame, modelName: String,
+      testSize: Double, testSampling: String): TrainResult = {
+    import org.apache.spark.ml.linalg.Vectors
+    val dim = 64
+    val embedder = graft.functions.HashEmbedder(dim)
+    for (c <- Seq("system", "user", "assistant"))
+      require(relation.columns.contains(c),
+        s"conversation tuning expects columns system, user, assistant (orm/dataset.rs:137-148); missing $c")
+    val ctx = embedder.embedCol(
+      concat_ws(" ", coalesce(col("system"), lit("")), col("user")))
     val feat = relation.select(
-      (0 until dim).map(i => element_at(emb, i + 1).cast("double").as(s"e$i")) :+
-        col(yCol): _*)
-    train(projectName, "classification", feat, Some(yCol), "linear",
-      hyperparams = Map("base_model" -> modelName, "tuned" -> "true"),
-      testSize = testSize, testSampling = testSampling)
+      (0 until dim).map(i => element_at(ctx, i + 1).cast("double").as(s"e$i")) :+
+        col("assistant"): _*)
+    // no class label to stratify on — fall back to random for that mode
+    val sampling = if (testSampling == "stratified") "random" else testSampling
+    val (trainDf, testDf) =
+      if (testSize <= 0.0) (feat, feat)
+      else Sampling.split(feat, testSize, sampling, "assistant")
+
+    val featureCols = (0 until dim).map(i => s"e$i")
+    val plans = featureCols.map(c => ColumnPlan(c, impute = "zero"))
+    val fitted = Preprocessor.fit(trainDf, plans, "assistant")
+    val featNames = Preprocessor.featureNames(fitted)
+    val assembler = new VectorAssembler()
+      .setInputCols(featNames.toArray).setOutputCol("features")
+    def prep(df: DataFrame): DataFrame = assembler.transform(Preprocessor.transform(df, fitted))
+    val trainPrep = prep(trainDf).cache()
+    val nTrain = trainPrep.count()
+    require(nTrain > 0, "conversation tuning needs at least one training row")
+    val k = math.max(1, math.min(8, nTrain.toInt))
+    val km = new KMeans().setK(k).setSeed(42).setFeaturesCol("features").fit(trainPrep)
+
+    // generation table: per cluster, the reply of the most-central training
+    // context (ties broken on the reply string — deterministic)
+    val centers = km.clusterCenters
+    val distToCenter = udf((v: Vector, c: Int) => Vectors.sqdist(v, centers(c)))
+    val w = Window.partitionBy(col("prediction"))
+      .orderBy(col("_dist"), col("assistant"))
+    val reps = km.transform(trainPrep)
+      .withColumn("_dist", distToCenter(col("features"), col("prediction")))
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("prediction").cast("int").as("c"), col("assistant"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    // BLEU-1 on the held-out split, distributed (UDF over (candidate, ref))
+    val evalDf = if (testDf.isEmpty) trainDf else testDf
+    val repExpr = reps.foldLeft(lit("")) { case (acc, (c, r)) =>
+      when(col("prediction") === c, lit(r)).otherwise(acc)
+    }
+    val bleuOf = udf((cand: String, ref: String) => Metrics.bleu1(cand, ref))
+    val bleu = km.transform(prep(evalDf))
+      .withColumn("_cand", repExpr)
+      .agg(avg(bleuOf(col("_cand"), col("assistant")))).head().getDouble(0)
+    val metrics = Map("bleu" -> bleu)
+
+    val modelId = registry.saveModel(projectName, "conversation", "transformers",
+      Map("model_name" -> modelName, "project_name" -> projectName),
+      metrics, km, fitted, featNames)
+    registry.attachResponses(modelId, reps)
+    val deployed = registry.maybeDeploy(projectName, "conversation", modelId, metrics)
+    trainPrep.unpersist()
+    TrainResult(projectName, "conversation", "transformers", modelId, deployed, metrics)
   }
 
   private def fitAndEvaluate(

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml._
+
+/** `pgml.tune` task coverage (api.rs:846-995) beyond text_classification:
+  * text_pair_classification and conversation dataset shapes
+  * (orm/dataset.rs:111-157), plus the heterogeneous `predict(project,
+  * row(...))` entry (api.rs:494-497, model.rs:972-1143).
+  */
+class TuneSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def newTrainer() =
+    new Trainer(spark, Files.createTempDirectory("graft_tune_").toString)
+
+  test("tune text_pair_classification: paraphrase detection over pair features") {
+    // label 1 = the two texts are token-level paraphrases (shared vocabulary),
+    // label 0 = disjoint vocabularies. The |u-v|/u*v pair features make this
+    // linearly separable under the hash embedder.
+    val subjects = Seq("market", "engine", "garden", "river", "museum")
+    val rows = (0 until 200).map { i =>
+      val s = subjects(i % subjects.length)
+      val t1 = s"the $s report arrived on day $s ${i % 7}"
+      if (i % 2 == 0) (t1, s"the $s report arrived late on day $s ${i % 7}", 1.0)
+      else (t1, s"unrelated ${subjects((i + 2) % subjects.length)} memo entry ${i % 5}", 0.0)
+    }
+    val df = rows.toDF("text1", "text2", "label")
+    val t = newTrainer()
+    val res = t.tune("proj_pair", "text_pair_classification", df,
+      textCol = "text1", yCol = "label", modelName = "cross-encoder-stand-in")
+    assert(res.deployed)
+    assert(res.metrics("f1") > 0.8, s"pair-classification f1 too low: ${res.metrics}")
+    // registered through the standard lifecycle: deployed model serves batch predict
+    val probe = Seq(
+      ("the garden report arrived on day garden 3", "the garden report arrived late on day garden 3"),
+      ("the river report arrived on day river 1", "unrelated museum memo entry 4"))
+      .toDF("text1", "text2").withColumn("label", lit(0.0))
+    // rebuild the same pair features the tuner trained on
+    val dim = 64
+    val emb = graft.functions.HashEmbedder(dim)
+    val e1 = emb.embedCol(col("text1")); val e2 = emb.embedCol(col("text2"))
+    val feat = probe.select(
+      (0 until dim).flatMap { i =>
+        val a = element_at(e1, i + 1).cast("double")
+        val b = element_at(e2, i + 1).cast("double")
+        Seq(abs(a - b).as(s"d$i"), (a * b).as(s"p$i"))
+      } :+ col("label"): _*)
+    val preds = t.registry.predict("proj_pair", feat)
+      .select("prediction").as[Double].collect()
+    assert(preds(0) == 1.0 && preds(1) == 0.0, s"probe predictions: ${preds.toSeq}")
+  }
+
+  test("tune conversation: retrieval-generator with bleu metric; generate() resolves it") {
+    val intents = Seq(
+      ("weather", "what is the weather forecast sky sunshine", "it is sunny with clear skies"),
+      ("billing", "question about invoice payment billing account", "your invoice is ready in the billing portal"),
+      ("shipping", "where is my parcel package delivery tracking", "your package arrives tomorrow by courier"),
+      ("support", "help error crash bug software problem", "please restart the application and update"))
+    val rows = (0 until 80).map { i =>
+      val (_, user, assistant) = intents(i % intents.length)
+      ("you are a helpful assistant", s"$user variant ${i % 5}", assistant)
+    }
+    val df = rows.toDF("system", "user", "assistant")
+    val t = newTrainer()
+    val res = t.tune("proj_conv", "conversation", df,
+      textCol = "user", yCol = "assistant", modelName = "causal-lm-stand-in")
+    assert(res.task == "conversation" && res.algorithm == "transformers")
+    assert(res.deployed)
+    assert(res.metrics.contains("bleu") && res.metrics("bleu") > 0.5,
+      s"conversation bleu too low: ${res.metrics}")
+    // generate() must resolve the tuned deployment and answer in-domain
+    val w = t.registry.generate("proj_conv", "what is the weather forecast sky sunshine today")
+    assert(w == "it is sunny with clear skies", s"weather reply: $w")
+    val b = t.registry.generate("proj_conv", "question about my invoice payment billing")
+    assert(b == "your invoice is ready in the billing portal", s"billing reply: $b")
+  }
+
+  test("tune rejects unknown tasks") {
+    val t = newTrainer()
+    val df = Seq(("a", 0.0)).toDF("text", "label")
+    intercept[IllegalArgumentException] {
+      t.tune("proj_bad", "summarization", df, "text", "label", "m")
+    }
+  }
+
+  test("predict(project, row(...)): mixed-type row matches batch preprocessing semantics") {
+    // mixed relation: categorical string + numeric with nulls
+    val rows: Seq[(String, java.lang.Double, Double)] = (0 until 120).map { i =>
+      val color = Seq("red", "green", "blue")(i % 3)
+      val x: java.lang.Double = if (i % 10 == 9) null else (i % 20).toDouble
+      // label depends on both features so each must be preprocessed correctly
+      val y = (if (color == "red") 10.0 else 0.0) + Option(x).map(_.doubleValue).getOrElse(0.0)
+      (color, x, y)
+    }
+    val df = rows.toDF("color", "x", "y")
+    val t = newTrainer()
+    t.train("proj_row", "regression", df, Some("y"), "linear", testSampling = "last")
+
+    // 1) full row == batch predict on the identical single-row frame
+    val viaRow = t.registry.predictRow("proj_row", Map("color" -> "red", "x" -> 7))
+    val batch = t.registry.predict("proj_row",
+        Seq(("red", 7.0, 0.0)).toDF("color", "x", "y"))
+      .select("prediction").as[Double].head()
+    assert(math.abs(viaRow - batch) < 1e-9, s"row=$viaRow batch=$batch")
+
+    // 2) NULL categorical → __NULL__ category (value 0, snapshot.rs:154-160)
+    val viaNull = t.registry.predictRow("proj_row", Map("color" -> null, "x" -> 7))
+    val batchNull = t.registry.predict("proj_row",
+        Seq((null.asInstanceOf[String], 7.0, 0.0)).toDF("color", "x", "y"))
+      .select("prediction").as[Double].head()
+    assert(math.abs(viaNull - batchNull) < 1e-9)
+
+    // 3) unseen category → NaN → impute zero (snapshot.rs:203-216): same
+    //    encoded value as NULL under the default zero-impute plan
+    val viaUnseen = t.registry.predictRow("proj_row", Map("color" -> "violet", "x" -> 7))
+    assert(math.abs(viaUnseen - viaNull) < 1e-9)
+
+    // 4) missing key == explicit NULL (a SQL row() with a NULL field)
+    val viaMissing = t.registry.predictRow("proj_row", Map("x" -> 7))
+    assert(math.abs(viaMissing - viaNull) < 1e-9)
+
+    // 5) numeric NULL goes through numeric impute, not a crash
+    val viaNumNull = t.registry.predictRow("proj_row", Map("color" -> "red"))
+    val batchNumNull = t.registry.predict("proj_row",
+        Seq(("red", null.asInstanceOf[java.lang.Double], 0.0)).toDF("color", "x", "y"))
+      .select("prediction").as[Double].head()
+    assert(math.abs(viaNumNull - batchNumNull) < 1e-9)
+  }
+}
