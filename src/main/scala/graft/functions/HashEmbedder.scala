@@ -76,6 +76,14 @@ trait Embedder extends Serializable {
   def embedCol(text: Column): Column
   /** Driver-side single-string embedding (query vectors). */
   def embedOne(text: String): Array[Float]
+  /** Frame-level embedding: append `outName` (array<float> of `dim`) derived
+    * from `inCol`. Default is the column path (codegen, per-row); embedders
+    * whose backend wants batches (a remote endpoint, an on-device model)
+    * override this with a `mapPartitions` batcher — sync paths call this, so
+    * the batch shape reaches ingest without changing the column contract. */
+  def embedFrame(df: org.apache.spark.sql.DataFrame, inCol: Column,
+      outName: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(outName, embedCol(inCol))
 }
 
 final case class HashEmbedder(dim: Int = 64) extends Embedder {
@@ -83,4 +91,73 @@ final case class HashEmbedder(dim: Int = 64) extends Embedder {
     ColumnBridge.column(EmbedText(ColumnBridge.expression(text), dim))
   override def embedOne(text: String): Array[Float] =
     HashEmbedKernel.embed(UTF8String.fromString(text), dim).toFloatArray()
+}
+
+/** The reference's remote-embeddings batch contract
+  * (pgml-sdks/pgml/src/remote_embeddings.rs:1-197): texts are chunked into
+  * fixed-size batches (`chunks(self.batch_size)`) and each batch is ONE
+  * request returning one embedding per input, in order. Implementations are
+  * per-executor clients (an HTTP endpoint in production); the deterministic
+  * [[HashBackedClient]] serves the same protocol from the local hash kernel
+  * so the plumbing is testable offline.
+  */
+trait RemoteEmbeddingsClient extends Serializable {
+  def model: String
+  /** One request: an embedding per input text, same order. */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+}
+
+/** Offline stand-in "endpoint": the hash kernel behind the remote protocol
+  * shape, so RemoteEmbedder and HashEmbedder agree vector-for-vector. */
+final case class HashBackedClient(dim: Int = 64) extends RemoteEmbeddingsClient {
+  override def model: String = s"hash-projection-$dim"
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(t => HashEmbedKernel.embed(UTF8String.fromString(t), dim).toFloatArray())
+}
+
+/** Embedder over a [[RemoteEmbeddingsClient]]. The frame path is the real
+  * contract: `mapPartitions` groups rows into `batchSize` slices and makes
+  * one client call per slice (remote_embeddings.rs:70-118's
+  * generate_embeddings loop) — never a call per row. NULL texts yield NULL
+  * embeddings without reaching the client, matching the null-intolerant
+  * column kernel.
+  */
+final case class RemoteEmbedder(
+    client: RemoteEmbeddingsClient,
+    dim: Int = 64,
+    batchSize: Int = 32) extends Embedder {
+
+  override def embedOne(text: String): Array[Float] =
+    client.embedBatch(Seq(text)).head
+
+  /** Column fallback (single-text batches). Prefer [[embedFrame]] — this
+    * exists so driver-side query embedding and ad-hoc column use work. */
+  override def embedCol(text: Column): Column = {
+    val c = client
+    val f = org.apache.spark.sql.functions.udf(
+      (t: String) => if (t == null) null else c.embedBatch(Seq(t)).head)
+    f(text)
+  }
+
+  override def embedFrame(df: org.apache.spark.sql.DataFrame, inCol: Column,
+      outName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val tmp = df.withColumn("__embed_in", inCol)
+    val inIdx = tmp.schema.fieldIndex("__embed_in")
+    val outSchema = tmp.schema.add(outName, ArrayType(FloatType, containsNull = false))
+    val c = client
+    val bs = batchSize
+    val out = tmp.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val texts = batch.collect { case r if !r.isNullAt(inIdx) => r.getString(inIdx) }
+        val embs = c.embedBatch(texts).iterator
+        batch.map { r =>
+          val e = if (r.isNullAt(inIdx)) null else embs.next()
+          Row.fromSeq(r.toSeq :+ e)
+        }
+      }
+    }(Encoders.row(outSchema))
+    out.drop("__embed_in")
+  }
 }

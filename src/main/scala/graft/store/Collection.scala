@@ -168,8 +168,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     writeSnapshot(chunks, tablePath(p.name, f.name, "chunks"))
 
     f.semanticSearch.foreach { emb =>
-      val e = chunks
-        .select(col("document_id"), col("chunk_index"), emb.embedCol(col("chunk")).as("embedding"))
+      // embedFrame, not embedCol: a batching embedder (remote endpoint /
+      // on-device model) groups rows per model call at ingest
+      val e = emb.embedFrame(chunks, col("chunk"), "embedding")
+        .select(col("document_id"), col("chunk_index"), col("embedding"))
       writeSnapshot(e, tablePath(p.name, f.name, "embeddings"))
       // ingest-time ANN index build (HNSW analogue, pipeline.rs:526-543):
       // the synced embeddings just changed, so the old index is stale —
@@ -225,8 +227,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
 
     f.semanticSearch.foreach { emb =>
       val embP = tablePath(p.name, f.name, "embeddings")
-      val newEmb = changed
-        .select(col("document_id"), col("chunk_index"), emb.embedCol(col("chunk")).as("embedding"))
+      val newEmb = emb.embedFrame(changed, col("chunk"), "embedding")
+        .select(col("document_id"), col("chunk_index"), col("embedding"))
       val all =
         if (firstSync || !new java.io.File(embP).exists()) newEmb
         else {

@@ -34,11 +34,26 @@ object EventStreams {
   case class SessionState(count: Long, sumValue: Double, lastTs: Long)
   case class SessionOut(user_id: Long, n_events: Long, sum_value: Double)
 
-  /** Per-user session aggregation with processing-timeout state —
-    * `mapGroupsWithState` (the KeyValueGroupedDataset custom-state surface).
+  /** Per-user session aggregation with custom state —
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset surface).
     * A session closes after `gapMinutes` of inactivity (event-time gap).
+    *
+    * Per-key memory is BOUNDED at `maxBufferedPerKey` (plus closed-session
+    * output): events fold incrementally through a fixed-size min-heap
+    * reorder buffer instead of materializing and sorting the whole group —
+    * one pathological key (a bot with millions of events per batch) streams
+    * through the buffer rather than OOMing the executor. Ordering is exact
+    * while no event arrives more than `maxBufferedPerKey` positions out of
+    * order within the batch (the classic bounded-reorder guarantee; equal
+    * timestamps never affect session boundaries, counts, or sums, so heap
+    * tie order is immaterial). Disorder beyond the buffer degrades to the
+    * same behavior as late data beyond a watermark: the stray event starts
+    * or extends a session at fold time instead of its exact slot.
     */
-  def sessionize(events: Dataset[EventRow], gapMinutes: Int = 30): DataFrame = {
+  def sessionize(
+      events: Dataset[EventRow],
+      gapMinutes: Int = 30,
+      maxBufferedPerKey: Int = 65536): DataFrame = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -46,17 +61,24 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
           val gapMs = gapMinutes * 60L * 1000L
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
           var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
+          def fold(e: EventRow): Unit = {
             val t = e.ts.getTime
             if (st.count > 0 && t - st.lastTs > gapMs) {
               closed += SessionOut(userId, st.count, st.sumValue)
               st = SessionState(0L, 0.0, Long.MinValue)
             }
-            st = SessionState(st.count + 1, st.sumValue + e.value, t)
+            st = SessionState(st.count + 1, st.sumValue + e.value, math.max(st.lastTs, t))
           }
+          // min-heap on event time; capped at maxBufferedPerKey entries
+          val heap = scala.collection.mutable.PriorityQueue.empty[EventRow](
+            Ordering.by((e: EventRow) => e.ts.getTime).reverse)
+          rows.foreach { e =>
+            heap.enqueue(e)
+            if (heap.size > maxBufferedPerKey) fold(heap.dequeue())
+          }
+          while (heap.nonEmpty) fold(heap.dequeue())
           state.update(st)
           closed.iterator
       }.toDF()

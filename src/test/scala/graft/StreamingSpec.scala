@@ -76,6 +76,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSet == Set(EventStreams.SessionOut(7L, 2L, 3.0)))
   }
 
+  test("sessionization: bounded reorder buffer matches full sort under bounded disorder") {
+    val t0 = 1700000000000L
+    // one user, 2000 events in 40 sessions (50 events each, 60-min gaps),
+    // locally shuffled in blocks of 4 (disorder < buffer of 8)
+    val ordered = (0 until 2000).map { i =>
+      val session = i / 50; val step = i % 50
+      val ts = new java.sql.Timestamp(t0 + session * 3600000L + step * 1000L)
+      EventRow(i.toLong, ts, 1L, "click", 1.0, "{}")
+    }
+    val shuffled = ordered.grouped(4).flatMap(_.reverse).toSeq
+    val exact = EventStreams.sessionize(ordered.toDS(), gapMinutes = 30)
+      .as[EventStreams.SessionOut].collect().toSeq.sortBy(_.n_events)
+    val bounded = EventStreams.sessionize(shuffled.toDS(), gapMinutes = 30,
+        maxBufferedPerKey = 8)
+      .as[EventStreams.SessionOut].collect().toSeq.sortBy(_.n_events)
+    // 39 closed sessions of 50 events each (the 40th stays open in state)
+    assert(exact.length == 39 && exact.forall(s => s.n_events == 50L && s.sum_value == 50.0))
+    assert(bounded == exact)
+  }
+
+  test("sessionization: one pathological key streams through a small buffer") {
+    val t0 = 1700000000000L
+    // a 200k-event bot key folded through a 1024-slot buffer: per-key memory
+    // is the buffer, not the group — the unbounded-buffer OOM shape
+    val n = 200000
+    val rows = (0 until n).map { i =>
+      // a session boundary every 1000 events (gap > 30 min)
+      val ts = new java.sql.Timestamp(t0 + (i / 1000) * 3600000L + (i % 1000) * 100L)
+      EventRow(i.toLong, ts, 42L, "click", 1.0, "{}")
+    }
+    val out = EventStreams.sessionize(rows.toDS(), gapMinutes = 30,
+        maxBufferedPerKey = 1024)
+      .as[EventStreams.SessionOut].collect()
+    assert(out.length == n / 1000 - 1)
+    assert(out.forall(s => s.user_id == 42L && s.n_events == 1000L))
+  }
+
   test("transform task dispatch runs unchanged on an unbounded stream") {
     // the Spark-native transform_stream: the same Transform operator applied
     // to readStream — outputs arrive per micro-batch instead of per token
