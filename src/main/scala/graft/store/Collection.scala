@@ -507,6 +507,87 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   /** Deprecated fluent façade (query_builder.rs:1-113). */
   def query(): QueryBuilder = new QueryBuilder(this)
 
+  // ---- admin surfaces (collection.rs:332-498, 1264-1302): the
+  // collection.pipelines registry (name → active) plus archive. The SDK
+  // passes the Pipeline object into add/enable/remove, so the registry only
+  // persists (name, active) — embedder instances never serialize.
+
+  private def pipelinesRegistryPath = s"$warehouseDir/$name/pipelines.json"
+
+  /** Registered pipelines and their active flag (collection.rs get_pipelines
+    * reads `WHERE active = TRUE`; we expose the full map). */
+  def pipelines: Map[String, Boolean] = {
+    val f = new java.io.File(pipelinesRegistryPath)
+    if (!f.exists()) Map.empty
+    else {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(f.toPath)).extract[Map[String, Boolean]]
+    }
+  }
+
+  private def writePipelines(m: Map[String, Boolean]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val dir = new java.io.File(s"$warehouseDir/$name")
+    if (!dir.exists()) dir.mkdirs()
+    val tmp = java.nio.file.Paths.get(pipelinesRegistryPath + "_tmp")
+    java.nio.file.Files.writeString(tmp, org.json4s.jackson.Serialization.write(m))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(pipelinesRegistryPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Register + sync a pipeline (collection.rs:332-394): no-op warn if the
+    * name is already active, else mark active and full-sync. */
+  def addPipeline(p: Pipeline): Unit = {
+    if (pipelines.getOrElse(p.name, false)) ()
+    else {
+      writePipelines(pipelines + (p.name -> true))
+      syncPipeline(p)
+    }
+  }
+
+  /** Drop the pipeline's derived tables and deregister it
+    * (collection.rs:396-421: DROP SCHEMA CASCADE + DELETE row). */
+  def removePipeline(p: Pipeline): Unit = {
+    deleteRec(new java.io.File(s"$warehouseDir/$name/${p.name}"))
+    writePipelines(pipelines - p.name)
+  }
+
+  /** Mark inactive (collection.rs:487-498) — derived tables stay on disk,
+    * but [[syncActive]] skips the pipeline until re-enabled. */
+  def disablePipeline(name: String): Unit =
+    writePipelines(pipelines + (name -> false))
+
+  /** Re-activate + resync so tables catch up on documents upserted while
+    * disabled (collection.rs:445-463 enables then resyncs). */
+  def enablePipeline(p: Pipeline): Unit = {
+    writePipelines(pipelines + (p.name -> true))
+    syncPipelineIncremental(p)
+  }
+
+  /** Sync every ACTIVE pipeline — the reference's upsert path syncs all
+    * active pipelines after a document write (collection.rs:649-719). */
+  def syncActive(ps: Seq[Pipeline]): Unit = {
+    val reg = pipelines
+    ps.filter(p => reg.getOrElse(p.name, false)).foreach(syncPipelineIncremental)
+  }
+
+  /** Archive the collection (collection.rs:1264-1302): rename the on-disk
+    * home to `<name>_archive_<epoch-seconds>` so the name frees up for a
+    * fresh collection. Returns the archive name; this instance's paths no
+    * longer resolve afterwards (the reference likewise leaves the handle
+    * dead after archive).
+    */
+  def archive(): String = {
+    val ts = System.currentTimeMillis() / 1000
+    val archiveName = s"${name}_archive_$ts"
+    val src = new java.io.File(s"$warehouseDir/$name")
+    val dst = new java.io.File(s"$warehouseDir/$archiveName")
+    require(!dst.exists(), s"archive target already exists: $dst")
+    require(src.renameTo(dst), s"failed to archive $src -> $dst")
+    archiveName
+  }
+
   private def writeSnapshot(df: DataFrame, path: String): Unit = {
     // write-then-swap so a failed job never truncates the live table
     graft.operators.IvfIndex.invalidate(path) // any index over the old files is stale

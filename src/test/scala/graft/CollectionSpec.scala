@@ -262,4 +262,51 @@ class CollectionSpec extends AnyFunSuite {
     // short text → single chunk unchanged
     assert(ChunkKernel.chunk("short", 100, 10).toSeq == Seq("short"))
   }
+
+  test("pipeline admin: add/disable/enable/remove drive the registry and sync state") {
+    val c = newCollection("c_admin")
+    c.upsertDocuments(dummyDocs(6))
+    val p = Pipeline("padmin", Seq(PipelineField("body", splitter = Some((64, 8)))))
+
+    // add registers active and syncs (collection.rs:332-394)
+    c.addPipeline(p)
+    assert(c.pipelines == Map("padmin" -> true))
+    val n0 = c.embeddings(p, "body").count()
+    assert(n0 > 0)
+    // second add is a no-op, not a re-sync error
+    c.addPipeline(p)
+
+    // disable: syncActive skips it, so new documents don't reach the tables
+    c.disablePipeline("padmin")
+    assert(c.pipelines == Map("padmin" -> false))
+    c.upsertDocuments(Seq("""{"id": 100, "body": "fresh text while disabled"}""").toDF("document"))
+    c.syncActive(Seq(p))
+    assert(c.embeddings(p, "body").count() == n0)
+
+    // enable resyncs, catching up on the upsert (collection.rs:445-463)
+    c.enablePipeline(p)
+    assert(c.pipelines == Map("padmin" -> true))
+    assert(c.embeddings(p, "body").count() > n0)
+
+    // remove drops the derived tables and the registry row (collection.rs:396-421)
+    c.removePipeline(p)
+    assert(c.pipelines.isEmpty)
+    intercept[Exception] { c.chunks(p, "body").count() }
+    assert(c.documents.count() == 7) // documents survive pipeline removal
+  }
+
+  test("archive renames the collection home and frees the name") {
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    val c = new Collection(spark, "c_arch", wh)
+    c.upsertDocuments(dummyDocs(3))
+    val archived = c.archive()
+    assert(archived.startsWith("c_arch_archive_"))
+    // the archived copy is intact under its new name; the old name is free
+    val arch = new Collection(spark, archived, wh)
+    assert(arch.documents.count() == 3)
+    assert(!new java.io.File(s"$wh/c_arch").exists())
+    val fresh = new Collection(spark, "c_arch", wh)
+    fresh.upsertDocuments(dummyDocs(1))
+    assert(fresh.documents.count() == 1)
+  }
 }
