@@ -1061,6 +1061,19 @@ object QueryCatalog {
     },
     Some(Mm1OracleSql.sql))
 
+  /** pgml.load_dataset built-in fixture (api.rs:561-587): the iris frame is
+    * fully deterministic (seeded splitmix streams), so the oracle REBUILDS
+    * the dataset from the same recurrence in SQL and must match
+    * float-for-float — the hash gate proves the generator, schemas, and
+    * float32 casts line up across engines.
+    */
+  val ds1LoadIris: GraftQuery = GraftQuery(
+    "ds1_load_iris",
+    (s, _) => graft.ml.Datasets.frame(s, "iris")
+      .orderBy(col("sepal_length"), col("sepal_width"), col("petal_length"),
+        col("petal_width"), col("target")),
+    Some(Ds1OracleSql.sql))
+
   /** Everything, in presentation order. */
   val all: Seq[GraftQuery] = Seq(
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
@@ -1074,5 +1087,5 @@ object QueryCatalog {
     s6VectorSearchChunked,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
-    mm1MediaFeatures)
+    mm1MediaFeatures, ds1LoadIris)
 }
