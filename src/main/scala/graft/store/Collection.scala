@@ -452,6 +452,31 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     RagResult(generator.generate(prompt), sources)
   }
 
+  /** Streaming RAG — `rag_stream` (rag_query_builder.rs:375-432): same
+    * retrieval + prompt composition as [[rag]], but the generation arrives
+    * as a driver-side token iterator (the same documented per-token gap as
+    * transform_stream: token streaming is anti-Spark, the capability is the
+    * iterator contract). Sources are available eagerly, tokens lazily.
+    */
+  def ragStream(
+      p: Pipeline,
+      vars: Map[String, (Seq[VectorSearchField], Int)],
+      promptTemplate: String,
+      joinSep: String = "\n",
+      generator: Generator = new EchoGenerator): (Iterator[String], Map[String, Seq[String]]) = {
+    val sources = vars.map { case (name, (fqs, k)) =>
+      name -> vectorSearch(p, fqs, limit = k).select("chunk").as[String].collect().toSeq
+    }
+    val prompt = sources.foldLeft(promptTemplate) { case (acc, (name, chunks)) =>
+      acc.replace(s"{$name}", chunks.mkString(joinSep))
+    }
+    // lazy: generation runs on first token pull, like the reference's stream
+    val tokens = Iterator(()).flatMap { _ =>
+      generator.generate(prompt).split("\\s+").iterator.filter(_.nonEmpty)
+    }
+    (tokens, sources)
+  }
+
   /** Filesystem ingestion (collection.rs:1413, 1662): every file under
     * `dir` becomes a document {"id": relativePath, "text": contents}. */
   def upsertDirectory(dir: String): Unit = {

@@ -247,6 +247,14 @@ class CollectionSpec extends AnyFunSuite {
     assert(out.sources("CONTEXT").size == 2)
     assert(out.rag.startsWith("[generated]"))
     assert(out.rag.contains("Answer from:"))
+
+    // rag_stream: same retrieval, tokens arrive as an iterator whose
+    // concatenation equals the batch rag output
+    val (tokens, sources) = c.ragStream(pipeline,
+      vars = Map("CONTEXT" -> (Seq(VectorSearchField("body", "Test body 2")), 2)),
+      promptTemplate = "Answer from: {CONTEXT}\nQ: what is doc 2?")
+    assert(sources == out.sources)
+    assert(tokens.mkString(" ") == out.rag.split("\\s+").filter(_.nonEmpty).mkString(" "))
   }
 
   test("chunker: size bound, overlap carry, separator preference") {
