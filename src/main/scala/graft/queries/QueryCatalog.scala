@@ -444,7 +444,9 @@ object QueryCatalog {
             GROUP BY pred_lang ORDER BY pred_lang"""))
 
   /** Winnowing fingerprints (Schleimer et al.): per-doc fingerprint set
-    * size + first hash (hash family not SQL-expressible → rows-only).
+    * size + first hash. ORACLED: the rolling-FNV + window-min + signed-sort
+    * pipeline replays in DuckDB (T6OracleSql) — the rightmost-min
+    * tie-break only affects indices, never the published value set.
     */
   val t6Fingerprint: GraftQuery = GraftQuery(
     "t6_fingerprint",
@@ -452,9 +454,10 @@ object QueryCatalog {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.winnowFingerprint(col("text"), 8, 4).as("fp"))
-        .select(col("doc_id"), size(col("fp")).as("fp_size"), element_at(col("fp"), 1).as("fp_first"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("fp_size"),
+          element_at(col("fp"), 1).as("fp_first"))
         .orderBy(col("doc_id")),
-    None)
+    Some(T6OracleSql.sql))
 
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
