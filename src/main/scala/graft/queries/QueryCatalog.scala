@@ -614,9 +614,10 @@ object QueryCatalog {
 
   // ---------------------------------------------------------------- doc store
 
-  /** Recursive-character chunking (pgml.chunk) over the documents table
-    * (algorithm not SQL-expressible → rows-only; exact semantics pinned in
-    * CollectionSpec).
+  /** Recursive-character chunking (pgml.chunk) over the documents table.
+    * ORACLED: on this corpus the recursive separator hierarchy reduces to
+    * the greedy word-merge fold, replayed in SQL (S1OracleSql); recursion
+    * edge cases stay pinned in CollectionSpec.
     */
   val s1Chunk: GraftQuery = GraftQuery(
     "s1_chunk",
@@ -625,9 +626,10 @@ object QueryCatalog {
         .select(col("doc_id"),
           posexplode(graft.functions.ChunkFunctions.chunkText(col("text"), 120, 20))
             .as(Seq("chunk_index", "chunk")))
-        .select(col("doc_id"), col("chunk_index"), length(col("chunk")).as("chunk_len"))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          length(col("chunk")).cast("long").as("chunk_len"))
         .orderBy(col("doc_id"), col("chunk_index")),
-    None)
+    Some(S1OracleSql.sql))
 
   /** Mongo-style filter compiler applied to relational columns — validates
     * filter_builder semantics through the DuckDB gate.
