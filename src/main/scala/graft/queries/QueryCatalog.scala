@@ -784,8 +784,9 @@ object QueryCatalog {
             ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
 
   /** Chunked variant of the e2e flow (the recursive splitter in the loop,
-    * 200/20): deterministic but the splitter isn't SQL-expressible →
-    * rows-only here; chunker semantics pinned by s1 + CollectionSpec.
+    * 200/20). ORACLED: S6OracleSql composes the s1 chunk-fold replay with
+    * the s4 per-chunk embedding + cosine + top-k replay — the whole
+    * chunk → embed → search path under one DuckDB hash gate.
     */
   val s6VectorSearchChunked: GraftQuery = GraftQuery(
     "s6_vector_search_chunked",
@@ -796,7 +797,7 @@ object QueryCatalog {
         .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
           col("chunk"), round(col("score"), 5).as("score"))
     },
-    None)
+    Some(S6OracleSql.sql))
 
   /** order_by over JSON document paths with NULLS LAST (order_by_builder
     * semantics): docs whose `rank` key is absent sort last; output carries
