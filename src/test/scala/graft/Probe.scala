@@ -85,6 +85,25 @@ object Probe {
       // probe: null vector row → null result, no crash
       val withNull = Seq((1L, Array(1f, 2f)), (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
       withNull.select($"id", cosineSimilarity($"v", floatVec(Seq(1f, 2f))).as("c")).show()
+      // load_dataset built-ins: name → catalog table, deterministic content
+      val (tbl, n) = graft.ml.Datasets.loadDataset(spark, "iris")
+      println(s"DATASETS: $tbl rows=$n")
+      spark.table(tbl).show(3)
+      // remote-embedder batch contract agrees with the column kernel
+      val hash = graft.functions.HashEmbedder(16)
+      val remote = graft.functions.RemoteEmbedder(graft.functions.HashBackedClient(16), 16, 4)
+      val same = hash.embedOne("probe text").sameElements(remote.embedOne("probe text"))
+      println(s"EMBEDDER-PARITY: $same" + (if (same) "" else " (BAD)"))
+      // tune conversation → generate, driver-side serving
+      val reg = java.nio.file.Files.createTempDirectory("graft_probe_reg_").toString
+      val tr = new graft.ml.Trainer(spark, reg)
+      val conv = Seq(
+        ("sys", "weather sunny forecast", "it is sunny"),
+        ("sys", "invoice billing payment", "invoice is ready"),
+        ("sys", "weather rain cloud forecast", "it is sunny"),
+        ("sys", "billing account payment due", "invoice is ready")).toDF("system", "user", "assistant")
+      tr.tune("probe_conv", "conversation", conv, "user", "assistant", "m")
+      println("GENERATE: " + tr.registry.generate("probe_conv", "weather forecast today"))
       spark.stop()
 
     case "ivf-recall" :: rest =>
