@@ -183,9 +183,13 @@ object Dedup {
       .where(col("component").isNotNull || size(col("ids")) > 1)
       .select(coalesce(col("component"), col("g")).as("ck"), col("ids"))
     val exploded = active.select(col("ck"), explode(col("ids")).as("id"))
-    // representative = min doc id across the whole component
-    val rep = exploded.groupBy("ck").agg(min("id").as("group_id"))
-    exploded.join(rep, Seq("ck"))
+    // representative = min doc id across the whole component. A window min
+    // over ck beats groupBy+self-join: one shuffle instead of two, and the
+    // token-hashing `groups` lineage above is evaluated ONCE, not once per
+    // consumer.
+    exploded
+      .withColumn("group_id",
+        min("id").over(org.apache.spark.sql.expressions.Window.partitionBy("ck")))
       .select(col("id").as(idCol), col("group_id"))
   }
 
