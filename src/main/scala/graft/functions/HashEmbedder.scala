@@ -127,8 +127,12 @@ final case class RemoteEmbedder(
     dim: Int = 64,
     batchSize: Int = 32) extends Embedder {
 
-  override def embedOne(text: String): Array[Float] =
-    client.embedBatch(Seq(text)).head
+  override def embedOne(text: String): Array[Float] = {
+    val e = client.embedBatch(Seq(text)).head
+    require(e.length == dim,
+      s"client ${client.model} returned dim ${e.length}, embedder declares $dim")
+    e
+  }
 
   /** Column fallback (single-text batches). Prefer [[embedFrame]] — this
     * exists so driver-side query embedding and ad-hoc column use work. */
@@ -148,12 +152,17 @@ final case class RemoteEmbedder(
     val outSchema = tmp.schema.add(outName, ArrayType(FloatType, containsNull = false))
     val c = client
     val bs = batchSize
+    val d = dim
     val out = tmp.mapPartitions { it =>
       it.grouped(bs).flatMap { batch =>
         val texts = batch.collect { case r if !r.isNullAt(inIdx) => r.getString(inIdx) }
-        val embs = c.embedBatch(texts).iterator
+        // an all-NULL slice must not generate client traffic (a real
+        // endpoint rejects an empty-input request)
+        val embs = (if (texts.isEmpty) Nil else c.embedBatch(texts)).iterator
         batch.map { r =>
           val e = if (r.isNullAt(inIdx)) null else embs.next()
+          if (e != null) require(e.length == d,
+            s"client ${c.model} returned dim ${e.length}, embedder declares $d")
           Row.fromSeq(r.toSeq :+ e)
         }
       }

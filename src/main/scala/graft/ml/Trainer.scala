@@ -76,7 +76,11 @@ class Trainer(spark: SparkSession, registryDir: String) {
       preprocess: Map[String, ColumnPlan] = Map.empty,
       testSize: Double = 0.25,
       testSampling: String = "random",
-      automaticDeploy: Boolean = true): TrainResult = {
+      automaticDeploy: Boolean = true,
+      // tune() records its text task in the registry while training under
+      // the classification lifecycle (the reference's model row keeps the
+      // tune task, api.rs:846-995); deploy metrics coincide (both f1)
+      recordTaskAs: Option[String] = None): TrainResult = {
 
     val featureCols = relation.columns.filterNot(yCol.contains(_)).toSeq
     val plans = featureCols.map(c =>
@@ -108,13 +112,15 @@ class Trainer(spark: SparkSession, registryDir: String) {
     val (model, metrics) = fitAndEvaluate(task, algorithm, hyperparams,
       trainPrep, testPrep, yCol)
 
-    val modelId = registry.saveModel(projectName, task, algorithm,
+    val recordedTask = recordTaskAs.getOrElse(task)
+    val modelId = registry.saveModel(projectName, recordedTask, algorithm,
       hyperparams, metrics, model, fitted, featNames)
 
-    val deployed = if (automaticDeploy) registry.maybeDeploy(projectName, task, modelId, metrics)
+    val deployed = if (automaticDeploy)
+      registry.maybeDeploy(projectName, recordedTask, modelId, metrics)
       else false
     if (!singlePass) trainPrep.unpersist()
-    TrainResult(projectName, task, algorithm, modelId, deployed, metrics)
+    TrainResult(projectName, recordedTask, algorithm, modelId, deployed, metrics)
   }
 
   /** Hyperparameter search — grid = full cartesian product of
@@ -232,7 +238,8 @@ class Trainer(spark: SparkSession, registryDir: String) {
           (0 until dim).map(i => element_at(emb, i + 1).cast("double").as(s"e$i")) :+
             col(yCol): _*)
         train(projectName, "classification", feat, Some(yCol), "linear",
-          hyperparams = tuneHp, testSize = testSize, testSampling = testSampling)
+          hyperparams = tuneHp, testSize = testSize, testSampling = testSampling,
+          recordTaskAs = Some(task))
 
       case "text_pair_classification" =>
         // pair features: per-dim |u−v| and u⊙v of the two text embeddings —
@@ -250,7 +257,8 @@ class Trainer(spark: SparkSession, registryDir: String) {
             Seq(abs(a - b).as(s"d$i"), (a * b).as(s"p$i"))
           } :+ col(yCol): _*)
         train(projectName, "classification", feat, Some(yCol), "linear",
-          hyperparams = tuneHp, testSize = testSize, testSampling = testSampling)
+          hyperparams = tuneHp, testSize = testSize, testSampling = testSampling,
+          recordTaskAs = Some(task))
 
       case "conversation" =>
         tuneConversation(projectName, relation, modelName, testSize, testSampling)
@@ -279,8 +287,11 @@ class Trainer(spark: SparkSession, registryDir: String) {
     for (c <- Seq("system", "user", "assistant"))
       require(relation.columns.contains(c),
         s"conversation tuning expects columns system, user, assistant (orm/dataset.rs:137-148); missing $c")
-    val ctx = embedder.embedCol(
-      concat_ws(" ", coalesce(col("system"), lit("")), col("user")))
+    // Cluster on the USER turn alone: generate(project, input) embeds the
+    // raw input at serve time, so the retrieval key must be the same
+    // feature space — folding the (usually constant) system prompt into the
+    // training vectors would skew every centroid relative to serving.
+    val ctx = embedder.embedCol(col("user"))
     val feat = relation.select(
       (0 until dim).map(i => element_at(ctx, i + 1).cast("double").as(s"e$i")) :+
         col("assistant"): _*)
@@ -315,19 +326,21 @@ class Trainer(spark: SparkSession, registryDir: String) {
       .select(col("prediction").cast("int").as("c"), col("assistant"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
 
-    // BLEU-1 on the held-out split, distributed (UDF over (candidate, ref))
-    val evalDf = if (testDf.isEmpty) trainDf else testDf
+    // BLEU-1 on the held-out split, distributed (UDF over (candidate, ref));
+    // an empty held-out split falls back to the CACHED train frame rather
+    // than re-deriving the embedding lineage
+    val evalPrep = if (testDf.isEmpty) trainPrep else prep(testDf)
     val repExpr = reps.foldLeft(lit("")) { case (acc, (c, r)) =>
       when(col("prediction") === c, lit(r)).otherwise(acc)
     }
     val bleuOf = udf((cand: String, ref: String) => Metrics.bleu1(cand, ref))
-    val bleu = km.transform(prep(evalDf))
+    val bleu = km.transform(evalPrep)
       .withColumn("_cand", repExpr)
       .agg(avg(bleuOf(col("_cand"), col("assistant")))).head().getDouble(0)
     val metrics = Map("bleu" -> bleu)
 
     val modelId = registry.saveModel(projectName, "conversation", "transformers",
-      Map("model_name" -> modelName, "project_name" -> projectName),
+      Map("model_name" -> modelName, "project_name" -> projectName, "tuned" -> "true"),
       metrics, km, fitted, featNames)
     registry.attachResponses(modelId, reps)
     val deployed = registry.maybeDeploy(projectName, "conversation", modelId, metrics)

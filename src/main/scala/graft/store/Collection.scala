@@ -39,8 +39,19 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   import spark.implicits._
 
   private def docsPath = s"$warehouseDir/$name/documents"
-  private def tablePath(pipeline: String, field: String, kind: String) =
+  // pipeline dirs share a parent with the collection's own tables — a
+  // pipeline named "documents" would write into (and removePipeline would
+  // DELETE) the corpus itself
+  private val reservedNames = Set(
+    "documents", "searches", "search_results", "search_events", "pipelines.json")
+  private def checkPipelineName(pipeline: String): Unit =
+    require(!reservedNames.contains(pipeline) && !pipeline.endsWith("_tmp")
+        && !pipeline.endsWith("_old"),
+      s"pipeline name '$pipeline' collides with a reserved collection table")
+  private def tablePath(pipeline: String, field: String, kind: String) = {
+    checkPipelineName(pipeline)
     s"$warehouseDir/$name/$pipeline/${field}_$kind"
+  }
 
   def documents: DataFrame = spark.read.parquet(docsPath)
 
@@ -437,18 +448,27 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * searches, aggregate each context with `array_join(collect_list)`,
     * substitute `{VAR}` into the prompt, generate. Returns (rag, sources).
     */
-  def rag(
+  private def composeRagPrompt(
       p: Pipeline,
       vars: Map[String, (Seq[VectorSearchField], Int)],
       promptTemplate: String,
-      joinSep: String = "\n",
-      generator: Generator = new EchoGenerator): RagResult = {
+      joinSep: String): (String, Map[String, Seq[String]]) = {
     val sources = vars.map { case (name, (fqs, k)) =>
       name -> vectorSearch(p, fqs, limit = k).select("chunk").as[String].collect().toSeq
     }
     val prompt = sources.foldLeft(promptTemplate) { case (acc, (name, chunks)) =>
       acc.replace(s"{$name}", chunks.mkString(joinSep))
     }
+    (prompt, sources)
+  }
+
+  def rag(
+      p: Pipeline,
+      vars: Map[String, (Seq[VectorSearchField], Int)],
+      promptTemplate: String,
+      joinSep: String = "\n",
+      generator: Generator = new EchoGenerator): RagResult = {
+    val (prompt, sources) = composeRagPrompt(p, vars, promptTemplate, joinSep)
     RagResult(generator.generate(prompt), sources)
   }
 
@@ -464,12 +484,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       promptTemplate: String,
       joinSep: String = "\n",
       generator: Generator = new EchoGenerator): (Iterator[String], Map[String, Seq[String]]) = {
-    val sources = vars.map { case (name, (fqs, k)) =>
-      name -> vectorSearch(p, fqs, limit = k).select("chunk").as[String].collect().toSeq
-    }
-    val prompt = sources.foldLeft(promptTemplate) { case (acc, (name, chunks)) =>
-      acc.replace(s"{$name}", chunks.mkString(joinSep))
-    }
+    val (prompt, sources) = composeRagPrompt(p, vars, promptTemplate, joinSep)
     // lazy: generation runs on first token pull, like the reference's stream
     val tokens = Iterator(()).flatMap { _ =>
       generator.generate(prompt).split("\\s+").iterator.filter(_.nonEmpty)
@@ -574,6 +589,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   /** Drop the pipeline's derived tables and deregister it
     * (collection.rs:396-421: DROP SCHEMA CASCADE + DELETE row). */
   def removePipeline(p: Pipeline): Unit = {
+    checkPipelineName(p.name)
     deleteRec(new java.io.File(s"$warehouseDir/$name/${p.name}"))
     writePipelines(pipelines - p.name)
   }

@@ -301,6 +301,13 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.pipelines.isEmpty)
     intercept[Exception] { c.chunks(p, "body").count() }
     assert(c.documents.count() == 7) // documents survive pipeline removal
+
+    // reserved names can't be used as pipelines — a pipeline named
+    // "documents" would have its removal DELETE the corpus
+    val evil = Pipeline("documents", Seq(PipelineField("body")))
+    intercept[IllegalArgumentException] { c.syncPipeline(evil) }
+    intercept[IllegalArgumentException] { c.removePipeline(evil) }
+    assert(c.documents.count() == 7)
   }
 
   test("archive renames the collection home and frees the name") {

@@ -37,6 +37,11 @@ class TuneSpec extends AnyFunSuite {
       textCol = "text1", yCol = "label", modelName = "cross-encoder-stand-in")
     assert(res.deployed)
     assert(res.metrics("f1") > 0.8, s"pair-classification f1 too low: ${res.metrics}")
+    // the registry records the TUNE task, not the underlying lifecycle task
+    assert(res.task == "text_pair_classification")
+    val rowTask = t.registry.models.where(col("model_id") === res.modelId)
+      .select("task").as[String].head()
+    assert(rowTask == "text_pair_classification")
     // registered through the standard lifecycle: deployed model serves batch predict
     val probe = Seq(
       ("the garden report arrived on day garden 3", "the garden report arrived late on day garden 3"),
