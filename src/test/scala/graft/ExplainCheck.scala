@@ -57,6 +57,12 @@ object ExplainCheck {
     // must NOT pay a pre-limit corpus-wide semi-join gate per query
     check("s4_vector_search_e2e", "no corpus-wide LeftSemi gate in unfiltered search")(
       p => !p.contains("LeftSemi"))
+    // the group-representative stage is a window min over the component
+    // key — a groupBy+self-join here re-shuffles the membership AND
+    // re-evaluates the token-hash lineage once per consumer (the d3/d4
+    // −27% rewrite; Window appears once, no extra join after components)
+    check("d3_dedup_groups", "representative is a window min, not agg+self-join")(
+      p => p.contains("Window") && !p.contains("SortMergeJoin [ck"))
 
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition
