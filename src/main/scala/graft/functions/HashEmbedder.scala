@@ -147,8 +147,14 @@ final case class RemoteEmbedder(
       outName: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val tmp = df.withColumn("__embed_in", inCol)
-    val inIdx = tmp.schema.fieldIndex("__embed_in")
+    require(!df.columns.contains(outName),
+      s"embedFrame output column '$outName' already exists in the input frame")
+    // derive a temp name absent from the frame so an existing __embed_in
+    // column is never clobbered
+    val tmpName = Iterator.from(0).map(i => s"__embed_in_$i")
+      .find(n => !df.columns.contains(n)).get
+    val tmp = df.withColumn(tmpName, inCol)
+    val inIdx = tmp.schema.fieldIndex(tmpName)
     val outSchema = tmp.schema.add(outName, ArrayType(FloatType, containsNull = false))
     val c = client
     val bs = batchSize
@@ -167,6 +173,6 @@ final case class RemoteEmbedder(
         }
       }
     }(Encoders.row(outSchema))
-    out.drop("__embed_in")
+    out.drop(tmpName)
   }
 }

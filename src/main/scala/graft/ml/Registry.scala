@@ -34,6 +34,10 @@ class Registry(spark: SparkSession, dir: String) {
     scala.collection.concurrent.TrieMap.empty[String, DeploymentRow]
   private val metricsCache =
     scala.collection.concurrent.TrieMap.empty[Long, Map[String, Double]]
+  // responses.json sidecar per conversation-tuned model — immutable once
+  // attached, so generate() must not pay file IO + JSON parse per call
+  private val responsesCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Option[Map[Int, String]]]
   // highest allocated model id — seeded from the parquet table once, then
   // advanced in memory (model rows are append-only and ids never reused).
   // The in-memory counter is only a same-instance floor: another Registry
@@ -258,14 +262,16 @@ class Registry(spark: SparkSession, dir: String) {
     val json = Serialization.write(responses.map { case (k, v) => k.toString -> v })
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${modelDir(modelId)}/responses.json"), json)
+    responsesCache.put(modelId, Some(responses))
   }
 
-  private def responsesOf(modelId: Long): Option[Map[Int, String]] = {
-    val p = java.nio.file.Paths.get(s"${modelDir(modelId)}/responses.json")
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(JsonMethods.parse(java.nio.file.Files.readString(p))
-      .extract[Map[String, String]].map { case (k, v) => k.toInt -> v })
-  }
+  private def responsesOf(modelId: Long): Option[Map[Int, String]] =
+    responsesCache.getOrElseUpdate(modelId, {
+      val p = java.nio.file.Paths.get(s"${modelDir(modelId)}/responses.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else Some(JsonMethods.parse(java.nio.file.Files.readString(p))
+        .extract[Map[String, String]].map { case (k, v) => k.toInt -> v })
+    })
 
   /** `pgml.generate(project, input)` — generation from a tuned project
     * (api.rs:826-844). A conversation-tuned deployment (Trainer.tune task

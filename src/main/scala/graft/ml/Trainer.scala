@@ -248,6 +248,10 @@ class Trainer(spark: SparkSession, registryDir: String) {
         // capability tune() fine-tunes in the reference, api.rs:846-995)
         require(relation.columns.contains("text1") && relation.columns.contains("text2"),
           "text_pair_classification tuning expects columns text1, text2 (orm/dataset.rs:111-124)")
+        // the pair dataset fixes its text columns; a caller passing some
+        // other textCol would silently get text1/text2 — fail loudly instead
+        require(textCol == "text1",
+          s"text_pair_classification reads fixed columns text1/text2 (orm/dataset.rs:111); pass textCol=text1, got '$textCol'")
         val e1 = embedder.embedCol(col("text1"))
         val e2 = embedder.embedCol(col("text2"))
         val feat = relation.select(
@@ -261,6 +265,10 @@ class Trainer(spark: SparkSession, registryDir: String) {
           recordTaskAs = Some(task))
 
       case "conversation" =>
+        // conversation datasets fix their columns (system/user/assistant);
+        // reject mismatched textCol/yCol rather than silently ignoring them
+        require(textCol == "user" && yCol == "assistant",
+          s"conversation tuning reads fixed columns system/user/assistant (orm/dataset.rs:137); pass textCol=user, yCol=assistant, got ('$textCol', '$yCol')")
         tuneConversation(projectName, relation, modelName, testSize, testSampling)
 
       case other => throw new IllegalArgumentException(

@@ -620,11 +620,15 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * dead after archive).
     */
   def archive(): String = {
-    val ts = System.currentTimeMillis() / 1000
-    val archiveName = s"${name}_archive_$ts"
+    val ts = System.currentTimeMillis()
     val src = new java.io.File(s"$warehouseDir/$name")
+    // millisecond stamp, then probe _2, _3... so re-archiving a recreated
+    // same-named collection in the same instant still succeeds
+    val base = s"${name}_archive_$ts"
+    val archiveName = (Iterator(base) ++ Iterator.from(2).map(i => s"${base}_$i"))
+      .find(n => !new java.io.File(s"$warehouseDir/$n").exists())
+      .get
     val dst = new java.io.File(s"$warehouseDir/$archiveName")
-    require(!dst.exists(), s"archive target already exists: $dst")
     require(src.renameTo(dst), s"failed to archive $src -> $dst")
     archiveName
   }

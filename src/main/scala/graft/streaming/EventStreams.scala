@@ -53,9 +53,26 @@ object EventStreams {
   def sessionize(
       events: Dataset[EventRow],
       gapMinutes: Int = 30,
-      maxBufferedPerKey: Int = 65536): DataFrame = {
+      maxBufferedPerKey: Int = 65536): DataFrame =
+    sessionizeCounted(events, gapMinutes, maxBufferedPerKey)._1
+
+  /** [[sessionize]] plus its degradation signal: a LongAccumulator counting
+    * events folded OUT OF ORDER (fold-time ts < the session's lastTs) — the
+    * observable trace of intra-batch disorder exceeding the reorder buffer.
+    * Zero means every event folded in exact event-time order, so results
+    * equal the unbounded full-sort; nonzero quantifies how often the bounded
+    * buffer degraded (the stray events still fold, as with late data beyond
+    * a watermark, but at their arrival slot).
+    */
+  def sessionizeCounted(
+      events: Dataset[EventRow],
+      gapMinutes: Int = 30,
+      maxBufferedPerKey: Int = 65536)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import events.sparkSession.implicits._
-    events
+    val disorder = events.sparkSession.sparkContext
+      .longAccumulator("sessionize.outOfOrderFolds")
+    val out = events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -65,6 +82,7 @@ object EventStreams {
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           def fold(e: EventRow): Unit = {
             val t = e.ts.getTime
+            if (st.count > 0 && t < st.lastTs) disorder.add(1L)
             if (st.count > 0 && t - st.lastTs > gapMs) {
               closed += SessionOut(userId, st.count, st.sumValue)
               st = SessionState(0L, 0.0, Long.MinValue)
@@ -82,6 +100,7 @@ object EventStreams {
           state.update(st)
           closed.iterator
       }.toDF()
+    (out, disorder)
   }
 }
 

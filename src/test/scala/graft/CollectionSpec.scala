@@ -323,5 +323,12 @@ class CollectionSpec extends AnyFunSuite {
     val fresh = new Collection(spark, "c_arch", wh)
     fresh.upsertDocuments(dummyDocs(1))
     assert(fresh.documents.count() == 1)
+
+    // re-creating and re-archiving immediately must not collide with the
+    // first archive even within the same timestamp (suffix probe)
+    val archived2 = new Collection(spark, "c_arch", wh).archive()
+    assert(archived2 != archived)
+    assert(new java.io.File(s"$wh/$archived2").exists())
+    assert(!new java.io.File(s"$wh/c_arch").exists())
   }
 }

@@ -49,6 +49,19 @@ class EmbedderSpec extends AnyFunSuite {
       s"batch sizes seen: $sizes")
   }
 
+  test("embedFrame: reserved/output column collisions are safe") {
+    val remote = RemoteEmbedder(HashBackedClient(8), dim = 8, batchSize = 2)
+    // a pre-existing __embed_in column survives untouched (unique temp name)
+    val df = Seq(("a", 1), ("b", 2)).toDF("t", "__embed_in")
+    val out = remote.embedFrame(df, col("t"), "e")
+    assert(out.columns.toSeq == Seq("t", "__embed_in", "e"))
+    assert(out.select("__embed_in").as[Int].collect().sorted.sameElements(Array(1, 2)))
+    // an output name already present fails loudly instead of clobbering
+    intercept[IllegalArgumentException] {
+      remote.embedFrame(df, col("t"), "__embed_in")
+    }
+  }
+
   test("embedFrame: NULL text yields NULL embedding and never reaches the client") {
     val remote = RemoteEmbedder(EmbedderSpec.StrictClient(8), dim = 8, batchSize = 3)
     val df = Seq(Some("a"), None, Some("b"), None).toDF("t")

@@ -96,6 +96,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(bounded == exact)
   }
 
+  test("sessionization: disorder beyond the buffer is counted, exact order counts zero") {
+    val t0 = 1700000000000L
+    val ordered = (0 until 512).map { i =>
+      EventRow(i.toLong, new java.sql.Timestamp(t0 + i * 1000L), 1L, "click", 1.0, "{}")
+    }
+    // in exact order (or disorder within the buffer) nothing folds out of order
+    val (exactDf, exactCtr) = EventStreams.sessionizeCounted(ordered.toDS(),
+      gapMinutes = 30, maxBufferedPerKey = 8)
+    exactDf.collect()
+    assert(exactCtr.value == 0L)
+    // blocks of 64 reversed against a buffer of 8 → degradation is visible
+    val shuffled = ordered.grouped(64).flatMap(_.reverse).toSeq
+    val (degradedDf, degradedCtr) = EventStreams.sessionizeCounted(shuffled.toDS(),
+      gapMinutes = 30, maxBufferedPerKey = 8)
+    degradedDf.collect()
+    assert(degradedCtr.value > 0L,
+      "out-of-order folds beyond the reorder buffer must be observable")
+  }
+
   test("sessionization: one pathological key streams through a small buffer") {
     val t0 = 1700000000000L
     // a 200k-event bot key folded through a 1024-slot buffer: per-key memory

@@ -95,6 +95,22 @@ class TuneSpec extends AnyFunSuite {
     }
   }
 
+  test("tune rejects textCol/yCol that mismatch a fixed-column task") {
+    // pair and conversation datasets fix their columns — passing other
+    // names must fail loudly, not silently read the fixed columns
+    val t = newTrainer()
+    val pair = Seq(("a", "b", 0.0)).toDF("text1", "text2", "label")
+    intercept[IllegalArgumentException] {
+      t.tune("proj_bad_pair", "text_pair_classification", pair,
+        textCol = "text2", yCol = "label", modelName = "m")
+    }
+    val conv = Seq(("s", "u", "a")).toDF("system", "user", "assistant")
+    intercept[IllegalArgumentException] {
+      t.tune("proj_bad_conv", "conversation", conv,
+        textCol = "question", yCol = "answer", modelName = "m")
+    }
+  }
+
   test("predict(project, row(...)): mixed-type row matches batch preprocessing semantics") {
     // mixed relation: categorical string + numeric with nulls
     val rows: Seq[(String, java.lang.Double, Double)] = (0 until 120).map { i =>
