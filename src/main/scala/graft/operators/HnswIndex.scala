@@ -1,0 +1,494 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HNSW approximate nearest neighbour — the reference's actual index type
+  * (pgvector HNSW built per pipeline field with `m` / `ef_construction`,
+  * pgml-sdks/pgml/src/pipeline.rs:526-543, defaults 16/64 at :66-73),
+  * re-expressed for Spark's execution model.
+  *
+  * A single monolithic navigable-small-world graph doesn't fit a shared-
+  * nothing cluster (every hop is a potential network round trip), so the
+  * index is a FOREST: embeddings are hash-partitioned by id and each
+  * partition builds its own in-memory HNSW graph via `mapPartitions`. A
+  * query broadcasts the vector, runs the classic layered search inside
+  * every graph (log-ish distance evaluations per partition instead of a
+  * full scan), and merges the per-partition top-k — a tiny (partitions × k)
+  * global sort. Deserialized graphs are cached per executor, so repeated
+  * queries touch no parquet at all: the serving shape of the reference's
+  * in-Postgres HNSW probe, with the scan parallelism of Spark.
+  *
+  * Scale: per-partition graph size is bounded by the partitioning (default
+  * ~100k vectors/graph); 100 TB of embeddings = more partitions, not bigger
+  * graphs. Build is embarrassingly parallel and one-pass. Every query costs
+  * P·O(ef·log n_p) distance evaluations vs the brute-force scan's N — the
+  * win grows with n_p, and unlike IVF no recall is lost to centroid
+  * assignment; recall is governed by `ef` alone.
+  *
+  * Determinism: level draws come from splitmix64 seeded per (seed,
+  * partition), and partitioning is hash-by-id with a sort within
+  * partitions, so rebuilding over identical data yields identical graphs.
+  */
+final class HnswGraph(
+    val dim: Int,
+    val m: Int,
+    val efConstruction: Int,
+    val ids: Array[Long],
+    val vecs: Array[Float], // n × dim, flat row-major
+    val norms: Array[Double],
+    val neighbors: Array[Array[Array[Int]]], // node → layer (0..level) → nbrs
+    val entryPoint: Int,
+    val maxLevel: Int) extends Serializable {
+
+  def size: Int = ids.length
+
+  private def cosDist(q: Array[Float], qNorm: Double, node: Int): Double = {
+    var dot = 0.0
+    val off = node * dim
+    var i = 0
+    while (i < dim) { dot += q(i).toDouble * vecs(off + i); i += 1 }
+    val denom = qNorm * norms(node)
+    if (denom == 0.0) 1.0 else 1.0 - dot / denom
+  }
+
+  /** Best-first search of one layer (Malkov & Yashunin alg. 2): bounded
+    * result heap of `ef`, expand until the closest open candidate is worse
+    * than the worst kept result. */
+  private def searchLayer(
+      q: Array[Float], qNorm: Double, eps: Array[Int], ef: Int, layer: Int)
+      : scala.collection.mutable.PriorityQueue[(Double, Int)] = {
+    val visited = new java.util.BitSet(size)
+    // candidates: min-heap on distance; results: max-heap (worst on top)
+    val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1).reverse)
+    val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1))
+    var i = 0
+    while (i < eps.length) {
+      val ep = eps(i)
+      if (!visited.get(ep)) {
+        visited.set(ep)
+        val d = cosDist(q, qNorm, ep)
+        cand.enqueue((d, ep)); res.enqueue((d, ep))
+      }
+      i += 1
+    }
+    var done = false
+    while (!done && cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (res.size >= ef && dc > res.head._1) done = true
+      else {
+        val nbs = neighbors(c)(layer)
+        var j = 0
+        while (j < nbs.length) {
+          val nb = nbs(j)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = cosDist(q, qNorm, nb)
+            if (res.size < ef || d < res.head._1) {
+              cand.enqueue((d, nb)); res.enqueue((d, nb))
+              if (res.size > ef) { res.dequeue(); () }
+            }
+          }
+          j += 1
+        }
+      }
+    }
+    res
+  }
+
+  /** Top-k by cosine similarity: greedy descent through the upper layers,
+    * then an `ef`-wide layer-0 sweep. Returns (id, cosineSimilarity) sorted
+    * best-first, ties broken by id. */
+  def search(q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
+    if (size == 0) return Array.empty
+    var qn = 0.0
+    var i = 0
+    while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+    qn = math.sqrt(qn)
+    var ep = entryPoint
+    var epDist = cosDist(q, qn, ep)
+    var l = maxLevel
+    while (l > 0) {
+      var changed = true
+      while (changed) {
+        changed = false
+        val nbs = neighbors(ep)(l)
+        var j = 0
+        while (j < nbs.length) {
+          val d = cosDist(q, qn, nbs(j))
+          if (d < epDist) { ep = nbs(j); epDist = d; changed = true }
+          j += 1
+        }
+      }
+      l -= 1
+    }
+    searchLayer(q, qn, Array(ep), math.max(ef, k), 0)
+      .dequeueAll.toArray
+      .map { case (d, node) => (ids(node), 1.0 - d) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+  }
+}
+
+/** Incremental builder: standard HNSW insertion with the simple
+  * closest-M neighbor selection and bidirectional links pruned to
+  * m (upper layers) / 2m (layer 0). */
+final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long) {
+  require(m >= 2 && efConstruction >= m, s"need m>=2, efConstruction>=m; got ($m, $efConstruction)")
+
+  private val mL = 1.0 / math.log(m.toDouble)
+  private var rng = seed
+  private val idsB = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private val vecsB = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+  private val normsB = scala.collection.mutable.ArrayBuffer.empty[Double]
+  private val nbrs = scala.collection.mutable.ArrayBuffer
+    .empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+  private var entry = -1
+  private var maxLevel = -1
+  private var dim = -1
+
+  def size: Int = idsB.length
+
+  private def nextUnit(): Double = {
+    // splitmix64 → uniform [0,1)
+    rng += 0x9e3779b97f4a7c15L
+    var z = rng
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  private def randomLevel(): Int =
+    math.min((-math.log(math.max(nextUnit(), 1e-15)) * mL).toInt, 30)
+
+  private def dist(v: Array[Float], vNorm: Double, node: Int): Double = {
+    val w = vecsB(node)
+    var dot = 0.0
+    var i = 0
+    while (i < w.length) { dot += v(i).toDouble * w(i); i += 1 }
+    val denom = vNorm * normsB(node)
+    if (denom == 0.0) 1.0 else 1.0 - dot / denom
+  }
+
+  private def searchLayer(
+      v: Array[Float], vNorm: Double, eps: Array[Int], ef: Int, layer: Int)
+      : Array[(Double, Int)] = {
+    val visited = new java.util.BitSet(size)
+    val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1).reverse)
+    val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1))
+    var i = 0
+    while (i < eps.length) {
+      val ep = eps(i)
+      if (!visited.get(ep)) {
+        visited.set(ep)
+        val d = dist(v, vNorm, ep)
+        cand.enqueue((d, ep)); res.enqueue((d, ep))
+      }
+      i += 1
+    }
+    var done = false
+    while (!done && cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (res.size >= ef && dc > res.head._1) done = true
+      else {
+        val layerNbrs = nbrs(c)(layer)
+        var j = 0
+        while (j < layerNbrs.length) {
+          val nb = layerNbrs(j)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = dist(v, vNorm, nb)
+            if (res.size < ef || d < res.head._1) {
+              cand.enqueue((d, nb)); res.enqueue((d, nb))
+              if (res.size > ef) { res.dequeue(); () }
+            }
+          }
+          j += 1
+        }
+      }
+    }
+    res.dequeueAll.toArray.sortBy(_._1)
+  }
+
+  def add(id: Long, v: Array[Float]): Unit = {
+    if (dim < 0) dim = v.length
+    require(v.length == dim, s"vector length mismatch: $dim vs ${v.length}")
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+    val vNorm = math.sqrt(n2)
+    val node = size
+    val level = randomLevel()
+    idsB += id; vecsB += v; normsB += vNorm
+    nbrs += Array.fill(level + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    if (entry < 0) { entry = node; maxLevel = level; return }
+
+    // greedy descent to level+1
+    var ep = entry
+    var epDist = dist(v, vNorm, ep)
+    var l = maxLevel
+    while (l > level) {
+      var changed = true
+      while (changed) {
+        changed = false
+        val layerNbrs = nbrs(ep)(l)
+        var j = 0
+        while (j < layerNbrs.length) {
+          val d = dist(v, vNorm, layerNbrs(j))
+          if (d < epDist) { ep = layerNbrs(j); epDist = d; changed = true }
+          j += 1
+        }
+      }
+      l -= 1
+    }
+
+    // connect at layers min(level, maxLevel)..0
+    var eps = Array(ep)
+    l = math.min(level, maxLevel)
+    while (l >= 0) {
+      val found = searchLayer(v, vNorm, eps, efConstruction, l)
+      val mMax = if (l == 0) 2 * m else m
+      val selected = found.take(m).map(_._2)
+      nbrs(node)(l) ++= selected
+      var s = 0
+      while (s < selected.length) {
+        val c = selected(s)
+        val cl = nbrs(c)(l)
+        cl += node
+        if (cl.length > mMax) {
+          // prune to the mMax closest neighbors of c
+          val cv = vecsB(c); val cn = normsB(c)
+          val kept = cl.toArray.map(nb => (dist(cv, cn, nb), nb))
+            .sortBy(_._1).take(mMax).map(_._2)
+          cl.clear(); cl ++= kept
+        }
+        s += 1
+      }
+      eps = found.map(_._2)
+      l -= 1
+    }
+    if (level > maxLevel) { maxLevel = level; entry = node }
+  }
+
+  def freeze(): HnswGraph = {
+    val n = size
+    val d = math.max(dim, 0)
+    val flat = new Array[Float](n * d)
+    var i = 0
+    while (i < n) { System.arraycopy(vecsB(i), 0, flat, i * d, d); i += 1 }
+    new HnswGraph(d, m, efConstruction, idsB.toArray, flat, normsB.toArray,
+      nbrs.map(_.map(_.toArray)).toArray, entry, maxLevel)
+  }
+}
+
+/** A forest of per-partition HNSW graphs as a DataFrame of serialized
+  * blobs: `(pid int, graph binary)`. See [[HnswGraph]] for the model. */
+class HnswIndex private[operators] (
+    val graphs: DataFrame,
+    val cacheKey: String,
+    val m: Int,
+    val efConstruction: Int) extends Serializable {
+
+  /** ANN top-k by cosine similarity: per-partition graph search, then a
+    * (partitions × k)-row global merge. `ef` defaults to
+    * max(4k, efConstruction) — the usual serve-time knob; raise it for
+    * recall, lower it for latency. */
+  def search(query: Array[Float], k: Int, ef: Int = 0,
+      idName: String = "id"): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val ck = cacheKey
+    val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
+    val q = query
+    val kk = k
+    val hits = graphs.select(col("pid"), col("graph")).as[(Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (pid, bytes) =>
+          HnswIndex.graphFor(ck, pid, bytes).search(q, kk, efEff)
+        }
+      }.toDF(idName, "score")
+    hits.orderBy(col("score").desc, col(idName).asc).limit(k)
+  }
+
+  /** Persist as a parquet table of graph blobs + a meta sidecar, published
+    * atomically (the build-once contract of the reference's HNSW,
+    * pipeline.rs:526-543). */
+  def save(path: String): Unit = {
+    val spark = graphs.sparkSession
+    val fs = IndexStore.fsFor(spark, path)
+    val target = fs.makeQualified(new Path(path))
+    IndexStore.publishAtomic(fs, target) { tmp =>
+      graphs.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "data").toString)
+      IndexStore.writeString(fs, new Path(tmp, HnswIndex.Sidecar),
+        s"""{"m":$m,"efConstruction":$efConstruction}""")
+    }
+  }
+}
+
+object HnswIndex {
+
+  private val Sidecar = "meta.json"
+  // bump when the graph layout or build scheme changes: the format version
+  // keys the persisted home, so an old-format index is never served
+  private val FormatVersion = 1
+  /** Per-partition vector budget: graphs stay executor-memory-sized; more
+    * data means more graphs, never bigger ones. */
+  val DefaultPartitionBudget = 100000
+
+  // session cache of served indexes (keyed by resolved persisted home) and
+  // executor-local cache of deserialized graphs (keyed by (home, pid))
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, HnswIndex]
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), HnswGraph]
+
+  private[operators] def graphFor(key: String, pid: Int, bytes: Array[Byte]): HnswGraph =
+    graphCache.getOrElseUpdate((key, pid), deserialize(bytes))
+
+  private[operators] def serialize(g: HnswGraph): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    try oos.writeObject(g) finally oos.close()
+    bos.toByteArray
+  }
+
+  private[operators] def deserialize(bytes: Array[Byte]): HnswGraph = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[HnswGraph] finally ois.close()
+  }
+
+  /** Build a forest over `df(idCol, vecCol)`. Partition count defaults to
+    * ceil(N / partitionBudget): per-graph memory is bounded, build is one
+    * `mapPartitions` pass. Ids must be castable to long. */
+  def build(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      numPartitions: Int = 0,
+      partitionBudget: Int = DefaultPartitionBudget,
+      seed: Long = 42L): HnswIndex = {
+    import spark.implicits._
+    val n = df.count()
+    val p =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, ((n + partitionBudget - 1) / partitionBudget).toInt)
+    val src = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      // hash-by-id + sort-within: deterministic node placement and
+      // insertion order, so rebuilds over identical data are identical
+      .repartition(p, col("id"))
+      .sortWithinPartitions("id")
+    val mm = m
+    val efc = efConstruction
+    val sd = seed
+    val graphs = src.as[(Long, Array[Float])].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val b = new HnswGraphBuilder(mm, efc, sd ^ (pid.toLong * 0x9e3779b97f4a7c15L))
+      it.foreach { case (id, v) => b.add(id, v) }
+      if (b.size == 0) Iterator.empty
+      else Iterator((pid, serialize(b.freeze())))
+    }.toDF("pid", "graph").cache()
+    graphs.count() // materialize once; searches reuse the cached blobs
+    new HnswIndex(graphs, s"mem:${java.util.UUID.randomUUID()}", m, efConstruction)
+  }
+
+  def existsAt(spark: SparkSession, path: String): Boolean =
+    IndexStore.fsFor(spark, path).exists(new Path(path, Sidecar))
+
+  def delete(spark: SparkSession, path: String): Unit = {
+    IndexStore.fsFor(spark, path).delete(new Path(path), true); ()
+  }
+
+  /** Load a persisted forest. Graph blobs deserialize lazily per executor
+    * (and stay cached there keyed by the home path), so repeated queries
+    * after the first read no parquet at all. */
+  def load(spark: SparkSession, path: String): HnswIndex = {
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      IndexStore.readString(fs, new Path(path, Sidecar)))
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val m = (meta \ "m").extract[Int]
+    val efc = (meta \ "efConstruction").extract[Int]
+    // serve from memory: an HNSW graph is an in-RAM structure by design
+    // (the reference's index pages live in the DB's shared buffers);
+    // without the cache every query re-reads the full blob table
+    new HnswIndex(spark.read.parquet(s"$path/data").cache(), path, m, efc)
+  }
+
+  /** Load if `path` holds a compatible forest, else build from `df` and
+    * persist — only the first session pays the build. A loaded index whose
+    * build params contradict the requested ones is rebuilt, not served. */
+  def loadOrBuild(
+      spark: SparkSession,
+      path: String,
+      df: => DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      numPartitions: Int = 0): HnswIndex = {
+    if (existsAt(spark, path)) {
+      val loaded = load(spark, path)
+      if (loaded.m == m && loaded.efConstruction == efConstruction) return loaded
+      delete(spark, path)
+    }
+    val idx = build(spark, df, vecCol, idCol, m, efConstruction, numPartitions)
+    idx.save(path)
+    idx.graphs.unpersist()
+    load(spark, path)
+  }
+
+  /** Session-cached persisted serving path (the HNSW twin of
+    * [[IvfIndex.serveOrBuild]]): resolve the on-disk home from the source
+    * path + mtime + build params, serve from the session cache, else load
+    * or build-and-persist. */
+  def serveOrBuild(
+      spark: SparkSession,
+      sourcePath: String,
+      df: => DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      numPartitions: Int = 0): HnswIndex = {
+    val home = indexPathFor(spark, sourcePath, m, efConstruction, numPartitions)
+    cache.getOrElseUpdate(home, {
+      val idx = loadOrBuild(spark, home, df, vecCol, idCol, m, efConstruction,
+        numPartitions)
+      IndexStore.publishManifestAndPrune(spark, home, sourcePath)
+      idx
+    })
+  }
+
+  /** Where the persisted forest for a source table lives: under
+    * GRAFT_INDEX_DIR/hnsw (default java.io.tmpdir/graft-hnsw), keyed by
+    * source path + mtime + build params + format version. */
+  def indexPathFor(spark: SparkSession, sourcePath: String,
+      m: Int = 16, efConstruction: Int = 64, numPartitions: Int = 0): String = {
+    val mtime = IndexStore.mtimeOf(spark, sourcePath)
+    val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/hnsw")
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-hnsw")
+    val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
+      s"$sourcePath@$mtime@m=$m@efc=$efConstruction@p=$numPartitions@v$FormatVersion"))
+    s"$root/$key"
+  }
+
+  /** Drop cached state for a home (writers call this on source rewrite). */
+  def invalidate(home: String): Unit = {
+    cache.remove(home).foreach(_.graphs.unpersist())
+    graphCache.keys.filter(_._1 == home).foreach(graphCache.remove)
+  }
+
+  def invalidateAll(): Unit = {
+    cache.keys.foreach(invalidate)
+    graphCache.clear()
+  }
+}

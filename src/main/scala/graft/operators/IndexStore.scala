@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared persistence plumbing for ANN index homes ([[IvfIndex]],
+  * [[HnswIndex]]): Hadoop-FS IO (HDFS/S3A work like local disk),
+  * stage-then-rename atomic publish, source-mtime-keyed home resolution,
+  * and manifest-based pruning of stale sibling homes.
+  */
+private[operators] object IndexStore {
+
+  val SourceManifest = "source.path"
+
+  def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Stage index contents under a hidden temp sibling (via `stage`), then
+    * publish with one rename: concurrent savers race on the rename and
+    * exactly one wins; losers discard their staging dir and read the
+    * winner's output. */
+  def publishAtomic(fs: FileSystem, target: Path)(stage: Path => Unit): Unit = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    stage(tmp)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost the race: winner serves
+    else {
+      // HDFS-semantics filesystems rename INTO an existing target directory
+      // and return true — the "loser deletes its staging dir" handling above
+      // only fires on local FS. Detect the nested stray and drop it.
+      val nested = new Path(target, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
+  }
+
+  /** Latest modification time under `path` (a file or one-level directory) —
+    * the freshness component of a persisted home's key. */
+  def mtimeOf(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val p = new Path(path)
+    if (!fs.exists(p)) 0L
+    else {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).map(_.getModificationTime)
+          .foldLeft(st.getModificationTime)(math.max)
+      else st.getModificationTime
+    }
+  }
+
+  /** Record which source a persisted home derives from, then drop sibling
+    * homes of the SAME source with a different (stale-mtime / old-format)
+    * key — without this every source rewrite leaks a full index copy into
+    * the index root forever. */
+  def publishManifestAndPrune(
+      spark: SparkSession, home: String, sourcePath: String): Unit = {
+    val fs = fsFor(spark, home)
+    val homeP = fs.makeQualified(new Path(home))
+    val manifest = new Path(homeP, SourceManifest)
+    if (!fs.exists(manifest)) writeString(fs, manifest, sourcePath)
+    val root = homeP.getParent
+    if (fs.exists(root)) fs.listStatus(root).foreach { sib =>
+      if (sib.isDirectory && sib.getPath != homeP) {
+        val m = new Path(sib.getPath, SourceManifest)
+        if (fs.exists(m) && readString(fs, m) == sourcePath)
+          fs.delete(sib.getPath, true)
+      }
+    }
+  }
+}

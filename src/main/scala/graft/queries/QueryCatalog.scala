@@ -612,6 +612,54 @@ object QueryCatalog {
             FROM embeddings, range(1, 65) t(i)
             ORDER BY vec_id, pos"""))
 
+  /** HNSW-forest ANN (the reference's actual index type — pgvector HNSW,
+    * pipeline.rs:526-543): per-partition graph search + a (partitions×k)-row
+    * global merge, served from a persisted forest. Approximate by design
+    * (ef trades recall for traversal cost) → rows-only; the recall contract
+    * is gated in HnswSpec and v10 puts the exact full-sweep twin behind the
+    * DuckDB gate.
+    */
+  val v9KnnHnsw: GraftQuery = GraftQuery(
+    "v9_knn_hnsw",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 13).select("embedding").as[Array[Float]].head()
+      val idx = graft.operators.HnswIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
+        m = 16, efConstruction = 64, numPartitions = 8)
+      idx.search(q, 10, ef = 64, idName = "vec_id")
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    None)
+
+  /** HNSW full sweep (ef = N): the layer-0 search admits every reachable
+    * node, so on a connected graph the result equals exact KNN — this puts
+    * the whole graph build/link/traverse machinery behind the DuckDB gate
+    * (the pruned-recall contract stays in HnswSpec and v9), the same
+    * exact-twin pattern as v7 for IVF.
+    */
+  val v10KnnHnswFull: GraftQuery = GraftQuery(
+    "v10_knn_hnsw_full",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 21).select("embedding").as[Array[Float]].head()
+      val n = emb.count().toInt
+      val idx = graft.operators.HnswIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
+        m = 16, efConstruction = 64, numPartitions = 8)
+      idx.search(q, 10, ef = n, idName = "vec_id")
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    Some("""SELECT vec_id,
+            round(CAST(list_cosine_similarity(embedding,
+              (SELECT embedding FROM embeddings WHERE vec_id = 21)) AS DOUBLE),5) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+              (SELECT embedding FROM embeddings WHERE vec_id = 21)) DESC, vec_id
+            LIMIT 10"""))
+
   // ---------------------------------------------------------------- doc store
 
   /** Recursive-character chunking (pgml.chunk) over the documents table.
@@ -1085,7 +1133,7 @@ object QueryCatalog {
     q1PricingAgg, q2TopkJoin, q3FilterPushdown, q4WindowTopn, q5KeysetPage,
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
-    v7KnnIvfFull, v8VecElementwise,
+    v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,
     e1EmbeddingPairs,

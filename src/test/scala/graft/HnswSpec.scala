@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{HnswGraphBuilder, HnswIndex, VectorSearch}
+
+/** HNSW forest: kernel-level exactness on tiny graphs, recall gate vs
+  * brute force on real embeddings, persisted save→load identity, and the
+  * serve-time caching contract. */
+class HnswSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+
+  private def exactIds(q: Array[Float], k: Int = 10): Seq[Long] =
+    VectorSearch.topK(emb, "embedding", q, k, Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+
+  test("graph kernel: ef >= n degenerates to exact KNN on one partition") {
+    // at ef >= n the layer-0 sweep visits every reachable node; with a
+    // connected graph (m >= 2 over 64 points) that's the whole partition,
+    // so results must equal brute force exactly
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 64).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val b = new HnswGraphBuilder(m = 4, efConstruction = 16, seed = 1L)
+    pts.foreach { case (id, v) => b.add(id, v) }
+    val g = b.freeze()
+    assert(g.size == 64)
+    val q = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val got = g.search(q, 5, ef = 64).map(_._1).toSeq
+    val want = pts.map { case (id, v) =>
+      val dot = v.zip(q).map { case (a, bb) => a.toDouble * bb }.sum
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
+      (id, dot / (nv * nq))
+    }.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got == want)
+  }
+
+  test("forest recall gate vs exact brute force on real embeddings") {
+    val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",
+      m = 16, efConstruction = 64, numPartitions = 4)
+    val queries = emb.where($"vec_id" % 50 === 7)
+      .select("embedding").as[Array[Float]].collect().take(20)
+    val recalls = queries.map { qv =>
+      val approx = idx.search(qv, 10, ef = 64, idName = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      approx.intersect(exactIds(qv).toSet).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    // uniform random vectors are ANN's worst case (no cluster structure);
+    // the gate floors the measured number with margin
+    assert(mean >= 0.85, f"mean recall@10 $mean%.3f below gate")
+    assert(recalls.min >= 0.5, f"min recall@10 ${recalls.min}%.2f below gate")
+    idx.graphs.unpersist()
+  }
+
+  test("persisted forest: save→load identical results; loadOrBuild loads, param change rebuilds") {
+    val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
+    val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",
+      m = 8, efConstruction = 32, numPartitions = 4)
+    val home = java.nio.file.Files.createTempDirectory("graft_hnsw_spec_").toString + "/idx"
+    idx.save(home)
+    assert(HnswIndex.existsAt(spark, home))
+
+    val loaded = HnswIndex.load(spark, home)
+    assert(loaded.m == 8 && loaded.efConstruction == 32)
+    for (ef <- Seq(16, 64)) {
+      val a = idx.search(q, 10, ef, "vec_id").select("vec_id").as[Long].collect().toSeq
+      val b = loaded.search(q, 10, ef, "vec_id").select("vec_id").as[Long].collect().toSeq
+      assert(a == b, s"ef=$ef loaded != in-memory")
+    }
+
+    // loadOrBuild on an existing compatible home must LOAD — the by-name df
+    // is never evaluated, so a rebuild would throw here
+    val served = HnswIndex.loadOrBuild(
+      spark, home, sys.error("loadOrBuild rebuilt an existing index"),
+      "embedding", "vec_id", m = 8, efConstruction = 32)
+    assert(served.m == 8)
+
+    // changed build params on the same home → rebuild, not serve stale
+    val rebuilt = HnswIndex.loadOrBuild(spark, home, emb, "embedding", "vec_id",
+      m = 4, efConstruction = 16)
+    assert(rebuilt.m == 4 && rebuilt.efConstruction == 16)
+    idx.graphs.unpersist()
+  }
+
+  test("serveOrBuild prunes stale mtime-keyed homes of the same source") {
+    val src = java.nio.file.Files.createTempDirectory("graft_hnsw_src_").toString + "/emb"
+    emb.limit(300).write.parquet(src)
+    def homesForSource(): Seq[String] = {
+      val root = new java.io.File(sys.env.get("GRAFT_INDEX_DIR").map(_ + "/hnsw")
+        .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-hnsw"))
+      Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).flatMap { d =>
+        val m = new java.io.File(d, "source.path")
+        if (m.exists() && java.nio.file.Files.readString(m.toPath) == src)
+          Some(d.getAbsolutePath)
+        else None
+      }.toSeq
+    }
+    HnswIndex.serveOrBuild(spark, src, spark.read.parquet(src), "embedding", "vec_id")
+    assert(homesForSource().size == 1)
+    val firstHome = homesForSource().head
+    Thread.sleep(1100) // parquet mtime granularity
+    spark.read.parquet(src).limit(200).write.mode("overwrite").parquet(src + "_v2")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.rename(new org.apache.hadoop.fs.Path(src + "_v2"), new org.apache.hadoop.fs.Path(src))
+    HnswIndex.serveOrBuild(spark, src, spark.read.parquet(src), "embedding", "vec_id")
+    val after = homesForSource()
+    assert(after.size == 1, s"stale home not pruned: $after")
+    assert(after.head != firstHome, "source rewrite did not mint a new home")
+  }
+
+  test("deterministic rebuild: same data, same seed, identical graphs") {
+    val a = HnswIndex.build(spark, emb.limit(500), "embedding", "vec_id",
+      m = 8, efConstruction = 32, numPartitions = 2)
+    val b = HnswIndex.build(spark, emb.limit(500), "embedding", "vec_id",
+      m = 8, efConstruction = 32, numPartitions = 2)
+    val ba = a.graphs.orderBy("pid").select("graph").as[Array[Byte]].collect()
+    val bb = b.graphs.orderBy("pid").select("graph").as[Array[Byte]].collect()
+    assert(ba.length == bb.length)
+    ba.zip(bb).foreach { case (x, y) => assert(java.util.Arrays.equals(x, y)) }
+    a.graphs.unpersist(); b.graphs.unpersist()
+  }
+}
