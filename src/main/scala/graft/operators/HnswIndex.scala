@@ -404,6 +404,15 @@ object HnswIndex {
     IndexStore.fsFor(spark, path).exists(new Path(path, Sidecar))
 
   def delete(spark: SparkSession, path: String): Unit = {
+    // a fixed-path home may be rebuilt in place (Collection re-sync):
+    // cached graphs keyed by this home are stale the moment it's deleted,
+    // and so is any CacheManager entry for the blob table — load() caches
+    // by plan, and plans over the same path compare equal, so a rebuild's
+    // fresh load() would silently adopt the old in-memory blobs. unpersist
+    // (plan-matched, no recache) while the old files still resolve.
+    invalidate(path)
+    try spark.read.parquet(s"$path/data").unpersist(true)
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
     IndexStore.fsFor(spark, path).delete(new Path(path), true); ()
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -44,25 +44,13 @@ class IvfIndex private[operators] (
     */
   def save(path: String): Unit = {
     val spark = data.sparkSession
-    val fs = IvfIndex.fsFor(spark, path)
+    val fs = IndexStore.fsFor(spark, path)
     val target = fs.makeQualified(new Path(path))
-    val tmp = new Path(target.getParent,
-      s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    data.write.mode(SaveMode.Overwrite)
-      .partitionBy("cluster_id").parquet(new Path(tmp, "data").toString)
-    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val out = fs.create(new Path(tmp, IvfIndex.Sidecar), true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.mkdirs(target.getParent)
-    if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost the race: winner's index serves
-    else {
-      // HDFS-semantics filesystems rename INTO an existing target directory
-      // and return true — the "loser deletes its staging dir" handling above
-      // only fires on local FS. Detect the nested stray and drop it; the
-      // winner's already-published index keeps serving.
-      val nested = new Path(target, tmp.getName)
-      if (fs.exists(nested)) fs.delete(nested, true)
+    IndexStore.publishAtomic(fs, target) { tmp =>
+      data.write.mode(SaveMode.Overwrite)
+        .partitionBy("cluster_id").parquet(new Path(tmp, "data").toString)
+      val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      IndexStore.writeString(fs, new Path(tmp, IvfIndex.Sidecar), json)
     }
   }
 
@@ -93,15 +81,11 @@ class IvfIndex private[operators] (
 object IvfIndex {
 
   private val Sidecar = "centroids.json"
-  private val SourceManifest = "source.path"
   // bump when the on-disk layout or assignment scheme changes: the format
   // version is part of the persisted-home key, so an old-format index is
   // never served to new code
   private val FormatVersion = 2
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
-
-  private def fsFor(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Build-once-per-session cache (in-memory only — no persistence). `key`
     * should identify the underlying table (e.g. its path). */
@@ -132,7 +116,7 @@ object IvfIndex {
     val home = indexPathFor(spark, sourcePath, nlist)
     cache.getOrElseUpdate(home, {
       val idx = loadOrBuild(spark, home, df, vecCol, nlist)
-      publishManifestAndPrune(spark, home, sourcePath)
+      IndexStore.publishManifestAndPrune(spark, home, sourcePath)
       idx
     })
   }
@@ -145,54 +129,12 @@ object IvfIndex {
     */
   def indexPathFor(spark: SparkSession, sourcePath: String, nlist: Int = 0,
       nassign: Int = 3): String = {
-    val fs = fsFor(spark, sourcePath)
-    val p = new Path(sourcePath)
-    val mtime =
-      if (!fs.exists(p)) 0L
-      else {
-        val st = fs.getFileStatus(p)
-        if (st.isDirectory)
-          fs.listStatus(p).map(_.getModificationTime)
-            .foldLeft(st.getModificationTime)(math.max)
-        else st.getModificationTime
-      }
+    val mtime = IndexStore.mtimeOf(spark, sourcePath)
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       s"${sys.props("java.io.tmpdir")}/graft-ivf")
     val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
       s"$sourcePath@$mtime@nlist=$nlist@nassign=$nassign@v$FormatVersion"))
     s"$root/$key"
-  }
-
-  /** Record which source a persisted home derives from, then drop sibling
-    * homes of the SAME source with a different (stale-mtime / old-format)
-    * key — without this every source rewrite leaks a full nassign×N index
-    * copy into the tmpdir forever. */
-  private def publishManifestAndPrune(
-      spark: SparkSession, home: String, sourcePath: String): Unit = {
-    val fs = fsFor(spark, home)
-    val homeP = fs.makeQualified(new Path(home))
-    val manifest = new Path(homeP, SourceManifest)
-    if (!fs.exists(manifest)) {
-      val out = fs.create(manifest, true)
-      try out.write(sourcePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-    val root = homeP.getParent
-    if (fs.exists(root)) fs.listStatus(root).foreach { sib =>
-      if (sib.isDirectory && sib.getPath != homeP) {
-        val m = new Path(sib.getPath, SourceManifest)
-        val sameSource =
-          fs.exists(m) && {
-            val in = fs.open(m)
-            val s =
-              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-                java.nio.charset.StandardCharsets.UTF_8)
-              finally in.close()
-            s == sourcePath
-          }
-        if (sameSource) fs.delete(sib.getPath, true)
-      }
-    }
   }
 
   /** Drop a cached index after its underlying table is rewritten —
@@ -205,11 +147,11 @@ object IvfIndex {
 
   /** Remove a persisted index (e.g. before a re-sync rebuilds it). */
   def delete(spark: SparkSession, path: String): Unit = {
-    fsFor(spark, path).delete(new Path(path), true); ()
+    IndexStore.fsFor(spark, path).delete(new Path(path), true); ()
   }
 
   def existsAt(spark: SparkSession, path: String): Boolean =
-    fsFor(spark, path).exists(new Path(path, Sidecar))
+    IndexStore.fsFor(spark, path).exists(new Path(path, Sidecar))
 
   /** Load a persisted index. The partition column comes back as a real
     * `cluster_id` directory column, so `search`'s `isin` filter prunes
@@ -218,12 +160,8 @@ object IvfIndex {
     * probed files.
     */
   def load(spark: SparkSession, path: String, vecCol: String): IvfIndex = {
-    val fs = fsFor(spark, path)
-    val in = fs.open(new Path(path, Sidecar))
-    val json =
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+    val fs = IndexStore.fsFor(spark, path)
+    val json = IndexStore.readString(fs, new Path(path, Sidecar))
     implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
     val centroids = org.json4s.jackson.JsonMethods.parse(json)
       .extract[Array[Array[Float]]]

@@ -29,9 +29,14 @@ final case class PipelineField(
     splitter: Option[(Int, Int)] = Some((1500, 40)), // chunk_size, overlap
     semanticSearch: Option[Embedder] = Some(HashEmbedder(64)),
     fullTextSearch: Boolean = false,
-    // nlist for a persisted IVF ANN index built at sync time (the
-    // reference's per-field hnsw config, pipeline.rs:526-543); 0 = ~√N
-    vectorIndex: Option[Int] = None)
+    // nlist for a persisted IVF ANN index built at sync time (the engine's
+    // partition-pruned default ANN, see IvfIndex.scala); 0 = ~√N
+    vectorIndex: Option[Int] = None,
+    // (m, ef_construction) for a persisted HNSW forest built at sync time —
+    // the reference's literal per-field hnsw config (pipeline.rs:97-142,
+    // defaults 16/64 at :66-73); serves repeated queries from in-memory
+    // graphs (HnswIndex.scala)
+    hnswIndex: Option[(Int, Int)] = None)
 
 final case class Pipeline(name: String, fields: Seq[PipelineField])
 
@@ -155,6 +160,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         val path = tbl.getAbsolutePath
         if (tbl.getName.endsWith("_ivf")) {
           graft.operators.IvfIndex.delete(spark, path)
+        } else if (tbl.getName.endsWith("_hnsw")) {
+          graft.operators.HnswIndex.delete(spark, path)
         } else if (tbl.getName.endsWith("_chunks") || tbl.getName.endsWith("_embeddings")
             || tbl.getName.endsWith("_tsvectors")) {
           val kept = spark.read.parquet(path)
@@ -194,6 +201,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           spark, ivfP, embeddings(p, f.name), "embedding", nlist)
         ()
       }
+      rebuildHnsw(p, f)
     }
     if (f.fullTextSearch) {
       val ts = chunks
@@ -261,6 +269,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           spark, ivfP, embeddings(p, f.name), "embedding", nlist)
         ()
       }
+      rebuildHnsw(p, f)
     }
     if (f.fullTextSearch) {
       val tsP = tablePath(p.name, f.name, "tsvectors")
@@ -277,6 +286,53 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       writeSnapshot(all, tsP)
     }
     deleteRec(new java.io.File(changedTmp))
+  }
+
+  /** Sync-time HNSW forest rebuild for a field configured with
+    * `hnswIndex` (the reference's per-field hnsw build at sync,
+    * pipeline.rs:526-543): the embeddings just changed, so the old forest
+    * is stale — drop (invalidates executor graph caches) and rebuild. */
+  private def rebuildHnsw(p: Pipeline, f: PipelineField): Unit =
+    f.hnswIndex.foreach { case (m, efc) =>
+      val hp = tablePath(p.name, f.name, "hnsw")
+      graft.operators.HnswIndex.delete(spark, hp)
+      graft.operators.HnswIndex.loadOrBuild(
+        spark, hp, hnswKeyed(p, f.name), "embedding", "hid", m, efc)
+      ()
+    }
+
+  /** Embeddings with the 64-bit surrogate node id the HNSW graph stores —
+    * composite (document_id, chunk_index) keys don't fit a graph node, so
+    * hits resolve back through this frame. */
+  private def hnswKeyed(p: Pipeline, field: String): DataFrame =
+    embeddings(p, field).withColumn("hid",
+      xxhash64(col("document_id"), col("chunk_index")))
+
+  /** The persisted HNSW forest a sync built for `field` (requires
+    * `hnswIndex` on the field — an unmanaged build would serve stale after
+    * re-sync, so refuse without the config, like [[ivfIndex]]). */
+  def hnswIndex(p: Pipeline, field: String): graft.operators.HnswIndex = {
+    val f = p.fields.find(_.name == field)
+      .getOrElse(throw new IllegalArgumentException(s"field $field not in pipeline"))
+    val (m, efc) = f.hnswIndex.getOrElse(throw new IllegalArgumentException(
+      s"field $field has no hnswIndex configured; set PipelineField.hnswIndex"))
+    graft.operators.HnswIndex.loadOrBuild(
+      spark, tablePath(p.name, field, "hnsw"),
+      hnswKeyed(p, field), "embedding", "hid", m, efc)
+  }
+
+  /** ANN chunk search over the per-field HNSW forest: graph top-k, then the
+    * k surrogate hits broadcast-join back to (document_id, chunk_index) —
+    * the resolution leg scans only two narrow columns, never vectors. */
+  def hnswSearch(p: Pipeline, field: String, query: Array[Float], k: Int,
+      ef: Int = 0): DataFrame = {
+    val hits = hnswIndex(p, field).search(query, k, ef, idName = "hid")
+    hnswKeyed(p, field)
+      .join(broadcast(hits), "hid")
+      .select(col("document_id"), col("chunk_index"), col("score"))
+      .dropDuplicates("document_id", "chunk_index")
+      .orderBy(col("score").desc, col("document_id"), col("chunk_index"))
+      .limit(k)
   }
 
   /** The persisted IVF index a sync built for `field` (requires

@@ -115,6 +115,47 @@ class HnswSpec extends AnyFunSuite {
     assert(after.head != firstHome, "source rewrite did not mint a new home")
   }
 
+  test("Collection sync builds the per-field forest; search matches brute force") {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val wh = java.nio.file.Files.createTempDirectory("graft_hnsw_coll_").toString
+    val c = new graft.store.Collection(spark, "hnswc", wh)
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").limit(200)
+      .select(to_json(struct(col("doc_id").as("id"), col("text"))).as("document"))
+    c.upsertDocuments(docs)
+    val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+      "text", splitter = Some((100000, 0)), hnswIndex = Some((8, 32)))))
+    c.syncPipeline(p)
+
+    val idx = c.hnswIndex(p, "text")
+    assert(idx.m == 8 && idx.efConstruction == 32)
+    val qv = graft.functions.HashEmbedder(64).embedOne("spark query table join")
+    // full sweep (ef = corpus size) → exact, comparable to brute force
+    val n = c.embeddings(p, "text").count().toInt
+    val viaHnsw = c.hnswSearch(p, "text", qv, 5, ef = n)
+      .select("document_id").as[String].collect().toSeq
+    val exact = VectorSearch.topK(c.embeddings(p, "text"), "embedding", qv, 5,
+        Seq("document_id", "chunk_index"))
+      .select("document_id").as[String].collect().toSeq
+    assert(viaHnsw == exact)
+
+    // a field without hnswIndex refuses instead of building unmanaged
+    val bare = graft.store.Pipeline("q", Seq(graft.store.PipelineField("text")))
+    intercept[IllegalArgumentException] { c.hnswIndex(bare, "text") }
+
+    // re-sync after an upsert rebuilds (stale in-place home must not serve:
+    // the new doc is findable via its own embedding)
+    val extra = Seq("""{"id":"extra-doc","text":"zanzibar quasar flotilla"}""").toDF("document")
+    c.upsertDocuments(extra)
+    c.syncPipeline(p)
+    val qv2 = graft.functions.HashEmbedder(64).embedOne("zanzibar quasar flotilla")
+    val top = c.hnswSearch(p, "text", qv2, 1, ef = n + 1)
+      .select("document_id").as[String].head()
+    val wantId = c.documents
+      .where(org.apache.spark.sql.functions.get_json_object(col("document"), "$.id") === "extra-doc")
+      .select("source_uuid").as[String].head()
+    assert(top == wantId)
+  }
+
   test("deterministic rebuild: same data, same seed, identical graphs") {
     val a = HnswIndex.build(spark, emb.limit(500), "embedding", "vec_id",
       m = 8, efConstruction = 32, numPartitions = 2)
