@@ -669,6 +669,32 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     ps.filter(p => reg.getOrElse(p.name, false)).foreach(syncPipelineIncremental)
   }
 
+  /** Continuous ingest: a document stream drives the same upsert →
+    * incremental-sync flow as batch writes (SURVEY.md §3.4 — the
+    * reference's transactional upsert-then-sync, collection.rs:649-719,
+    * re-expressed as a Structured Streaming `foreachBatch` sink). Each
+    * micro-batch is one upsert plus a changed-chunk re-sync, so chunk and
+    * embed work stays proportional to the batch, never the corpus; the
+    * checkpoint makes restarts resume-where-left-off, and replayed batches
+    * are safe because upsert is idempotent by document identity.
+    * `stream` must carry a `document` JSON column like [[upsertDocuments]].
+    */
+  def syncStream(
+      stream: DataFrame,
+      pipelines: Seq[Pipeline],
+      checkpoint: String,
+      merge: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          upsertDocuments(batch, merge)
+          pipelines.foreach(syncPipelineIncremental)
+        }
+      }
+      .start()
+
   /** Archive the collection (collection.rs:1264-1302): rename the on-disk
     * home to `<name>_archive_<epoch-seconds>` so the name frees up for a
     * fresh collection. Returns the archive name; this instance's paths no

@@ -132,6 +132,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall(s => s.user_id == 42L && s.n_events == 1000L))
   }
 
+  test("continuous ingest: streamed upserts sync pipelines batch-for-batch") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val dir = Files.createTempDirectory("graft_syncstream_").toString
+    val wh = s"$dir/wh"
+    val c = new graft.store.Collection(spark, "cs", wh)
+    val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+      "body", splitter = Some((80, 10)), fullTextSearch = true)))
+
+    val b1 = Seq(
+      """{"id":"a","body":"spark streams documents into the analytics store"}""",
+      """{"id":"b","body":"vector search over freshly embedded chunks"}""").toDF("document")
+    val b2 = Seq(
+      """{"id":"a","body":"spark streams documents into the analytics store continuously"}""",
+      """{"id":"c","body":"a third document arrives in the second micro batch"}""").toDF("document")
+
+    b1.write.parquet(s"$dir/in/batch1")
+    val stream = spark.readStream.schema(b1.schema).parquet(s"$dir/in/*")
+    val q = c.syncStream(stream, Seq(p), s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(c.documents.count() == 2)
+      b2.write.parquet(s"$dir/in/batch2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the streamed collection must equal a batch-mode collection over the
+    // same upsert sequence — chunks, embeddings, and tsvectors alike
+    val ref = new graft.store.Collection(spark, "ref", wh)
+    ref.upsertDocuments(b1); ref.syncPipelineIncremental(p)
+    ref.upsertDocuments(b2); ref.syncPipelineIncremental(p)
+    assert(c.documents.count() == 3)
+    // doc "a" was updated by batch 2 (longest body wins = latest upsert)
+    val bodyA = c.documents
+      .where(get_json_object(col("document"), "$.id") === "a")
+      .select(get_json_object(col("document"), "$.body")).as[String].head()
+    assert(bodyA.endsWith("continuously"))
+    def rows(cc: graft.store.Collection, kind: String): Set[String] = {
+      val df = kind match {
+        case "chunks" => cc.chunks(p, "body").select(col("document_id"),
+          col("chunk_index"), col("chunk").as("v"))
+        case "emb" => cc.embeddings(p, "body").select(col("document_id"),
+          col("chunk_index"), col("embedding").cast("string").as("v"))
+        case _ => cc.tsvectors(p, "body").select(col("document_id"),
+          col("chunk_index"), col("terms").cast("string").as("v"))
+      }
+      df.collect().map(_.mkString("|")).toSet
+    }
+    for (kind <- Seq("chunks", "emb", "ts"))
+      assert(rows(c, kind) == rows(ref, kind), s"streamed $kind != batch $kind")
+  }
+
   test("transform task dispatch runs unchanged on an unbounded stream") {
     // the Spark-native transform_stream: the same Transform operator applied
     // to readStream — outputs arrive per micro-batch instead of per token
