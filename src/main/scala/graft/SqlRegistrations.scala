@@ -39,5 +39,9 @@ object SqlRegistrations {
     "winnow_fingerprint" -> (es =>
       WinnowFingerprint(es.head, intArg(es, 1, 8), intArg(es, 2, 4))),
     "chunk_text" -> (es => ChunkText(es.head, intArg(es, 1, 1500), intArg(es, 2, 40))),
-    "ts_vector" -> (es => graft.store.TsVectorExpr(es.head)))
+    "ts_vector" -> (es => graft.store.TsVectorExpr(es.head)),
+    "vec_sign_pack" -> (es => SignPack(es.head)),
+    "vec_hamming" -> (es => HammingWords(es(0), es(1))),
+    "sq8_encode" -> (es => Sq8Encode(es(0), es(1), es(2))),
+    "sq8_adc_dot" -> (es => Sq8AdcDot(es(0), es(1), es(2))))
 }

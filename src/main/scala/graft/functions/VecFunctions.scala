@@ -67,6 +67,14 @@ object VecFunctions {
     * element type of stored `array<float>` embedding columns. */
   def floatVec(values: Seq[Float]): Column = typedLit(values.toArray)
 
+  // ---- quantized scan surface (operators/Quantized.scala) ----
+  def vecSignPack(v: Column): Column = c(SignPack(e(v)))
+  def vecHamming(a: Column, b: Column): Column = c(HammingWords(e(a), e(b)))
+  def sq8Encode(v: Column, mins: Column, scales: Column): Column =
+    c(Sq8Encode(e(v), e(mins), e(scales)))
+  def sq8AdcDot(codes: Column, weights: Column, base: Column): Column =
+    c(Sq8AdcDot(e(codes), e(weights), e(base)))
+
   /** Register the full graft SQL function surface on a live session (same
     * registration table as [[graft.GraftExtensions]]). */
   def registerAll(spark: SparkSession): Unit = {

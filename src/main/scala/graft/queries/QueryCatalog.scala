@@ -660,6 +660,122 @@ object QueryCatalog {
               (SELECT embedding FROM embeddings WHERE vec_id = 21)) DESC, vec_id
             LIMIT 10"""))
 
+  /** Binary-quantized ANN (pgvector's bit-quantization scale path): sign
+    * bits pack 32× smaller, candidates come from the persisted skinny
+    * signature index ordered by Hamming distance (total order: ham, id),
+    * and the top-100 shortlist is re-ranked by exact cosine. Fully
+    * deterministic — the oracle replays pack → Hamming → re-rank in SQL.
+    */
+  val v11KnnBinary: GraftQuery = GraftQuery(
+    "v11_knn_binary",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 7).select("embedding").as[Array[Float]].head()
+      graft.operators.Quantized.binaryKnnIndexed(
+          s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", q, 10, rerank = 100)
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+            h AS (SELECT e.vec_id,
+                sum(CASE WHEN (e.embedding[CAST(i AS INT)] > 0)
+                         <> (q.qe[CAST(i AS INT)] > 0) THEN 1 ELSE 0 END) AS ham
+              FROM embeddings e, q, range(1, 65) t(i)
+              GROUP BY e.vec_id),
+            cand AS (SELECT vec_id FROM h ORDER BY ham, vec_id LIMIT 100)
+            SELECT e.vec_id,
+              round(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 5) AS score
+            FROM embeddings e JOIN cand USING (vec_id), q
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+            LIMIT 10"""))
+
+  /** SQ8 scalar-quantized top-k by ADC inner product: per-dimension affine
+    * uint8 codes (4× compression), scored as base + Σ wᵢ·codeᵢ with
+    * query-precomputed weights. The oracle replays fit (per-dim min/max)
+    * → encode (round + clamp) → ADC in SQL.
+    */
+  val v12KnnSq8: GraftQuery = GraftQuery(
+    "v12_knn_sq8",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 9).select("embedding").as[Array[Float]].head()
+      val model = graft.operators.Quantized.sq8Fit(emb, "embedding")
+      graft.operators.Quantized.sq8Knn(emb, "vec_id", "embedding", q, 10, model)
+        .select(col("vec_id"), round(col("qscore"), 4).as("qscore"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 9),
+            x AS (SELECT vec_id, CAST(i AS INT) AS d,
+                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+              FROM embeddings, range(1, 65) t(i)),
+            sc AS (SELECT d, min(v) AS mn,
+                CASE WHEN max(v) = min(v) THEN 0.0
+                     ELSE (max(v) - min(v)) / 255.0 END AS scale
+              FROM x GROUP BY d),
+            codes AS (SELECT x.vec_id, x.d,
+                CASE WHEN sc.scale = 0.0 THEN 0
+                     ELSE least(greatest(
+                       CAST(floor((x.v - sc.mn) / sc.scale + 0.5) AS INT), 0), 255)
+                END AS code
+              FROM x JOIN sc USING (d)),
+            w AS (SELECT sc.d, CAST(q.qe[sc.d] AS DOUBLE) * sc.scale AS wt,
+                CAST(q.qe[sc.d] AS DOUBLE) * sc.mn AS b
+              FROM sc, q),
+            sco AS (SELECT c.vec_id,
+                sum(w.wt * c.code) + (SELECT sum(b) FROM w) AS qscore
+              FROM codes c JOIN w USING (d) GROUP BY c.vec_id)
+            SELECT vec_id, round(qscore, 4) AS qscore FROM sco
+            ORDER BY qscore DESC, vec_id LIMIT 10"""))
+
+  /** Exact L2-distance KNN — pgvector's `<->` operator metric
+    * (vectors.rs:256-274 distance kernel); completes the three pgvector
+    * metrics (cosine v1, L2 v13, inner product v14) on the same
+    * scan → codegen kernel → TakeOrderedAndProject plan.
+    */
+  val v13KnnL2: GraftQuery = GraftQuery(
+    "v13_knn_l2",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 33).select("embedding").as[Array[Float]].head()
+      emb.select(col("vec_id"),
+          vecDistanceL2(col("embedding"), floatVec(q.toIndexedSeq)).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 33),
+            d AS (SELECT e.vec_id,
+                sqrt(sum(pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                             - CAST(q.qe[CAST(i AS INT)] AS DOUBLE), 2))) AS dist
+              FROM embeddings e, q, range(1, 65) t(i)
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(dist, 4) AS dist FROM d
+            ORDER BY dist, vec_id LIMIT 10"""))
+
+  /** Exact inner-product KNN — pgvector's `<#>` metric (vectors.rs:276-292
+    * dot kernel). */
+  val v14KnnIp: GraftQuery = GraftQuery(
+    "v14_knn_ip",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 33).select("embedding").as[Array[Float]].head()
+      emb.select(col("vec_id"),
+          vecDot(col("embedding"), floatVec(q.toIndexedSeq)).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("ip"), 4).as("ip"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 33),
+            d AS (SELECT e.vec_id,
+                sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS ip
+              FROM embeddings e, q, range(1, 65) t(i)
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(ip, 4) AS ip FROM d
+            ORDER BY ip DESC, vec_id LIMIT 10"""))
+
   // ---------------------------------------------------------------- doc store
 
   /** Recursive-character chunking (pgml.chunk) over the documents table.
@@ -1134,6 +1250,7 @@ object QueryCatalog {
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
+    v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,
     e1EmbeddingPairs,

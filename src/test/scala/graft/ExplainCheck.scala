@@ -63,6 +63,14 @@ object ExplainCheck {
     // −27% rewrite; Window appears once, no extra join after components)
     check("d3_dedup_groups", "representative is a window min, not agg+self-join")(
       p => p.contains("Window") && !p.contains("SortMergeJoin [ck"))
+    // the binary-quantized re-rank must fetch its R candidates through a
+    // pushed In(id…) filter (parquet row-group pruning on id stats), and
+    // both quantized top-k scans must merge via TakeOrdered, never a
+    // global sort
+    check("v11_knn_binary", "rerank pushes In(vec_id…) to parquet; TakeOrdered merge")(
+      p => p.contains("In(vec_id") && p.contains("TakeOrderedAndProject"))
+    check("v12_knn_sq8", "SQ8 ADC scan merges via TakeOrdered")(
+      p => p.contains("TakeOrderedAndProject"))
 
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition

@@ -104,6 +104,18 @@ object Probe {
         ("sys", "billing account payment due", "invoice is ready")).toDF("system", "user", "assistant")
       tr.tune("probe_conv", "conversation", conv, "user", "assistant", "m")
       println("GENERATE: " + tr.registry.generate("probe_conv", "weather forecast today"))
+      // quantized surface: binary Hamming prefilter + SQ8 ADC agree with
+      // the exact scan on the head of the ranking
+      val exact5 = knn.select("vec_id").as[Long].collect().toSet
+      val bin5 = graft.operators.Quantized.binaryKnn(emb, "vec_id", "embedding", q, 5, rerank = 100)
+        .select("vec_id").as[Long].collect().toSet
+      println(s"QUANT-BINARY overlap@5 vs exact: ${bin5.intersect(exact5).size}/5")
+      val model = graft.operators.Quantized.sq8Fit(emb, "embedding")
+      val sq5 = graft.operators.Quantized.sq8Knn(emb, "vec_id", "embedding", q, 5, model)
+        .select("vec_id").as[Long].collect().toSet
+      val exactIp5 = emb.select($"vec_id", vecDot($"embedding", floatVec(q.toIndexedSeq)).as("ip"))
+        .orderBy($"ip".desc, $"vec_id").limit(5).select("vec_id").as[Long].collect().toSet
+      println(s"QUANT-SQ8 overlap@5 vs exact-IP: ${sq5.intersect(exactIp5).size}/5")
       spark.stop()
 
     case "ivf-recall" :: rest =>

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VecFunctions._
+import graft.operators.{Quantized, VectorSearch}
+
+/** Quantized vector search: binary sign-bit signatures + Hamming prefilter
+  * and SQ8 ADC scoring (operators/Quantized.scala). Kernel bit-math is
+  * pinned against naive Scala references; end-to-end results are pinned
+  * against exact brute-force KNN.
+  */
+class QuantizedSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+
+  private def naivePack(v: Array[Float]): Array[Long] = {
+    val words = new Array[Long]((v.length + 63) / 64)
+    for (i <- v.indices if v(i) > 0f) words(i / 64) |= 1L << (i % 64)
+    words
+  }
+
+  test("sign-pack expression matches naive packing across dims 1/63/64/65/130") {
+    val rnd = new scala.util.Random(7)
+    for (dim <- Seq(1, 63, 64, 65, 130)) {
+      val vecs = (0 until 20).map { i =>
+        // mix negatives, exact zeros, positives
+        (i.toLong, Array.tabulate(dim)(d =>
+          if ((i + d) % 7 == 0) 0f else rnd.nextFloat() - 0.5f))
+      }
+      val got = vecs.toDF("id", "v")
+        .select($"id", vecSignPack($"v").as("sig"))
+        .orderBy("id").as[(Long, Array[Long])].collect()
+      vecs.zip(got).foreach { case ((_, v), (_, sig)) =>
+        assert(sig.toSeq == naivePack(v).toSeq, s"dim $dim")
+      }
+    }
+  }
+
+  test("packQuery agrees with the column expression; hamming counts sign mismatches") {
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(130)(rnd.nextFloat() - 0.5f)
+    val b = Array.fill(130)(rnd.nextFloat() - 0.5f)
+    assert(Quantized.packQuery(a).toSeq ==
+      Seq((1L, a)).toDF("id", "v").select(vecSignPack($"v"))
+        .as[Array[Long]].head().toSeq)
+    val expected = a.indices.count(i => (a(i) > 0f) != (b(i) > 0f))
+    val got = Seq((Quantized.packQuery(a), Quantized.packQuery(b)))
+      .toDF("sa", "sb").select(vecHamming($"sa", $"sb")).as[Int].head()
+    assert(got == expected)
+  }
+
+  test("SQL surface: vec_sign_pack / vec_hamming registered") {
+    VecFunctions_registerAll()
+    val r = spark.sql(
+      """SELECT vec_hamming(vec_sign_pack(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT))),
+        |                   vec_sign_pack(array(CAST(-1.0 AS FLOAT), CAST(-1.0 AS FLOAT)))) AS h
+        |""".stripMargin).as[Int].head()
+    assert(r == 1)
+  }
+  private def VecFunctions_registerAll(): Unit =
+    graft.functions.VecFunctions.registerAll(spark)
+
+  test("sq8: reconstruction error bounded by scale/2, degenerate dims code 0, clamp holds") {
+    val model = Quantized.sq8Fit(emb, "embedding")
+    assert(model.dim == 64)
+    val codes = Quantized.sq8EncodeFrame(emb.limit(50), "embedding", model)
+      .select($"embedding", $"sq8").as[(Array[Float], Array[Byte])].collect()
+    codes.foreach { case (v, c) =>
+      assert(c.length == 64)
+      v.indices.foreach { d =>
+        val code = c(d) & 0xFF
+        val deq = model.mins(d) + code * model.scales(d)
+        if (model.scales(d) == 0.0) assert(code == 0)
+        else assert(math.abs(deq - v(d)) <= model.scales(d) / 2 + 1e-12,
+          s"dim $d: v=${v(d)} deq=$deq scale=${model.scales(d)}")
+      }
+    }
+    // clamp: a vector outside the fitted range still codes within [0,255]
+    val wild = Seq((1L, Array.fill(64)(1e9f)), (2L, Array.fill(64)(-1e9f)))
+      .toDF("id", "v")
+    val wc = Quantized.sq8EncodeFrame(wild, "v", model, "c")
+      .select($"c").as[Array[Byte]].collect()
+    assert(wc(0).forall(b => (b & 0xFF) == 255))
+    assert(wc(1).forall(b => (b & 0xFF) == 0))
+  }
+
+  test("binaryKnn with rerank = N reproduces exact KNN; shortlist rerank hits high recall") {
+    val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
+    val n = emb.count().toInt
+    val exact = VectorSearch.topK(emb, "embedding", q, 10, Seq("vec_id"))
+      .select($"vec_id", round($"score", 9).as("score"))
+      .as[(Long, Double)].collect().toSeq
+    val full = Quantized.binaryKnn(emb, "vec_id", "embedding", q, 10, rerank = n)
+      .select($"vec_id", round($"score", 9).as("score"))
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+
+    // Hamming is a proxy: a 100-candidate shortlist must recover most of
+    // the true top-10 (random uniform vectors are the worst case; real
+    // embeddings correlate sign patterns far more strongly)
+    val short = Quantized.binaryKnn(emb, "vec_id", "embedding", q, 10, rerank = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = short.intersect(exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.5, f"binary shortlist recall@10 $recall%.2f below gate")
+  }
+
+  test("binaryKnnIndexed equals one-pass binaryKnn; candidate fetch pushes id filter to parquet") {
+    val q = emb.where($"vec_id" === 21).select("embedding").as[Array[Float]].head()
+    val src = s"${TestSpark.sf0001}/embeddings.parquet"
+    val onePass = Quantized.binaryKnn(emb, "vec_id", "embedding", q, 10, rerank = 80)
+      .select($"vec_id", round($"score", 9).as("score")).as[(Long, Double)].collect().toSeq
+    val indexed = Quantized.binaryKnnIndexed(
+      spark, src, emb, "vec_id", "embedding", q, 10, rerank = 80)
+    val got = indexed.select($"vec_id", round($"score", 9).as("score"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == onePass)
+
+    // the re-rank scan must carry the In(vec_id, …) filter into the
+    // parquet source (row-group pruning on id stats at scale)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(vec_id"),
+      s"expected pushed In(vec_id…) filter, plan:\n$plan")
+
+    // the persisted home exists and serves from the session cache
+    val home = Quantized.indexPathFor(spark, src)
+    assert(new java.io.File(s"$home/data").exists())
+    Quantized.invalidate(home)
+  }
+
+  test("sq8Knn: ADC top-k recalls most of the exact inner-product top-k; encoded twin agrees") {
+    val q = emb.where($"vec_id" === 9).select("embedding").as[Array[Float]].head()
+    val model = Quantized.sq8Fit(emb, "embedding")
+    val exactIp = emb
+      .select($"vec_id", vecDot($"embedding", floatVec(q.toIndexedSeq)).as("ip"))
+      .orderBy($"ip".desc, $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val adc = Quantized.sq8Knn(emb, "vec_id", "embedding", q, 10, model)
+    val adcIds = adc.select("vec_id").as[Long].collect().toSet
+    val recall = adcIds.intersect(exactIp).size / 10.0
+    assert(recall >= 0.8, f"sq8 recall@10 $recall%.2f below gate (8-bit codes)")
+
+    // serving from pre-encoded codes is bit-identical to encode-on-the-fly
+    val enc = Quantized.sq8EncodeFrame(emb, "embedding", model)
+    val twin = Quantized.sq8KnnEncoded(enc, "vec_id", "sq8", q, 10, model)
+      .select($"vec_id", round($"qscore", 9).as("s")).as[(Long, Double)].collect().toSeq
+    val direct = adc.select($"vec_id", round($"qscore", 9).as("s"))
+      .as[(Long, Double)].collect().toSeq
+    assert(twin == direct)
+  }
+}
