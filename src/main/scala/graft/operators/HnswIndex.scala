@@ -316,6 +316,39 @@ class HnswIndex private[operators] (
     hits.orderBy(col("score").desc, col(idName).asc).limit(k)
   }
 
+  /** Batch ANN: top-k per query for a small set of query vectors — the
+    * many-queries serving shape (a RAG request fan-in). Each partition's
+    * graph deserializes ONCE and answers every query (Q·O(ef·log n_p)
+    * distance evals per partition), so per-query cost amortizes the blob
+    * read and task scheduling that dominate single-query latency. The only
+    * shuffle is the per-query top-k window over the tiny (partitions×Q×k)
+    * hit set, partitioned by query id. Output (queryIdName, idName, score,
+    * rn), rn = 1..k best-first, ties by id. */
+  def searchBatch(queries: Seq[(Long, Array[Float])], k: Int, ef: Int = 0,
+      idName: String = "id", queryIdName: String = "query_id"): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val ck = cacheKey
+    val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
+    val qs = queries
+    val kk = k
+    val hits = graphs.select(col("pid"), col("graph")).as[(Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (pid, bytes) =>
+          val g = HnswIndex.graphFor(ck, pid, bytes)
+          qs.iterator.flatMap { case (qid, q) =>
+            g.search(q, kk, efEff).iterator.map { case (id, s) => (qid, id, s) }
+          }
+        }
+      }.toDF(queryIdName, idName, "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdName))
+      .orderBy(col("score").desc, col(idName).asc)
+    hits.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") <= k)
+      .orderBy(col(queryIdName), col("rn"))
+  }
+
   /** Persist as a parquet table of graph blobs + a meta sidecar, published
     * atomically (the build-once contract of the reference's HNSW,
     * pipeline.rs:526-543). */

@@ -459,6 +459,54 @@ object QueryCatalog {
         .orderBy(col("doc_id")),
     Some(T6OracleSql.sql))
 
+  /** Composed corpus curation (operators/Corpus.curate): language gate →
+    * quality gate → exact dedup keep-min-id → per-doc stats as ONE fused
+    * pipeline — the gates run inside the scan stage, the dedup window is
+    * the only shuffle and sees only survivors. The oracle replays all four
+    * stages (the t5/t3/t1/t2 kernel replays composed end-to-end).
+    */
+  val c1CorpusCurate: GraftQuery = GraftQuery(
+    "c1_corpus_curate",
+    (s, dir) =>
+      graft.operators.Corpus.curate(t(s, dir, "documents"), "doc_id", "text",
+          lang = "en", minQuality = 0.3)
+        .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            sc AS (
+              SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> list_contains(
+                ['der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für'], x))) AS hits FROM tk
+              UNION ALL SELECT doc_id, 'en', len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','it','that','for','on','with','as','was'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'es', len(list_filter(toks, x -> list_contains(
+                ['el','la','de','y','que','en','un','una','es','no','con','por','para'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'fr', len(list_filter(toks, x -> list_contains(
+                ['le','la','de','et','est','un','une','que','pour','dans','sur','avec'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'zh', len(list_filter(toks, x -> list_contains(
+                ['的','是','了','在','和','有','我','不','这','他'], x))) FROM tk),
+            pred AS (SELECT doc_id,
+              CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+              row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn FROM sc),
+            langd AS (SELECT doc_id FROM pred WHERE rn = 1 AND pred_lang = 'en'),
+            qual AS (SELECT doc_id,
+              round(least(length(text)/200.0, 1.0)*0.4
+                + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0)*0.4
+                + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+                  / greatest(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 1.0)
+                  * 5.0, 1.0)*0.2, 5) AS quality
+              FROM documents),
+            gated AS (SELECT d.doc_id, d.text, q.quality FROM documents d
+              JOIN langd USING (doc_id) JOIN qual q USING (doc_id)
+              WHERE q.quality >= 0.3),
+            keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+            SELECT g.doc_id, 'en' AS lang, g.quality,
+              len(string_split_regex(trim(g.text), '\s+')) AS n_tokens,
+              len(regexp_extract_all(g.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+            FROM gated g JOIN keep USING (doc_id)
+            ORDER BY g.doc_id"""))
+
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
     * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
@@ -752,6 +800,39 @@ object QueryCatalog {
               GROUP BY e.vec_id)
             SELECT vec_id, round(dist, 4) AS dist FROM d
             ORDER BY dist, vec_id LIMIT 10"""))
+
+  /** HNSW batch search (many-queries serving shape): each partition's
+    * graph deserializes once and answers all queries; the only shuffle is
+    * the per-query top-k window over the (partitions×Q×k) hit set. Full
+    * sweep (ef = N) equals exact per-query KNN — the v10 exact-twin
+    * argument — so the whole batch path sits behind the DuckDB gate (the
+    * pruned batch shape is benched as v9b and recall-gated in HnswSpec).
+    */
+  val v15KnnHnswBatch: GraftQuery = GraftQuery(
+    "v15_knn_hnsw_batch",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      val n = emb.count().toInt
+      val idx = graft.operators.HnswIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
+        m = 16, efConstruction = 64, numPartitions = 8)
+      idx.searchBatch(queries, 5, ef = n, idName = "vec_id", queryIdName = "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 5).as("score"), col("rn"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+            SELECT qid AS query_id, vec_id,
+              round(CAST(list_cosine_similarity(embedding, qe) AS DOUBLE), 5) AS score,
+              CAST(rn AS INT) AS rn
+            FROM (SELECT q.qid, e.vec_id, e.embedding, q.qe,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn
+                  FROM embeddings e, q)
+            WHERE rn <= 5 ORDER BY query_id, rn"""))
 
   /** Exact inner-product KNN — pgvector's `<#>` metric (vectors.rs:276-292
     * dot kernel). */
@@ -1250,9 +1331,10 @@ object QueryCatalog {
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
-    v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp,
+    v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
-    t6Fingerprint, d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,
+    t6Fingerprint, c1CorpusCurate,
+    d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked,

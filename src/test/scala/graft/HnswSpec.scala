@@ -58,6 +58,34 @@ class HnswSpec extends AnyFunSuite {
     idx.graphs.unpersist()
   }
 
+  test("batch search equals per-query search at the same ef; full sweep equals exact") {
+    val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",
+      m = 16, efConstruction = 64, numPartitions = 4)
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+
+    // pruned: the batch path must return exactly what Q single searches do
+    val batch = idx.searchBatch(queries, 10, ef = 64, idName = "vec_id")
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = idx.search(qv, 10, ef = 64, idName = "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(qid) == single, s"query $qid: batch != single")
+    }
+
+    // full sweep: rn-ordered batch rows equal exact brute-force ranking
+    val n = emb.count().toInt
+    val full = idx.searchBatch(queries, 10, ef = n, idName = "vec_id")
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    queries.foreach { case (qid, qv) =>
+      assert(full(qid) == exactIds(qv), s"query $qid: full sweep != exact")
+    }
+    idx.graphs.unpersist()
+  }
+
   test("persisted forest: save→load identical results; loadOrBuild loads, param change rebuilds") {
     val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
     val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",
