@@ -136,6 +136,37 @@ object Probe {
       println(f"MEAN RECALL: ${recalls.sum / recalls.length}%.3f  MIN: ${recalls.min}%.2f")
       spark.stop()
 
+    case "jobs" :: q :: rest =>
+      // count spark jobs + their wall time inside one catalog query run
+      // (after a warm-up): many small jobs = driver-side overhead dominates
+      val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      val spark = session()
+      val fn = SparkEntry.queries(q)
+      fn(spark, sfDir).count() // warm
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (j.time,
+            Option(j.properties.getProperty("spark.job.description")).getOrElse("?")))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, desc) = starts.getOrDefault(j.jobId, (j.time, "?"))
+          jobs.add((j.jobId, j.time - t0, desc))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let listener drain
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val js = jobs.asScala.toSeq.sortBy(_._1)
+      println(f"QUERY $q wall ${wall}%.3f s, ${js.size} jobs, job-time sum ${js.map(_._2).sum / 1e3}%.3f s")
+      js.foreach { case (id, ms, desc) =>
+        println(f"  job $id%3d ${ms / 1e3}%7.3f s  ${desc.take(90)}") }
+      spark.stop()
+
     case "profile" :: rest =>
       val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
       val spark = session()
