@@ -36,7 +36,12 @@ final case class PipelineField(
     // the reference's literal per-field hnsw config (pipeline.rs:97-142,
     // defaults 16/64 at :66-73); serves repeated queries from in-memory
     // graphs (HnswIndex.scala)
-    hnswIndex: Option[(Int, Int)] = None)
+    hnswIndex: Option[(Int, Int)] = None,
+    // persisted sign-bit signature table built at sync time (pgvector's
+    // bit-quantization expression-index capability): candidate generation
+    // scans 1/32 of the embedding bytes, exact re-rank on the shortlist
+    // (operators/Quantized.scala)
+    binaryIndex: Boolean = false)
 
 final case class Pipeline(name: String, fields: Seq[PipelineField])
 
@@ -163,7 +168,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         } else if (tbl.getName.endsWith("_hnsw")) {
           graft.operators.HnswIndex.delete(spark, path)
         } else if (tbl.getName.endsWith("_chunks") || tbl.getName.endsWith("_embeddings")
-            || tbl.getName.endsWith("_tsvectors")) {
+            || tbl.getName.endsWith("_tsvectors") || tbl.getName.endsWith("_binsig")) {
           val kept = spark.read.parquet(path)
             .join(deadIds, Seq("document_id"), "left_anti")
           writeSnapshot(kept, path)
@@ -202,6 +207,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         ()
       }
       rebuildHnsw(p, f)
+      rebuildBinary(p, f)
     }
     if (f.fullTextSearch) {
       val ts = chunks
@@ -270,6 +276,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         ()
       }
       rebuildHnsw(p, f)
+      rebuildBinary(p, f)
     }
     if (f.fullTextSearch) {
       val tsP = tablePath(p.name, f.name, "tsvectors")
@@ -307,6 +314,46 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   private def hnswKeyed(p: Pipeline, field: String): DataFrame =
     embeddings(p, field).withColumn("hid",
       xxhash64(col("document_id"), col("chunk_index")))
+
+  /** Sync-time signature-table rebuild for a field with `binaryIndex`:
+    * (document_id, chunk_index, sig) — the natural keys ride along so
+    * cascade deletes anti-join it like any derived table and candidates
+    * resolve without a surrogate. 1/32 of the embedding bytes. */
+  private def rebuildBinary(p: Pipeline, f: PipelineField): Unit =
+    if (f.binaryIndex) {
+      val sigs = embeddings(p, f.name)
+        .select(col("document_id"), col("chunk_index"),
+          graft.functions.VecFunctions.vecSignPack(col("embedding")).as("sig"))
+        .orderBy(col("document_id"), col("chunk_index"))
+      writeSnapshot(sigs, tablePath(p.name, f.name, "binsig"))
+    }
+
+  /** Binary-prefilter ANN chunk search (requires `binaryIndex` on the
+    * field): Hamming-ordered candidates from the skinny signature table
+    * (TakeOrdered, total order ham → keys), exact cosine re-rank of the
+    * `rerank`-row shortlist fetched by a broadcast key join — the
+    * full-vector scan only ever touches shortlist rows' vectors. */
+  def binarySearch(p: Pipeline, field: String, query: Array[Float], k: Int,
+      rerank: Int = 0): DataFrame = {
+    val f = p.fields.find(_.name == field)
+      .getOrElse(throw new IllegalArgumentException(s"field $field not in pipeline"))
+    require(f.binaryIndex,
+      s"field $field has no binaryIndex configured; set PipelineField.binaryIndex")
+    val r = math.max(if (rerank > 0) rerank else 10 * k, k)
+    val qSig = typedLit(graft.operators.Quantized.packQuery(query))
+    val cand = spark.read.parquet(tablePath(p.name, field, "binsig"))
+      .withColumn("__ham", graft.functions.VecFunctions.vecHamming(col("sig"), qSig))
+      .orderBy(col("__ham").asc, col("document_id").asc, col("chunk_index").asc)
+      .limit(r)
+      .select("document_id", "chunk_index")
+    embeddings(p, field)
+      .join(broadcast(cand), Seq("document_id", "chunk_index"))
+      .withColumn("score", cosineSimilarity(col("embedding"),
+        graft.functions.VecFunctions.floatVec(query.toIndexedSeq)))
+      .select(col("document_id"), col("chunk_index"), col("score"))
+      .orderBy(col("score").desc, col("document_id"), col("chunk_index"))
+      .limit(k)
+  }
 
   /** The persisted HNSW forest a sync built for `field` (requires
     * `hnswIndex` on the field — an unmanaged build would serve stale after

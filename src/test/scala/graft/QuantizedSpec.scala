@@ -132,6 +132,48 @@ class QuantizedSpec extends AnyFunSuite {
     Quantized.invalidate(home)
   }
 
+  test("Collection sync builds the per-field signature table; binarySearch matches brute force") {
+    import org.apache.spark.sql.functions.{col, get_json_object, struct, to_json}
+    val wh = java.nio.file.Files.createTempDirectory("graft_bin_coll_").toString
+    val c = new graft.store.Collection(spark, "binc", wh)
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").limit(200)
+      .select(to_json(struct(col("doc_id").as("id"), col("text"))).as("document"))
+    c.upsertDocuments(docs)
+    val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+      "text", splitter = Some((100000, 0)), binaryIndex = true)))
+    c.syncPipeline(p)
+
+    val qv = graft.functions.HashEmbedder(64).embedOne("spark query table join")
+    // rerank = corpus size → exact, comparable to brute force
+    val n = c.embeddings(p, "text").count().toInt
+    val viaBin = c.binarySearch(p, "text", qv, 5, rerank = n)
+      .select("document_id").as[String].collect().toSeq
+    val exact = VectorSearch.topK(c.embeddings(p, "text"), "embedding", qv, 5,
+        Seq("document_id", "chunk_index"))
+      .select("document_id").as[String].collect().toSeq
+    assert(viaBin == exact)
+
+    // a field without binaryIndex refuses instead of scanning unindexed
+    val bare = graft.store.Pipeline("q", Seq(graft.store.PipelineField("text")))
+    intercept[IllegalArgumentException] { c.binarySearch(bare, "text", qv, 5) }
+
+    // delete cascades to the signature table: the deleted doc can never
+    // surface as a candidate again
+    val victim = c.binarySearch(p, "text", qv, 1, rerank = n)
+      .select("document_id").as[String].head()
+    val victimId = c.documents
+      .where(col("source_uuid") === victim)
+      .select(get_json_object(col("document"), "$.id")).as[String].head()
+    c.deleteDocuments(s"""{"id": {"$$eq": $victimId}}""")
+    val after = c.binarySearch(p, "text", qv, 5, rerank = n)
+      .select("document_id").as[String].collect().toSeq
+    val exactAfter = VectorSearch.topK(c.embeddings(p, "text"), "embedding", qv, 5,
+        Seq("document_id", "chunk_index"))
+      .select("document_id").as[String].collect().toSeq
+    assert(!after.contains(victim))
+    assert(after == exactAfter)
+  }
+
   test("sq8Knn: ADC top-k recalls most of the exact inner-product top-k; encoded twin agrees") {
     val q = emb.where($"vec_id" === 9).select("embedding").as[Array[Float]].head()
     val model = Quantized.sq8Fit(emb, "embedding")
