@@ -32,7 +32,7 @@ object Bench {
       "q4_window_topn", "q8_events_hourly", "q9_json_extract",
       "v1_knn_cosine", "v2_vec_avg_by_label", "v3_vec_norms",
       "v4_knn_batch", "v5_knn_ivf", "v9_knn_hnsw", "v9b_hnsw_batch",
-      "v11_knn_binary", "v12_knn_sq8",
+      "v11_knn_binary", "v12_knn_sq8", "v16_knn_pq",
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "s1_chunk", "s3_fulltext_rank",

@@ -115,6 +115,82 @@ object QuantKernels {
     }
     s
   }
+
+  // ---- product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011 — the standard billion-scale
+  // compression: dim floats → m bytes) ----
+
+  /** Encode a vector against a flat codebook (m · k · subDim floats,
+    * group-major): per group, the index of the L2-nearest centroid. */
+  def pqEncodeF(v: ArrayData, codebook: ArrayData, m: Int, k: Int): Array[Byte] = {
+    val dim = v.numElements()
+    val subDim = dim / m
+    val out = new Array[Byte](m)
+    var g = 0
+    while (g < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (g * k + c) * subDim
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = v.getFloat(g * subDim + j).toDouble - codebook.getFloat(off + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(g) = best.toByte
+      g += 1
+    }
+    out
+  }
+
+  def pqEncodeD(v: ArrayData, codebook: ArrayData, m: Int, k: Int): Array[Byte] = {
+    val dim = v.numElements()
+    val subDim = dim / m
+    val out = new Array[Byte](m)
+    var g = 0
+    while (g < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (g * k + c) * subDim
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = v.getDouble(g * subDim + j) - codebook.getFloat(off + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(g) = best.toByte
+      g += 1
+    }
+    out
+  }
+
+  /** ADC lookup score: `Σ_g lut[g·k + code(g)]` — the per-row scan cost of
+    * PQ search is m byte-indexed table reads; the query-dependent work
+    * (dot of the query subvector with every centroid) happened ONCE in the
+    * LUT build. k is derived from the shapes. */
+  def pqAdcDot(codes: Array[Byte], lut: ArrayData): Double = {
+    val m = codes.length
+    val k = lut.numElements() / m
+    var s = 0.0
+    var g = 0
+    while (g < m) {
+      s += lut.getDouble(g * k + (codes(g) & 0xFF))
+      g += 1
+    }
+    s
+  }
 }
 
 /** `vec_sign_pack(array<float|double>) → array<bigint>` — codegen. */
@@ -208,6 +284,72 @@ case class Sq8Encode(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `pq_encode(vec, codebook; m, k) → binary` — m-byte PQ codes. The flat
+  * codebook (m·k·subDim floats, group-major) is a literal/reference
+  * object, never rebuilt per row. */
+case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  private lazy val floatElems: Boolean = VectorTypeUtils.elemIsFloat(left.dataType)
+  private lazy val method: String = if (floatElems) "pqEncodeF" else "pqEncodeD"
+
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val cbOk = right.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (VectorTypeUtils.isVectorType(left.dataType) && cbOk && m > 0 && k > 0 && k <= 256)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<float> codebook), m>0, 0<k<=256; got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString}, m=$m, k=$k)")
+  }
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val c = cb.asInstanceOf[ArrayData]
+    if (floatElems) QuantKernels.pqEncodeF(x, c, m, k)
+    else QuantKernels.pqEncodeD(x, c, m, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, cb) => s"graft.functions.QuantKernels.$method($v, $cb, $m, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `pq_adc_dot(codes, lut) → double` — m table lookups per row. */
+case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val lutOk = right.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (left.dataType == BinaryType && lutOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    QuantKernels.pqAdcDot(codes.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.functions.QuantKernels.pqAdcDot($c, $l)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** `sq8_adc_dot(codes, weights, base) → double` — ADC inner product. */

@@ -834,6 +834,25 @@ object QueryCatalog {
                   FROM embeddings e, q)
             WHERE rn <= 5 ORDER BY query_id, rn"""))
 
+  /** Product-quantized ANN, serving shape: ADC shortlist over the
+    * PERSISTED m-byte codes table (32× fewer scan bytes; encode-on-the-fly
+    * would cost more than brute force), exact re-rank of the 100 full
+    * vectors fetched by a pushed In(id…) filter. Lossy by construction →
+    * no exact twin exists at any parameter; rows-only here, the
+    * determinism/identity/recall contracts are pinned in PqSpec.
+    */
+  val v16KnnPq: GraftQuery = GraftQuery(
+    "v16_knn_pq",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 7).select("embedding").as[Array[Float]].head()
+      graft.operators.Pq.knnIndexed(
+          s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", q, 10, rerank = 100)
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    None)
+
   /** Exact inner-product KNN — pgvector's `<#>` metric (vectors.rs:276-292
     * dot kernel). */
   val v14KnnIp: GraftQuery = GraftQuery(
@@ -1331,7 +1350,7 @@ object QueryCatalog {
     q6AntiJoin, q7SemiJoin, q8EventsHourly, q9JsonExtract, q10Union,
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
-    v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch,
+    v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, c1CorpusCurate,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,

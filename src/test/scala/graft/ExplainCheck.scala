@@ -71,6 +71,8 @@ object ExplainCheck {
       p => p.contains("In(vec_id") && p.contains("TakeOrderedAndProject"))
     check("v12_knn_sq8", "SQ8 ADC scan merges via TakeOrdered")(
       p => p.contains("TakeOrderedAndProject"))
+    check("v16_knn_pq", "PQ re-rank pushes In(vec_id…) to parquet; TakeOrdered merge")(
+      p => p.contains("In(vec_id") && p.contains("TakeOrderedAndProject"))
 
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition
