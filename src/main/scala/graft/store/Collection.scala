@@ -41,7 +41,12 @@ final case class PipelineField(
     // bit-quantization expression-index capability): candidate generation
     // scans 1/32 of the embedding bytes, exact re-rank on the shortlist
     // (operators/Quantized.scala)
-    binaryIndex: Boolean = false)
+    binaryIndex: Boolean = false,
+    // serve-time ANN width for index-accelerated vectorSearch: the binary
+    // path's re-rank shortlist size / the HNSW path's ef (0 = per-index
+    // default). Raise for recall, lower for latency — pgvector's
+    // hnsw.ef_search knob
+    annRerank: Int = 0)
 
 final case class Pipeline(name: String, fields: Seq[PipelineField])
 
@@ -430,23 +435,42 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       val resolver = FilterCompiler.jsonStringResolver(col("document"))
       docs.where(FilterCompiler.compile(f, resolver)).select("document_id")
     }
+    val kGlobal = math.max(limit, rerank.getOrElse(0))
     val perField = fieldQueries.map { fq =>
       val fieldDef = p.fields.find(_.name == fq.field)
         .getOrElse(throw new IllegalArgumentException(s"field ${fq.field} not in pipeline"))
       val emb = fieldDef.semanticSearch
         .getOrElse(throw new IllegalArgumentException(s"field ${fq.field} has no semantic_search"))
       val qv = emb.embedOne(fq.query)
-      var scored = embeddings(p, fq.field)
-        .withColumn("score", cosineSimilarity(col("embedding"), floatVec(qv.toIndexedSeq)) * fq.boost)
-      // the full-text chunk filter needs chunk text pre-limit — join just
-      // the chunk column for this field and drop it again after filtering
-      fq.fullTextFilter.foreach { t =>
-        scored = scored
-          .join(chunks(p, fq.field), Seq("document_id", "chunk_index"))
-          .where(col("chunk").contains(t)).drop("chunk")
+      // Index-accelerated candidate generation when the field carries a
+      // sync-built ANN index and no filter forces the exact path (the
+      // reference's planner picks the pgvector index scan the same way;
+      // with filters, post-filtering an ANN shortlist under-fills k, so
+      // filtered queries keep the exact scan). Per-field top-kGlobal is
+      // lossless for the global top-k of the union. Precedence: HNSW
+      // (the reference's index), then binary signatures, then exact.
+      val indexable = filterJson.isEmpty && fq.fullTextFilter.isEmpty
+      if (indexable && fieldDef.hnswIndex.isDefined) {
+        hnswSearch(p, fq.field, qv, kGlobal, ef = fieldDef.annRerank)
+          .select(col("document_id"), col("chunk_index"),
+            lit(fq.field).as("_field"), (col("score") * fq.boost).as("score"))
+      } else if (indexable && fieldDef.binaryIndex) {
+        binarySearch(p, fq.field, qv, kGlobal, rerank = fieldDef.annRerank)
+          .select(col("document_id"), col("chunk_index"),
+            lit(fq.field).as("_field"), (col("score") * fq.boost).as("score"))
+      } else {
+        var scored = embeddings(p, fq.field)
+          .withColumn("score", cosineSimilarity(col("embedding"), floatVec(qv.toIndexedSeq)) * fq.boost)
+        // the full-text chunk filter needs chunk text pre-limit — join just
+        // the chunk column for this field and drop it again after filtering
+        fq.fullTextFilter.foreach { t =>
+          scored = scored
+            .join(chunks(p, fq.field), Seq("document_id", "chunk_index"))
+            .where(col("chunk").contains(t)).drop("chunk")
+        }
+        scored.select(col("document_id"), col("chunk_index"),
+          lit(fq.field).as("_field"), col("score"))
       }
-      scored.select(col("document_id"), col("chunk_index"),
-        lit(fq.field).as("_field"), col("score"))
     }
     var unioned = perField.reduce(_ unionAll _)
     // Gate on document ids BEFORE the limit ONLY when a metadata filter is
@@ -458,7 +482,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     filteredIds.foreach { ids =>
       unioned = unioned.join(ids, Seq("document_id"), "left_semi")
     }
-    val k = math.max(limit, rerank.getOrElse(0))
+    val k = kGlobal
     val top = unioned
       .orderBy(col("score").desc, col("document_id"), col("chunk_index"))
       .limit(k)

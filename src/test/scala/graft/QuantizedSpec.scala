@@ -181,6 +181,44 @@ class QuantizedSpec extends AnyFunSuite {
     assert(after == exactAfter)
   }
 
+  test("vectorSearch uses configured per-field indexes; full-width results equal the exact scan") {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val wh = java.nio.file.Files.createTempDirectory("graft_vsidx_").toString
+    val c = new graft.store.Collection(spark, "vsidx", wh)
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").limit(200)
+      .select(to_json(struct(col("doc_id").as("id"), col("text"))).as("document"))
+    c.upsertDocuments(docs)
+    def field(bin: Boolean, hnsw: Option[(Int, Int)], width: Int) =
+      graft.store.PipelineField("text", splitter = Some((100000, 0)),
+        binaryIndex = bin, hnswIndex = hnsw, annRerank = width)
+    val q = Seq(graft.store.VectorSearchField("text", "spark query table join"))
+
+    val exactP = graft.store.Pipeline("exact", Seq(field(bin = false, None, 0)))
+    c.syncPipeline(exactP)
+    val exact = c.vectorSearch(exactP, q, limit = 5)
+      .select("document_id").as[String].collect().toSeq
+
+    val n = c.embeddings(exactP, "text").count().toInt
+    val binP = graft.store.Pipeline("viabin", Seq(field(bin = true, None, n)))
+    c.syncPipeline(binP)
+    val viaBin = c.vectorSearch(binP, q, limit = 5)
+      .select("document_id").as[String].collect().toSeq
+    assert(viaBin == exact)
+
+    val hnswP = graft.store.Pipeline("viahnsw", Seq(field(bin = false, Some((8, 32)), n)))
+    c.syncPipeline(hnswP)
+    val viaHnsw = c.vectorSearch(hnswP, q, limit = 5)
+      .select("document_id").as[String].collect().toSeq
+    assert(viaHnsw == exact)
+
+    // a metadata filter must force the exact path (ANN post-filtering
+    // under-fills k) — results stay correct with the index configured
+    val filtered = c.vectorSearch(binP, q, limit = 5,
+      filterJson = Some("""{"id": {"$gte": 0}}"""))
+      .select("document_id").as[String].collect().toSeq
+    assert(filtered == exact)
+  }
+
   test("sq8Knn: ADC top-k recalls most of the exact inner-product top-k; encoded twin agrees") {
     val q = emb.where($"vec_id" === 9).select("embedding").as[Array[Float]].head()
     val model = Quantized.sq8Fit(emb, "embedding")
