@@ -1,0 +1,194 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segmented append+tombstone parquet table with document-granularity
+  * supersession — the storage shape that makes Collection's incremental
+  * sync O(changed docs) instead of O(corpus) per batch.
+  *
+  * The reference mutates its derived tables row-wise in Postgres
+  * (chunk/embedding/tsvector upserts per changed key,
+  * pgml-sdks/pgml/src/queries.rs:217-339). A Spark warehouse can't mutate
+  * parquet in place, and the previous design paid for that by rewriting
+  * every derived table in full on every sync. This table instead:
+  *
+  *   - stores rows in numbered segments `<path>/seg=N/…` (a parquet
+  *     partition column, so readers prune by segment for free);
+  *   - keeps a skinny manifest `<path>/_manifest/` of (doc key → seg)
+  *     recording, for every document REWRITTEN since the last compaction,
+  *     the single segment that now owns all of its rows (the underscore
+  *     prefix hides it from the data read's file listing, like _SUCCESS);
+  *   - resolves reads as "a row survives iff its document was never
+  *     rewritten, or the row sits in the document's latest segment" — one
+  *     broadcast hash join against the aggregated manifest, zero when the
+  *     manifest is empty (the common compacted state);
+  *   - deletes documents by appending a manifest entry whose segment has
+  *     no rows (a tombstone);
+  *   - compacts back to a single segment + empty manifest past a segment
+  *     threshold, bounding both the manifest size (what the resolution
+  *     join broadcasts) and small-file count.
+  *
+  * Writes are append-only between compactions, so a 1-document re-sync
+  * writes O(1 document) bytes. Crash window: rows appended before their
+  * manifest entries land are either superseded (doc already in manifest)
+  * or duplicated until the next successful append for that doc; a
+  * production deployment would sit this layout on a transactional table
+  * format (Delta/Iceberg MERGE), which is exactly the migration seam the
+  * single write/read entry points below define.
+  */
+object DeltaTable {
+
+  private val ManifestDir = "_manifest"
+
+  /** True if the path holds any table this object can read. */
+  def exists(path: String): Boolean = {
+    val d = new java.io.File(path)
+    d.isDirectory && segDirs(path).nonEmpty
+  }
+
+  private def segDirs(path: String): Seq[java.io.File] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg=")).toSeq
+
+  private def maxSeg(path: String): Int =
+    segDirs(path).map(_.getName.stripPrefix("seg=").toInt)
+      .foldLeft(-1)(math.max)
+
+  def segmentCount(path: String): Int = segDirs(path).length
+
+  private def manifestPath(path: String) = s"$path/$ManifestDir"
+
+  private def hasManifest(path: String): Boolean = {
+    val d = new java.io.File(manifestPath(path))
+    d.isDirectory && Option(d.listFiles()).exists(_.exists(f =>
+      f.getName.endsWith(".parquet")))
+  }
+
+  /** Full rewrite: a single seg=0 with an empty manifest, published with
+    * the same write-then-swap as the old snapshot path. The slate-clean
+    * state every full sync and every compaction produces. */
+  def writeBase(df: DataFrame, path: String, sortCols: Seq[String] = Nil): Unit = {
+    graft.operators.IvfIndex.invalidate(path)
+    val sorted = if (sortCols.nonEmpty) df.orderBy(sortCols.map(col): _*) else df
+    val tmp = path + "_tmp"
+    sorted.withColumn("seg", lit(0))
+      .write.mode(SaveMode.Overwrite).partitionBy("seg").parquet(tmp)
+    swap(tmp, path)
+  }
+
+  /** Append one delta segment owning the FULL current row set of `docIds`'
+    * documents (rows for other documents must not appear in `df`). Every
+    * id in `docIds` gets a manifest entry even when `df` carries no rows
+    * for it — that is how a document shrinks to zero rows. Data lands
+    * before manifest entries so a crash never tombstones rows that were
+    * not written. */
+  def appendDelta(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      docIds: DataFrame,
+      docCol: String = "document_id",
+      sortCols: Seq[String] = Nil): Unit = {
+    graft.operators.IvfIndex.invalidate(path)
+    val seg = maxSeg(path) + 1
+    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    sorted.withColumn("seg", lit(seg))
+      .write.mode(SaveMode.Append).partitionBy("seg").parquet(path)
+    docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
+      .distinct()
+      .write.mode(SaveMode.Append).parquet(manifestPath(path))
+  }
+
+  /** Tombstone: `docIds`' documents lose all rows (a manifest entry whose
+    * segment holds nothing for them). O(batch), no table rewrite — the
+    * cascade-delete path. */
+  def tombstone(
+      spark: SparkSession,
+      path: String,
+      docIds: DataFrame,
+      docCol: String = "document_id"): Unit = {
+    graft.operators.IvfIndex.invalidate(path)
+    val seg = maxSeg(path) + 1
+    docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
+      .distinct()
+      .write.mode(SaveMode.Append).parquet(manifestPath(path))
+  }
+
+  /** Resolved view without internal columns. */
+  def read(spark: SparkSession, path: String, docCol: String = "document_id"): DataFrame =
+    readWithSeg(spark, path, docCol).drop("seg")
+
+  /** Resolved view keeping the `seg` column (index builders key graph node
+    * ids on (doc, chunk, seg) so a re-synced row never aliases its stale
+    * predecessor's node). */
+  def readWithSeg(spark: SparkSession, path: String, docCol: String = "document_id"): DataFrame = {
+    val raw = spark.read.parquet(path)
+    resolve(spark, raw, path, docCol)
+  }
+
+  /** Apply manifest resolution to `raw` (which must carry `seg` and
+    * `docCol`). Shared with index homes that co-partition their data by
+    * additional columns (IvfIndex) but reuse the same supersession rule.
+    * Fast path: no manifest → `raw` unchanged, plans identical to a plain
+    * parquet read. */
+  def resolve(spark: SparkSession, raw: DataFrame, path: String, docCol: String): DataFrame = {
+    if (!hasManifest(path)) raw
+    else {
+      // The aggregated manifest is bounded by "documents rewritten since
+      // the last compaction" — the compaction threshold keeps it broadcast-
+      // sized at any corpus scale.
+      val latest = spark.read.parquet(manifestPath(path))
+        .groupBy(col(docCol)).agg(max(col("seg")).as("__latest"))
+      raw.join(broadcast(latest),
+          raw(docCol).cast("string") === latest(docCol), "left")
+        .where(col("__latest").isNull || col("seg") === col("__latest"))
+        .drop(latest(docCol)).drop("__latest")
+    }
+  }
+
+  /** Rewrite to a single fresh segment when the table has fragmented past
+    * `maxSegments`. Returns true when a compaction ran (callers must then
+    * rebuild anything keyed on (doc, chunk, seg)). */
+  def compactIfNeeded(
+      spark: SparkSession,
+      path: String,
+      docCol: String = "document_id",
+      maxSegments: Int = 8,
+      sortCols: Seq[String] = Nil): Boolean = {
+    if (!exists(path) || (segmentCount(path) <= maxSegments && !forcedByManifest(spark, path)))
+      false
+    else {
+      // Materialize the resolved rows OUTSIDE the live dir before swapping:
+      // writeBase's staging write would otherwise read the very files it is
+      // replacing mid-job.
+      val stage = path + "_compact_stage"
+      read(spark, path, docCol).write.mode(SaveMode.Overwrite).parquet(stage)
+      writeBase(spark.read.parquet(stage), path, sortCols)
+      deleteRec(new java.io.File(stage))
+      true
+    }
+  }
+
+  // a pile of tombstones with few segments still bloats the resolution
+  // broadcast; compact when the manifest outgrows a fixed row budget
+  private def forcedByManifest(spark: SparkSession, path: String): Boolean =
+    hasManifest(path) &&
+      spark.read.parquet(manifestPath(path)).count() > 100000
+
+  private def swap(tmp: String, path: String): Unit = {
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      val old = new java.io.File(path + "_old")
+      deleteRec(old)
+      target.renameTo(old)
+    }
+    new java.io.File(tmp).renameTo(target)
+    deleteRec(new java.io.File(path + "_old"))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    if (f.exists()) f.delete()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.DeltaTable
+
+class DeltaTableSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_delta_").toString + "/t"
+
+  test("base write reads back unchanged with no manifest join") {
+    val p = tmp()
+    val df = Seq(("a", 0, "x"), ("a", 1, "y"), ("b", 0, "z"))
+      .toDF("document_id", "chunk_index", "chunk")
+    DeltaTable.writeBase(df, p)
+    val out = DeltaTable.read(spark, p)
+    assert(out.collect().toSet == df.collect().toSet)
+    // fast path: the physical plan contains no join at all
+    assert(!out.queryExecution.executedPlan.toString.toLowerCase.contains("join"))
+  }
+
+  test("delta segment supersedes a document's rows wholesale") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("a", 1, "y"), ("b", 0, "z"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    // doc a shrinks from 2 chunks to 1 with new content; doc c is new
+    val delta = Seq(("a", 0, "x2"), ("c", 0, "w"))
+      .toDF("document_id", "chunk_index", "chunk")
+    DeltaTable.appendDelta(spark, p, delta,
+      Seq("a", "c").toDF("document_id"))
+    val out = DeltaTable.read(spark, p).collect().toSet.map((r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(out == Set(("a", 0, "x2"), ("b", 0, "z"), ("c", 0, "w")))
+  }
+
+  test("a doc id listed with no rows in the delta loses all rows; tombstone ditto") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "z"), ("d", 0, "q"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    // a's field vanished (zero chunks now); d deleted via tombstone
+    DeltaTable.appendDelta(spark, p,
+      Seq.empty[(String, Int, String)].toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"))
+    DeltaTable.tombstone(spark, p, Seq("d").toDF("document_id"))
+    val out = DeltaTable.read(spark, p).select("document_id").as[String].collect().toSet
+    assert(out == Set("b"))
+  }
+
+  test("delete-then-readd resurrects through a later segment") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x")).toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.tombstone(spark, p, Seq("a").toDF("document_id"))
+    DeltaTable.appendDelta(spark, p,
+      Seq(("a", 0, "x3")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"))
+    val out = DeltaTable.read(spark, p).select("chunk").as[String].collect().toSeq
+    assert(out == Seq("x3"))
+  }
+
+  test("compaction preserves the resolved rows and restores the fast path") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "z"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    for (i <- 1 to 5)
+      DeltaTable.appendDelta(spark, p,
+        Seq(("a", 0, s"x$i")).toDF("document_id", "chunk_index", "chunk"),
+        Seq("a").toDF("document_id"))
+    val before = DeltaTable.read(spark, p).collect().toSet
+    assert(DeltaTable.segmentCount(p) == 6)
+    assert(DeltaTable.compactIfNeeded(spark, p, maxSegments = 3))
+    assert(DeltaTable.segmentCount(p) == 1)
+    val after = DeltaTable.read(spark, p)
+    assert(after.collect().toSet == before)
+    assert(!after.queryExecution.executedPlan.toString.toLowerCase.contains("join"))
+    assert(!DeltaTable.compactIfNeeded(spark, p, maxSegments = 3)) // already compact
+  }
+
+  test("readWithSeg keys rewritten rows to their owning segment") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "z"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.appendDelta(spark, p,
+      Seq(("a", 0, "x2")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"))
+    val segs = DeltaTable.readWithSeg(spark, p)
+      .select("document_id", "seg").as[(String, Int)].collect().toMap
+    assert(segs == Map("a" -> 1, "b" -> 0))
+  }
+}
