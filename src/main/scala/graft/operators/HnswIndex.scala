@@ -408,6 +408,23 @@ object HnswIndex {
       numPartitions: Int = 0,
       partitionBudget: Int = DefaultPartitionBudget,
       seed: Long = 42L): HnswIndex = {
+    val graphs = buildGraphBlobs(spark, df, vecCol, idCol, m, efConstruction,
+      numPartitions, partitionBudget, seed, pidOffset = 0).cache()
+    graphs.count() // materialize once; searches reuse the cached blobs
+    new HnswIndex(graphs, s"mem:${java.util.UUID.randomUUID()}", m, efConstruction)
+  }
+
+  private def buildGraphBlobs(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      efConstruction: Int,
+      numPartitions: Int,
+      partitionBudget: Int,
+      seed: Long,
+      pidOffset: Int): DataFrame = {
     import spark.implicits._
     val n = df.count()
     val p =
@@ -422,15 +439,43 @@ object HnswIndex {
     val mm = m
     val efc = efConstruction
     val sd = seed
-    val graphs = src.as[(Long, Array[Float])].mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val off = pidOffset
+    src.as[(Long, Array[Float])].mapPartitions { it =>
+      val pid = off + org.apache.spark.TaskContext.getPartitionId()
       val b = new HnswGraphBuilder(mm, efc, sd ^ (pid.toLong * 0x9e3779b97f4a7c15L))
       it.foreach { case (id, v) => b.add(id, v) }
       if (b.size == 0) Iterator.empty
       else Iterator((pid, serialize(b.freeze())))
-    }.toDF("pid", "graph").cache()
-    graphs.count() // materialize once; searches reuse the cached blobs
-    new HnswIndex(graphs, s"mem:${java.util.UUID.randomUUID()}", m, efConstruction)
+    }.toDF("pid", "graph")
+  }
+
+  /** Append a DELTA SEGMENT to a persisted forest: build graphs over ONLY
+    * `df` (the vectors a sync batch added or replaced) and add them as new
+    * forest partitions — existing graphs are untouched and never rebuilt,
+    * which is what makes a micro-batch sync O(batch) instead of O(corpus).
+    * Search unions all partitions, so delta nodes serve immediately; a
+    * vector that REPLACES an older one must carry a fresh node id (the
+    * Collection keys ids on (doc, chunk, table segment)) so the stale
+    * node's hit resolves to nothing downstream. Forest-wide merge (full
+    * rebuild) is the caller's compaction policy. */
+  def appendSegment(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      partitionBudget: Int = DefaultPartitionBudget,
+      seed: Long = 42L): Unit = {
+    require(existsAt(spark, path), s"no persisted forest at $path to append to")
+    val idx = load(spark, path)
+    val nextPid = idx.graphs.agg(coalesce(max(col("pid")), lit(-1))).head().getInt(0) + 1
+    val blobs = buildGraphBlobs(spark, df, vecCol, idCol, idx.m,
+      idx.efConstruction, numPartitions = 0, partitionBudget, seed, nextPid)
+    blobs.write.mode(SaveMode.Append).parquet(s"$path/data")
+    // drop session + executor caches so the next load sees the new blobs
+    invalidate(path)
+    try spark.read.parquet(s"$path/data").unpersist(true)
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
   def existsAt(spark: SparkSession, path: String): Boolean =

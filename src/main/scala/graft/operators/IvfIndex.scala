@@ -158,6 +158,13 @@ object IvfIndex {
     * whole directories at planning time (asserted via PartitionFilters in
     * IvfSpec/ExplainCheck). No cache: cross-session serving reads only
     * probed files.
+    *
+    * A home that has received [[appendSegment]] deltas additionally unions
+    * `delta/seg=N` directories (base rows count as seg 0) and resolves
+    * document supersession through the home's `_manifest` — rows of a
+    * re-synced document survive only in its latest segment, so stale
+    * vectors are never scored. Homes without deltas skip all of that: the
+    * plan is a plain partition-pruned parquet scan.
     */
   def load(spark: SparkSession, path: String, vecCol: String): IvfIndex = {
     val fs = IndexStore.fsFor(spark, path)
@@ -165,7 +172,71 @@ object IvfIndex {
     implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
     val centroids = org.json4s.jackson.JsonMethods.parse(json)
       .extract[Array[Array[Float]]]
-    new IvfIndex(spark.read.parquet(s"$path/data"), centroids, vecCol)
+    val base = spark.read.parquet(s"$path/data")
+    val deltaDir = new java.io.File(s"$path/delta")
+    val data =
+      if (!deltaDir.isDirectory) base
+      else {
+        val raw = base.withColumn("seg", lit(0))
+          .unionByName(spark.read.parquet(s"$path/delta"))
+        graft.store.DeltaTable.resolve(spark, raw, path, DeltaDocCol).drop("seg")
+      }
+    new IvfIndex(data, centroids, vecCol)
+  }
+
+  /** The document-identity column delta-capable homes resolve supersession
+    * on (Collection-managed indexes store (document_id, chunk_index) ids). */
+  private val DeltaDocCol = "document_id"
+
+  /** Append a sync batch's vectors as a DELTA SEGMENT: assign them to the
+    * EXISTING centroids (classic IVF insert — centroid drift is tolerated
+    * until the caller's merge policy triggers a full rebuild) and append
+    * under `delta/seg=N/cluster_id=M`, recording each document's new owning
+    * segment in the home's `_manifest` so [[load]] drops any stale rows the
+    * documents had in earlier segments. O(batch) work and IO; existing
+    * files are never rewritten. */
+  def appendSegment(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      vecCol: String,
+      docIds: DataFrame,
+      nassign: Int = 3): Unit = {
+    require(existsAt(spark, path), s"no persisted IVF index at $path to append to")
+    val fs = IndexStore.fsFor(spark, path)
+    val json = IndexStore.readString(fs, new Path(path, Sidecar))
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val centroids = org.json4s.jackson.JsonMethods.parse(json)
+      .extract[Array[Array[Float]]]
+    val deltaPath = s"$path/delta"
+    val nextSeg = 1 + Option(new java.io.File(deltaPath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName.stripPrefix("seg=").toInt).foldLeft(0)(math.max)
+    assignClusters(df, centroids, vecCol, nassign)
+      .withColumn("seg", lit(nextSeg))
+      .write.mode(SaveMode.Append).partitionBy("seg", "cluster_id")
+      .parquet(deltaPath)
+    docIds.select(col(DeltaDocCol).cast("string").as(DeltaDocCol),
+        lit(nextSeg).as("seg")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$path/_manifest")
+    invalidate(path)
+  }
+
+  /** Spill assignment (IVF literature's redundancy trick): each vector is
+    * stored in its `nassign` nearest clusters, as one codegen'd expression
+    * — sort the per-centroid cosine structs desc, explode the top slice. */
+  private def assignClusters(
+      df: DataFrame, centroids: Array[Array[Float]], vecCol: String,
+      nassign: Int): DataFrame = {
+    val k = centroids.length
+    val centroidCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineSimilarity(col(vecCol), floatVec(c.toIndexedSeq)).as("s"), lit(i).as("i"))
+    }
+    val top = slice(
+      sort_array(array(centroidCols.toIndexedSeq: _*), asc = false),
+      1, math.max(1, math.min(nassign, k)))
+    df.withColumn("cluster_id", explode(top.getField("i")))
   }
 
   /** Load the index if `path` holds one, else build from `df` and persist —
@@ -218,20 +289,10 @@ object IvfIndex {
     val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(sample)
     val centroids = km.clusterCenters.map(_.toArray.map(_.toFloat))
 
-    // Spill assignment (IVF literature's redundancy trick): each vector is
-    // stored in its `nassign` nearest clusters, as one codegen'd expression
-    // — sort the per-centroid cosine structs desc, explode the top slice.
     // Storage ×nassign buys the recall that single-assignment IVF loses on
     // hard (near-uniform) distributions; `search` dedups by id, so results
     // are exact within the probed set.
-    val centroidCols = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosineSimilarity(col(vecCol), floatVec(c.toIndexedSeq)).as("s"), lit(i).as("i"))
-    }
-    val top = slice(
-      sort_array(array(centroidCols.toIndexedSeq: _*), asc = false),
-      1, math.max(1, math.min(nassign, k)))
-    val assigned = df
-      .withColumn("cluster_id", explode(top.getField("i")))
+    val assigned = assignClusters(df, centroids, vecCol, nassign)
       // co-locate clusters: at scale this is a partitioned write; locally a
       // repartition so each probe scan touches few partitions
       .repartition(math.min(k, 64), col("cluster_id"))

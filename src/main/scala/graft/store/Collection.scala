@@ -50,6 +50,14 @@ final case class PipelineField(
 
 final case class Pipeline(name: String, fields: Seq[PipelineField])
 
+/** Per-pipeline sync bookkeeping: the changelog watermark, how many delta
+  * syncs ran since the last full build (the table/index merge trigger), and
+  * per-field counts of index rows superseded by deltas (the exact
+  * over-fetch slack `hnswSearch` needs so stale graph nodes can never
+  * crowd live ones out of a top-k). Top-level so json4s can construct it. */
+private[store] final case class SyncState(
+    watermark: Long, deltaSyncs: Int, stale: Map[String, Long])
+
 class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   import spark.implicits._
 
@@ -61,7 +69,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     "documents", "searches", "search_results", "search_events", "pipelines.json")
   private def checkPipelineName(pipeline: String): Unit =
     require(!reservedNames.contains(pipeline) && !pipeline.endsWith("_tmp")
-        && !pipeline.endsWith("_old"),
+        && !pipeline.endsWith("_old") && !pipeline.startsWith("_"),
       s"pipeline name '$pipeline' collides with a reserved collection table")
   private def tablePath(pipeline: String, field: String, kind: String) = {
     checkPipelineName(pipeline)
@@ -69,6 +77,52 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   }
 
   def documents: DataFrame = spark.read.parquet(docsPath)
+
+  // ---- upsert changelog + per-pipeline sync state: what makes incremental
+  // sync proportional to the CHANGE. Every upsert appends its batch's
+  // post-merge documents under _changelog/batch=N; each pipeline records the
+  // last batch it consumed, so a sync reads only the new batches (partition
+  // pruning on `batch`) instead of diffing the whole corpus. The reference
+  // gets the same effect from its transactional upsert-then-sync flow over
+  // the documents it just wrote (collection.rs:649-719).
+
+  private def changelogPath = s"$warehouseDir/$name/_changelog"
+
+  private def maxChangelogBatch: Long =
+    Option(new java.io.File(changelogPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).foldLeft(-1L)(math.max)
+
+  private def appendChangelog(uuids: DataFrame): Unit = {
+    val batch = maxChangelogBatch + 1
+    documents.join(uuids, Seq("source_uuid"), "left_semi")
+      .select(col("source_uuid"), col("document"))
+      .withColumn("batch", lit(batch))
+      .write.mode(SaveMode.Append).partitionBy("batch").parquet(changelogPath)
+  }
+
+  private def statePath(pipeline: String) =
+    s"$warehouseDir/$name/$pipeline/_state.json"
+
+  private def readState(pipeline: String): Option[SyncState] = {
+    val f = new java.io.File(statePath(pipeline))
+    if (!f.exists()) None
+    else {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Some(org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(f.toPath)).extract[SyncState])
+    }
+  }
+
+  private def writeState(pipeline: String, s: SyncState): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val p = java.nio.file.Paths.get(statePath(pipeline))
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = java.nio.file.Paths.get(statePath(pipeline) + "_tmp")
+    java.nio.file.Files.writeString(tmp, org.json4s.jackson.Serialization.write(s))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Upsert a batch of JSON documents (each must contain an "id" key).
     * `merge=true` shallow-merges new keys over the previous document
@@ -113,6 +167,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .withColumn("row_id", xxhash64(col("source_uuid"))) // stable keyset key
       .select("row_id", "source_uuid", "document", "created_at")
     writeSnapshot(out, docsPath)
+    // record the batch's final (post-merge) documents for incremental sync;
+    // read back from the published snapshot so the logged JSON is exactly
+    // what a re-sync would see
+    appendChangelog(incoming.select("source_uuid"))
   }
 
   /** Filtered / ordered / keyset-paginated document scan
@@ -155,15 +213,18 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     deleteRec(new java.io.File(deadTmp))
   }
 
-  /** Anti-join every pipeline table on disk against the deleted ids (AQE
-    * broadcasts the typically-small delete set). Persisted IVF indexes over
-    * rewritten embeddings are dropped — the next probe rebuilds via
-    * loadOrBuild, exactly like a re-sync. */
+  /** Tombstone the deleted ids in every pipeline's delta tables — an
+    * O(delete batch) manifest append per table, NOT a table rewrite (the
+    * FK-cascade effect of the reference schema, queries.rs:49-66, at
+    * delta-table cost). ANN indexes over the embeddings are dropped — the
+    * next probe rebuilds via loadOrBuild (deletes are rare relative to
+    * syncs; an index serving tombstoned docs would rank dead chunks). */
   private def cascadeDelete(deadIds: DataFrame): Unit = {
     val collDir = new java.io.File(s"$warehouseDir/$name")
     val nonPipeline = Set("documents", "searches", "search_results", "search_events")
     val pipelineDirs = Option(collDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !nonPipeline.contains(f.getName)
+        && !f.getName.startsWith("_")
         && !f.getName.endsWith("_tmp") && !f.getName.endsWith("_old"))
     pipelineDirs.foreach { pDir =>
       Option(pDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach { tbl =>
@@ -174,130 +235,207 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           graft.operators.HnswIndex.delete(spark, path)
         } else if (tbl.getName.endsWith("_chunks") || tbl.getName.endsWith("_embeddings")
             || tbl.getName.endsWith("_tsvectors") || tbl.getName.endsWith("_binsig")) {
-          val kept = spark.read.parquet(path)
-            .join(deadIds, Seq("document_id"), "left_anti")
-          writeSnapshot(kept, path)
+          DeltaTable.tombstone(spark, path, deadIds)
         }
       }
     }
+  }
+
+  private def chunkFrame(docs: DataFrame, f: PipelineField): DataFrame = {
+    val (size, overlap) = f.splitter.getOrElse((1500, 40))
+    docs.select(col("source_uuid").as("document_id"),
+      posexplode(chunkText(get_json_object(col("document"), "$." + f.name), size, overlap))
+        .as(Seq("chunk_index", "chunk")))
   }
 
   /** Chunk → embed → tsvector for every pipeline field
-    * (pipeline.rs:591-934; full resync. Incremental changed-key sync is the
-    * Delta/CDF path — SURVEY.md §1.2 streams note).
+    * (pipeline.rs:591-934; full resync): derived tables get a fresh single
+    * segment, ANN indexes rebuild from scratch, and the pipeline's
+    * changelog watermark jumps to "now" — the slate-clean state every
+    * delta sync appends onto.
     */
-  def syncPipeline(p: Pipeline): Unit = p.fields.foreach { f =>
-    val (size, overlap) = f.splitter.getOrElse((1500, 40))
-    val chunks = documents
-      .select(col("source_uuid").as("document_id"),
-        posexplode(chunkText(get_json_object(col("document"), "$." + f.name), size, overlap))
-          .as(Seq("chunk_index", "chunk")))
-      .cache() // chunk once; chunks/embeddings/tsvectors all derive from it
-    writeSnapshot(chunks, tablePath(p.name, f.name, "chunks"))
+  def syncPipeline(p: Pipeline): Unit = {
+    p.fields.foreach { f =>
+      val chunks = chunkFrame(documents, f)
+        .cache() // chunk once; chunks/embeddings/tsvectors all derive from it
+      DeltaTable.writeBase(chunks, tablePath(p.name, f.name, "chunks"),
+        sortCols = Seq("document_id", "chunk_index"))
 
-    f.semanticSearch.foreach { emb =>
-      // embedFrame, not embedCol: a batching embedder (remote endpoint /
-      // on-device model) groups rows per model call at ingest
-      val e = emb.embedFrame(chunks, col("chunk"), "embedding")
-        .select(col("document_id"), col("chunk_index"), col("embedding"))
-      writeSnapshot(e, tablePath(p.name, f.name, "embeddings"))
-      // ingest-time ANN index build (HNSW analogue, pipeline.rs:526-543):
-      // the synced embeddings just changed, so the old index is stale —
-      // drop and rebuild the persisted cluster_id-partitioned copy
-      f.vectorIndex.foreach { nlist =>
-        val ivfP = tablePath(p.name, f.name, "ivf")
-        graft.operators.IvfIndex.delete(spark, ivfP)
-        graft.operators.IvfIndex.loadOrBuild(
-          spark, ivfP, embeddings(p, f.name), "embedding", nlist)
-        ()
+      f.semanticSearch.foreach { emb =>
+        // embedFrame, not embedCol: a batching embedder (remote endpoint /
+        // on-device model) groups rows per model call at ingest
+        val e = emb.embedFrame(chunks, col("chunk"), "embedding")
+          .select(col("document_id"), col("chunk_index"), col("embedding"))
+        DeltaTable.writeBase(e, tablePath(p.name, f.name, "embeddings"),
+          sortCols = Seq("document_id", "chunk_index"))
+        // ingest-time ANN index build (HNSW analogue, pipeline.rs:526-543):
+        // the synced embeddings just changed, so the old index is stale —
+        // drop and rebuild the persisted cluster_id-partitioned copy
+        f.vectorIndex.foreach { nlist =>
+          val ivfP = tablePath(p.name, f.name, "ivf")
+          graft.operators.IvfIndex.delete(spark, ivfP)
+          graft.operators.IvfIndex.loadOrBuild(
+            spark, ivfP, embeddings(p, f.name), "embedding", nlist)
+          ()
+        }
+        rebuildHnsw(p, f)
+        rebuildBinary(p, f)
       }
-      rebuildHnsw(p, f)
-      rebuildBinary(p, f)
+      if (f.fullTextSearch) {
+        val ts = chunks
+          .select(col("document_id"), col("chunk_index"),
+            TsRank.tsVector(col("chunk")).as("terms"))
+        DeltaTable.writeBase(ts, tablePath(p.name, f.name, "tsvectors"),
+          sortCols = Seq("document_id", "chunk_index"))
+      }
+      chunks.unpersist()
     }
-    if (f.fullTextSearch) {
-      val ts = chunks
-        .select(col("document_id"), col("chunk_index"),
-          TsRank.tsVector(col("chunk")).as("terms"))
-      writeSnapshot(ts, tablePath(p.name, f.name, "tsvectors"))
-    }
-    chunks.unpersist()
+    writeState(p.name, SyncState(maxChangelogBatch, 0, Map.empty))
   }
 
-  /** Incremental re-sync: recompute embeddings/tsvectors ONLY for chunks
-    * whose content changed since the last sync — the changed-key diff flow
-    * (collection.rs:718-735; chunk diff `WHERE documents.%d <> COALESCE
-    * (chunks.chunk,'')`, queries.rs:325-339). Unchanged chunks keep their
-    * stored embeddings; stale chunks (removed docs / shortened tails) are
-    * dropped. At 100 TB this is the difference between re-embedding a
-    * corpus and re-embedding an upsert batch.
+  /** How many delta syncs accumulate before tables compact and indexes
+    * rebuild (the segment-merge policy). Between merges, every sync is
+    * O(changed documents). */
+  var mergeEvery: Int = 8
+  /** Superseded-index-row budget: beyond this the over-fetch slack stops
+    * being cheap, so the next sync merges early. */
+  var maxStaleIndexRows: Long = 4096
+
+  /** Incremental re-sync, O(changed documents) end to end: consume the
+    * upsert changelog past this pipeline's watermark (partition-pruned
+    * read), re-chunk ONLY those documents, chunk-diff them against their
+    * own old chunks so unchanged chunks keep their stored embeddings
+    * (collection.rs:718-735; chunk diff queries.rs:325-339), then APPEND
+    * one delta segment per derived table and per ANN index — never
+    * rewriting or rebuilding what didn't change. At 100 TB this is the
+    * difference between re-indexing a corpus and absorbing an upsert
+    * batch; a bounded merge policy ([[mergeEvery]]) compacts segments and
+    * rebuilds indexes so fragmentation and over-fetch slack stay small.
     */
-  def syncPipelineIncremental(p: Pipeline): Unit = p.fields.foreach { f =>
-    val (size_, overlap) = f.splitter.getOrElse((1500, 40))
-    val newChunks = documents
-      .select(col("source_uuid").as("document_id"),
-        posexplode(chunkText(get_json_object(col("document"), "$." + f.name), size_, overlap))
-          .as(Seq("chunk_index", "chunk")))
-    val chunksP = tablePath(p.name, f.name, "chunks")
-    val firstSync = !new java.io.File(chunksP).exists()
-    val oldChunks =
-      if (firstSync) spark.emptyDataFrame.select(lit("").as("document_id"),
-        lit(0).as("chunk_index"), lit("").as("chunk")).limit(0)
-      else spark.read.parquet(chunksP)
+  def syncPipelineIncremental(p: Pipeline): Unit = {
+    val state = readState(p.name)
+    // first sync of this pipeline (or a pre-changelog warehouse): full build
+    if (state.isEmpty) { syncPipeline(p); return }
+    val wm = state.get.watermark
+    val maxB = maxChangelogBatch
+    if (maxB <= wm || !new java.io.File(changelogPath).exists()) return // nothing new
 
-    val keyCols = Seq("document_id", "chunk_index", "chunk")
-    // Materialize the diff DURABLY before the chunks snapshot swap: a
-    // cache()+count() barrier is not enough — cached blocks are evictable,
-    // and any recomputation after the swap would diff new chunks against
-    // themselves (empty diff → changed chunks silently left un-embedded).
-    val changedTmp = chunksP + "_changed_tmp"
-    newChunks.join(oldChunks, keyCols, "left_anti")
-      .write.mode(SaveMode.Overwrite).parquet(changedTmp)
-    val changed = spark.read.parquet(changedTmp)
-    writeSnapshot(newChunks, chunksP)
+    // latest post-merge document per uuid among the new batches; checkpoint
+    // so later re-executions can never observe a shifted changelog
+    val changedDocs = spark.read.parquet(changelogPath)
+      .where(col("batch") > wm)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("source_uuid")).orderBy(col("batch").desc)))
+      .where(col("_rn") === 1)
+      .select(col("source_uuid"), col("document"))
+      .localCheckpoint()
+    val changedIds = changedDocs.select(col("source_uuid").as("document_id"))
+    val idSeq = changedDocs.select("source_uuid").as[String].collect().toSeq
 
-    f.semanticSearch.foreach { emb =>
-      val embP = tablePath(p.name, f.name, "embeddings")
-      val newEmb = emb.embedFrame(changed, col("chunk"), "embedding")
-        .select(col("document_id"), col("chunk_index"), col("embedding"))
-      val all =
-        if (firstSync || !new java.io.File(embP).exists()) newEmb
-        else {
-          // keep stored embeddings of chunks that still exist unchanged
-          val kept = spark.read.parquet(embP)
-            .join(newChunks.join(changed, keyCols, "left_anti")
-              .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
-          kept.unionByName(newEmb)
+    // Reads of the changed documents' OLD rows push an In(document_id…)
+    // literal to the parquet scan — segments are written document_id-sorted,
+    // so row-group stats prune everything else and the read is O(changed),
+    // not O(corpus). Past a literal-size threshold (huge backfill batches)
+    // fall back to a broadcast semi-join.
+    def changedOnly(table: DataFrame): DataFrame =
+      if (idSeq.size <= 10000) table.where(col("document_id").isin(idSeq: _*))
+      else table.join(broadcast(changedIds), Seq("document_id"), "left_semi")
+
+    var staleDelta = Map.empty[String, Long]
+    p.fields.foreach { f =>
+      val chunksP = tablePath(p.name, f.name, "chunks")
+      val keyCols = Seq("document_id", "chunk_index", "chunk")
+      val newChunks = chunkFrame(changedDocs, f).localCheckpoint()
+      val oldChunks = changedOnly(DeltaTable.read(spark, chunksP)).localCheckpoint()
+      val changed = newChunks.join(oldChunks, keyCols, "left_anti").localCheckpoint()
+      DeltaTable.appendDelta(spark, chunksP, newChunks, changedIds,
+        sortCols = Seq("document_id", "chunk_index"))
+
+      f.semanticSearch.foreach { emb =>
+        val embP = tablePath(p.name, f.name, "embeddings")
+        val oldEmb = changedOnly(DeltaTable.read(spark, embP)).localCheckpoint()
+        // old index rows these documents are about to supersede (exact
+        // over-fetch slack for stale ANN nodes until the next merge)
+        staleDelta += f.name -> oldEmb.count()
+        val newEmb = emb.embedFrame(changed, col("chunk"), "embedding")
+          .select(col("document_id"), col("chunk_index"), col("embedding"))
+        // unchanged chunks of changed documents carry their stored
+        // embeddings into the new segment — only `changed` hits the model
+        val reused = oldEmb
+          .join(newChunks.join(changed, keyCols, "left_anti")
+            .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
+        val delta = reused.unionByName(newEmb).localCheckpoint()
+        // the hid of each new HNSW node must be derived from THIS segment
+        // number — hnswKeyed recomputes hids from the embeddings table's
+        // seg column, and the two must agree exactly
+        val embSeg = DeltaTable.appendDelta(spark, embP, delta, changedIds,
+          sortCols = Seq("document_id", "chunk_index"))
+
+        // index delta segments over ONLY the new segment's vectors
+        f.vectorIndex.foreach { nlist =>
+          val ivfP = tablePath(p.name, f.name, "ivf")
+          if (!graft.operators.IvfIndex.existsAt(spark, ivfP)) {
+            graft.operators.IvfIndex.loadOrBuild(
+              spark, ivfP, embeddings(p, f.name), "embedding", nlist)
+            ()
+          } else graft.operators.IvfIndex.appendSegment(
+            spark, ivfP, delta, "embedding", changedIds)
         }
-      writeSnapshot(all, embP)
-      // the embeddings just changed, so a persisted IVF index over them is
-      // stale — drop and rebuild, exactly like the full re-sync does
-      // (serving a stale index would miss new/changed vectors and still
-      // rank removed chunks)
-      f.vectorIndex.foreach { nlist =>
-        val ivfP = tablePath(p.name, f.name, "ivf")
-        graft.operators.IvfIndex.delete(spark, ivfP)
-        graft.operators.IvfIndex.loadOrBuild(
-          spark, ivfP, embeddings(p, f.name), "embedding", nlist)
+        f.hnswIndex.foreach { _ =>
+          val hp = tablePath(p.name, f.name, "hnsw")
+          if (!graft.operators.HnswIndex.existsAt(spark, hp)) rebuildHnsw(p, f)
+          else graft.operators.HnswIndex.appendSegment(spark, hp,
+            delta.withColumn("hid", hidCol(lit(embSeg))), "embedding", "hid")
+        }
+        if (f.binaryIndex) {
+          val sigs = delta.select(col("document_id"), col("chunk_index"),
+            graft.functions.VecFunctions.vecSignPack(col("embedding")).as("sig"))
+          DeltaTable.appendDelta(spark, tablePath(p.name, f.name, "binsig"),
+            sigs, changedIds, sortCols = Seq("document_id", "chunk_index"))
+          ()
+        }
+      }
+      if (f.fullTextSearch) {
+        val newTs = newChunks.select(col("document_id"), col("chunk_index"),
+          TsRank.tsVector(col("chunk")).as("terms"))
+        DeltaTable.appendDelta(spark, tablePath(p.name, f.name, "tsvectors"),
+          newTs, changedIds, sortCols = Seq("document_id", "chunk_index"))
         ()
       }
-      rebuildHnsw(p, f)
-      rebuildBinary(p, f)
     }
-    if (f.fullTextSearch) {
-      val tsP = tablePath(p.name, f.name, "tsvectors")
-      val newTs = changed
-        .select(col("document_id"), col("chunk_index"), TsRank.tsVector(col("chunk")).as("terms"))
-      val all =
-        if (firstSync || !new java.io.File(tsP).exists()) newTs
-        else {
-          val kept = spark.read.parquet(tsP)
-            .join(newChunks.join(changed, keyCols, "left_anti")
-              .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
-          kept.unionByName(newTs)
+    val prev = state.get
+    val stale = (prev.stale.keySet ++ staleDelta.keySet).map(k =>
+      k -> (prev.stale.getOrElse(k, 0L) + staleDelta.getOrElse(k, 0L))).toMap
+    writeState(p.name, SyncState(maxB, prev.deltaSyncs + 1, stale))
+    mergeIfDue(p)
+  }
+
+  /** Segment-merge policy: past [[mergeEvery]] delta syncs (or a stale-row
+    * budget breach) compact every derived table back to one segment and
+    * rebuild the ANN indexes from the compacted embeddings. Bounds manifest
+    * size, small files, stale graph nodes, and IVF centroid drift — the
+    * delta path's only unbounded quantities. */
+  private def mergeIfDue(p: Pipeline): Unit = readState(p.name).foreach { st =>
+    if (st.deltaSyncs >= mergeEvery || st.stale.values.sum > maxStaleIndexRows) {
+      p.fields.foreach { f =>
+        for (kind <- Seq("chunks", "embeddings", "tsvectors", "binsig")) {
+          DeltaTable.compactIfNeeded(spark, tablePath(p.name, f.name, kind),
+            maxSegments = 0, sortCols = Seq("document_id", "chunk_index"))
         }
-      writeSnapshot(all, tsP)
+        f.semanticSearch.foreach { _ =>
+          f.vectorIndex.foreach { nlist =>
+            val ivfP = tablePath(p.name, f.name, "ivf")
+            graft.operators.IvfIndex.delete(spark, ivfP)
+            graft.operators.IvfIndex.loadOrBuild(
+              spark, ivfP, embeddings(p, f.name), "embedding", nlist)
+            ()
+          }
+          rebuildHnsw(p, f)
+          rebuildBinary(p, f)
+        }
+      }
+      writeState(p.name, SyncState(st.watermark, 0, Map.empty))
     }
-    deleteRec(new java.io.File(changedTmp))
   }
 
   /** Sync-time HNSW forest rebuild for a field configured with
@@ -313,24 +451,31 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       ()
     }
 
-  /** Embeddings with the 64-bit surrogate node id the HNSW graph stores —
+  /** The 64-bit surrogate node id HNSW graphs store for a row: keyed on
+    * (document_id, chunk_index, owning segment) so a re-synced chunk's new
+    * node NEVER aliases its stale predecessor — the stale node's hit
+    * resolves to no live row and drops out, no tombstone list needed. */
+  private def hidCol(seg: Column): Column =
+    xxhash64(col("document_id"), col("chunk_index"), seg)
+
+  /** Embeddings with the surrogate node id the HNSW graph stores —
     * composite (document_id, chunk_index) keys don't fit a graph node, so
     * hits resolve back through this frame. */
   private def hnswKeyed(p: Pipeline, field: String): DataFrame =
-    embeddings(p, field).withColumn("hid",
-      xxhash64(col("document_id"), col("chunk_index")))
+    DeltaTable.readWithSeg(spark, tablePath(p.name, field, "embeddings"))
+      .withColumn("hid", hidCol(col("seg"))).drop("seg")
 
   /** Sync-time signature-table rebuild for a field with `binaryIndex`:
     * (document_id, chunk_index, sig) — the natural keys ride along so
-    * cascade deletes anti-join it like any derived table and candidates
+    * cascade deletes tombstone it like any derived table and candidates
     * resolve without a surrogate. 1/32 of the embedding bytes. */
   private def rebuildBinary(p: Pipeline, f: PipelineField): Unit =
     if (f.binaryIndex) {
       val sigs = embeddings(p, f.name)
         .select(col("document_id"), col("chunk_index"),
           graft.functions.VecFunctions.vecSignPack(col("embedding")).as("sig"))
-        .orderBy(col("document_id"), col("chunk_index"))
-      writeSnapshot(sigs, tablePath(p.name, f.name, "binsig"))
+      DeltaTable.writeBase(sigs, tablePath(p.name, f.name, "binsig"),
+        sortCols = Seq("document_id", "chunk_index"))
     }
 
   /** Binary-prefilter ANN chunk search (requires `binaryIndex` on the
@@ -346,7 +491,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       s"field $field has no binaryIndex configured; set PipelineField.binaryIndex")
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
     val qSig = typedLit(graft.operators.Quantized.packQuery(query))
-    val cand = spark.read.parquet(tablePath(p.name, field, "binsig"))
+    val cand = DeltaTable.read(spark, tablePath(p.name, field, "binsig"))
       .withColumn("__ham", graft.functions.VecFunctions.vecHamming(col("sig"), qSig))
       .orderBy(col("__ham").asc, col("document_id").asc, col("chunk_index").asc)
       .limit(r)
@@ -374,11 +519,19 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   }
 
   /** ANN chunk search over the per-field HNSW forest: graph top-k, then the
-    * k surrogate hits broadcast-join back to (document_id, chunk_index) —
-    * the resolution leg scans only two narrow columns, never vectors. */
+    * surrogate hits broadcast-join back to (document_id, chunk_index) — the
+    * resolution leg scans only two narrow columns, never vectors. Between
+    * delta syncs and the next merge, graphs hold up to `stale[field]`
+    * superseded nodes whose hits resolve to nothing; the fetch widens by
+    * exactly that count so a top-k can never under-fill. */
   def hnswSearch(p: Pipeline, field: String, query: Array[Float], k: Int,
       ef: Int = 0): DataFrame = {
-    val hits = hnswIndex(p, field).search(query, k, ef, idName = "hid")
+    val slack = readState(p.name)
+      .flatMap(_.stale.get(field)).getOrElse(0L)
+      .min(maxStaleIndexRows).toInt
+    val kk = k + slack
+    val hits = hnswIndex(p, field).search(query, kk,
+      if (ef > 0) math.max(ef, kk) else 0, idName = "hid")
     hnswKeyed(p, field)
       .join(broadcast(hits), "hid")
       .select(col("document_id"), col("chunk_index"), col("score"))
@@ -404,11 +557,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   }
 
   def chunks(p: Pipeline, field: String): DataFrame =
-    spark.read.parquet(tablePath(p.name, field, "chunks"))
+    DeltaTable.read(spark, tablePath(p.name, field, "chunks"))
   def embeddings(p: Pipeline, field: String): DataFrame =
-    spark.read.parquet(tablePath(p.name, field, "embeddings"))
+    DeltaTable.read(spark, tablePath(p.name, field, "embeddings"))
   def tsvectors(p: Pipeline, field: String): DataFrame =
-    spark.read.parquet(tablePath(p.name, field, "tsvectors"))
+    DeltaTable.read(spark, tablePath(p.name, field, "tsvectors"))
 
   /** Chunk-level KNN search across fields — `collection.vector_search`
     * (vector_search_query_builder.rs:77-401). Per field: embed the query

@@ -70,7 +70,10 @@ object DeltaTable {
     * state every full sync and every compaction produces. */
   def writeBase(df: DataFrame, path: String, sortCols: Seq[String] = Nil): Unit = {
     graft.operators.IvfIndex.invalidate(path)
-    val sorted = if (sortCols.nonEmpty) df.orderBy(sortCols.map(col): _*) else df
+    // per-file sort (not a global orderBy): tight row-group stats for key
+    // pushdown without the range partitioner's extra sampling pass, which
+    // would evaluate upstream expressions (e.g. the embedder) twice
+    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
     val tmp = path + "_tmp"
     sorted.withColumn("seg", lit(0))
       .write.mode(SaveMode.Overwrite).partitionBy("seg").parquet(tmp)
@@ -82,14 +85,14 @@ object DeltaTable {
     * id in `docIds` gets a manifest entry even when `df` carries no rows
     * for it — that is how a document shrinks to zero rows. Data lands
     * before manifest entries so a crash never tombstones rows that were
-    * not written. */
+    * not written. Returns the new segment's number. */
   def appendDelta(
       spark: SparkSession,
       path: String,
       df: DataFrame,
       docIds: DataFrame,
       docCol: String = "document_id",
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil): Int = {
     graft.operators.IvfIndex.invalidate(path)
     val seg = maxSeg(path) + 1
     val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
@@ -98,6 +101,7 @@ object DeltaTable {
     docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
       .distinct()
       .write.mode(SaveMode.Append).parquet(manifestPath(path))
+    seg
   }
 
   /** Tombstone: `docIds`' documents lose all rows (a manifest entry whose

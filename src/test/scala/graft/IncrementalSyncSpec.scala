@@ -95,5 +95,128 @@ class IncrementalSyncSpec extends AnyFunSuite {
       .where(get_json_object(col("document"), "$.id") === "777")
       .select("source_uuid").as[String].head()
     assert(hit == expected)
+
+    // UPDATE an existing doc: the delta segment must supersede its old
+    // vector in the index — the probe must score the NEW embedding, exactly
+    // as a brute-force scan over the resolved embeddings does
+    c.upsertDocuments(Seq(
+      """{"id": 7, "body": "renamed to utterly different xylophone cadence"}""").toDF("document"))
+    c.syncPipelineIncremental(p)
+    val qv2 = HashEmbedder(64).embedOne("utterly different xylophone cadence")
+    val ivfTop = c.ivfIndex(p, "body")
+      .search(qv2, 3, nprobe = 4, Seq("document_id", "chunk_index"))
+      .select("document_id", "score").as[(String, Double)].collect().toSeq
+    val bruteTop = c.embeddings(p, "body")
+      .select(col("document_id"),
+        graft.functions.VecFunctions.cosineSimilarity(col("embedding"),
+          graft.functions.VecFunctions.floatVec(qv2.toIndexedSeq)).as("score"))
+      .orderBy(col("score").desc, col("document_id"))
+      .limit(3).as[(String, Double)].collect().toSeq
+    assert(ivfTop.map(_._1) == bruteTop.map(_._1))
+    ivfTop.zip(bruteTop).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  /** Sum of task output metrics (bytes/records written) across everything
+    * `body` runs — local mode shares the JVM, so a listener sees all tasks.
+    * Polls for listener-bus quiescence instead of the private waitUntilEmpty. */
+  private def measureWrites(body: => Unit): (Long, Long) = {
+    val bytes = new AtomicLong(0)
+    val records = new AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val om = t.taskMetrics.outputMetrics
+        bytes.addAndGet(om.bytesWritten)
+        records.addAndGet(om.recordsWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var last = -1L
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(150)
+        val now = bytes.get() + records.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    (bytes.get(), records.get())
+  }
+
+  test("a 1-doc re-sync reads and writes O(doc), not O(corpus)") {
+    val c = new Collection(spark, "incbig", Files.createTempDirectory("graft_incbig_").toString)
+    val p = Pipeline("p", Seq(PipelineField("body",
+      splitter = Some((64, 0)), semanticSearch = Some(HashEmbedder(16)),
+      fullTextSearch = true)))
+    c.upsertDocuments((0 until 300).map(i =>
+      s"""{"id": $i, "body": "corpus document $i steady content"}""").toDF("document"))
+    val (fullBytes, fullRecords) = measureWrites(c.syncPipelineIncremental(p))
+    assert(fullRecords >= 900) // 300 chunks + 300 embeddings + 300 tsvectors
+
+    c.upsertDocuments(Seq(
+      """{"id": 42, "body": "corpus document 42 revised content"}""").toDF("document"))
+    val (deltaBytes, deltaRecords) = measureWrites(c.syncPipelineIncremental(p))
+    // 1 chunk + 1 embedding + 1 tsvector + 3 one-row manifest entries.
+    // Records is the scale-faithful probe; the bytes bound is loose because
+    // at this toy scale parquet footers (~1 KB/file) dominate the payload.
+    assert(deltaRecords <= 12, s"1-doc sync wrote $deltaRecords records")
+    assert(deltaBytes * 4 < fullBytes,
+      s"1-doc sync wrote $deltaBytes bytes vs full sync's $fullBytes")
+    // and the old-row reads push the changed-doc In filter into the scan
+    // (below the resolution join, down to the parquet source)
+    val plan = c.chunks(p, "body")
+      .where(col("document_id").isin("someid", "otherid")).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(document_id"),
+      s"changed-doc filter not pushed to scan:\n$plan")
+  }
+
+  test("delta sync appends HNSW forest segments without rebuilding, results equal a full rebuild") {
+    val wh = Files.createTempDirectory("graft_inchnsw_").toString
+    val c = new Collection(spark, "inchnsw", wh)
+    val p = Pipeline("p", Seq(PipelineField("body",
+      splitter = Some((100000, 0)), semanticSearch = Some(HashEmbedder(32)),
+      hnswIndex = Some((8, 32)), binaryIndex = true)))
+    c.upsertDocuments((0 until 80).map(i =>
+      s"""{"id": $i, "body": "hnsw base doc $i ${"theme " * (i % 7 + 1)}"}""").toDF("document"))
+    c.syncPipelineIncremental(p) // full build
+
+    def hnswDataFiles: Map[String, Long] = {
+      val d = new java.io.File(s"$wh/inchnsw/p/body_hnsw/data")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length).toMap
+    }
+    val before = hnswDataFiles
+    assert(before.nonEmpty)
+
+    // micro-batch: one updated doc + one new doc
+    c.upsertDocuments(Seq(
+      """{"id": 11, "body": "hnsw doc 11 replaced with novel saxophone motif"}""",
+      """{"id": 900, "body": "hnsw brand new doc about quasar lensing"}""").toDF("document"))
+    c.syncPipelineIncremental(p)
+    val after = hnswDataFiles
+    // existing graph blobs are untouched — appended, never rebuilt
+    before.foreach { case (name, len) =>
+      assert(after.get(name).contains(len), s"segment file $name was rewritten") }
+    assert(after.size > before.size, "no delta segment was appended")
+
+    // exact-regime parity: delta-served results == full-rebuild results
+    val qv = HashEmbedder(32).embedOne("novel saxophone motif")
+    def top(k: Int) = c.hnswSearch(p, "body", qv, k, ef = 500)
+      .select("document_id", "chunk_index", "score")
+      .as[(String, Int, Double)].collect().toSeq
+    val viaDelta = top(5)
+    val binViaDelta = c.binarySearch(p, "body", qv, 5, rerank = 1000)
+      .as[(String, Int, Double)].collect().toSeq
+    c.syncPipeline(p) // full rebuild
+    val viaRebuild = top(5)
+    assert(viaDelta.map(t => (t._1, t._2)) == viaRebuild.map(t => (t._1, t._2)))
+    viaDelta.zip(viaRebuild).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-9) }
+    val binViaRebuild = c.binarySearch(p, "body", qv, 5, rerank = 1000)
+      .as[(String, Int, Double)].collect().toSeq
+    assert(binViaDelta.map(t => (t._1, t._2)) == binViaRebuild.map(t => (t._1, t._2)))
   }
 }

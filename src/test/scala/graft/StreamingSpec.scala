@@ -183,6 +183,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(c, kind) == rows(ref, kind), s"streamed $kind != batch $kind")
   }
 
+  test("continuous ingest appends index delta segments; micro-batches never rebuild") {
+    val dir = Files.createTempDirectory("graft_syncidx_").toString
+    val wh = s"$dir/wh"
+    val c = new graft.store.Collection(spark, "csx", wh)
+    val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+      "body", splitter = Some((100000, 0)),
+      semanticSearch = Some(graft.functions.HashEmbedder(32)),
+      hnswIndex = Some((8, 32)))))
+
+    val b1 = (0 until 60).map(i =>
+      s"""{"id": $i, "body": "stream corpus doc $i ${"topic " * (i % 5 + 1)}"}""")
+      .toDF("document")
+    b1.write.parquet(s"$dir/in/batch1")
+    val stream = spark.readStream.schema(b1.schema).parquet(s"$dir/in/*")
+    val q = c.syncStream(stream, Seq(p), s"$dir/ckpt")
+    def hnswDataFiles: Map[String, Long] = {
+      val d = new java.io.File(s"$wh/csx/p/body_hnsw/data")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length).toMap
+    }
+    try {
+      q.processAllAvailable()
+      val before = hnswDataFiles
+      assert(before.nonEmpty)
+      // second micro-batch: 2 new docs — the index must absorb them as a
+      // delta segment, leaving every existing graph blob byte-identical
+      Seq("""{"id": 900, "body": "streamed doc about glacier acoustics"}""",
+          """{"id": 901, "body": "streamed doc about tidal resonance"}""")
+        .toDF("document").write.parquet(s"$dir/in/batch2")
+      q.processAllAvailable()
+      val after = hnswDataFiles
+      before.foreach { case (name, len) =>
+        assert(after.get(name).contains(len), s"micro-batch rebuilt segment $name") }
+      assert(after.size > before.size, "micro-batch appended no delta segment")
+    } finally q.stop()
+
+    // delta-served search equals a full rebuild (exact regime)
+    val qv = graft.functions.HashEmbedder(32).embedOne("glacier acoustics")
+    def top = c.hnswSearch(p, "body", qv, 3, ef = 500)
+      .select("document_id", "chunk_index").as[(String, Int)].collect().toSeq
+    val viaDelta = top
+    c.syncPipeline(p)
+    assert(viaDelta == top)
+  }
+
   test("transform task dispatch runs unchanged on an unbounded stream") {
     // the Spark-native transform_stream: the same Transform operator applied
     // to readStream — outputs arrive per micro-batch instead of per token
