@@ -16,4 +16,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueryCatalog.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** [[oracleSql]] plus the data-dependent oracles (fitted-model replays
+    * whose literals must be generated against the scale factor under
+    * test) — what Verify dumps to oracle_sql.json. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    QueryCatalog.all.flatMap(q =>
+      q.oracle.orElse(q.oracleGen.map(_(spark, sfDir))).map(q.name -> _)).toMap
 }

@@ -18,7 +18,11 @@ import graft.operators.{Dedup, VectorSearch}
 final case class GraftQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    // data-dependent oracles (e.g. a fitted-model replay whose parameters
+    // must be inlined as literals) are generated per scale factor at
+    // Verify-dump time instead of being a static string
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 object QueryCatalog {
 
@@ -848,10 +852,14 @@ object QueryCatalog {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 7).select("embedding").as[Array[Float]].head()
       graft.operators.Pq.knnIndexed(
-          s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", q, 10, rerank = 100)
+          s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", q, 10,
+          rerank = 200, m = 8, kCent = 32)
         .select(col("vec_id"), round(col("score"), 5).as("score"))
     },
-    None)
+    None,
+    // fitted-codebook replay: the oracle is generated per scale factor with
+    // the model's codebook + ADC LUT inlined as exact double literals
+    oracleGen = Some((s, dir) => V16OracleSql.sql(s, dir)))
 
   /** Exact inner-product KNN — pgvector's `<#>` metric (vectors.rs:276-292
     * dot kernel). */
