@@ -42,10 +42,13 @@ final case class PipelineField(
     // scans 1/32 of the embedding bytes, exact re-rank on the shortlist
     // (operators/Quantized.scala)
     binaryIndex: Boolean = false,
-    // serve-time ANN width for index-accelerated vectorSearch: the binary
-    // path's re-rank shortlist size / the HNSW path's ef (0 = per-index
-    // default). Raise for recall, lower for latency — pgvector's
-    // hnsw.ef_search knob
+    // serve-time width for index-accelerated vectorSearch, split per index
+    // family because the two knobs live on different scales: annEf is the
+    // HNSW layer-0 sweep width (pgvector's hnsw.ef_search, typical ~4·k),
+    // annRerank is the binary path's exact-re-rank shortlist size (typical
+    // 10·k — 10k). 0 = per-index default. Raise for recall, lower for
+    // latency.
+    annEf: Int = 0,
     annRerank: Int = 0)
 
 final case class Pipeline(name: String, fields: Seq[PipelineField])
@@ -596,19 +599,52 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         .getOrElse(throw new IllegalArgumentException(s"field ${fq.field} has no semantic_search"))
       val qv = emb.embedOne(fq.query)
       // Index-accelerated candidate generation when the field carries a
-      // sync-built ANN index and no filter forces the exact path (the
-      // reference's planner picks the pgvector index scan the same way;
-      // with filters, post-filtering an ANN shortlist under-fills k, so
-      // filtered queries keep the exact scan). Per-field top-kGlobal is
-      // lossless for the global top-k of the union. Precedence: HNSW
-      // (the reference's index), then binary signatures, then exact.
-      val indexable = filterJson.isEmpty && fq.fullTextFilter.isEmpty
-      if (indexable && fieldDef.hnswIndex.isDefined) {
-        hnswSearch(p, fq.field, qv, kGlobal, ef = fieldDef.annRerank)
+      // sync-built ANN index (the reference's planner picks the pgvector
+      // index scan the same way). Per-field top-kGlobal is lossless for the
+      // global top-k of the union ONLY under a positive boost — a zero or
+      // negative boost wants the OTHER end of the ranking, so it keeps the
+      // exact scan. Precedence: HNSW (the reference's index), then binary
+      // signatures, then exact. The full-text chunk filter stays on the
+      // exact path (it needs chunk text pre-limit); a metadata filter is
+      // served THROUGH the index by over-fetch + post-filter + refill.
+      val hasIndex = fieldDef.hnswIndex.isDefined || fieldDef.binaryIndex
+      val indexable = hasIndex && fq.fullTextFilter.isEmpty && fq.boost > 0
+      // 0 knobs flow through to the per-index defaults, which already
+      // widen with the fetch size (hnsw ef ← max(4k, efc); binary rerank ←
+      // 10k) — a configured knob is floored at the fetch so refill loops
+      // can still widen past it
+      def indexServe(fetch: Int): DataFrame =
+        if (fieldDef.hnswIndex.isDefined)
+          hnswSearch(p, fq.field, qv, fetch,
+            ef = if (fieldDef.annEf > 0) math.max(fieldDef.annEf, fetch) else 0)
+        else
+          binarySearch(p, fq.field, qv, fetch, rerank = fieldDef.annRerank)
+      if (indexable && filteredIds.isEmpty) {
+        indexServe(kGlobal)
           .select(col("document_id"), col("chunk_index"),
             lit(fq.field).as("_field"), (col("score") * fq.boost).as("score"))
-      } else if (indexable && fieldDef.binaryIndex) {
-        binarySearch(p, fq.field, qv, kGlobal, rerank = fieldDef.annRerank)
+      } else if (indexable) {
+        // Filtered ANN (vector_search_query_builder.rs:163-232 applies the
+        // filter inside the index-ordered scan): fetch an over-widened
+        // shortlist, keep rows passing the metadata filter, and refill by
+        // quadrupling the fetch until k survivors or the index is
+        // exhausted. Worst case (a filter selecting almost nothing)
+        // degrades to the exact scan's cost over log4(N) probes; the
+        // common case touches an O(k/selectivity) shortlist instead of the
+        // corpus.
+        val ids = filteredIds.get
+        val n = embeddings(p, fq.field).count()
+        var fetch = math.max(4 * kGlobal, 64).toLong.min(n).toInt
+        var out: DataFrame = null
+        while (out == null) {
+          val survivors = indexServe(fetch)
+            .join(ids, Seq("document_id"), "left_semi")
+            .localCheckpoint() // tiny: ≤ fetch rows; freezes the probe
+          if (survivors.count() >= kGlobal || fetch >= n) out = survivors
+          else fetch = (fetch * 4L).min(n).toInt
+        }
+        out.orderBy(col("score").desc, col("document_id"), col("chunk_index"))
+          .limit(kGlobal)
           .select(col("document_id"), col("chunk_index"),
             lit(fq.field).as("_field"), (col("score") * fq.boost).as("score"))
       } else {

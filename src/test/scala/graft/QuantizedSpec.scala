@@ -190,7 +190,7 @@ class QuantizedSpec extends AnyFunSuite {
     c.upsertDocuments(docs)
     def field(bin: Boolean, hnsw: Option[(Int, Int)], width: Int) =
       graft.store.PipelineField("text", splitter = Some((100000, 0)),
-        binaryIndex = bin, hnswIndex = hnsw, annRerank = width)
+        binaryIndex = bin, hnswIndex = hnsw, annEf = width, annRerank = width)
     val q = Seq(graft.store.VectorSearchField("text", "spark query table join"))
 
     val exactP = graft.store.Pipeline("exact", Seq(field(bin = false, None, 0)))
@@ -211,12 +211,36 @@ class QuantizedSpec extends AnyFunSuite {
       .select("document_id").as[String].collect().toSeq
     assert(viaHnsw == exact)
 
-    // a metadata filter must force the exact path (ANN post-filtering
-    // under-fills k) — results stay correct with the index configured
+    // a metadata filter is served THROUGH the index (over-fetch →
+    // post-filter → refill); at full width results equal the exact path
     val filtered = c.vectorSearch(binP, q, limit = 5,
       filterJson = Some("""{"id": {"$gte": 0}}"""))
       .select("document_id").as[String].collect().toSeq
     assert(filtered == exact)
+
+    // a SELECTIVE filter: top-k of the filtered set, not filtered top-k —
+    // survivors must refill until k even though the unfiltered top-5 is
+    // mostly outside the predicate
+    val exactSel = c.vectorSearch(exactP, q, limit = 5,
+      filterJson = Some("""{"id": {"$gte": 100}}"""))
+      .select("document_id").as[String].collect().toSeq
+    for (idxP <- Seq(binP, hnswP)) {
+      val viaIdx = c.vectorSearch(idxP, q, limit = 5,
+        filterJson = Some("""{"id": {"$gte": 100}}"""))
+        .select("document_id").as[String].collect().toSeq
+      assert(viaIdx == exactSel, s"filtered ANN diverged for ${idxP.name}")
+    }
+
+    // zero/negative boost wants the other end of the ranking — the index
+    // fast path must stand down (per-field top-k by unboosted score would
+    // return exactly the wrong rows)
+    val negQ = Seq(graft.store.VectorSearchField("text", "spark query table join",
+      boost = -1.0))
+    val negExact = c.vectorSearch(exactP, negQ, limit = 5)
+      .select("document_id").as[String].collect().toSeq
+    val negViaIdx = c.vectorSearch(binP, negQ, limit = 5)
+      .select("document_id").as[String].collect().toSeq
+    assert(negViaIdx == negExact)
   }
 
   test("sq8Knn: ADC top-k recalls most of the exact inner-product top-k; encoded twin agrees") {
