@@ -51,20 +51,19 @@ object Dedup {
     *     (hash of the sorted distinct token array) — within-group pairs
     *     are jaccard 1.0 by construction, no LSH or verify needed;
     *  2. LSH and verification run over unique groups only;
-    *  3. token arrays are computed once per group — candidate verification
-    *     is a codegen merge-walk on precomputed sorted arrays, never
-    *     re-tokenization per pair;
-    *  4. the band self-join shuffles only O(groups × bands) small rows on
-    *     the (band, bucket) key;
+    *  3. token-hash arrays are computed from the cached groups frame —
+    *     candidate verification is a codegen merge-walk on precomputed
+    *     sorted long arrays, never re-tokenization per pair;
+    *  4. the band self-join exchanges ONLY (g, sz, band, bucket) — a
+    *     fixed ~24 B/row payload independent of document length (the
+    *     token-hash arrays never ride the ×bands shuffle);
     *  5. size-ratio prefilter: jaccard >= t forces
     *     min(|A|,|B|) >= t·max(|A|,|B|) — pairs failing it are dropped as
-    *     they stream out of the join, before any verify;
-    *  6. verification happens IN the join stream (no candidate
-    *     materialization): the distinct() that dedups band collisions runs
-    *     on verified near-duplicates only — on a near-dup-heavy corpus the
-    *     O(candidates) distinct shuffle, not the verify CPU, is the scale
-    *     bottleneck, so a true pair is re-verified once per colliding band
-    *     instead.
+    *     they stream out of the join, before the pair-distinct;
+    *  6. surviving candidate pairs distinct() on 16-byte (g_a, g_b) rows,
+    *     then verify ONCE per pair by joining back to the cached groups
+    *     (the small pair side broadcasts; worst case the token hashes
+    *     shuffle once — never per band).
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
@@ -121,37 +120,45 @@ object Dedup {
       .cache()
 
     // (2) LSH over unique groups; signature from the canonical token text.
-    // `th` = sorted 64-bit token-hash array: the verify merge-walk compares
-    // primitive longs, not strings (set jaccard is hash-invariant).
     val sig = groups.select(col("g"), size(col("toks")).as("sz"),
-      array_sort(transform(col("toks"), t => xxhash64(t))).as("th"),
       minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
-    val banded = sig.select(col("g"), col("th"), col("sz"),
+    // (4) the band exchange ships ONLY (g, sz, band, bucket) — 4 fixed-width
+    // columns, ~24 B/row regardless of document length. Token-hash arrays
+    // used to ride this shuffle (×2 sides ×bands ≈ 256 B per unique token);
+    // for long documents that payload, not the group count, dominated the
+    // exchange. LshShuffleSpec pins the slim payload in the plan.
+    val banded = sig.select(col("g"), col("sz"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"),
-      col("sz").as("sz_a"), col("th").as("th_a"))
-    val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"),
-      col("sz").as("sz_b"), col("th").as("th_b"))
+    val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"), col("sz").as("sz_a"))
+    val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"), col("sz").as("sz_b"))
 
-    // (3)+(5)+(6): verify IN the band-join stream. The only shuffle is the
-    // (band, bucket) key exchange of O(groups × bands) small rows; every
-    // band-collision occurrence is size-prefiltered then merge-walk
-    // verified as it streams out of the join, and the distinct() runs on
-    // the tiny surviving near-duplicate set — NOT on the O(candidates)
-    // explosion (on a near-dup-heavy corpus that distinct is the scale
-    // bottleneck; re-verifying a true pair once per colliding band is
-    // cheap codegen CPU, traded for an entire shuffle stage).
-    val candidates = a.join(b, Seq("band", "bucket"))
+    // (3)+(5): size-ratio prefilter in the join stream, then distinct the
+    // surviving candidate GROUP PAIRS — 16-byte rows, far smaller than any
+    // payload-bearing alternative — and verify each pair once.
+    val candPairs = a.join(b, Seq("band", "bucket"))
       .where(col("g_a") < col("g_b"))
       // size-ratio prefilter — necessary condition for jaccard >= t
       .where(least(col("sz_a"), col("sz_b")).cast("double") >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("g_a"), col("g_b"))
+      .distinct()
+
+    // (6) verify by joining the deduped pairs BACK to the cached groups:
+    // the candidate side is small (true near-dups + size-compatible band
+    // collisions), so AQE broadcasts it and the token-hash arrays are
+    // computed map-side from the cache — they never enter a shuffle. `th` =
+    // sorted 64-bit token hashes: the merge-walk compares primitive longs,
+    // not strings (set jaccard is hash-invariant).
+    val th = groups.select(col("g"),
+      array_sort(transform(col("toks"), t => xxhash64(t))).as("th"))
+    val candidates = candPairs
+      .join(th.select(col("g").as("g_a"), col("th").as("th_a")), Seq("g_a"))
+      .join(th.select(col("g").as("g_b"), col("th").as("th_b")), Seq("g_b"))
       .withColumn("jaccard",
         graft.functions.JaccardFunctions.sortedJaccardLong(col("th_a"), col("th_b")))
       .where(col("jaccard") >= threshold)
       .select(col("g_a"), col("g_b"), col("jaccard"))
-      .distinct()
 
     (groups, candidates)
   }
