@@ -23,23 +23,31 @@ object Corpus {
   /** Curate `docs(idCol, textCol)`: keep documents whose detected language
     * is `lang` and whose quality score (composite length / alpha-ratio /
     * stopword heuristic, [[TextFunctions.qualityScore]]) clears
-    * `minQuality`, then collapse byte-identical texts to their min-id
-    * representative. Output: (idCol, lang, quality, n_tokens, n_bpeish),
-    * one row per kept document. */
+    * `minQuality`, collapse byte-identical texts to their min-id
+    * representative, then (optionally) near-deduplicate the survivors with
+    * MinHash+LSH at `nearDupThreshold` keeping one representative per
+    * near-dup component — the curation-grade stage real pretraining
+    * pipelines run between exact dedup and tokenization. Near-dedup runs
+    * AFTER the gates and exact dedup, so its LSH cost is paid only on the
+    * documents that survived everything cheaper. Output: (idCol, lang,
+    * quality, n_tokens, n_bpeish), one row per kept document. */
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
-      lang: String = "en", minQuality: Double = 0.3): DataFrame = {
+      lang: String = "en", minQuality: Double = 0.3,
+      nearDupThreshold: Option[Double] = None): DataFrame = {
     val gated = docs
       .withColumn("lang", TextFunctions.langId(col(textCol)))
       .where(col("lang") === lang)
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .where(col("quality") >= minQuality)
     val byText = Window.partitionBy(md5(col(textCol)))
-    gated
+    val exactKept = gated
       .withColumn("__rep", min(col(idCol)).over(byText))
       .where(col(idCol) === col("__rep"))
-      .select(col(idCol), col("lang"), col("quality"),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
-        TextFunctions.bpeishTokenCount(col(textCol)).as("n_bpeish"))
+    val kept = nearDupThreshold.foldLeft(exactKept)((df, t) =>
+      Dedup.deduplicate(df, idCol, textCol, t))
+    kept.select(col(idCol), col("lang"), col("quality"),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      TextFunctions.bpeishTokenCount(col(textCol)).as("n_bpeish"))
   }
 }

@@ -511,6 +511,69 @@ object QueryCatalog {
             FROM gated g JOIN keep USING (doc_id)
             ORDER BY g.doc_id"""))
 
+  /** Curation with the near-dup stage enabled (the full pretraining front
+    * door: lang gate → quality gate → exact dedup → MinHash near-dedup →
+    * stats). Oracle composes the c1 gate/dedup replay with the d4
+    * recursive-closure keep-one replay over the exact survivors.
+    */
+  val c2CorpusCurateNearDup: GraftQuery = GraftQuery(
+    "c2_corpus_curate_neardup",
+    (s, dir) =>
+      graft.operators.Corpus.curate(t(s, dir, "documents"), "doc_id", "text",
+          lang = "en", minQuality = 0.3, nearDupThreshold = Some(0.9))
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            sc AS (
+              SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> list_contains(
+                ['der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für'], x))) AS hits FROM tk
+              UNION ALL SELECT doc_id, 'en', len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','it','that','for','on','with','as','was'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'es', len(list_filter(toks, x -> list_contains(
+                ['el','la','de','y','que','en','un','una','es','no','con','por','para'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'fr', len(list_filter(toks, x -> list_contains(
+                ['le','la','de','et','est','un','une','que','pour','dans','sur','avec'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'zh', len(list_filter(toks, x -> list_contains(
+                ['的','是','了','在','和','有','我','不','这','他'], x))) FROM tk),
+            pred AS (SELECT doc_id,
+              CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+              row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn FROM sc),
+            langd AS (SELECT doc_id FROM pred WHERE rn = 1 AND pred_lang = 'en'),
+            qual AS (SELECT doc_id,
+              round(least(length(text)/200.0, 1.0)*0.4
+                + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0)*0.4
+                + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+                  / greatest(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 1.0)
+                  * 5.0, 1.0)*0.2, 5) AS quality
+              FROM documents),
+            gated AS (SELECT d.doc_id, d.text, q.quality FROM documents d
+              JOIN langd USING (doc_id) JOIN qual q USING (doc_id)
+              WHERE q.quality >= 0.3),
+            keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+            ek AS (SELECT g.doc_id, g.text, g.quality FROM gated g JOIN keep USING (doc_id)),
+            tk2 AS (SELECT doc_id,
+              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks FROM ek),
+            e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM tk2 a JOIN tk2 b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+            sym AS (SELECT ia AS a, ib AS b FROM e
+                    UNION ALL SELECT ib, ia FROM e),
+            reach(id, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id),
+            dropped AS (SELECT id FROM (
+              SELECT id, min(r) AS g FROM reach GROUP BY id) WHERE id <> g)
+            SELECT ek.doc_id, 'en' AS lang, ek.quality,
+              len(string_split_regex(trim(ek.text), '\s+')) AS n_tokens,
+              len(regexp_extract_all(ek.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+            FROM ek
+            WHERE ek.doc_id NOT IN (SELECT id FROM dropped)
+            ORDER BY ek.doc_id"""))
+
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
     * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
@@ -1360,7 +1423,7 @@ object QueryCatalog {
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
-    t6Fingerprint, c1CorpusCurate,
+    t6Fingerprint, c1CorpusCurate, c2CorpusCurateNearDup,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
