@@ -196,6 +196,15 @@ class Registry(spark: SparkSession, dir: String) {
       (m, loadModel(m.modelClass, modelDir(modelId)))
     })
 
+  /** Converged centroids of a stored clustering model (the models-table
+    * introspection surface; also what lets the m3 oracle replay the
+    * fixed-point assignment in SQL with the centers as literals). */
+  def clusterCenters(modelId: Long): Array[Array[Double]] = {
+    val (_, model) = cachedModel(modelId)
+    model.asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
+      .clusterCenters.map(_.toArray)
+  }
+
   def predictWithModel(modelId: Long, df: DataFrame): DataFrame = {
     val (meta, model) = cachedModel(modelId)
     val fitted = meta.fitted.map(j => FittedColumn(

@@ -1250,20 +1250,50 @@ object QueryCatalog {
   /** KMeans clustering over leading embedding dims (deterministic seed;
     * centroid assignment not SQL-expressible → rows-only).
     */
+  private def m3Train(s: SparkSession, dir: String): (graft.ml.Trainer, Long) = {
+    val emb = t(s, dir, "embeddings")
+      .select((0 until 8).map(i => element_at(col("embedding"), i + 1).as(s"e$i")): _*)
+    val reg = java.nio.file.Files.createTempDirectory("graft_q_km_").toString
+    val tr = new graft.ml.Trainer(s, reg)
+    val res = tr.train("q_km", "clustering", emb, None, "kmeans",
+      hyperparams = Map("n_clusters" -> 4))
+    (tr, res.modelId)
+  }
+
+  /** KMeans train + predict, gated on cluster sizes. MLlib's k-means||
+    * INIT is not SQL-replayable, but the CONVERGED model is: the oracle is
+    * generated per scale factor by refitting the (seeded, deterministic)
+    * model and replaying the fixed-point nearest-centroid assignment with
+    * the converged centers inlined as literals — sizes desc are label-
+    * permutation invariant. */
   val m3Kmeans: GraftQuery = GraftQuery(
     "m3_kmeans_sizes",
     (s, dir) => {
+      val (tr, modelId) = m3Train(s, dir)
       val emb = t(s, dir, "embeddings")
         .select((0 until 8).map(i => element_at(col("embedding"), i + 1).as(s"e$i")): _*)
-      val reg = java.nio.file.Files.createTempDirectory("graft_q_km_").toString
-      val tr = new graft.ml.Trainer(s, reg)
-      val res = tr.train("q_km", "clustering", emb, None, "kmeans",
-        hyperparams = Map("n_clusters" -> 4))
-      tr.registry.predictWithModel(res.modelId, emb)
+      tr.registry.predictWithModel(modelId, emb)
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
         .select(col("n")).orderBy(col("n").desc)
     },
-    None)
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = m3Train(s, dir)
+      val centers = tr.registry.clusterCenters(modelId)
+      val centerRows = centers.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(_.toString).mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH cent(c, v) AS (VALUES $centerRows),
+          d AS (SELECT e.vec_id, cent.c,
+              (SELECT sum((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - cent.v[CAST(i AS INT)])
+                        * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - cent.v[CAST(i AS INT)]))
+                 FROM range(1, 9) t(i)) AS dsq
+            FROM embeddings e, cent),
+          a AS (SELECT vec_id, c,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dsq, c) AS rn FROM d)
+          SELECT count(*) AS n FROM a WHERE rn = 1
+          GROUP BY c ORDER BY n DESC"""
+    })
 
   /** Distributed DBSCAN over the first two embedding dims (grid-blocked
     * neighbor join + min-label components). Labels are deterministic (min
