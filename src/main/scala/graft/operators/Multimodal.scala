@@ -57,6 +57,72 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM image decode (PNG/BMP/GIF through javax.imageio — part
+    * of the JDK, no native libs) behind the same codec boundary the stub
+    * implements: a production build swaps in heavier codecs the same way.
+    * Image features are decoded-pixel statistics,
+    * `[width, height, sumR, sumG, sumB]` (sums are exact in float32 for
+    * images under ~2^24 total luminance, and exact integers for the test
+    * sizes). Non-image kinds and undecodable blobs fall back to the
+    * deterministic stub so mixed-kind tables keep flowing. */
+  final class ImageIoCodec(fallback: MediaCodec = new StubCodec(16)) extends MediaCodec {
+    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      val img =
+        if (r.kind != "image") null
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      if (img == null) fallback.decodeBatch(Seq(r)).head
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(r.media_id, r.kind,
+          Array(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat))
+      }
+    }
+    override def sampleFrames(row: MediaRow, n: Int): Seq[FrameRow] =
+      fallback.sampleFrames(row, n)
+  }
+
+  /** Deterministic REAL PNG table: pixel (x, y) channel c of image `id` is
+    * `mix(id, (c·h + y)·w + x) & 0xff` (TextKernels.mix — splitmix64
+    * finalizer), encoded through the JDK's lossless PNG writer. Because the
+    * recurrence is SQL-replayable, a DuckDB oracle can recompute the pixel
+    * statistics WITHOUT any image library — which turns the
+    * encode → decode → stats path into a hash-gated end-to-end test of the
+    * real codec. */
+  def syntheticPngMedia(ids: Dataset[java.lang.Long], w: Int = 8, h: Int = 8): Dataset[MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.map { idBoxed =>
+      val id = idBoxed.longValue()
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def chan(c: Int): Int =
+            (TextKernels.mix(id, ((c * h + y) * w + x).toLong) & 0xff).toInt
+          img.setRGB(x, y, (chan(0) << 16) | (chan(1) << 8) | chan(2))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      MediaRow(id, "image", baos.toByteArray, MediaMeta(w, h, "png", 0L))
+    }
+  }
+
   /** Batched feature extraction: one codec call per `batchSize` rows per
     * partition (the mapInPandas batch shape). Output is a (media_id, kind,
     * features) frame ready to join with text/embedding tables.

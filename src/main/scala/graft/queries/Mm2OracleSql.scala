@@ -1,0 +1,38 @@
+package graft.queries
+
+/** DuckDB oracle for mm2_media_decode: the synthetic PNGs' pixels are a
+  * splitmix64 recurrence (Multimodal.syntheticPngMedia — channel c of
+  * pixel (x,y) in image id is `mix(id, (c·8+y)·8+x) & 0xff`), and PNG is
+  * lossless, so the oracle recomputes the per-channel sums from the same
+  * recurrence in HUGEINT limb arithmetic WITHOUT any image library. A
+  * hash match proves the JDK encode → ImageIO decode → pixel-stats path
+  * reproduced every pixel bit-exactly.
+  */
+object Mm2OracleSql {
+
+  /** (a * c) mod 2^64 with a < 2^64 and c a 64-bit literal, via limbs. */
+  private def mul(a: String, c: String): String =
+    s"(((($a) >> 32) * ($c & 4294967295::HUGEINT) + (($a) & 4294967295::HUGEINT) * ($c >> 32)) " +
+      s"% 4294967296::HUGEINT * 4294967296::HUGEINT " +
+      s"+ (($a) & 4294967295::HUGEINT) * ($c & 4294967295::HUGEINT)) % 18446744073709551616::HUGEINT"
+
+  private val Golden = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
+  private val C1 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
+  private val C2 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
+
+  val sql: String =
+    s"""WITH px AS (SELECT doc_id AS media_id, CAST(c AS INT) AS c,
+       |    ((c * 8 + y) * 8 + x)::HUGEINT AS seed
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 60),
+       |    range(0, 3) tc(c), range(0, 8) ty(y), range(0, 8) tx(x)),
+       |z0 AS (SELECT media_id, c, xor(media_id::HUGEINT, ${mul("seed", Golden)}) AS z FROM px),
+       |z1 AS (SELECT media_id, c, ${mul("xor(z, z >> 30)", C1)} AS z FROM z0),
+       |z2 AS (SELECT media_id, c, ${mul("xor(z, z >> 27)", C2)} AS z FROM z1),
+       |v AS (SELECT media_id, c, xor(z, z >> 31) & 255::HUGEINT AS val FROM z2),
+       |s AS (SELECT media_id, c, CAST(sum(val) AS BIGINT) AS sv FROM v GROUP BY media_id, c)
+       |SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       |  max(CASE WHEN c = 0 THEN sv END) AS sum_r,
+       |  max(CASE WHEN c = 1 THEN sv END) AS sum_g,
+       |  max(CASE WHEN c = 2 THEN sv END) AS sum_b
+       |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin
+}

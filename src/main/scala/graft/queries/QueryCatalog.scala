@@ -1432,6 +1432,32 @@ object QueryCatalog {
     },
     Some(Mm1OracleSql.sql))
 
+  /** REAL image decode end-to-end: deterministic PNGs (pixels from a
+    * splitmix recurrence) → JDK PNG encode → javax.imageio decode → pixel
+    * stats. PNG is lossless, so the DuckDB oracle recomputes the stats
+    * from the recurrence with no image library — a hash match proves the
+    * codec reproduced every pixel bit-exactly.
+    */
+  val mm2MediaDecode: GraftQuery = GraftQuery(
+    "mm2_media_decode",
+    (s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      val media = graft.operators.Multimodal.syntheticPngMedia(ids)
+      graft.operators.Multimodal.extractFeatures(
+          media, new graft.operators.Multimodal.ImageIoCodec())
+        .toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("sum_r"),
+          element_at(col("features"), 4).cast("long").as("sum_g"),
+          element_at(col("features"), 5).cast("long").as("sum_b"))
+        .orderBy(col("media_id"))
+    },
+    Some(Mm2OracleSql.sql))
+
   /** pgml.load_dataset built-in fixture (api.rs:561-587): the iris frame is
     * fully deterministic (seeded splitmix streams), so the oracle REBUILDS
     * the dataset from the same recurrence in SQL and must match
@@ -1460,5 +1486,5 @@ object QueryCatalog {
     s6VectorSearchChunked,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
-    mm1MediaFeatures, ds1LoadIris)
+    mm1MediaFeatures, mm2MediaDecode, ds1LoadIris)
 }

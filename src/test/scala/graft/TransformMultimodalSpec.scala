@@ -145,4 +145,32 @@ class TransformMultimodalSpec extends AnyFunSuite {
     val r = resized.where(col("src_w") > 64).head()
     assert(r.getAs[Int]("dst_w") == 64 ||  r.getAs[Int]("dst_h") == 64)
   }
+
+  test("multimodal: ImageIoCodec decodes real PNG bytes to exact pixel stats") {
+    import graft.functions.TextKernels
+    val ids = Seq(3L, 7L, 41L).map(java.lang.Long.valueOf).toDS()
+    val media = Multimodal.syntheticPngMedia(ids, w = 8, h = 8)
+    val feats = Multimodal.extractFeatures(media, new Multimodal.ImageIoCodec())
+      .collect().map(f => f.media_id -> f.features).toMap
+    for (id <- Seq(3L, 7L, 41L)) {
+      // recompute the channel sums straight from the pixel recurrence —
+      // matching through the PNG encode/decode roundtrip proves the codec
+      // reproduced every pixel, not just plausible statistics
+      val expect = (0 until 3).map { c =>
+        (for (y <- 0 until 8; x <- 0 until 8)
+          yield (TextKernels.mix(id, ((c * 8 + y) * 8 + x).toLong) & 0xff)).sum
+      }
+      val f = feats(id)
+      assert(f(0) == 8f && f(1) == 8f)
+      assert(Seq(f(2).toLong, f(3).toLong, f(4).toLong) == expect.map(_.toLong))
+    }
+    // a non-image kind flows through the stub fallback untouched
+    val mixed = Multimodal.syntheticMedia(spark,
+      Tables.load(spark, TestSpark.sf0001, "documents").limit(9))
+    val viaReal = Multimodal.extractFeatures(mixed, new Multimodal.ImageIoCodec())
+      .filter(_.kind != "image").orderBy("media_id").collect().map(_.features.toSeq)
+    val viaStub = Multimodal.extractFeatures(mixed, new Multimodal.StubCodec(16))
+      .filter(_.kind != "image").orderBy("media_id").collect().map(_.features.toSeq)
+    assert(viaReal.toSeq == viaStub.toSeq)
+  }
 }
