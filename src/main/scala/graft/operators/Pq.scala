@@ -284,19 +284,21 @@ object Pq {
   def invalidateAll(): Unit = cache.keys.foreach(invalidate)
 
   /** Serving-shape KNN: ADC shortlist from the persisted codes table,
-    * exact cosine re-rank of the R full vectors fetched through a pushed
-    * In(id…) filter (row-group pruning on id stats — the codes table and
-    * the fetch never scan full-precision vectors beyond the shortlist). */
+    * exact cosine re-rank of the R full vectors fetched through the shared
+    * [[VectorSearch.fetchShortlist]] seam — In(id…) pushdown (row-group
+    * pruning on id stats) for narrow shortlists, broadcast join past the
+    * threshold. The codes table and the fetch never scan full-precision
+    * vectors beyond the shortlist. */
   def knnIndexed(
       spark: org.apache.spark.sql.SparkSession, sourcePath: String,
       df: => DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, rerank: Int = 0,
-      m: Int = 8, kCent: Int = 256): DataFrame = {
+      m: Int = 8, kCent: Int = 256, inPushdownMax: Int = 8192): DataFrame = {
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
     val (model, codes) = serveCodes(spark, sourcePath, df, idCol, vecCol, m, kCent)
-    val candIds = knnEncoded(codes, "id", "pq", query, r, model)
-      .select("id").collect().map(_.get(0))
-    df.where(col(idCol).isin(candIds: _*))
+    val cand = knnEncoded(codes, "id", "pq", query, r, model)
+      .select(col("id").as(idCol))
+    VectorSearch.fetchShortlist(df, Seq(idCol), cand, r, inPushdownMax)
       .withColumn("score", cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

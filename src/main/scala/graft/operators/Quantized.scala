@@ -79,16 +79,17 @@ object Quantized {
   def binaryKnnIndexed(
       spark: SparkSession, sourcePath: String, df: => DataFrame,
       idCol: String, vecCol: String,
-      query: Array[Float], k: Int, rerank: Int = 0): DataFrame = {
+      query: Array[Float], k: Int, rerank: Int = 0,
+      inPushdownMax: Int = 8192): DataFrame = {
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
     val qSig = typedLit(packQuery(query))
     val sigs = serveSignatures(spark, sourcePath, df, idCol, vecCol)
-    val candIds = sigs
+    val cand = sigs
       .withColumn("__ham", vecHamming(col("sig"), qSig))
       .orderBy(col("__ham").asc, col("id").asc)
       .limit(r)
-      .select("id").collect().map(_.get(0))
-    df.where(col(idCol).isin(candIds: _*))
+      .select(col("id").as(idCol))
+    VectorSearch.fetchShortlist(df, Seq(idCol), cand, r, inPushdownMax)
       .withColumn("score", cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

@@ -36,6 +36,37 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Fetch the full-precision rows of an ANN shortlist from `df` — the ONE
+    * re-rank fetch shared by the quantized serving paths (binary, PQ) and
+    * the Collection's signature search. Two regimes behind one seam:
+    *
+    *  - narrow shortlists (single key, `width <= inPushdownMax`) COLLECT
+    *    the candidate ids to the driver and push an `In(id…)` literal into
+    *    the parquet scan — row-group pruning on id stats (indexed homes
+    *    are written id-sorted for exactly this), at the cost of one driver
+    *    round-trip per query and a width-sized literal the planner folds.
+    *    The fetch is EAGER: the candidate set freezes at call time, so the
+    *    returned frame reflects the shortlist as of now, not re-execution
+    *    time.
+    *  - wide shortlists or composite keys broadcast-hash-join the
+    *    shortlist instead: no driver round-trip, no giant literal; the
+    *    scan prunes nothing but streams once, map-side.
+    *
+    * ExplainCheck pins the In-pushdown regime on v11/v16;
+    * QuantizedSpec pins the broadcast regime and cross-regime equality.
+    */
+  def fetchShortlist(
+      df: DataFrame,
+      keyCols: Seq[String],
+      shortlist: DataFrame,
+      width: Int,
+      inPushdownMax: Int = 8192): DataFrame =
+    if (keyCols.length == 1 && width <= inPushdownMax) {
+      val ids = shortlist.select(keyCols.head).collect().map(_.get(0))
+      df.where(col(keyCols.head).isin(ids.toIndexedSeq: _*))
+    } else
+      df.join(broadcast(shortlist.select(keyCols.map(col): _*).distinct()), keyCols)
+
   /** Top-k per query for a *set* of query vectors (batch KNN): broadcast the
     * queries, score the cross product partition-locally, keep k per query via
     * window — one shuffle on query_id only (k rows per query per partition

@@ -499,8 +499,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .orderBy(col("__ham").asc, col("document_id").asc, col("chunk_index").asc)
       .limit(r)
       .select("document_id", "chunk_index")
-    embeddings(p, field)
-      .join(broadcast(cand), Seq("document_id", "chunk_index"))
+    // composite key → fetchShortlist always picks the broadcast-join regime
+    graft.operators.VectorSearch
+      .fetchShortlist(embeddings(p, field), Seq("document_id", "chunk_index"), cand, r)
       .withColumn("score", cosineSimilarity(col("embedding"),
         graft.functions.VecFunctions.floatVec(query.toIndexedSeq)))
       .select(col("document_id"), col("chunk_index"), col("score"))

@@ -68,6 +68,29 @@ class QuantizedSpec extends AnyFunSuite {
         |  array(2.0D/255), 3.0D) AS v""".stripMargin)
       .as[Double].head()
     assert(math.abs(s - (3.0 + 255 * (2.0 / 255))) < 1e-12)
+    // pq: a 1-subspace/2-centroid codebook — the vector snaps to centroid 1
+    // (value 1.0), whose LUT entry is 7.0
+    val p = spark.sql(
+      """SELECT pq_adc_dot(
+        |  pq_encode(array(CAST(0.9 AS FLOAT)),
+        |            array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)), 1, 2),
+        |  array(5.0D, 7.0D)) AS v""".stripMargin)
+      .as[Double].head()
+    assert(p == 7.0)
+  }
+
+  test("fetchShortlist regimes agree: In-pushdown vs broadcast join") {
+    val q = emb.where($"vec_id" === 5).select("embedding").as[Array[Float]].head()
+    val src = s"${TestSpark.sf0001}/embeddings.parquet"
+    def run(pushMax: Int) = Quantized.binaryKnnIndexed(
+        spark, src, emb, "vec_id", "embedding", q, 10, rerank = 100,
+        inPushdownMax = pushMax)
+    val viaIn = run(pushMax = 8192)
+    val viaBc = run(pushMax = 0) // forces the broadcast regime
+    assert(viaIn.queryExecution.executedPlan.toString.contains("In(vec_id"))
+    assert(viaBc.queryExecution.executedPlan.toString.toLowerCase.contains("broadcast"))
+    assert(viaIn.as[(Long, Double)].collect().toSeq ==
+      viaBc.as[(Long, Double)].collect().toSeq)
   }
   private def VecFunctions_registerAll(): Unit =
     graft.functions.VecFunctions.registerAll(spark)
