@@ -96,9 +96,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getName.stripPrefix("batch=").toLong).foldLeft(-1L)(math.max)
 
-  private def appendChangelog(uuids: DataFrame): Unit = {
+  private def appendChangelog(batchDocs: DataFrame): Unit = {
     val batch = maxChangelogBatch + 1
-    documents.join(uuids, Seq("source_uuid"), "left_semi")
+    batchDocs
       .select(col("source_uuid"), col("document"))
       .withColumn("batch", lit(batch))
       .write.mode(SaveMode.Append).partitionBy("batch").parquet(changelogPath)
@@ -170,10 +170,14 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .withColumn("row_id", xxhash64(col("source_uuid"))) // stable keyset key
       .select("row_id", "source_uuid", "document", "created_at")
     writeSnapshot(out, docsPath)
-    // record the batch's final (post-merge) documents for incremental sync;
-    // read back from the published snapshot so the logged JSON is exactly
-    // what a re-sync would see
-    appendChangelog(incoming.select("source_uuid"))
+    // record the batch's FINAL documents for incremental sync. Without
+    // merge the final document for an incoming uuid is the incoming one
+    // (checkpointed — no corpus re-read); a shallow merge must read the
+    // published snapshot back so the logged JSON is exactly what a re-sync
+    // will see.
+    if (!merge) appendChangelog(incoming)
+    else appendChangelog(
+      documents.join(incoming.select("source_uuid"), Seq("source_uuid"), "left_semi"))
   }
 
   /** Filtered / ordered / keyset-paginated document scan
