@@ -36,7 +36,8 @@ object Bench {
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "s1_chunk", "s3_fulltext_rank",
-      "s4_ingest", "s4_vector_search_e2e", "s6_vector_search_chunked",
+      "s4_ingest", "s4_sync_delta", "s4_vector_search_e2e",
+      "s6_vector_search_chunked",
       "x1_transform_sentiment", "x2_sessions", "c1_corpus_curate",
       "m1_linear_regression")
 
@@ -65,8 +66,30 @@ object Bench {
           m = 16, efConstruction = 64, numPartitions = 8)
         idx.searchBatch(queries, 10, ef = 64, idName = "vec_id")
       }
+    // s4_sync_delta: the incremental-ingest serving shape — ONE changed
+    // document upserted and re-synced against an already-ingested corpus.
+    // The counterpart of s4_ingest's full re-sync: this is what a
+    // continuously-ingesting deployment pays per micro-batch, and it must
+    // stay O(batch) no matter the corpus size. Uses its own warehouse
+    // (chunk config 99999) so the s4/s6 search legs keep their corpus.
+    val deltaCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    val syncDelta: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        import s.implicits._
+        val (c, p) = graft.queries.QueryCatalog.e2eCollection(s, dir, 99999, 0)
+        val rev = deltaCounter.incrementAndGet()
+        c.upsertDocuments(Seq(
+          s"""{"id": 1, "text": "delta sync probe revision $rev of document one"}""")
+          .toDF("document"))
+        c.syncPipelineIncremental(p)
+        c.chunks(p, "text").where(
+          org.apache.spark.sql.functions.col("document_id") ===
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.lit("1")))
+      }
     val queries = SparkEntry.queries +
-      ("s4_ingest" -> ingest) + ("v9b_hnsw_batch" -> hnswBatch)
+      ("s4_ingest" -> ingest) + ("v9b_hnsw_batch" -> hnswBatch) +
+      ("s4_sync_delta" -> syncDelta)
     // Warm every headline query once, untimed (JIT + classload + index/
     // warehouse builds — indexes are built at ingest, not per query; the
     // reference's HNSW numbers likewise exclude the 2h51m index build),

@@ -304,7 +304,11 @@ object QueryCatalog {
       idx.search(q, 10, nprobe = 4, Seq("vec_id"))
         .select(col("vec_id"), round(col("score"), 5).as("score"))
     },
-    None)
+    None,
+    // the pruned probe is deterministic GIVEN the index; the oracle inlines
+    // the served index's centroids per scale factor and replays probe
+    // selection → spill membership → exact top-k (see V5OracleSql)
+    oracleGen = Some((s, dir) => V5OracleSql.sql(s, dir)))
 
   /** IVF probing ALL clusters (nprobe = nlist): partition pruning admits
     * every partition, so the result must equal exact KNN — this puts the

@@ -352,11 +352,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     p.fields.foreach { f =>
       val chunksP = tablePath(p.name, f.name, "chunks")
       val keyCols = Seq("document_id", "chunk_index", "chunk")
-      val newChunks = chunkFrame(changedDocs, f).localCheckpoint()
-      val oldChunks = changedOnly(DeltaTable.read(spark, chunksP)).localCheckpoint()
-      val changed = newChunks.join(oldChunks, keyCols, "left_anti").localCheckpoint()
+      // no checkpoint barriers here: every frame derives from the
+      // checkpointed changedDocs plus parquet file listings captured at
+      // DataFrame creation (appends never remove files), so recomputation
+      // is cheap AND stable — and each skipped barrier is one less Spark
+      // job on the per-micro-batch critical path
+      val newChunks = chunkFrame(changedDocs, f)
+      val oldChunks = changedOnly(DeltaTable.read(spark, chunksP))
+      val changed = newChunks.join(oldChunks, keyCols, "left_anti")
+      val smallBatch = if (idSeq.size <= 10000) math.max(1, idSeq.size / 2000) else 0
       DeltaTable.appendDelta(spark, chunksP, newChunks, changedIds,
-        sortCols = Seq("document_id", "chunk_index"))
+        sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
 
       f.semanticSearch.foreach { emb =>
         val embP = tablePath(p.name, f.name, "embeddings")
@@ -376,7 +382,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // number — hnswKeyed recomputes hids from the embeddings table's
         // seg column, and the two must agree exactly
         val embSeg = DeltaTable.appendDelta(spark, embP, delta, changedIds,
-          sortCols = Seq("document_id", "chunk_index"))
+          sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
 
         // index delta segments over ONLY the new segment's vectors
         f.vectorIndex.foreach { nlist =>
@@ -398,7 +404,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           val sigs = delta.select(col("document_id"), col("chunk_index"),
             graft.functions.VecFunctions.vecSignPack(col("embedding")).as("sig"))
           DeltaTable.appendDelta(spark, tablePath(p.name, f.name, "binsig"),
-            sigs, changedIds, sortCols = Seq("document_id", "chunk_index"))
+            sigs, changedIds, sortCols = Seq("document_id", "chunk_index"),
+            coalesceTo = smallBatch)
           ()
         }
       }
@@ -406,7 +413,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         val newTs = newChunks.select(col("document_id"), col("chunk_index"),
           TsRank.tsVector(col("chunk")).as("terms"))
         DeltaTable.appendDelta(spark, tablePath(p.name, f.name, "tsvectors"),
-          newTs, changedIds, sortCols = Seq("document_id", "chunk_index"))
+          newTs, changedIds, sortCols = Seq("document_id", "chunk_index"),
+          coalesceTo = smallBatch)
         ()
       }
     }

@@ -92,14 +92,20 @@ object DeltaTable {
       df: DataFrame,
       docIds: DataFrame,
       docCol: String = "document_id",
-      sortCols: Seq[String] = Nil): Int = {
+      sortCols: Seq[String] = Nil,
+      // micro-batch deltas are tiny: writing them through the session's
+      // full partition count costs a parquet file + commit per partition
+      // for one-row payloads. Callers that know the batch is small pass a
+      // low target (usually 1); 0 leaves the partitioning alone.
+      coalesceTo: Int = 0): Int = {
     graft.operators.IvfIndex.invalidate(path)
     val seg = maxSeg(path) + 1
-    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    val sized = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    val sorted = if (sortCols.nonEmpty) sized.sortWithinPartitions(sortCols.map(col): _*) else sized
     sorted.withColumn("seg", lit(seg))
       .write.mode(SaveMode.Append).partitionBy("seg").parquet(path)
     docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
-      .distinct()
+      .distinct().coalesce(1)
       .write.mode(SaveMode.Append).parquet(manifestPath(path))
     seg
   }
