@@ -72,7 +72,8 @@ class IncrementalSyncSpec extends AnyFunSuite {
   }
 
   test("incremental sync rebuilds the persisted IVF index for indexed fields") {
-    val c = new Collection(spark, "incivf", Files.createTempDirectory("graft_incivf_").toString)
+    val ivfWh = Files.createTempDirectory("graft_incivf_").toString
+    val c = new Collection(spark, "incivf", ivfWh)
     val p = Pipeline("p", Seq(PipelineField("body",
       splitter = Some((100000, 0)), semanticSearch = Some(HashEmbedder(64)),
       vectorIndex = Some(4))))
@@ -83,10 +84,29 @@ class IncrementalSyncSpec extends AnyFunSuite {
     assert(c.ivfIndex(p, "body").centroids.length == 4)
 
     // a new document arrives; after the incremental sync its embedding must
-    // be probe-able through the PERSISTED index (a stale index would miss it)
+    // be probe-able through the PERSISTED index (a stale index would miss
+    // it) — and the base cluster files must be untouched (delta segment
+    // appended, never a rebuild)
+    def ivfDataFiles(sub: String): Map[String, Long] = {
+      val root = new java.io.File(s"$ivfWh/incivf/p/body_ivf/$sub")
+      if (!root.isDirectory) Map.empty
+      else {
+        val out = scala.collection.mutable.Map[String, Long]()
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+          else if (f.getName.endsWith(".parquet"))
+            out(f.getAbsolutePath.stripPrefix(root.getAbsolutePath)) = f.length
+        walk(root)
+        out.toMap
+      }
+    }
+    val baseBefore = ivfDataFiles("data")
+    assert(baseBefore.nonEmpty && ivfDataFiles("delta").isEmpty)
     c.upsertDocuments(Seq(
       """{"id": 777, "body": "completely unique zanzibar quixotic phrase"}""").toDF("document"))
     c.syncPipelineIncremental(p)
+    assert(ivfDataFiles("data") == baseBefore, "IVF base cluster files were rewritten")
+    assert(ivfDataFiles("delta").nonEmpty, "no IVF delta segment appended")
     val qv = HashEmbedder(64).embedOne("completely unique zanzibar quixotic phrase")
     val hit = c.ivfIndex(p, "body")
       .search(qv, 1, nprobe = 4, Seq("document_id", "chunk_index"))
