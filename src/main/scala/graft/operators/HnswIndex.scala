@@ -316,6 +316,35 @@ class HnswIndex private[operators] (
     hits.orderBy(col("score").desc, col(idName).asc).limit(k)
   }
 
+  /** Driver-local serving tier: search every graph IN-PROCESS and merge,
+    * with zero Spark jobs after the first call (the blobs collect once and
+    * deserialize into the shared graph cache). This is the reference's own
+    * serving shape — an in-memory index probe inside the database process
+    * (its 17.5 ms HNSW probe never schedules distributed work either) —
+    * and it's what a latency-sensitive endpoint should call when the
+    * forest fits one machine. The distributed [[search]]/[[searchBatch]]
+    * paths remain the scale tier: same graphs, same results, executor
+    * parallelism, no driver residency requirement. Results are identical
+    * to [[search]] (same per-graph search, same merge order). */
+  @transient private lazy val localGraphs: Array[HnswGraph] = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    graphs.select(col("pid"), col("graph")).as[(Int, Array[Byte])]
+      .collect()
+      .map { case (pid, bytes) => HnswIndex.graphFor(cacheKey, pid, bytes) }
+  }
+
+  /** In-process top-k (see [[localGraphs]]): returns (id, cosine) pairs
+    * best-first, ties by id — no DataFrame, no job. */
+  def searchLocal(query: Array[Float], k: Int, ef: Int = 0): Seq[(Long, Double)] = {
+    val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
+    localGraphs.iterator.flatMap(_.search(query, k, efEff))
+      .toArray
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+      .toSeq
+  }
+
   /** Batch ANN: top-k per query for a small set of query vectors — the
     * many-queries serving shape (a RAG request fan-in). Each partition's
     * graph deserializes ONCE and answers every query (Q·O(ef·log n_p)

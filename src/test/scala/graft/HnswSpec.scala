@@ -86,6 +86,36 @@ class HnswSpec extends AnyFunSuite {
     idx.graphs.unpersist()
   }
 
+  test("driver-local serving equals the distributed search, with zero jobs after warm-up") {
+    val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",
+      m = 16, efConstruction = 64, numPartitions = 4)
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    // warm the local tier (one collect of the cached blobs)
+    idx.searchLocal(queries.head._2, 1)
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      queries.foreach { case (_, qv) =>
+        val local = idx.searchLocal(qv, 10, ef = 64)
+        val dist = idx.search(qv, 10, ef = 64, idName = "vec_id")
+          .as[(Long, Double)].collect().toSeq
+        assert(local == dist)
+      }
+      Thread.sleep(300)
+      // every job observed came from the DISTRIBUTED comparator, exactly
+      // one per .collect(); the local tier scheduled nothing
+      assert(jobs.get() == queries.size,
+        s"expected ${queries.size} comparator jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    idx.graphs.unpersist()
+  }
+
   test("persisted forest: save→load identical results; loadOrBuild loads, param change rebuilds") {
     val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
     val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",
