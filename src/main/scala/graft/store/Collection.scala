@@ -262,42 +262,45 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * delta sync appends onto.
     */
   def syncPipeline(p: Pipeline): Unit = {
-    p.fields.foreach { f =>
-      val chunks = chunkFrame(documents, f)
-        .cache() // chunk once; chunks/embeddings/tsvectors all derive from it
-      DeltaTable.writeBase(chunks, tablePath(p.name, f.name, "chunks"),
-        sortCols = Seq("document_id", "chunk_index"))
-
-      f.semanticSearch.foreach { emb =>
-        // embedFrame, not embedCol: a batching embedder (remote endpoint /
-        // on-device model) groups rows per model call at ingest
-        val e = emb.embedFrame(chunks, col("chunk"), "embedding")
-          .select(col("document_id"), col("chunk_index"), col("embedding"))
-        DeltaTable.writeBase(e, tablePath(p.name, f.name, "embeddings"),
-          sortCols = Seq("document_id", "chunk_index"))
-        // ingest-time ANN index build (HNSW analogue, pipeline.rs:526-543):
-        // the synced embeddings just changed, so the old index is stale —
-        // drop and rebuild the persisted cluster_id-partitioned copy
-        f.vectorIndex.foreach { nlist =>
-          val ivfP = tablePath(p.name, f.name, "ivf")
-          graft.operators.IvfIndex.delete(spark, ivfP)
-          graft.operators.IvfIndex.loadOrBuild(
-            spark, ivfP, embeddings(p, f.name), "embedding", nlist)
-          ()
-        }
-        rebuildHnsw(p, f)
-        rebuildBinary(p, f)
-      }
-      if (f.fullTextSearch) {
-        val ts = chunks
-          .select(col("document_id"), col("chunk_index"),
-            TsRank.tsVector(col("chunk")).as("terms"))
-        DeltaTable.writeBase(ts, tablePath(p.name, f.name, "tsvectors"),
-          sortCols = Seq("document_id", "chunk_index"))
-      }
-      chunks.unpersist()
-    }
+    p.fields.foreach(syncFieldFull(p, _))
     writeState(p.name, SyncState(maxChangelogBatch, 0, Map.empty))
+  }
+
+  private def syncFieldFull(p: Pipeline, f: PipelineField): Unit = {
+    val chunks = chunkFrame(documents, f)
+      .cache() // chunk once; chunks/embeddings/tsvectors all derive from it
+    DeltaTable.writeBase(chunks, tablePath(p.name, f.name, "chunks"),
+      sortCols = Seq("document_id", "chunk_index"))
+
+    f.semanticSearch.foreach { emb =>
+      // embedFrame, not embedCol: a batching embedder (remote endpoint /
+      // on-device model) groups rows per model call at ingest
+      val e = emb.embedFrame(chunks, col("chunk"), "embedding")
+        .select(col("document_id"), col("chunk_index"), col("embedding"))
+      DeltaTable.writeBase(e, tablePath(p.name, f.name, "embeddings"),
+        sortCols = Seq("document_id", "chunk_index"))
+      // ingest-time ANN index build (HNSW analogue, pipeline.rs:526-543):
+      // the synced embeddings just changed, so the old index is stale —
+      // drop and rebuild the persisted cluster_id-partitioned copy
+      f.vectorIndex.foreach { nlist =>
+        val ivfP = tablePath(p.name, f.name, "ivf")
+        graft.operators.IvfIndex.delete(spark, ivfP)
+        graft.operators.IvfIndex.loadOrBuild(
+          spark, ivfP, embeddings(p, f.name), "embedding", nlist)
+        ()
+      }
+      rebuildHnsw(p, f)
+      rebuildBinary(p, f)
+    }
+    if (f.fullTextSearch) {
+      val ts = chunks
+        .select(col("document_id"), col("chunk_index"),
+          TsRank.tsVector(col("chunk")).as("terms"))
+      DeltaTable.writeBase(ts, tablePath(p.name, f.name, "tsvectors"),
+        sortCols = Seq("document_id", "chunk_index"))
+    }
+    chunks.unpersist()
+    ()
   }
 
   /** How many delta syncs accumulate before tables compact and indexes
@@ -323,6 +326,12 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val state = readState(p.name)
     // first sync of this pipeline (or a pre-changelog warehouse): full build
     if (state.isEmpty) { syncPipeline(p); return }
+    // a field ADDED to the pipeline config since the last full sync has no
+    // derived tables yet: full-build it over ALL documents now (which also
+    // covers any unconsumed changelog batches) and skip its delta below
+    val freshlyBuilt = p.fields
+      .filter(f => !DeltaTable.exists(tablePath(p.name, f.name, "chunks")))
+      .map { f => syncFieldFull(p, f); f.name }.toSet
     val wm = state.get.watermark
     val maxB = maxChangelogBatch
     if (maxB <= wm || !new java.io.File(changelogPath).exists()) return // nothing new
@@ -351,6 +360,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     var staleDelta = Map.empty[String, Long]
     p.fields.foreach { f =>
       val chunksP = tablePath(p.name, f.name, "chunks")
+      if (!freshlyBuilt(f.name)) {
       val keyCols = Seq("document_id", "chunk_index", "chunk")
       // no checkpoint barriers here: every frame derives from the
       // checkpointed changedDocs plus parquet file listings captured at
@@ -417,12 +427,37 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           coalesceTo = smallBatch)
         ()
       }
+      }
     }
     val prev = state.get
     val stale = (prev.stale.keySet ++ staleDelta.keySet).map(k =>
       k -> (prev.stale.getOrElse(k, 0L) + staleDelta.getOrElse(k, 0L))).toMap
     writeState(p.name, SyncState(maxB, prev.deltaSyncs + 1, stale))
     mergeIfDue(p)
+    pruneChangelog()
+  }
+
+  /** Drop changelog batches every pipeline has already consumed — the
+    * retention policy that keeps the upsert log bounded. "Every pipeline"
+    * = every sync-state file on disk (synced pipelines, registered or
+    * not), and a REGISTERED pipeline that has never synced blocks pruning
+    * entirely (it still needs the whole log). */
+  private def pruneChangelog(): Unit = {
+    val collDir = new java.io.File(s"$warehouseDir/$name")
+    val stateWatermarks = Option(collDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(d => readState(d.getName).map(_.watermark))
+    if (stateWatermarks.isEmpty) return
+    if (pipelines.keySet.exists(n => readState(n).isEmpty)) return
+    // never prune the NEWEST batch dir: batch numbering derives from the
+    // max existing dir, and emptying the log would restart it below the
+    // watermarks (a later batch would then be silently skipped)
+    val safe = math.min(stateWatermarks.min, maxChangelogBatch - 1)
+    if (safe < 0) return
+    Option(new java.io.File(changelogPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")
+        && f.getName.stripPrefix("batch=").toLong <= safe)
+      .foreach(deleteRec)
   }
 
   /** Segment-merge policy: past [[mergeEvery]] delta syncs (or a stale-row

@@ -193,6 +193,48 @@ class IncrementalSyncSpec extends AnyFunSuite {
       s"changed-doc filter not pushed to scan:\n$plan")
   }
 
+  test("a field added to a synced pipeline gets a full build; consumed changelog batches prune") {
+    val wh = Files.createTempDirectory("graft_incfield_").toString
+    val c = new Collection(spark, "incf", wh)
+    val body = PipelineField("body", splitter = Some((64, 0)),
+      semanticSearch = Some(HashEmbedder(16)))
+    c.upsertDocuments((0 until 20).map(i =>
+      s"""{"id": $i, "body": "field doc $i body", "title": "t$i heading"}""")
+      .toDF("document"))
+    val p1 = Pipeline("p", Seq(body))
+    c.syncPipelineIncremental(p1)
+
+    // widen the pipeline: the new field must build over ALL documents even
+    // though the changelog has nothing new for this pipeline
+    val title = PipelineField("title", splitter = Some((64, 0)),
+      semanticSearch = Some(HashEmbedder(16)))
+    val p2 = Pipeline("p", Seq(body, title))
+    c.syncPipelineIncremental(p2)
+    assert(c.chunks(p2, "title").count() == 20)
+    assert(c.embeddings(p2, "title").count() == 20)
+
+    // and incremental updates now flow to both fields
+    c.upsertDocuments(Seq(
+      """{"id": 3, "body": "revised body three", "title": "revised title three"}""")
+      .toDF("document"))
+    c.syncPipelineIncremental(p2)
+    assert(c.chunks(p2, "body").where(col("chunk").contains("revised body")).count() == 1)
+    assert(c.chunks(p2, "title").where(col("chunk").contains("revised title")).count() == 1)
+
+    // consumed batches prune (the newest dir is always retained so batch
+    // numbering stays monotonic past the watermark)
+    def batchDirs = Option(new java.io.File(s"$wh/incf/_changelog").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("batch="))
+    assert(batchDirs == 1, s"expected pruned changelog, found $batchDirs batch dirs")
+    // a subsequent upsert + sync still lands correctly after pruning
+    c.upsertDocuments(Seq(
+      """{"id": 99, "body": "post prune body", "title": "post prune title"}""")
+      .toDF("document"))
+    c.syncPipelineIncremental(p2)
+    assert(c.chunks(p2, "body").count() == 21)
+    assert(c.chunks(p2, "title").count() == 21)
+  }
+
   test("delta sync appends HNSW forest segments without rebuilding, results equal a full rebuild") {
     val wh = Files.createTempDirectory("graft_inchnsw_").toString
     val c = new Collection(spark, "inchnsw", wh)
