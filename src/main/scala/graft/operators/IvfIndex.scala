@@ -173,9 +173,11 @@ object IvfIndex {
     val centroids = org.json4s.jackson.JsonMethods.parse(json)
       .extract[Array[Array[Float]]]
     val base = spark.read.parquet(s"$path/data")
-    val deltaDir = new java.io.File(s"$path/delta")
+    // all layout probes go through the Hadoop FileSystem like every other
+    // IvfIndex IO — java.io.File would silently miss deltas on HDFS/S3A
+    val deltaExists = fs.exists(new Path(s"$path/delta"))
     val data =
-      if (!deltaDir.isDirectory) base
+      if (!deltaExists) base
       else {
         val raw = base.withColumn("seg", lit(0))
           .unionByName(spark.read.parquet(s"$path/delta"))
@@ -209,10 +211,12 @@ object IvfIndex {
     val centroids = org.json4s.jackson.JsonMethods.parse(json)
       .extract[Array[Array[Float]]]
     val deltaPath = s"$path/delta"
-    val nextSeg = 1 + Option(new java.io.File(deltaPath).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
-      .map(_.getName.stripPrefix("seg=").toInt).foldLeft(0)(math.max)
+    val deltaDir = new Path(deltaPath)
+    val nextSeg = 1 + (
+      if (!fs.exists(deltaDir)) 0
+      else fs.listStatus(deltaDir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+        .map(_.getPath.getName.stripPrefix("seg=").toInt).foldLeft(0)(math.max))
     assignClusters(df, centroids, vecCol, nassign)
       .withColumn("seg", lit(nextSeg))
       .write.mode(SaveMode.Append).partitionBy("seg", "cluster_id")

@@ -66,28 +66,43 @@ object Multimodal {
     * sizes). Non-image kinds and undecodable blobs fall back to the
     * deterministic stub so mixed-kind tables keep flowing. */
   final class ImageIoCodec(fallback: MediaCodec = new StubCodec(16)) extends MediaCodec {
-    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
-      val img =
-        if (r.kind != "image") null
-        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
-      if (img == null) fallback.decodeBatch(Seq(r)).head
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        MediaFeatures(r.media_id, r.kind,
-          Array(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat))
+    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = {
+      // preserve the batching contract for the fallback: non-image and
+      // undecodable rows go through ONE fallback call per batch (a real
+      // fallback codec amortizes model startup per batch), then results
+      // reassemble in input order
+      val decoded = rows.map { r =>
+        val img =
+          if (r.kind != "image") null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        r -> Option(img)
       }
+      val fellBack = decoded.collect { case (r, None) => r }
+      val fbByKey = fallback.decodeBatch(fellBack)
+        .map(f => f.media_id -> f).toMap
+      decoded.map {
+        case (r, None) => fbByKey(r.media_id)
+        case (r, Some(img)) => imageStats(r, img)
+      }
+    }
+
+    private def imageStats(
+        r: MediaRow, img: java.awt.image.BufferedImage): MediaFeatures = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(r.media_id, r.kind,
+        Array(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat))
     }
     override def sampleFrames(row: MediaRow, n: Int): Seq[FrameRow] =
       fallback.sampleFrames(row, n)

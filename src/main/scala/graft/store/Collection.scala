@@ -178,6 +178,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     if (!merge) appendChangelog(incoming)
     else appendChangelog(
       documents.join(incoming.select("source_uuid"), Seq("source_uuid"), "left_semi"))
+    pruneChangelog() // keep upsert-only collections bounded too
   }
 
   /** Filtered / ordered / keyset-paginated document scan
@@ -216,7 +217,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val dead = spark.read.parquet(deadTmp)
     val nDead = dead.count()
     writeSnapshot(documents.where(!pred), docsPath)
-    if (nDead > 0) cascadeDelete(dead)
+    if (nDead > 0) {
+      cascadeDelete(dead)
+      // the delete is ALSO a changelog event (a null-document marker):
+      // a pipeline whose watermark predates the doc's upsert would
+      // otherwise resurrect it from the unconsumed batch — the marker
+      // supersedes earlier batches (latest per uuid wins) and re-syncs the
+      // doc to zero chunks, which tombstones it in every delta table
+      appendChangelog(dead.select(col("document_id").as("source_uuid"),
+        lit(null).cast("string").as("document")))
+    }
     deleteRec(new java.io.File(deadTmp))
   }
 
@@ -242,7 +252,15 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           graft.operators.HnswIndex.delete(spark, path)
         } else if (tbl.getName.endsWith("_chunks") || tbl.getName.endsWith("_embeddings")
             || tbl.getName.endsWith("_tsvectors") || tbl.getName.endsWith("_binsig")) {
-          DeltaTable.tombstone(spark, path, deadIds)
+          if (DeltaTable.exists(path)) DeltaTable.tombstone(spark, path, deadIds)
+          else {
+            // legacy flat-snapshot layout (pre-delta warehouse): a manifest
+            // would reference a `seg` column the files don't have — keep
+            // the old anti-join rewrite until a sync migrates the table
+            val kept = spark.read.parquet(path)
+              .join(deadIds, Seq("document_id"), "left_anti")
+            writeSnapshot(kept, path)
+          }
         }
       }
     }
@@ -264,6 +282,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   def syncPipeline(p: Pipeline): Unit = {
     p.fields.foreach(syncFieldFull(p, _))
     writeState(p.name, SyncState(maxChangelogBatch, 0, Map.empty))
+    pruneChangelog()
   }
 
   private def syncFieldFull(p: Pipeline, f: PipelineField): Unit = {
@@ -447,12 +466,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val stateWatermarks = Option(collDir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory)
       .flatMap(d => readState(d.getName).map(_.watermark))
-    if (stateWatermarks.isEmpty) return
     if (pipelines.keySet.exists(n => readState(n).isEmpty)) return
+    // with no consumers at all (no synced pipeline, empty registry) nothing
+    // will ever read old batches — a pipeline created later starts with a
+    // full sync, not a changelog replay
+    val minConsumed =
+      if (stateWatermarks.nonEmpty) stateWatermarks.min else Long.MaxValue
     // never prune the NEWEST batch dir: batch numbering derives from the
     // max existing dir, and emptying the log would restart it below the
     // watermarks (a later batch would then be silently skipped)
-    val safe = math.min(stateWatermarks.min, maxChangelogBatch - 1)
+    val safe = math.min(minConsumed, maxChangelogBatch - 1)
     if (safe < 0) return
     Option(new java.io.File(changelogPath).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")
@@ -676,20 +699,20 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // filter inside the index-ordered scan): fetch an over-widened
         // shortlist, keep rows passing the metadata filter, and refill by
         // quadrupling the fetch until k survivors or the index is
-        // exhausted. Worst case (a filter selecting almost nothing)
-        // degrades to the exact scan's cost over log4(N) probes; the
-        // common case touches an O(k/selectivity) shortlist instead of the
-        // corpus.
+        // exhausted — detected by the shortlist coming back SHORTER than
+        // requested, so no corpus-sized count() job sits on the serving
+        // path. Worst case (a filter selecting almost nothing) degrades to
+        // the exact scan's cost over log4(N) probes; the common case
+        // touches an O(k/selectivity) shortlist instead of the corpus.
         val ids = filteredIds.get
-        val n = embeddings(p, fq.field).count()
-        var fetch = math.max(4 * kGlobal, 64).toLong.min(n).toInt
+        var fetch = math.max(4 * kGlobal, 64)
         var out: DataFrame = null
         while (out == null) {
-          val survivors = indexServe(fetch)
-            .join(ids, Seq("document_id"), "left_semi")
-            .localCheckpoint() // tiny: ≤ fetch rows; freezes the probe
-          if (survivors.count() >= kGlobal || fetch >= n) out = survivors
-          else fetch = (fetch * 4L).min(n).toInt
+          val shortlist = indexServe(fetch).localCheckpoint() // ≤ fetch rows
+          val exhausted = shortlist.count() < fetch
+          val survivors = shortlist.join(ids, Seq("document_id"), "left_semi")
+          if (exhausted || survivors.count() >= kGlobal) out = survivors
+          else fetch = (fetch * 4L).min(Int.MaxValue.toLong).toInt
         }
         out.orderBy(col("score").desc, col("document_id"), col("chunk_index"))
           .limit(kGlobal)

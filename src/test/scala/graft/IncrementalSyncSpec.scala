@@ -193,6 +193,35 @@ class IncrementalSyncSpec extends AnyFunSuite {
       s"changed-doc filter not pushed to scan:\n$plan")
   }
 
+  test("a lagging pipeline cannot resurrect deleted documents from the changelog") {
+    val c = new Collection(spark, "inclag", Files.createTempDirectory("graft_inclag_").toString)
+    val mkField = PipelineField("body", splitter = Some((64, 0)),
+      semanticSearch = Some(HashEmbedder(16)))
+    val pa = Pipeline("pa", Seq(mkField))
+    val pb = Pipeline("pb", Seq(mkField))
+    c.upsertDocuments((0 until 5).map(i =>
+      s"""{"id": $i, "body": "lag doc $i body"}""").toDF("document"))
+    c.syncPipelineIncremental(pa)
+    c.syncPipelineIncremental(pb)
+
+    // pa consumes the new doc's batch; pb lags behind it
+    c.upsertDocuments(Seq("""{"id": 9, "body": "doomed document body"}""").toDF("document"))
+    c.syncPipelineIncremental(pa)
+    assert(c.chunks(pa, "body").count() == 6)
+    // the doc dies BEFORE pb ever consumed its upsert batch
+    c.deleteDocuments("""{"id": {"$eq": 9}}""")
+    c.syncPipelineIncremental(pb)
+    // without the delete marker pb would replay the unconsumed upsert and
+    // resurrect the doc's chunks/embeddings in its delta tables
+    assert(c.chunks(pb, "body").count() == 5)
+    assert(c.embeddings(pb, "body").count() == 5)
+    // pa (already synced past the upsert) was handled by the cascade
+    // tombstone, and its own marker replay keeps it at 5 too
+    c.syncPipelineIncremental(pa)
+    assert(c.chunks(pa, "body").count() == 5)
+    assert(c.embeddings(pa, "body").count() == 5)
+  }
+
   test("a field added to a synced pipeline gets a full build; consumed changelog batches prune") {
     val wh = Files.createTempDirectory("graft_incfield_").toString
     val c = new Collection(spark, "incf", wh)
