@@ -1046,24 +1046,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     archiveName
   }
 
-  private def writeSnapshot(df: DataFrame, path: String): Unit = {
-    // write-then-swap so a failed job never truncates the live table
-    graft.operators.IvfIndex.invalidate(path) // any index over the old files is stale
-    val tmp = path + "_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      val old = new java.io.File(path + "_old")
-      deleteRec(old)
-      target.renameTo(old)
-    }
-    new java.io.File(tmp).renameTo(target)
-    deleteRec(new java.io.File(path + "_old"))
-  }
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) f.delete()
-  }
+  // write-then-swap so a failed job never truncates the live table; one
+  // shared implementation with the delta layout (DeltaTable.writeSnapshot)
+  private def writeSnapshot(df: DataFrame, path: String): Unit =
+    DeltaTable.writeSnapshot(df, path)
+  private def deleteRec(f: java.io.File): Unit = DeltaTable.deleteRecursively(f)
 }
 
 final case class VectorSearchField(

@@ -186,6 +186,18 @@ object DeltaTable {
     hasManifest(path) &&
       spark.read.parquet(manifestPath(path)).count() > 100000
 
+  /** Flat (non-segmented) write-then-swap publish — the documents table and
+    * log sinks share this with the segmented layout's base writes, so the
+    * crash-window semantics live in exactly one place. */
+  private[graft] def writeSnapshot(df: DataFrame, path: String): Unit = {
+    graft.operators.IvfIndex.invalidate(path)
+    val tmp = path + "_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    swap(tmp, path)
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = deleteRec(f)
+
   private def swap(tmp: String, path: String): Unit = {
     val target = new java.io.File(path)
     if (target.exists()) {
