@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,5 +49,60 @@ object Corpus {
     kept.select(col(idCol), col("lang"), col("quality"),
       TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
       TextFunctions.bpeishTokenCount(col(textCol)).as("n_bpeish"))
+  }
+
+  /** md5 of every n-token window of `text` (empty below n tokens) — all
+    * built-ins, so the grams compute inside the scan stage and replay in
+    * SQL. */
+  private def ngramHashes(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination — drop every corpus document sharing ANY
+    * n-token window with the benchmark/eval corpus (the eval-leakage gate
+    * pretraining pipelines run before training; n-gram overlap is the
+    * standard published criterion). Shuffle profile at 100 TB: the
+    * benchmark side is eval-set-sized, so its distinct gram hashes
+    * BROADCAST; the corpus's exploded grams are filtered map-side by the
+    * broadcast semi-join and only the (rare) contaminated ids reach the
+    * distinct — the corpus itself is never shuffled. */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ngramHashes(col(benchTextCol), n)).as("__g")).distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Concat-and-chunk sequence packing: assign each document to the
+    * fixed-token-budget pack its FIRST token lands in — the GPT-style
+    * "concatenate the stream, cut every `budget` tokens" loader layout.
+    * Documents stripe by id into `stripes` independent streams so the
+    * running-count window parallelizes (one shuffle on the stripe key, no
+    * global sort); within a stripe the order is id-ascending, so the
+    * layout is deterministic and SQL-replayable. Output: (idCol, stripe,
+    * pack_id, n_tokens, tok_start) — tok_start is the document's offset in
+    * its stripe's token stream. */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, stripes: Int = 32): DataFrame = {
+    require(budget > 0 && stripes > 0, "budget and stripes must be positive")
+    val w = Window.partitionBy(col("stripe")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        pmod(col(idCol).cast("long"), lit(stripes.toLong)).cast("int").as("stripe"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("tok_start") / budget).cast("long"))
+      .select(col(idCol), col("stripe"), col("pack_id"), col("n_tokens"), col("tok_start"))
   }
 }

@@ -578,6 +578,54 @@ object QueryCatalog {
             WHERE ek.doc_id NOT IN (SELECT id FROM dropped)
             ORDER BY ek.doc_id"""))
 
+  /** Benchmark decontamination: drop corpus docs sharing any 8-token
+    * window with the (synthetic stand-in) benchmark set — the eval-leakage
+    * gate. Oracle replays tokenization → n-gram windows → semi-join →
+    * anti-join on raw gram strings.
+    */
+  val d5Decontaminate: GraftQuery = GraftQuery(
+    "d5_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.decontaminate(
+          docs, "doc_id", "text",
+          docs.where(col("doc_id") % 97 === 0), "text", n = 8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+            g AS (SELECT doc_id, unnest(
+                CASE WHEN len(t) >= 8
+                     THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+                     ELSE [] END) AS gram FROM tk),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+            ORDER BY doc_id"""))
+
+  /** Concat-and-chunk sequence packing (GPT-style loader layout): stripe
+    * by id, running token cumsum per stripe, pack = the fixed-budget chunk
+    * the document's first token lands in. Oracle = the same window cumsum
+    * in SQL — exact integer math end to end.
+    */
+  val t7PackSequences: GraftQuery = GraftQuery(
+    "t7_pack_sequences",
+    (s, dir) =>
+      graft.operators.Corpus.packSequences(
+          t(s, dir, "documents"), "doc_id", "text", budget = 512, stripes = 8)
+        .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS stripe,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, stripe, n_tokens,
+              COALESCE(sum(n_tokens) OVER (PARTITION BY stripe ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+              FROM tk)
+            SELECT doc_id, stripe, CAST(tok_start // 512 AS BIGINT) AS pack_id,
+              n_tokens, CAST(tok_start AS BIGINT) AS tok_start
+            FROM c ORDER BY doc_id"""))
+
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
     * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
@@ -1483,8 +1531,8 @@ object QueryCatalog {
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
-    t6Fingerprint, c1CorpusCurate, c2CorpusCurateNearDup,
-    d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate,
+    t6Fingerprint, t7PackSequences, c1CorpusCurate, c2CorpusCurateNearDup,
+    d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked,

@@ -128,4 +128,42 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(blocked.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
   }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares the 4-gram with bench
+      (2L, "alpha beta gamma DELTA epsilon zeta"),   // case differs mid-window: lowered -> still shares
+      (3L, "one two three four five six"),           // clean
+      (4L, "beta gamma delta epsilon"),              // exactly the bench window
+      (5L, "tiny doc")                               // below n tokens: no grams, clean
+    ).toDF("id", "text")
+    val bench = Seq((100L, "xx beta gamma delta epsilon yy")).toDF("id", "text")
+    val kept = graft.operators.Corpus.decontaminate(corpus, "id", "text", bench, "text", n = 4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("packSequences: concat-and-chunk layout is deterministic and budget-aligned") {
+    // 3-token docs, one stripe: pack boundaries every floor(512/3) docs
+    val docs = (0 until 100).map(i => (i.toLong, "tok tok tok")).toDF("id", "text")
+    val packed = graft.operators.Corpus.packSequences(docs, "id", "text",
+        budget = 30, stripes = 1)
+      .orderBy("id").collect()
+    packed.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Int]("stripe") == 0)
+      assert(r.getAs[Long]("n_tokens") == 3L)
+      assert(r.getAs[Long]("tok_start") == 3L * id)
+      assert(r.getAs[Long]("pack_id") == (3L * id) / 30)
+    }
+    // striped: each stripe's offsets restart from zero and stay contiguous
+    val striped = graft.operators.Corpus.packSequences(docs, "id", "text",
+        budget = 30, stripes = 4)
+      .orderBy("stripe", "id").collect()
+    striped.groupBy(_.getAs[Int]("stripe")).foreach { case (_, rows) =>
+      rows.map(_.getAs[Long]("tok_start")).zipWithIndex.foreach { case (off, i) =>
+        assert(off == 3L * i)
+      }
+    }
+  }
 }
