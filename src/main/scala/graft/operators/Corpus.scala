@@ -51,16 +51,17 @@ object Corpus {
       TextFunctions.bpeishTokenCount(col(textCol)).as("n_bpeish"))
   }
 
-  /** md5 of every n-token window of `text` (empty below n tokens) — all
-    * built-ins, so the grams compute inside the scan stage and replay in
-    * SQL. */
-  private def ngramHashes(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
+  /** md5 of every n-token window of the token-array column `toks` (empty
+    * below n tokens) — all built-ins, so the grams compute inside the scan
+    * stage and replay in SQL. `toks` MUST be a materialized column (an
+    * attribute), not a `split(...)` expression: inside the transform
+    * lambda an expression re-evaluates per window, turning the gram pass
+    * quadratic in document length. */
+  private def ngramHashes(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Benchmark decontamination — drop every corpus document sharing ANY
     * n-token window with the benchmark/eval corpus (the eval-leakage gate
@@ -73,10 +74,11 @@ object Corpus {
   def decontaminate(
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(ngramHashes(col(benchTextCol), n)).as("__g")).distinct()
-    val contaminated = corpus
-      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("__g"))
+    def grams(df: DataFrame, text: String, keep: Seq[Column]): DataFrame = df
+      .withColumn("__toks", split(trim(lower(col(text))), "\\s+"))
+      .select(keep :+ explode(ngramHashes(col("__toks"), n)).as("__g"): _*)
+    val benchGrams = grams(benchmark, benchTextCol, Nil).distinct()
+    val contaminated = grams(corpus, textCol, Seq(col(idCol)))
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

@@ -193,6 +193,49 @@ class IncrementalSyncSpec extends AnyFunSuite {
       s"changed-doc filter not pushed to scan:\n$plan")
   }
 
+  test("merge policy: past mergeEvery delta syncs tables compact and indexes rebuild") {
+    val wh = Files.createTempDirectory("graft_incmerge_").toString
+    val c = new Collection(spark, "incm", wh)
+    c.mergeEvery = 2
+    val p = Pipeline("p", Seq(PipelineField("body",
+      splitter = Some((100000, 0)), semanticSearch = Some(HashEmbedder(32)),
+      hnswIndex = Some((8, 32)), binaryIndex = true)))
+    c.upsertDocuments((0 until 40).map(i =>
+      s"""{"id": $i, "body": "merge doc $i ${"idea " * (i % 5 + 1)}"}""").toDF("document"))
+    c.syncPipelineIncremental(p) // full build
+
+    import graft.store.DeltaTable
+    val chunksP = s"$wh/incm/p/body_chunks"
+    val embP = s"$wh/incm/p/body_embeddings"
+    c.upsertDocuments(Seq("""{"id": 100, "body": "first delta doc"}""").toDF("document"))
+    c.syncPipelineIncremental(p)
+    assert(DeltaTable.segmentCount(chunksP) == 2) // base + one delta
+    // second delta sync crosses mergeEvery=2 → compaction + index rebuild
+    c.upsertDocuments(Seq("""{"id": 101, "body": "second delta doc"}""").toDF("document"))
+    c.syncPipelineIncremental(p)
+    assert(DeltaTable.segmentCount(chunksP) == 1, "chunks did not compact")
+    assert(DeltaTable.segmentCount(embP) == 1, "embeddings did not compact")
+    assert(c.embeddings(p, "body").count() == 42)
+    // the compacted read is back on the fast path (no resolution join)
+    assert(!c.chunks(p, "body").queryExecution.executedPlan.toString
+      .toLowerCase.contains("join"))
+
+    // post-merge searches serve the rebuilt indexes correctly
+    val qv = HashEmbedder(32).embedOne("second delta doc")
+    val hit = c.hnswSearch(p, "body", qv, 1, ef = 500)
+      .select("document_id").as[String].head()
+    val expect = c.documents
+      .where(get_json_object(col("document"), "$.id") === "101")
+      .select("source_uuid").as[String].head()
+    assert(hit == expect)
+    assert(c.binarySearch(p, "body", qv, 1, rerank = 1000)
+      .select("document_id").as[String].head() == expect)
+    // and the NEXT delta sync appends onto the fresh base without issue
+    c.upsertDocuments(Seq("""{"id": 102, "body": "post merge doc"}""").toDF("document"))
+    c.syncPipelineIncremental(p)
+    assert(c.embeddings(p, "body").count() == 43)
+  }
+
   test("a lagging pipeline cannot resurrect deleted documents from the changelog") {
     val c = new Collection(spark, "inclag", Files.createTempDirectory("graft_inclag_").toString)
     val mkField = PipelineField("body", splitter = Some((64, 0)),
