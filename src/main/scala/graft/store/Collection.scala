@@ -79,7 +79,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     s"$warehouseDir/$name/$pipeline/${field}_$kind"
   }
 
-  def documents: DataFrame = spark.read.parquet(docsPath)
+  def documents: DataFrame =
+    if (DeltaTable.exists(docsPath)) DeltaTable.read(spark, docsPath, "source_uuid")
+    else spark.read.parquet(docsPath)
 
   // ---- upsert changelog + per-pipeline sync state: what makes incremental
   // sync proportional to the CHANGE. Every upsert appends its batch's
@@ -150,26 +152,52 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         Window.partitionBy(col("source_uuid")).orderBy(col("_seq").desc)))
       .where(col("_rn") === 1).drop("_rn", "_seq")
 
-    val merged =
-      if (!new java.io.File(docsPath).exists()) {
-        incoming.select(col("source_uuid"), col("document"), col("created_at"))
-      } else {
-        val existing = documents.select(
-          col("source_uuid"), col("document").as("old_doc"),
+    // The documents table is a delta table keyed by source_uuid: an upsert
+    // appends ONE batch-sized segment holding the batch's post-merge rows
+    // (old rows of the touched uuids are superseded via the manifest), so
+    // upsert IO is O(batch) — the Delta/Iceberg MERGE shape — instead of a
+    // full-outer join + corpus rewrite per batch. Old rows for the merge
+    // read through an In(source_uuid…) pushdown against uuid-sorted
+    // segments; untouched documents are never read or written.
+    if (!new java.io.File(docsPath).exists()) {
+      val out = incoming
+        .withColumn("row_id", xxhash64(col("source_uuid"))) // stable keyset key
+        .select("row_id", "source_uuid", "document", "created_at")
+      DeltaTable.writeBase(out, docsPath, sortCols = Seq("source_uuid"))
+    } else {
+      // one-time migration of a legacy flat snapshot into the delta layout
+      if (!DeltaTable.exists(docsPath))
+        DeltaTable.writeBase(spark.read.parquet(docsPath), docsPath,
+          sortCols = Seq("source_uuid"))
+      val uuids = incoming.select("source_uuid").as[String].collect().toSeq
+      val current = DeltaTable.read(spark, docsPath, "source_uuid")
+      // literal-In pushdown only for small batches: a thousands-wide In
+      // costs planning time without pruning anything extra; bulk batches
+      // broadcast-semi-join instead
+      val olds = (
+        if (uuids.size <= 1000) current.where(col("source_uuid").isin(uuids: _*))
+        else current.join(broadcast(incoming.select("source_uuid")),
+          Seq("source_uuid"), "left_semi"))
+        .select(col("source_uuid"), col("document").as("old_doc"),
           col("created_at").as("old_created"))
-        existing.join(incoming.select(col("source_uuid"), col("document")), Seq("source_uuid"), "full_outer")
-          .select(
-            col("source_uuid"),
-            when(col("document").isNull, col("old_doc"))
-              .when(col("old_doc").isNull || !lit(merge), col("document"))
-              .otherwise(JsonOps.shallowMerge(col("old_doc"), col("document")))
-              .as("document"),
-            coalesce(col("old_created"), current_timestamp()).as("created_at"))
-      }
-    val out = merged
-      .withColumn("row_id", xxhash64(col("source_uuid"))) // stable keyset key
-      .select("row_id", "source_uuid", "document", "created_at")
-    writeSnapshot(out, docsPath)
+      val upserted = incoming
+        .join(olds, Seq("source_uuid"), "left")
+        .select(
+          col("source_uuid"),
+          when(lit(merge) && col("old_doc").isNotNull,
+            JsonOps.shallowMerge(col("old_doc"), col("document")))
+            .otherwise(col("document")).as("document"),
+          coalesce(col("old_created"), col("created_at")).as("created_at"))
+        .withColumn("row_id", xxhash64(col("source_uuid")))
+        .select("row_id", "source_uuid", "document", "created_at")
+      DeltaTable.appendDelta(spark, docsPath, upserted,
+        incoming.select("source_uuid"), docCol = "source_uuid",
+        sortCols = Seq("source_uuid"),
+        coalesceTo = if (uuids.size <= 20000) math.max(1, uuids.size / 2000) else 0)
+      DeltaTable.compactIfNeeded(spark, docsPath, "source_uuid",
+        maxSegments = 16, sortCols = Seq("source_uuid"))
+      ()
+    }
     // record the batch's FINAL documents for incremental sync. Without
     // merge the final document for an incoming uuid is the incoming one
     // (checkpointed — no corpus re-read); a shallow merge must read the
@@ -216,7 +244,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .write.mode(SaveMode.Overwrite).parquet(deadTmp)
     val dead = spark.read.parquet(deadTmp)
     val nDead = dead.count()
-    writeSnapshot(documents.where(!pred), docsPath)
+    if (DeltaTable.exists(docsPath))
+      DeltaTable.tombstone(spark, docsPath,
+        dead.select(col("document_id").as("source_uuid")), docCol = "source_uuid")
+    else writeSnapshot(documents.where(!pred), docsPath)
     if (nDead > 0) {
       cascadeDelete(dead)
       // the delete is ALSO a changelog event (a null-document marker):
@@ -373,7 +404,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // not O(corpus). Past a literal-size threshold (huge backfill batches)
     // fall back to a broadcast semi-join.
     def changedOnly(table: DataFrame): DataFrame =
-      if (idSeq.size <= 10000) table.where(col("document_id").isin(idSeq: _*))
+      if (idSeq.size <= 1000) table.where(col("document_id").isin(idSeq: _*))
       else table.join(broadcast(changedIds), Seq("document_id"), "left_semi")
 
     var staleDelta = Map.empty[String, Long]
@@ -389,7 +420,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       val newChunks = chunkFrame(changedDocs, f)
       val oldChunks = changedOnly(DeltaTable.read(spark, chunksP))
       val changed = newChunks.join(oldChunks, keyCols, "left_anti")
-      val smallBatch = if (idSeq.size <= 10000) math.max(1, idSeq.size / 2000) else 0
+      val smallBatch = if (idSeq.size <= 20000) math.max(1, idSeq.size / 2000) else 0
       DeltaTable.appendDelta(spark, chunksP, newChunks, changedIds,
         sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
 

@@ -181,10 +181,15 @@ object DeltaTable {
   }
 
   // a pile of tombstones with few segments still bloats the resolution
-  // broadcast; compact when the manifest outgrows a fixed row budget
+  // broadcast; compact when the manifest outgrows a fixed byte budget —
+  // judged from file sizes (a pure listing), not a count() job, since this
+  // check sits on every upsert/sync
   private def forcedByManifest(spark: SparkSession, path: String): Boolean =
-    hasManifest(path) &&
-      spark.read.parquet(manifestPath(path)).count() > 100000
+    hasManifest(path) && {
+      val files = Option(new java.io.File(manifestPath(path)).listFiles())
+        .getOrElse(Array.empty)
+      files.filter(_.getName.endsWith(".parquet")).map(_.length).sum > 4L * 1024 * 1024
+    }
 
   /** Flat (non-segmented) write-then-swap publish — the documents table and
     * log sinks share this with the segmented layout's base writes, so the

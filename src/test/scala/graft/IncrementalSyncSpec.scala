@@ -191,6 +191,14 @@ class IncrementalSyncSpec extends AnyFunSuite {
       .executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("In(document_id"),
       s"changed-doc filter not pushed to scan:\n$plan")
+
+    // the UPSERT itself is O(batch) too: one delta segment + manifest row +
+    // changelog row, never a corpus rewrite (the documents table is a delta
+    // table keyed by source_uuid)
+    val (_, upsertRecords) = measureWrites(
+      c.upsertDocuments(Seq(
+        """{"id": 43, "body": "corpus document 43 revised content"}""").toDF("document")))
+    assert(upsertRecords <= 6, s"1-doc upsert wrote $upsertRecords records")
   }
 
   test("merge policy: past mergeEvery delta syncs tables compact and indexes rebuild") {
