@@ -97,11 +97,19 @@ object Corpus {
       docs: DataFrame, idCol: String, textCol: String,
       budget: Int, stripes: Int = 32): DataFrame = {
     require(budget > 0 && stripes > 0, "budget and stripes must be positive")
+    // numeric ids stripe by modulo (SQL-replayable — the t7 oracle);
+    // string ids (e.g. the store's md5 uuids) stripe by hash — a cast to
+    // long would null out and collapse every row into one stripe
+    val numericId = docs.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType]
+    val stripeCol =
+      if (numericId) pmod(col(idCol).cast("long"), lit(stripes.toLong))
+      else pmod(xxhash64(col(idCol)), lit(stripes.toLong))
     val w = Window.partitionBy(col("stripe")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(idCol),
-        pmod(col(idCol).cast("long"), lit(stripes.toLong)).cast("int").as("stripe"),
+        stripeCol.cast("int").as("stripe"),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", (col("tok_start") / budget).cast("long"))

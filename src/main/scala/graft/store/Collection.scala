@@ -164,18 +164,22 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         .withColumn("row_id", xxhash64(col("source_uuid"))) // stable keyset key
         .select("row_id", "source_uuid", "document", "created_at")
       DeltaTable.writeBase(out, docsPath, sortCols = Seq("source_uuid"))
+      appendChangelog(incoming)
     } else {
       // one-time migration of a legacy flat snapshot into the delta layout
       if (!DeltaTable.exists(docsPath))
         DeltaTable.writeBase(spark.read.parquet(docsPath), docsPath,
           sortCols = Seq("source_uuid"))
-      val uuids = incoming.select("source_uuid").as[String].collect().toSeq
+      val batchN = incoming.count() // size only — never the uuids themselves
       val current = DeltaTable.read(spark, docsPath, "source_uuid")
       // literal-In pushdown only for small batches: a thousands-wide In
-      // costs planning time without pruning anything extra; bulk batches
+      // costs planning time without pruning anything extra (and collecting
+      // a bulk backfill's ids would sit on the driver); bigger batches
       // broadcast-semi-join instead
       val olds = (
-        if (uuids.size <= 1000) current.where(col("source_uuid").isin(uuids: _*))
+        if (batchN <= DeltaTable.InPushdownMaxIds)
+          current.where(col("source_uuid").isin(
+            incoming.select("source_uuid").as[String].collect().toSeq: _*))
         else current.join(broadcast(incoming.select("source_uuid")),
           Seq("source_uuid"), "left_semi"))
         .select(col("source_uuid"), col("document").as("old_doc"),
@@ -193,19 +197,19 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       DeltaTable.appendDelta(spark, docsPath, upserted,
         incoming.select("source_uuid"), docCol = "source_uuid",
         sortCols = Seq("source_uuid"),
-        coalesceTo = if (uuids.size <= 20000) math.max(1, uuids.size / 2000) else 0)
+        coalesceTo =
+          if (batchN <= DeltaTable.CoalesceBatchMax)
+            math.max(1, (batchN / DeltaTable.RowsPerDeltaFile).toInt)
+          else 0)
+      // record the batch's FINAL (post-merge) documents for incremental
+      // sync, from the frame just computed — O(batch), no corpus re-read
+      // (upserted's lineage reads only the pre-append file listings, so
+      // this re-evaluation cannot observe the appended segment)
+      appendChangelog(upserted)
       DeltaTable.compactIfNeeded(spark, docsPath, "source_uuid",
         maxSegments = 16, sortCols = Seq("source_uuid"))
       ()
     }
-    // record the batch's FINAL documents for incremental sync. Without
-    // merge the final document for an incoming uuid is the incoming one
-    // (checkpointed — no corpus re-read); a shallow merge must read the
-    // published snapshot back so the logged JSON is exactly what a re-sync
-    // will see.
-    if (!merge) appendChangelog(incoming)
-    else appendChangelog(
-      documents.join(incoming.select("source_uuid"), Seq("source_uuid"), "left_semi"))
     pruneChangelog() // keep upsert-only collections bounded too
   }
 
@@ -244,11 +248,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .write.mode(SaveMode.Overwrite).parquet(deadTmp)
     val dead = spark.read.parquet(deadTmp)
     val nDead = dead.count()
-    if (DeltaTable.exists(docsPath))
-      DeltaTable.tombstone(spark, docsPath,
-        dead.select(col("document_id").as("source_uuid")), docCol = "source_uuid")
-    else writeSnapshot(documents.where(!pred), docsPath)
     if (nDead > 0) {
+      if (DeltaTable.exists(docsPath))
+        DeltaTable.tombstone(spark, docsPath,
+          dead.select(col("document_id").as("source_uuid")), docCol = "source_uuid")
+      else writeSnapshot(documents.where(!pred), docsPath)
       cascadeDelete(dead)
       // the delete is ALSO a changelog event (a null-document marker):
       // a pipeline whose watermark predates the doc's upsert would
@@ -404,7 +408,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // not O(corpus). Past a literal-size threshold (huge backfill batches)
     // fall back to a broadcast semi-join.
     def changedOnly(table: DataFrame): DataFrame =
-      if (idSeq.size <= 1000) table.where(col("document_id").isin(idSeq: _*))
+      if (idSeq.size <= DeltaTable.InPushdownMaxIds)
+        table.where(col("document_id").isin(idSeq: _*))
       else table.join(broadcast(changedIds), Seq("document_id"), "left_semi")
 
     var staleDelta = Map.empty[String, Long]
@@ -420,7 +425,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       val newChunks = chunkFrame(changedDocs, f)
       val oldChunks = changedOnly(DeltaTable.read(spark, chunksP))
       val changed = newChunks.join(oldChunks, keyCols, "left_anti")
-      val smallBatch = if (idSeq.size <= 20000) math.max(1, idSeq.size / 2000) else 0
+      val smallBatch =
+        if (idSeq.size <= DeltaTable.CoalesceBatchMax)
+          math.max(1, idSeq.size / DeltaTable.RowsPerDeltaFile)
+        else 0
       DeltaTable.appendDelta(spark, chunksP, newChunks, changedIds,
         sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
 

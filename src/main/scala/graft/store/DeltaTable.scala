@@ -30,16 +30,28 @@ import org.apache.spark.sql.functions._
   *     join broadcasts) and small-file count.
   *
   * Writes are append-only between compactions, so a 1-document re-sync
-  * writes O(1 document) bytes. Crash window: rows appended before their
-  * manifest entries land are either superseded (doc already in manifest)
-  * or duplicated until the next successful append for that doc; a
-  * production deployment would sit this layout on a transactional table
-  * format (Delta/Iceberg MERGE), which is exactly the migration seam the
-  * single write/read entry points below define.
+  * writes O(1 document) bytes. Atomicity: every append/tombstone COMMITS
+  * by creating a `_commits/seg-N` marker as its last step; readers ignore
+  * data and manifest rows of unmarked segments, so a crash mid-append
+  * rolls back cleanly (the half-written segment is invisible and the
+  * retried operation takes a fresh number) instead of duplicating or
+  * hiding rows. A production deployment would sit this layout on a
+  * transactional table format (Delta/Iceberg MERGE), which is exactly the
+  * migration seam the single write/read entry points below define.
   */
 object DeltaTable {
 
   private val ManifestDir = "_manifest"
+  private val CommitsDir = "_commits"
+
+  // shared heuristics for callers feeding delta tables (kept here so the
+  // two write sites — upsert and incremental sync — can never drift):
+  // In-literal pushdown only below this many ids (wider In costs planner
+  // time without pruning more; broadcast-semi-join instead) …
+  val InPushdownMaxIds = 1000
+  // … and small batches coalesce to ~this many rows per written file
+  val RowsPerDeltaFile = 2000
+  val CoalesceBatchMax = 20000
 
   /** True if the path holds any table this object can read. */
   def exists(path: String): Boolean = {
@@ -59,6 +71,33 @@ object DeltaTable {
 
   private def manifestPath(path: String) = s"$path/$ManifestDir"
 
+  private def commitsPath(path: String) = s"$path/$CommitsDir"
+
+  /** None = pre-marker layout (treat every segment as committed). */
+  private def committedSegs(path: String): Option[Set[Int]] = {
+    val d = new java.io.File(commitsPath(path))
+    if (!d.isDirectory) None
+    else Some(Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("seg-"))
+      .map(_.getName.stripPrefix("seg-").toInt).toSet)
+  }
+
+  private def commitSeg(path: String, seg: Int): Unit = {
+    val d = new java.io.File(commitsPath(path))
+    d.mkdirs()
+    new java.io.File(d, s"seg-$seg").createNewFile()
+    ()
+  }
+
+  /** Next unused segment number: past both existing data dirs AND committed
+    * markers, so a tombstone (marker, no data dir) is never followed by an
+    * append reusing its number — a crash between that append's data and
+    * manifest writes would otherwise leave orphan rows under an
+    * already-committed number. */
+  private def nextSeg(path: String): Int =
+    math.max(maxSeg(path),
+      committedSegs(path).map(_.foldLeft(-1)(math.max)).getOrElse(-1)) + 1
+
   private def hasManifest(path: String): Boolean = {
     val d = new java.io.File(manifestPath(path))
     d.isDirectory && Option(d.listFiles()).exists(_.exists(f =>
@@ -77,15 +116,17 @@ object DeltaTable {
     val tmp = path + "_tmp"
     sorted.withColumn("seg", lit(0))
       .write.mode(SaveMode.Overwrite).partitionBy("seg").parquet(tmp)
+    commitSeg(tmp, 0) // marker rides the staged dir through the swap
     swap(tmp, path)
   }
 
   /** Append one delta segment owning the FULL current row set of `docIds`'
     * documents (rows for other documents must not appear in `df`). Every
     * id in `docIds` gets a manifest entry even when `df` carries no rows
-    * for it — that is how a document shrinks to zero rows. Data lands
-    * before manifest entries so a crash never tombstones rows that were
-    * not written. Returns the new segment's number. */
+    * for it — that is how a document shrinks to zero rows. Data and
+    * manifest land BEFORE the commit marker, so a crash mid-way leaves an
+    * unmarked (invisible) segment, never a half-visible one. Returns the
+    * new segment's number. */
   def appendDelta(
       spark: SparkSession,
       path: String,
@@ -99,7 +140,7 @@ object DeltaTable {
       // low target (usually 1); 0 leaves the partitioning alone.
       coalesceTo: Int = 0): Int = {
     graft.operators.IvfIndex.invalidate(path)
-    val seg = maxSeg(path) + 1
+    val seg = nextSeg(path)
     val sized = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     val sorted = if (sortCols.nonEmpty) sized.sortWithinPartitions(sortCols.map(col): _*) else sized
     sorted.withColumn("seg", lit(seg))
@@ -107,6 +148,7 @@ object DeltaTable {
     docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
       .distinct().coalesce(1)
       .write.mode(SaveMode.Append).parquet(manifestPath(path))
+    commitSeg(path, seg)
     seg
   }
 
@@ -119,10 +161,11 @@ object DeltaTable {
       docIds: DataFrame,
       docCol: String = "document_id"): Unit = {
     graft.operators.IvfIndex.invalidate(path)
-    val seg = maxSeg(path) + 1
+    val seg = nextSeg(path)
     docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
-      .distinct()
+      .distinct().coalesce(1)
       .write.mode(SaveMode.Append).parquet(manifestPath(path))
+    commitSeg(path, seg)
   }
 
   /** Resolved view without internal columns. */
@@ -133,7 +176,16 @@ object DeltaTable {
     * ids on (doc, chunk, seg) so a re-synced row never aliases its stale
     * predecessor's node). */
   def readWithSeg(spark: SparkSession, path: String, docCol: String = "document_id"): DataFrame = {
-    val raw = spark.read.parquet(path)
+    val raw0 = spark.read.parquet(path)
+    // hide uncommitted (crashed mid-append) segments; the filter is on the
+    // partition column, so it prunes at planning time and is skipped
+    // entirely in the common every-segment-committed state
+    val raw = committedSegs(path) match {
+      case Some(c) if !segDirs(path).forall(d =>
+          c(d.getName.stripPrefix("seg=").toInt)) =>
+        raw0.where(col("seg").isin(c.toSeq: _*))
+      case _ => raw0
+    }
     resolve(spark, raw, path, docCol)
   }
 
@@ -147,8 +199,14 @@ object DeltaTable {
     else {
       // The aggregated manifest is bounded by "documents rewritten since
       // the last compaction" — the compaction threshold keeps it broadcast-
-      // sized at any corpus scale.
-      val latest = spark.read.parquet(manifestPath(path))
+      // sized at any corpus scale. Manifest rows of uncommitted segments
+      // (a crash between manifest write and marker) are ignored.
+      val manifest0 = spark.read.parquet(manifestPath(path))
+      val manifest = committedSegs(path) match {
+        case Some(c) => manifest0.where(col("seg").isin(c.toSeq: _*))
+        case None => manifest0
+      }
+      val latest = manifest
         .groupBy(col(docCol)).agg(max(col("seg")).as("__latest"))
       raw.join(broadcast(latest),
           raw(docCol).cast("string") === latest(docCol), "left")
@@ -166,7 +224,7 @@ object DeltaTable {
       docCol: String = "document_id",
       maxSegments: Int = 8,
       sortCols: Seq[String] = Nil): Boolean = {
-    if (!exists(path) || (segmentCount(path) <= maxSegments && !forcedByManifest(spark, path)))
+    if (!exists(path) || (segmentCount(path) <= maxSegments && !forcedByManifest(path)))
       false
     else {
       // Materialize the resolved rows OUTSIDE the live dir before swapping:
@@ -184,7 +242,7 @@ object DeltaTable {
   // broadcast; compact when the manifest outgrows a fixed byte budget —
   // judged from file sizes (a pure listing), not a count() job, since this
   // check sits on every upsert/sync
-  private def forcedByManifest(spark: SparkSession, path: String): Boolean =
+  private def forcedByManifest(path: String): Boolean =
     hasManifest(path) && {
       val files = Option(new java.io.File(manifestPath(path)).listFiles())
         .getOrElse(Array.empty)
