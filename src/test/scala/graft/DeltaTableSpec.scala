@@ -81,6 +81,53 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(!DeltaTable.compactIfNeeded(spark, p, maxSegments = 3)) // already compact
   }
 
+  test("a crashed append (no commit marker) is invisible; a retry recovers") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "z"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    val delta = Seq(("a", 0, "x2")).toDF("document_id", "chunk_index", "chunk")
+    val seg = DeltaTable.appendDelta(spark, p, delta, Seq("a").toDF("document_id"))
+    // simulate a crash between the manifest write and the commit marker
+    assert(new java.io.File(s"$p/_commits/seg-$seg").delete())
+    val rolledBack = DeltaTable.read(spark, p).collect().toSet
+      .map((r: org.apache.spark.sql.Row) => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(rolledBack == Set(("a", 0, "x"), ("b", 0, "z")))
+    // the retried append takes a fresh segment number and wins
+    val seg2 = DeltaTable.appendDelta(spark, p, delta, Seq("a").toDF("document_id"))
+    assert(seg2 > seg)
+    val recovered = DeltaTable.read(spark, p).collect().toSet
+      .map((r: org.apache.spark.sql.Row) => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(recovered == Set(("a", 0, "x2"), ("b", 0, "z")))
+  }
+
+  test("a crashed tombstone deletes nothing; numbering never reuses its slot") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "z"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.tombstone(spark, p, Seq("a").toDF("document_id"))
+    assert(new java.io.File(s"$p/_commits/seg-1").delete()) // crash mid-tombstone
+    val alive = DeltaTable.read(spark, p).select("document_id").as[String].collect().toSet
+    assert(alive == Set("a", "b"))
+    DeltaTable.tombstone(spark, p, Seq("a").toDF("document_id")) // retry lands
+    assert(DeltaTable.read(spark, p).select("document_id").as[String].collect().toSet == Set("b"))
+    // a committed tombstone's (data-less) number is never handed out again
+    val seg = DeltaTable.appendDelta(spark, p,
+      Seq(("c", 0, "w")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("c").toDF("document_id"))
+    assert(seg == 2)
+  }
+
+  test("a pre-marker layout (no _commits dir) reads every segment") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x")).toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.appendDelta(spark, p,
+      Seq(("a", 0, "x2")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"))
+    DeltaTable.deleteRecursively(new java.io.File(s"$p/_commits"))
+    val out = DeltaTable.read(spark, p).select("chunk").as[String].collect().toSeq
+    assert(out == Seq("x2"))
+  }
+
   test("readWithSeg keys rewritten rows to their owning segment") {
     val p = tmp()
     DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "z"))
