@@ -98,6 +98,14 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getName.stripPrefix("batch=").toLong).foldLeft(-1L)(math.max)
 
+  /** Changelog entry sourced from a documents segment already on disk —
+    * an O(batch) file scan with no plan replay. An empty upsert batch
+    * writes no segment directory; there is nothing to log then. */
+  private def appendChangelogFromSeg(seg: Int): Unit = {
+    val dir = new java.io.File(s"$docsPath/seg=$seg")
+    if (dir.isDirectory) appendChangelog(spark.read.parquet(dir.getPath))
+  }
+
   private def appendChangelog(batchDocs: DataFrame): Unit = {
     val batch = maxChangelogBatch + 1
     batchDocs
@@ -164,7 +172,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         .withColumn("row_id", xxhash64(col("source_uuid"))) // stable keyset key
         .select("row_id", "source_uuid", "document", "created_at")
       DeltaTable.writeBase(out, docsPath, sortCols = Seq("source_uuid"))
-      appendChangelog(incoming)
+      appendChangelogFromSeg(0)
     } else {
       // one-time migration of a legacy flat snapshot into the delta layout
       if (!DeltaTable.exists(docsPath))
@@ -194,7 +202,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           coalesce(col("old_created"), col("created_at")).as("created_at"))
         .withColumn("row_id", xxhash64(col("source_uuid")))
         .select("row_id", "source_uuid", "document", "created_at")
-      DeltaTable.appendDelta(spark, docsPath, upserted,
+      val seg = DeltaTable.appendDelta(spark, docsPath, upserted,
         incoming.select("source_uuid"), docCol = "source_uuid",
         sortCols = Seq("source_uuid"),
         coalesceTo =
@@ -202,10 +210,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
             math.max(1, (batchN / DeltaTable.RowsPerDeltaFile).toInt)
           else 0)
       // record the batch's FINAL (post-merge) documents for incremental
-      // sync, from the frame just computed — O(batch), no corpus re-read
-      // (upserted's lineage reads only the pre-append file listings, so
-      // this re-evaluation cannot observe the appended segment)
-      appendChangelog(upserted)
+      // sync by reading back the segment just written — an O(batch) file
+      // scan; re-evaluating `upserted` here would replay the whole merge
+      // join (a second corpus-sized pass on bulk re-ingest)
+      appendChangelogFromSeg(seg)
       DeltaTable.compactIfNeeded(spark, docsPath, "source_uuid",
         maxSegments = 16, sortCols = Seq("source_uuid"))
       ()
