@@ -193,14 +193,29 @@ object DeltaTable {
     * `docCol`). Shared with index homes that co-partition their data by
     * additional columns (IvfIndex) but reuse the same supersession rule.
     * Fast path: no manifest → `raw` unchanged, plans identical to a plain
-    * parquet read. */
+    * parquet read.
+    *
+    * The aggregated manifest is bounded by "documents rewritten since the
+    * last compaction" — [[forcedByManifest]]'s byte budget compacts past
+    * 4 MB, so the steady state fits the LITERAL path: the doc→latest-seg
+    * map is collected once per manifest version (cached by file
+    * fingerprint) and applied as a map-literal filter, which adds ZERO
+    * jobs per read and stays inside whole-stage codegen — where the old
+    * broadcast-join shape paid a manifest scan plus a broadcast build per
+    * read (dozens of driver-side jobs per micro-batch across the derived
+    * tables). A manifest past the literal budget (only reachable between
+    * a burst of appends and the compaction that follows) falls back to
+    * the broadcast join. Manifest rows of uncommitted segments (a crash
+    * between manifest write and marker) are ignored on both paths. */
   def resolve(spark: SparkSession, raw: DataFrame, path: String, docCol: String): DataFrame = {
     if (!hasManifest(path)) raw
-    else {
-      // The aggregated manifest is bounded by "documents rewritten since
-      // the last compaction" — the compaction threshold keeps it broadcast-
-      // sized at any corpus scale. Manifest rows of uncommitted segments
-      // (a crash between manifest write and marker) are ignored.
+    else if (manifestBytes(path) <= LiteralManifestMaxBytes) {
+      val latest = cachedLatest(spark, path, docCol)
+      if (latest.isEmpty) raw
+      else raw.where(coalesce(
+        element_at(typedLit(latest), raw(docCol).cast("string")) === col("seg"),
+        lit(true)))
+    } else {
       val manifest0 = spark.read.parquet(manifestPath(path))
       val manifest = committedSegs(path) match {
         case Some(c) => manifest0.where(col("seg").isin(c.toSeq: _*))
@@ -212,6 +227,49 @@ object DeltaTable {
           raw(docCol).cast("string") === latest(docCol), "left")
         .where(col("__latest").isNull || col("seg") === col("__latest"))
         .drop(latest(docCol)).drop("__latest")
+    }
+  }
+
+  // the forced-compaction budget is 4 MB of manifest files, so this bound
+  // makes the literal path the steady state; beyond it (mid-burst) the
+  // broadcast join takes over until compaction catches up
+  private val LiteralManifestMaxBytes = 4L * 1024 * 1024
+
+  private def manifestBytes(path: String): Long =
+    Option(new java.io.File(manifestPath(path)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+
+  // doc→latest-committed-seg, cached per manifest version. The fingerprint
+  // covers manifest file identity AND the committed-marker set, so a crash
+  // cleanup or late-landing marker invalidates naturally.
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Map[String, Int])]
+
+  private def manifestFingerprint(path: String): String = {
+    val files = Option(new java.io.File(manifestPath(path)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    files + "#" + committedSegs(path).map(_.toSeq.sorted.mkString(",")).getOrElse("ALL")
+  }
+
+  private def cachedLatest(spark: SparkSession, path: String, docCol: String): Map[String, Int] = {
+    val fp = manifestFingerprint(path)
+    manifestCache.get(path) match {
+      case Some((`fp`, m)) => m
+      case _ =>
+        val manifest0 = spark.read.parquet(manifestPath(path))
+        val manifest = committedSegs(path) match {
+          case Some(c) => manifest0.where(col("seg").isin(c.toSeq: _*))
+          case None => manifest0
+        }
+        val m = manifest
+          .groupBy(col(docCol)).agg(max(col("seg")).as("__latest"))
+          .select(col(docCol).cast("string"), col("__latest").cast("int"))
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        manifestCache.put(path, (fp, m))
+        m
     }
   }
 

@@ -167,6 +167,56 @@ object Probe {
         println(f"  job $id%3d ${ms / 1e3}%7.3f s  ${desc.take(90)}") }
       spark.stop()
 
+    case "delta-jobs" :: rest =>
+      // job census of ONE micro-batch (1-doc upsert + incremental sync)
+      // against a warm corpus: the fixed driver-side overhead every
+      // continuous-ingest batch pays, independent of machine load
+      val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+      val spark = session()
+      val wh = java.nio.file.Files.createTempDirectory("graft_dj_wh_").toString
+      val c = new graft.store.Collection(spark, "docs", wh)
+      c.upsertDocuments(
+        Tables.load(spark, sfDir, "documents").select(
+          to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("document")))
+      val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+        "text", splitter = Some((99999, 0)),
+        semanticSearch = Some(graft.functions.HashEmbedder(64)), fullTextSearch = true,
+        hnswIndex = Some((16, 64)), binaryIndex = true)))
+      c.syncPipeline(p)
+      import spark.implicits._
+      // warm one micro-batch (JIT + classload), then census the second
+      def batch(rev: Int): Unit = {
+        c.upsertDocuments(Seq(
+          s"""{"id": 1, "text": "delta probe revision $rev of document one"}""")
+          .toDF("document"))
+        c.syncPipelineIncremental(p)
+      }
+      batch(1)
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (j.time,
+            j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct.mkString(" | ")))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, desc) = starts.getOrDefault(j.jobId, (j.time, "?"))
+          jobs.add((j.jobId, j.time - t0, desc))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      batch(2)
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val js = jobs.asScala.toSeq.sortBy(_._1)
+      println(f"DELTA-BATCH wall ${wall}%.3f s, ${js.size} jobs, job-time sum ${js.map(_._2).sum / 1e3}%.3f s")
+      js.foreach { case (id, ms, desc) =>
+        println(f"  job $id%3d ${ms / 1e3}%7.3f s  ${desc.take(100)}") }
+      spark.stop()
+
     case "profile" :: rest =>
       val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
       val spark = session()
