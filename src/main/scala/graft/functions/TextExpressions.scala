@@ -56,6 +56,23 @@ case class WinnowFingerprint(child: Expression, ngram: Int, window: Int) extends
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** splitmix64 avalanche of a long with a compile-time seed
+  * ([[TextKernels.mix]]) — the deterministic uniform-hash primitive the
+  * sampling operators draw from. */
+case class Mix64(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mix64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires bigint input")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.mix(v.asInstanceOf[Long], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.mix($a, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -80,6 +97,7 @@ object TextFunctions {
   def winnowFingerprint(text: Column, ngram: Int = 8, window: Int = 4): Column =
     c(WinnowFingerprint(e(text), ngram, window))
   def langId(text: Column): Column = c(LangId(e(text)))
+  def mix64(x: Column, seed: Long): Column = c(Mix64(e(x), seed))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))

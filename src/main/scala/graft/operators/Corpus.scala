@@ -84,6 +84,69 @@ object Corpus {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Raw n-token-window grams of the token-array column `toks` (empty
+    * below n tokens) — same attribute-materialization caveat as
+    * [[ngramHashes]]. */
+  private def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def dupFrac(g: Column): Column =
+    when(size(g) > 0,
+      round((size(g) - size(array_distinct(g))).cast("double") /
+        size(g).cast("double"), 5))
+      .otherwise(lit(0.0))
+
+  /** Gopher-style repetition statistics — the duplicate-n-gram fraction
+    * quality gate pretraining pipelines apply alongside the heuristic
+    * score (a document whose 2-/3-grams are mostly repeats is boilerplate
+    * or spam even when its length/alpha/stopword profile looks fine).
+    * Output: (idCol, n_tokens, dup2_frac, dup3_frac) where dupN_frac =
+    * 1 − distinct/total over the document's n-token windows. All
+    * built-ins evaluated in the scan stage — no shuffle, no UDF; each
+    * gram pass is linear in document length (`__toks`/`__gN` are
+    * materialized attributes, see [[ngramHashes]]). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
+      .select(col(idCol), col("__toks"))
+      .withColumn("__g2", ngrams(col("__toks"), 2))
+      .withColumn("__g3", ngrams(col("__toks"), 3))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        dupFrac(col("__g2")).as("dup2_frac"),
+        dupFrac(col("__g3")).as("dup3_frac"))
+
+  /** Deterministic per-source mixture sampling — the domain-reweighting
+    * step that turns a raw crawl into a target training mixture ("keep
+    * 100% of wiki, 25% of crawl, …"). The keep decision for a document is
+    * a pure function of (id, seed): the top 24 bits of splitmix64(id ^
+    * seed·φ) must fall under ⌊weight · 2²⁴⌋. That makes the sample (a) a
+    * map-side filter fused into the scan — at 100 TB nothing shuffles and
+    * unsampled sources prune entirely when `weights` hits 0 — and (b)
+    * stable across runs/retries/partitionings, so downstream stages can
+    * checkpoint against it. Weights are per-`sourceCol` value, applied
+    * via a map literal; sources absent from `weights` keep
+    * `defaultWeight`. */
+  def sampleMixture(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 1.0),
+      "weights must be in [0,1]")
+    val Scale = 1L << 24
+    def th(w: Double): Long = math.floor(w * Scale).toLong
+    val numericId = docs.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType]
+    val h = if (numericId) col(idCol).cast("long") else xxhash64(col(idCol))
+    val u = shiftrightunsigned(TextFunctions.mix64(h, seed), 40)
+    val thresholds = weights.map { case (s, w) => s -> th(w) }
+    docs.where(u < coalesce(
+      element_at(typedLit(thresholds), col(sourceCol)), lit(th(defaultWeight))))
+  }
+
   /** Concat-and-chunk sequence packing: assign each document to the
     * fixed-token-budget pack its FIRST token lands in — the GPT-style
     * "concatenate the stream, cut every `budget` tokens" loader layout.

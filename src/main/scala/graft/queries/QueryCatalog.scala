@@ -626,6 +626,50 @@ object QueryCatalog {
               n_tokens, CAST(tok_start AS BIGINT) AS tok_start
             FROM c ORDER BY doc_id"""))
 
+  /** Gopher-style repetition stats (duplicate-n-gram fractions): the
+    * boilerplate/spam gate run alongside the heuristic quality score.
+    * Oracle = the same gram construction + distinct-count arithmetic in
+    * DuckDB list SQL — exact integer counts, identical IEEE division.
+    */
+  val t8RepetitionStats: GraftQuery = GraftQuery(
+    "t8_repetition_stats",
+    (s, dir) =>
+      graft.operators.Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+            g AS (SELECT doc_id, t,
+              CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+                   ELSE [] END AS g2,
+              CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                   ELSE [] END AS g3
+              FROM tk)
+            SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+              CASE WHEN len(g2) > 0
+                   THEN round((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 5)
+                   ELSE 0.0 END AS dup2_frac,
+              CASE WHEN len(g3) > 0
+                   THEN round((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 5)
+                   ELSE 0.0 END AS dup3_frac
+            FROM g ORDER BY doc_id"""))
+
+  /** Deterministic per-source mixture sampling (domain reweighting). The
+    * keep rule is a pure hash of (id, seed), so the oracle replays it
+    * exactly: splitmix64 in HUGEINT limb math, top-24-bit threshold per
+    * source (C3OracleSql shares the ⌊w·2²⁴⌋ threshold computation with
+    * the operator's own math).
+    */
+  val c3SampleMixture: GraftQuery = GraftQuery(
+    "c3_sample_mixture",
+    (s, dir) =>
+      graft.operators.Corpus.sampleMixture(
+          t(s, dir, "documents"), "doc_id", "source",
+          C3OracleSql.weights, C3OracleSql.defaultWeight, C3OracleSql.seed)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+    Some(C3OracleSql.sql))
+
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
     * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
@@ -1531,7 +1575,8 @@ object QueryCatalog {
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
-    t6Fingerprint, t7PackSequences, c1CorpusCurate, c2CorpusCurateNearDup,
+    t6Fingerprint, t7PackSequences, t8RepetitionStats,
+    c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,

@@ -166,4 +166,44 @@ class TextDedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("repetitionStats: duplicate-n-gram fractions match hand counts") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "one two three four"), // no repeats
+      (3L, "x"),                  // below gram width
+      (4L, "w w w w")             // 2-grams all "w w": 3 total 1 distinct
+    ).toDF("id", "text")
+    val out = graft.operators.Corpus.repetitionStats(docs, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Double]("dup2_frac"), r.getAs[Double]("dup3_frac")))
+      .toMap
+    assert(out(1L) == ((6, 0.6, 0.5)))     // 3-grams: 4 total, 2 distinct
+    assert(out(2L) == ((4, 0.0, 0.0)))
+    assert(out(3L) == ((1, 0.0, 0.0)))
+    assert(out(4L) == ((4, 0.66667, 0.5))) // rounded to 5 digits
+  }
+
+  test("sampleMixture: weight 1 keeps all, 0 keeps none, rates track weights; string ids hash") {
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, s"doc-$i", s"src${i % 4}")).toDF("id", "name", "source")
+    val kept = graft.operators.Corpus.sampleMixture(docs, "id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5), defaultWeight = 0.25, seed = 3L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 500L)
+    assert(!kept.contains("src1"))
+    assert(math.abs(kept("src2") - 250L) < 60)   // ~0.5 of 500
+    assert(math.abs(kept("src3") - 125L) < 50)   // default 0.25 of 500
+    // deterministic: same seed → identical sample
+    val again = graft.operators.Corpus.sampleMixture(docs, "id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5), defaultWeight = 0.25, seed = 3L)
+      .agg(count(lit(1))).as[Long].head()
+    assert(again == kept.values.sum)
+    // string ids route through xxhash64 instead of a null-ing long cast
+    val byName = graft.operators.Corpus.sampleMixture(docs, "name", "source",
+        Map("src0" -> 0.5), defaultWeight = 0.5, seed = 3L)
+      .count()
+    assert(byName > 800 && byName < 1200)
+  }
 }
