@@ -84,6 +84,38 @@ object Corpus {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Streaming counterpart of [[curate]] for continuous document ingest
+    * (`spark.readStream` in, append-mode out). The language / quality /
+    * repetition gates are stateless column kernels, so they run unchanged
+    * on an unbounded stream — still fused into the scan of each
+    * micro-batch, still shuffle-free. Exact dedup becomes watermarked
+    * `dropDuplicates` on md5(text): state is bounded by the watermark
+    * horizon, and the FIRST arrival of a text wins (the streaming-correct
+    * representative; batch [[curate]] keeps the min-id — a documented
+    * divergence, since "first seen" is undefined in a batch). Near-dedup
+    * needs corpus-wide state and stays a batch / merge-time concern — run
+    * [[Dedup.deduplicate]] over the accumulated sink on compaction, the
+    * same split the delta sync layer uses for its ANN merges. Output:
+    * (idCol, tsCol, lang, quality, dup3_frac, n_tokens). */
+  def curateStream(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      lang: String = "en", minQuality: Double = 0.3,
+      maxDup3: Double = 1.0, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("lang", TextFunctions.langId(col(textCol)))
+      .where(col("lang") === lang)
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .where(col("quality") >= minQuality)
+      .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
+      .withColumn("__g3", ngrams(col("__toks"), 3))
+      .withColumn("dup3_frac", dupFrac(col("__g3")))
+      .where(col("dup3_frac") <= maxDup3)
+      .withColumn("__text_md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__text_md5")
+      .select(col(idCol), col(tsCol), col("lang"), col("quality"), col("dup3_frac"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+
   /** Raw n-token-window grams of the token-array column `toks` (empty
     * below n tokens) — same attribute-materialization caveat as
     * [[ngramHashes]]. */

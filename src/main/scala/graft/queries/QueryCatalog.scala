@@ -670,6 +670,70 @@ object QueryCatalog {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
     Some(C3OracleSql.sql))
 
+  /** Batch-mode run of the STREAMING curation operator (the x2 pattern:
+    * one logical operator over both modes, oracled through its batch
+    * semantics). dropDuplicates keeps an arbitrary representative per
+    * text, so the query projects the text-keyed DETERMINISTIC profile
+    * (md5, lang, quality, dup3_frac, n_tokens); the oracle composes the
+    * c1 gate replays with the t8 repetition arithmetic and a DISTINCT
+    * per text hash.
+    */
+  val c4CurateStream: GraftQuery = GraftQuery(
+    "c4_curate_stream",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+      graft.operators.Corpus.curateStream(docs, "doc_id", "text", "ts",
+          lang = "en", minQuality = 0.3, maxDup3 = 0.9)
+        .join(docs.select(col("doc_id"), md5(col("text")).as("text_md5")), Seq("doc_id"))
+        .select(col("text_md5"), col("lang"), col("quality"),
+          col("dup3_frac"), col("n_tokens"))
+        .orderBy(col("text_md5"))
+    },
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            sc AS (
+              SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> list_contains(
+                ['der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für'], x))) AS hits FROM tk
+              UNION ALL SELECT doc_id, 'en', len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','it','that','for','on','with','as','was'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'es', len(list_filter(toks, x -> list_contains(
+                ['el','la','de','y','que','en','un','una','es','no','con','por','para'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'fr', len(list_filter(toks, x -> list_contains(
+                ['le','la','de','et','est','un','une','que','pour','dans','sur','avec'], x))) FROM tk
+              UNION ALL SELECT doc_id, 'zh', len(list_filter(toks, x -> list_contains(
+                ['的','是','了','在','和','有','我','不','这','他'], x))) FROM tk),
+            pred AS (SELECT doc_id,
+              CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+              row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn FROM sc),
+            langd AS (SELECT doc_id FROM pred WHERE rn = 1 AND pred_lang = 'en'),
+            qual AS (SELECT doc_id,
+              round(least(length(text)/200.0, 1.0)*0.4
+                + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0)*0.4
+                + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+                  / greatest(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 1.0)
+                  * 5.0, 1.0)*0.2, 5) AS quality
+              FROM documents),
+            rep AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3
+                   THEN round((len(toks) - 2 - len(list_distinct(
+                          list_transform(range(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+2], ' ')))))
+                        / CAST(len(toks) - 2 AS DOUBLE), 5)
+                   ELSE 0.0 END AS dup3_frac
+              FROM tk),
+            gated AS (SELECT d.doc_id, d.text, q.quality, r.dup3_frac,
+                CAST(len(string_split_regex(trim(d.text), '\s+')) AS INT) AS n_tokens
+              FROM documents d
+              JOIN langd USING (doc_id) JOIN qual q USING (doc_id)
+              JOIN rep r USING (doc_id)
+              WHERE q.quality >= 0.3 AND r.dup3_frac <= 0.9)
+            SELECT DISTINCT md5(text) AS text_md5, 'en' AS lang, quality,
+              dup3_frac, n_tokens
+            FROM gated ORDER BY text_md5"""))
+
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
     * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
@@ -1576,7 +1640,7 @@ object QueryCatalog {
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats,
-    c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture,
+    c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,

@@ -59,6 +59,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: stateless gates + watermarked dedup, batch-equivalent") {
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    val docs0 = graft.Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id").as("id"), col("text")).limit(50)
+    // re-send 10 texts under new ids: exact dups the dedup must collapse
+    val dup = docs0.union(
+        docs0.limit(10).withColumn("id", col("id") + 100000L))
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    dup.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(dup.schema).parquet(s"$dir/in")
+    val curated = graft.operators.Corpus.curateStream(
+      stream, "id", "text", "ts", minQuality = 0.2, maxDup3 = 0.9)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out")
+      // the same transform on the same data in batch mode (one logical
+      // operator over both modes); which id represents a dup text may
+      // differ, so compare the id-free profile multiset
+      val batch = graft.operators.Corpus.curateStream(
+        spark.read.parquet(s"$dir/in"), "id", "text", "ts",
+        minQuality = 0.2, maxDup3 = 0.9)
+      def profile(df: org.apache.spark.sql.DataFrame) = df
+        .select("lang", "quality", "dup3_frac", "n_tokens")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed.count() > 0)
+      assert(profile(streamed) == profile(batch))
+      // every duplicated text collapsed to one survivor
+      val perText = streamed
+        .join(dup.select(col("id"), md5(col("text")).as("h")), Seq("id"))
+        .groupBy("h").count().agg(max("count")).as[Long].head()
+      assert(perText == 1L)
+    } finally q.stop()
+  }
+
   test("sessionization: event-time gaps close sessions (batch-mode check)") {
     val t0 = 1700000000000L
     def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000)
