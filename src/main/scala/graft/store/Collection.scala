@@ -661,6 +661,19 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .limit(k)
   }
 
+  /** ANN chunk search over the per-field IVF home (requires `vectorIndex`
+    * on the field). `nprobe` 0 → ⌈√nlist⌉, the standard accuracy/cost
+    * default; nprobe = nlist sweeps every cluster (exact). */
+  def ivfSearch(p: Pipeline, field: String, query: Array[Float], k: Int,
+      nprobe: Int = 0): DataFrame = {
+    val nlist = p.fields.find(_.name == field).flatMap(_.vectorIndex)
+      .getOrElse(throw new IllegalArgumentException(
+        s"field $field has no vectorIndex configured"))
+    val np = if (nprobe > 0) nprobe.min(nlist)
+      else math.max(1, math.ceil(math.sqrt(nlist)).toInt)
+    ivfIndex(p, field).search(query, k, np, Seq("document_id", "chunk_index"))
+  }
+
   /** The persisted IVF index a sync built for `field` (requires
     * `vectorIndex` on the field). Loads from the warehouse — partition
     * pruning serves probes across sessions with no rebuild. */
@@ -721,24 +734,38 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       // index scan the same way). Per-field top-kGlobal is lossless for the
       // global top-k of the union ONLY under a positive boost — a zero or
       // negative boost wants the OTHER end of the ranking, so it keeps the
-      // exact scan. Precedence: HNSW (the reference's index), then binary
-      // signatures, then exact. The full-text chunk filter stays on the
+      // exact scan. Precedence: HNSW, then binary signatures, then IVF
+      // (pgvector's hnsw-over-ivfflat preference), then exact. The
+      // full-text chunk filter stays on the
       // exact path (it needs chunk text pre-limit); a metadata filter is
       // served THROUGH the index by over-fetch + post-filter + refill.
-      val hasIndex = fieldDef.hnswIndex.isDefined || fieldDef.binaryIndex
+      val hasIndex = fieldDef.hnswIndex.isDefined || fieldDef.binaryIndex ||
+        fieldDef.vectorIndex.isDefined
       val indexable = hasIndex && fq.fullTextFilter.isEmpty && fq.boost > 0
       // 0 knobs flow through to the per-index defaults, which already
       // widen with the fetch size (hnsw ef ← max(4k, efc); binary rerank ←
-      // 10k) — a configured knob is floored at the fetch so refill loops
-      // can still widen past it
-      def indexServe(fetch: Int): DataFrame =
+      // 10k; ivf nprobe grows with the fetch below) — a configured knob is
+      // floored at the fetch so refill loops can still widen past it
+      val fetch0 = math.max(4 * kGlobal, 64)
+      // Returns the shortlist plus whether "shorter than requested" proves
+      // exhaustion: true for HNSW/binary (their scans cover the whole
+      // index), and for IVF only once nprobe has widened to every cluster —
+      // a partial-probe shortlist coming up short just means the probed
+      // clusters ran dry, not that the index did.
+      def indexServe(fetch: Int): (DataFrame, Boolean) =
         if (fieldDef.hnswIndex.isDefined)
-          hnswSearch(p, fq.field, qv, fetch,
-            ef = if (fieldDef.annEf > 0) math.max(fieldDef.annEf, fetch) else 0)
-        else
-          binarySearch(p, fq.field, qv, fetch, rerank = fieldDef.annRerank)
+          (hnswSearch(p, fq.field, qv, fetch,
+            ef = if (fieldDef.annEf > 0) math.max(fieldDef.annEf, fetch) else 0), true)
+        else if (fieldDef.binaryIndex)
+          (binarySearch(p, fq.field, qv, fetch, rerank = fieldDef.annRerank), true)
+        else {
+          val nlist = fieldDef.vectorIndex.get
+          val np0 = math.max(1, math.ceil(math.sqrt(nlist)).toInt)
+          val np = math.min(nlist.toLong, np0.toLong * math.max(1, fetch / fetch0)).toInt
+          (ivfSearch(p, fq.field, qv, fetch, np), np >= nlist)
+        }
       if (indexable && filteredIds.isEmpty) {
-        indexServe(kGlobal)
+        indexServe(kGlobal)._1
           .select(col("document_id"), col("chunk_index"),
             lit(fq.field).as("_field"), (col("score") * fq.boost).as("score"))
       } else if (indexable) {
@@ -752,11 +779,12 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // the exact scan's cost over log4(N) probes; the common case
         // touches an O(k/selectivity) shortlist instead of the corpus.
         val ids = filteredIds.get
-        var fetch = math.max(4 * kGlobal, 64)
+        var fetch = fetch0
         var out: DataFrame = null
         while (out == null) {
-          val shortlist = indexServe(fetch).localCheckpoint() // ≤ fetch rows
-          val exhausted = shortlist.count() < fetch
+          val (served, covers) = indexServe(fetch)
+          val shortlist = served.localCheckpoint() // ≤ fetch rows
+          val exhausted = covers && shortlist.count() < fetch
           val survivors = shortlist.join(ids, Seq("document_id"), "left_semi")
           if (exhausted || survivors.count() >= kGlobal) out = survivors
           else fetch = (fetch * 4L).min(Int.MaxValue.toLong).toInt

@@ -234,6 +234,18 @@ class QuantizedSpec extends AnyFunSuite {
       .select("document_id").as[String].collect().toSeq
     assert(viaHnsw == exact)
 
+    // IVF-only field: served through the ivfflat home (nlist = 2 → the
+    // default ⌈√nlist⌉ probe sweeps every cluster, so results are exact);
+    // the plan must show the cluster-pruned scan, proving the index path
+    // actually served the query
+    val ivfP = graft.store.Pipeline("viaivf", Seq(graft.store.PipelineField(
+      "text", splitter = Some((100000, 0)), vectorIndex = Some(2))))
+    c.syncPipeline(ivfP)
+    val viaIvfDf = c.vectorSearch(ivfP, q, limit = 5)
+    assert(viaIvfDf.queryExecution.executedPlan.toString.contains("cluster_id"))
+    val viaIvf = viaIvfDf.select("document_id").as[String].collect().toSeq
+    assert(viaIvf == exact)
+
     // a metadata filter is served THROUGH the index (over-fetch →
     // post-filter → refill); at full width results equal the exact path
     val filtered = c.vectorSearch(binP, q, limit = 5,
@@ -247,7 +259,7 @@ class QuantizedSpec extends AnyFunSuite {
     val exactSel = c.vectorSearch(exactP, q, limit = 5,
       filterJson = Some("""{"id": {"$gte": 100}}"""))
       .select("document_id").as[String].collect().toSeq
-    for (idxP <- Seq(binP, hnswP)) {
+    for (idxP <- Seq(binP, hnswP, ivfP)) {
       val viaIdx = c.vectorSearch(idxP, q, limit = 5,
         filterJson = Some("""{"id": {"$gte": 100}}"""))
         .select("document_id").as[String].collect().toSeq
