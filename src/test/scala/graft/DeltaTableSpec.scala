@@ -37,6 +37,10 @@ class DeltaTableSpec extends AnyFunSuite {
     val out = DeltaTable.read(spark, p).collect().toSet.map((r: org.apache.spark.sql.Row) =>
       (r.getString(0), r.getInt(1), r.getString(2)))
     assert(out == Set(("a", 0, "x2"), ("b", 0, "z"), ("c", 0, "w")))
+    // a compaction-bounded manifest resolves via the cached map literal:
+    // no join in the plan even while segments are live
+    assert(!DeltaTable.read(spark, p).queryExecution.executedPlan
+      .toString.toLowerCase.contains("join"))
   }
 
   test("a doc id listed with no rows in the delta loses all rows; tombstone ditto") {
