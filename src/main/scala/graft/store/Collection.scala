@@ -437,15 +437,30 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         if (idSeq.size <= DeltaTable.CoalesceBatchMax)
           math.max(1, idSeq.size / DeltaTable.RowsPerDeltaFile)
         else 0
-      DeltaTable.appendDelta(spark, chunksP, newChunks, changedIds,
-        sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
+      // The three append chains below (chunks / embeddings→indexes /
+      // tsvectors) are independent: every frame they share is defined
+      // above from the checkpointed changedDocs plus PRE-append file
+      // listings (appends never remove files), and each chain writes a
+      // different table. Run them as concurrent Spark jobs — one session
+      // schedules them fine from multiple threads — so a micro-batch pays
+      // the slowest chain's fixed job overhead instead of the sum. Errors
+      // rethrow at the Await barrier below, before any state write.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Collection.maintenanceEc
 
-      f.semanticSearch.foreach { emb =>
+      val chunksF = Future {
+        DeltaTable.appendDelta(spark, chunksP, newChunks, changedIds,
+          sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
+        ()
+      }
+      val embF: Future[Option[Long]] = Future {
+        f.semanticSearch.map { emb =>
         val embP = tablePath(p.name, f.name, "embeddings")
         val oldEmb = changedOnly(DeltaTable.read(spark, embP)).localCheckpoint()
         // old index rows these documents are about to supersede (exact
         // over-fetch slack for stale ANN nodes until the next merge)
-        staleDelta += f.name -> oldEmb.count()
+        val nStale = oldEmb.count()
         val newEmb = emb.embedFrame(changed, col("chunk"), "embedding")
           .select(col("document_id"), col("chunk_index"), col("embedding"))
         // unchanged chunks of changed documents carry their stored
@@ -484,15 +499,22 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
             coalesceTo = smallBatch)
           ()
         }
+        nStale
+        }
       }
-      if (f.fullTextSearch) {
-        val newTs = newChunks.select(col("document_id"), col("chunk_index"),
-          TsRank.tsVector(col("chunk")).as("terms"))
-        DeltaTable.appendDelta(spark, tablePath(p.name, f.name, "tsvectors"),
-          newTs, changedIds, sortCols = Seq("document_id", "chunk_index"),
-          coalesceTo = smallBatch)
-        ()
+      val tsF = Future {
+        if (f.fullTextSearch) {
+          val newTs = newChunks.select(col("document_id"), col("chunk_index"),
+            TsRank.tsVector(col("chunk")).as("terms"))
+          DeltaTable.appendDelta(spark, tablePath(p.name, f.name, "tsvectors"),
+            newTs, changedIds, sortCols = Seq("document_id", "chunk_index"),
+            coalesceTo = smallBatch)
+          ()
+        }
       }
+      Await.result(chunksF, Duration.Inf)
+      Await.result(embF, Duration.Inf).foreach(n => staleDelta += f.name -> n)
+      Await.result(tsF, Duration.Inf)
       }
     }
     val prev = state.get
@@ -1126,6 +1148,25 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   private def writeSnapshot(df: DataFrame, path: String): Unit =
     DeltaTable.writeSnapshot(df, path)
   private def deleteRec(f: java.io.File): Unit = DeltaTable.deleteRecursively(f)
+}
+
+object Collection {
+  /** Fixed daemon pool for the concurrent maintenance chains of a sync
+    * micro-batch (three independent table appends per field). Small on
+    * purpose: these threads only SUBMIT Spark jobs and wait — the
+    * executor cores do the work — so a handful is enough to overlap the
+    * driver-side fixed costs without flooding the scheduler. */
+  private[store] lazy val maintenanceEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-maintenance-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
 }
 
 final case class VectorSearchField(
