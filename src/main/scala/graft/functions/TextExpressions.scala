@@ -133,4 +133,24 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit sketches (bit_count is built-in). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** PII patterns shared between [[redactPii]] and its SQL oracle. Kept
+    * alternation-free so Java regex (leftmost-first) and RE2
+    * (leftmost-longest) match identically: greedy character-class
+    * quantifiers agree across both engines, alternation prefixes may not.
+    * Applied email → ipv4 → phone; the phone pattern requires a digit at
+    * both ends and ≥8 chars total so prices/years survive. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9()\\s.-]{6,}[0-9]" -> "<PHONE>")
+
+  /** Scrub emails / IPv4 addresses / phone-shaped digit runs to typed
+    * placeholders — the C4/RefinedWeb-style PII pass of a pretraining
+    * pipeline. A chain of codegen `regexp_replace`s: scan-fused,
+    * shuffle-free, SQL-replayable. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
 }

@@ -179,6 +179,35 @@ object Corpus {
       element_at(typedLit(thresholds), col(sourceCol)), lit(th(defaultWeight))))
   }
 
+  /** Deterministic train/val/test split assignment — the same seeded
+    * splitmix64 draw as [[sampleMixture]], bucketed by cumulative
+    * thresholds: document d lands in the first split whose cumulative
+    * ⌊Σw·2²⁴⌋ exceeds its 24-bit hash draw. Pure per-row function of
+    * (id, seed): shuffle-free, stable across runs/retries/partitionings
+    * (a document can never migrate between splits when the corpus grows),
+    * and replayable in SQL. `splits` weights must sum to 1 (±1e-9); the
+    * last split absorbs the rounding tail so every row is labeled. */
+  def assignSplits(
+      docs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must be non-negative and sum to 1")
+    val Scale = 1L << 24
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * Scale).toLong)
+      .init :+ Scale // last bucket absorbs rounding: every draw is labeled
+    val numericId = docs.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType]
+    val h = if (numericId) col(idCol).cast("long") else xxhash64(col(idCol))
+    val u = shiftrightunsigned(TextFunctions.mix64(h, seed), 40)
+    val label = splits.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) { case ((name, c), rest) =>
+        when(u < c, name).otherwise(rest)
+      }
+    docs.withColumn("split", label)
+  }
+
   /** Concat-and-chunk sequence packing: assign each document to the
     * fixed-token-budget pack its FIRST token lands in — the GPT-style
     * "concatenate the stream, cut every `budget` tokens" loader layout.

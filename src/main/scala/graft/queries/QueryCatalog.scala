@@ -734,6 +734,41 @@ object QueryCatalog {
               dup3_frac, n_tokens
             FROM gated ORDER BY text_md5"""))
 
+  /** Deterministic train/val/test split assignment: the c3 hash draw
+    * bucketed by cumulative thresholds (C5OracleSql shares the threshold
+    * arithmetic with the operator).
+    */
+  val c5AssignSplits: GraftQuery = GraftQuery(
+    "c5_assign_splits",
+    (s, dir) =>
+      graft.operators.Corpus.assignSplits(
+          t(s, dir, "documents"), "doc_id", C5OracleSql.splits, C5OracleSql.seed)
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id")),
+    Some(C5OracleSql.sql))
+
+  /** PII redaction (C4-style scrubbing): email → IPv4 → phone-shaped
+    * regexp_replace chain. The corpus text carries no PII, so the query
+    * plants a deterministic PII suffix on every document and redacts it —
+    * exercising all three patterns; the oracle replays the same chain
+    * (patterns kept alternation-free so Java regex and RE2 match
+    * identically — see TextFunctions.piiPatterns).
+    */
+  val t9RedactPii: GraftQuery = GraftQuery(
+    "t9_redact_pii",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.redactPii(concat(col("text"),
+            lit(" reach me at jane.doe+x@mail-host.org or 10.0.42.7 or +1 (555) 123-4567 at 3pm")))
+            .as("redacted"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+              text || ' reach me at jane.doe+x@mail-host.org or 10.0.42.7 or +1 (555) 123-4567 at 3pm',
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+              '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+            FROM documents ORDER BY doc_id"""))
+
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
     * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
@@ -1639,8 +1674,9 @@ object QueryCatalog {
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
-    t6Fingerprint, t7PackSequences, t8RepetitionStats,
+    t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
+    c5AssignSplits,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,

@@ -1,0 +1,35 @@
+package graft.queries
+
+/** Shared DuckDB-SQL building blocks for replaying the house splitmix64
+  * avalanche (graft.functions.TextKernels.mix) in HUGEINT arithmetic —
+  * used by every oracle that gates on the deterministic hash draw
+  * (c3 mixture sampling, c5 split assignment). 64-bit wrap-around
+  * multiplication is done in 32-bit limbs so the INT128 intermediates
+  * never overflow (the Mm1OracleSql pattern).
+  */
+object SplitmixSql {
+
+  /** (a * c) mod 2^64 with a < 2^64 and c a 64-bit literal, via limbs. */
+  def mul(a: String, c: String): String =
+    s"(((($a) >> 32) * ($c & 4294967295::HUGEINT) + (($a) & 4294967295::HUGEINT) * ($c >> 32)) " +
+      s"% 4294967296::HUGEINT * 4294967296::HUGEINT " +
+      s"+ (($a) & 4294967295::HUGEINT) * ($c & 4294967295::HUGEINT)) % 18446744073709551616::HUGEINT"
+
+  val C1 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
+  val C2 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
+
+  /** seed · golden-ratio constant, mod 2^64 — TextKernels.mix pre-mixes
+    * the seed this way before the avalanche. */
+  def seedMixed(seed: Long): BigInt =
+    (BigInt(seed) * BigInt("11400714819323198485")) mod BigInt("18446744073709551616")
+
+  /** CTE chain computing `u` = top 24 bits of mix64(doc_id, seed) next to
+    * the given passthrough columns; terminates in a relation named `m3`
+    * with columns (passthrough..., u). */
+  def drawCtes(seed: Long, passthrough: String): String =
+    s"""m0 AS (SELECT $passthrough,
+       |    xor(doc_id::HUGEINT, ${seedMixed(seed)}::HUGEINT) AS z FROM documents),
+       |m1 AS (SELECT $passthrough, ${mul("xor(z, z >> 30)", C1)} AS z FROM m0),
+       |m2 AS (SELECT $passthrough, ${mul("xor(z, z >> 27)", C2)} AS z FROM m1),
+       |m3 AS (SELECT $passthrough, xor(z, z >> 31) >> 40 AS u FROM m2)""".stripMargin
+}

@@ -206,4 +206,47 @@ class TextDedupSpec extends AnyFunSuite {
       .count()
     assert(byName > 800 && byName < 1200)
   }
+
+  test("assignSplits: exhaustive labeling, rates track weights, stable under corpus growth") {
+    val docs = (0 until 3000).map(i => (i.toLong, s"d$i")).toDF("id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = graft.operators.Corpus.assignSplits(docs, "id", splits, seed = 5L)
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == 3000L) // every row labeled
+    assert(math.abs(byLabel("train") - 2400L) < 120)
+    assert(math.abs(byLabel("val") - 300L) < 80)
+    assert(math.abs(byLabel("test") - 300L) < 80)
+    // membership is a pure function of (id, seed): growing the corpus
+    // never migrates an existing document between splits
+    val grown = graft.operators.Corpus.assignSplits(
+      (0 until 6000).map(i => (i.toLong, s"d$i")).toDF("id", "text"),
+      "id", splits, seed = 5L)
+    val before = out.select("id", "split").as[(Long, String)].collect().toMap
+    val after = grown.where(col("id") < 3000)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(before == after)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.assignSplits(docs, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("redactPii scrubs emails, IPv4s, and phone runs; prose survives") {
+    val rows = Seq(
+      (1L, "write to First.Last+tag@sub.example.co.uk today"),
+      (2L, "server at 192.168.0.1 responded"),
+      (3L, "call +44 (0)20 7946-0958 now"),
+      (4L, "v1.2.3 released in 2024, price 9.99"),
+      (5L, "plain prose with no identifiers at all")
+    ).toDF("id", "text")
+    val out = rows.select(col("id"),
+        graft.functions.TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> today")
+    assert(out(2L) == "server at <IP> responded")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "v1.2.3 released in 2024, price 9.99")
+    assert(out(5L) == "plain prose with no identifiers at all")
+  }
 }
