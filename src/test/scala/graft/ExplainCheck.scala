@@ -74,6 +74,19 @@ object ExplainCheck {
     check("v16_knn_pq", "PQ re-rank pushes In(vec_id…) to parquet; TakeOrdered merge")(
       p => p.contains("In(vec_id") && p.contains("TakeOrderedAndProject"))
 
+    // the curation gates are scan-fused filters: the only exchange in
+    // each plan is the output-ordering sort the catalog query adds — no
+    // aggregation or join shuffle anywhere (the corpus never re-shuffles)
+    for ((q, what) <- Seq(
+        "c3_sample_mixture" -> "mixture sampling is a scan-stage filter",
+        "c5_assign_splits" -> "split assignment is a scan-stage projection",
+        "t8_repetition_stats" -> "repetition stats compute in the scan stage",
+        "t9_redact_pii" -> "PII redaction computes in the scan stage"))
+      check(q, s"$what (no join/agg shuffle)")(p =>
+        !p.contains("Join") && !p.contains("HashAggregate") &&
+          "Exchange [a-z]*partitioning".r.findAllIn(p).size <=
+            "rangepartitioning".r.findAllIn(p.toLowerCase).size)
+
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition
     {
