@@ -116,6 +116,27 @@ object Probe {
       val exactIp5 = emb.select($"vec_id", vecDot($"embedding", floatVec(q.toIndexedSeq)).as("ip"))
         .orderBy($"ip".desc, $"vec_id").limit(5).select("vec_id").as[Long].collect().toSet
       println(s"QUANT-SQ8 overlap@5 vs exact-IP: ${sq5.intersect(exactIp5).size}/5")
+      // corpus curation family on real documents: gates + mixture + splits
+      // + PII + packing through the public API
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val curated = graft.operators.Corpus.curate(docs, "doc_id", "text",
+        nearDupThreshold = Some(0.9))
+      println(s"CURATE kept ${curated.count()}/${docs.count()}")
+      val mix = graft.operators.Corpus.sampleMixture(docs, "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5, seed = 1L)
+      println("MIXTURE " + mix.groupBy("source").count().orderBy(col("source"))
+        .collect().take(4).mkString(" "))
+      val sp = graft.operators.Corpus.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1), seed = 1L)
+      println("SPLITS " + sp.groupBy("split").count().collect().mkString(" "))
+      sp.groupBy("split").count().explain("formatted")
+      val pii = docs.select(graft.functions.TextFunctions.redactPii(
+          concat($"text", lit(" ip 10.1.2.3"))).as("r"))
+        .where($"r".contains("<IP>")).count()
+      println(s"PII redacted rows: $pii" + (if (pii == docs.count()) "" else " (BAD)"))
+      val packs = graft.operators.Corpus.packSequences(docs, "doc_id", "text", 2048, 4)
+        .agg(max($"pack_id")).head().getLong(0)
+      println(s"PACKS max pack_id: $packs")
       spark.stop()
 
     case "ivf-recall" :: rest =>
