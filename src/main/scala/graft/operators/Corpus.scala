@@ -113,8 +113,11 @@ object Corpus {
       .withColumn("__text_md5", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicates("__text_md5")
+      // n_tokens from the already-materialized token array (lowercasing
+      // never changes whitespace token counts) — no second regex split on
+      // the streaming hot path
       .select(col(idCol), col(tsCol), col("lang"), col("quality"), col("dup3_frac"),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+        size(col("__toks")).as("n_tokens"))
 
   /** Raw n-token-window grams of the token-array column `toks` (empty
     * below n tokens) — same attribute-materialization caveat as
@@ -168,16 +171,40 @@ object Corpus {
       seed: Long = 0L): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 1.0),
       "weights must be in [0,1]")
-    val Scale = 1L << 24
-    def th(w: Double): Long = math.floor(w * Scale).toLong
+    val u = draw24(docs, idCol, seed)
+    val thresholds = weights.map { case (s, w) => s -> drawThreshold(w) }
+    docs.where(u < coalesce(
+      element_at(typedLit(thresholds), col(sourceCol)), lit(drawThreshold(defaultWeight))))
+  }
+
+  /** Top 24 bits of the seeded splitmix64 of the id — the uniform draw the
+    * sampling operators share (numeric ids hash directly, string ids via
+    * xxhash64; a long cast of a string id would null out). */
+  private def draw24(docs: DataFrame, idCol: String, seed: Long): Column = {
     val numericId = docs.schema(idCol).dataType.isInstanceOf[
       org.apache.spark.sql.types.NumericType]
     val h = if (numericId) col(idCol).cast("long") else xxhash64(col(idCol))
-    val u = shiftrightunsigned(TextFunctions.mix64(h, seed), 40)
-    val thresholds = weights.map { case (s, w) => s -> th(w) }
-    docs.where(u < coalesce(
-      element_at(typedLit(thresholds), col(sourceCol)), lit(th(defaultWeight))))
+    shiftrightunsigned(TextFunctions.mix64(h, seed), 40)
   }
+
+  /** ⌊w·2²⁴⌋ — the threshold arithmetic shared verbatim with the c3/c5
+    * SQL oracles (they call these, so operator and oracle cannot drift). */
+  private[graft] def drawThreshold(w: Double): Long =
+    math.floor(w * (1L << 24)).toLong
+
+  /** Cumulative split thresholds; the last bucket absorbs the rounding
+    * tail so every draw is labeled. Shared with the c5 oracle. */
+  private[graft] def cumulativeDrawThresholds(weights: Seq[Double]): Seq[Long] =
+    weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * (1L << 24)).toLong)
+      .init :+ (1L << 24)
+
+  /** [[assignSplits]] draws from a DISTINCT hash family than
+    * [[sampleMixture]]: a weight-w sample is exactly the bottom-w slice
+    * of its draw, so with a shared family (same default seed) every
+    * sampled survivor would land in the first split and val/test would be
+    * empty. Shared with the c5 oracle. */
+  private[graft] def splitDrawSeed(seed: Long): Long = seed ^ 0x53504c495453L // "SPLITS"
 
   /** Deterministic train/val/test split assignment — the same seeded
     * splitmix64 draw as [[sampleMixture]], bucketed by cumulative
@@ -193,14 +220,8 @@ object Corpus {
     require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
       math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must be non-negative and sum to 1")
-    val Scale = 1L << 24
-    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-      .map(c => math.floor(c * Scale).toLong)
-      .init :+ Scale // last bucket absorbs rounding: every draw is labeled
-    val numericId = docs.schema(idCol).dataType.isInstanceOf[
-      org.apache.spark.sql.types.NumericType]
-    val h = if (numericId) col(idCol).cast("long") else xxhash64(col(idCol))
-    val u = shiftrightunsigned(TextFunctions.mix64(h, seed), 40)
+    val cum = cumulativeDrawThresholds(splits.map(_._2))
+    val u = draw24(docs, idCol, splitDrawSeed(seed))
     val label = splits.map(_._1).zip(cum).dropRight(1)
       .foldRight(lit(splits.last._1): Column) { case ((name, c), rest) =>
         when(u < c, name).otherwise(rest)

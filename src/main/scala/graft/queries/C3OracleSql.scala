@@ -17,7 +17,8 @@ object C3OracleSql {
   val defaultWeight = 0.1
   val seed = 7L
 
-  private def th(w: Double): Long = math.floor(w * (1L << 24)).toLong
+  // the operator's own threshold arithmetic — no copy to drift
+  private def th(w: Double): Long = graft.operators.Corpus.drawThreshold(w)
 
   val sql: String = {
     val cases = weights.toSeq.sortBy(_._1)

@@ -13,13 +13,13 @@ object C5OracleSql {
   val seed = 11L
 
   val sql: String = {
-    val Scale = 1L << 24
-    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-      .map(c => math.floor(c * Scale).toLong)
-      .init :+ Scale
+    // the operator's own threshold + seed-derivation arithmetic — no copy
+    // to drift (assignSplits draws from a split-tagged seed family so
+    // chaining with sampleMixture under one seed cannot correlate)
+    val cum = graft.operators.Corpus.cumulativeDrawThresholds(splits.map(_._2))
     val cases = splits.map(_._1).zip(cum).init
       .map { case (n, c) => s"WHEN u < $c THEN '$n'" }.mkString(" ")
-    s"""WITH ${SplitmixSql.drawCtes(seed, "doc_id")}
+    s"""WITH ${SplitmixSql.drawCtes(graft.operators.Corpus.splitDrawSeed(seed), "doc_id")}
        |SELECT doc_id, CASE $cases ELSE '${splits.last._1}' END AS split
        |FROM m3 ORDER BY doc_id""".stripMargin
   }

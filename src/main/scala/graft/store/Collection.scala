@@ -512,9 +512,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           ()
         }
       }
-      Await.result(chunksF, Duration.Inf)
-      Await.result(embF, Duration.Inf).foreach(n => staleDelta += f.name -> n)
-      Await.result(tsF, Duration.Inf)
+      // await ALL chains before rethrowing any failure: returning while a
+      // sibling future still writes would let a caller's retry race the
+      // orphan writer on the same table (allocSeg hands them distinct
+      // segment numbers, but the orphan's segment would still commit
+      // unsupervised after "failure")
+      val chunksR = scala.util.Try(Await.result(chunksF, Duration.Inf))
+      val embR = scala.util.Try(Await.result(embF, Duration.Inf))
+      val tsR = scala.util.Try(Await.result(tsF, Duration.Inf))
+      chunksR.get
+      tsR.get
+      embR.get.foreach(n => staleDelta += f.name -> n)
       }
     }
     val prev = state.get

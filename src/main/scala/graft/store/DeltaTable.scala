@@ -89,14 +89,29 @@ object DeltaTable {
     ()
   }
 
-  /** Next unused segment number: past both existing data dirs AND committed
-    * markers, so a tombstone (marker, no data dir) is never followed by an
-    * append reusing its number — a crash between that append's data and
-    * manifest writes would otherwise leave orphan rows under an
-    * already-committed number. */
-  private def nextSeg(path: String): Int =
-    math.max(maxSeg(path),
-      committedSegs(path).map(_.foldLeft(-1)(math.max)).getOrElse(-1)) + 1
+  /** Allocate the next segment number WRITE-AHEAD: an `alloc-N` marker is
+    * created (atomically — createNewFile) before any data or manifest row
+    * is written under N, and a crashed operation's number is burned, never
+    * reused. Without this, a crashed (pre-commit-marker) tombstone or
+    * zero-row append leaves an orphan manifest row under N, and the NEXT
+    * operation to take N would commit it retroactively — silently deleting
+    * the document the crashed call was supposed to leave untouched. The
+    * createNewFile race also hands concurrent writers distinct numbers. */
+  private def allocSeg(path: String): Int = {
+    val d = new java.io.File(commitsPath(path))
+    d.mkdirs()
+    var seg = math.max(maxSeg(path), markerMax(path)) + 1
+    while (!new java.io.File(d, s"alloc-$seg").createNewFile()) seg += 1
+    seg
+  }
+
+  private def markerMax(path: String): Int =
+    Option(new java.io.File(commitsPath(path)).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => f.getName.split("-") match {
+        case Array("seg" | "alloc", n) => Some(n.toInt)
+        case _ => None
+      }).foldLeft(-1)(math.max)
 
   private def hasManifest(path: String): Boolean = {
     val d = new java.io.File(manifestPath(path))
@@ -109,6 +124,7 @@ object DeltaTable {
     * state every full sync and every compaction produces. */
   def writeBase(df: DataFrame, path: String, sortCols: Seq[String] = Nil): Unit = {
     graft.operators.IvfIndex.invalidate(path)
+    manifestCache.remove(path)
     // per-file sort (not a global orderBy): tight row-group stats for key
     // pushdown without the range partitioner's extra sampling pass, which
     // would evaluate upstream expressions (e.g. the embedder) twice
@@ -140,7 +156,7 @@ object DeltaTable {
       // low target (usually 1); 0 leaves the partitioning alone.
       coalesceTo: Int = 0): Int = {
     graft.operators.IvfIndex.invalidate(path)
-    val seg = nextSeg(path)
+    val seg = allocSeg(path)
     val sized = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     val sorted = if (sortCols.nonEmpty) sized.sortWithinPartitions(sortCols.map(col): _*) else sized
     sorted.withColumn("seg", lit(seg))
@@ -161,7 +177,7 @@ object DeltaTable {
       docIds: DataFrame,
       docCol: String = "document_id"): Unit = {
     graft.operators.IvfIndex.invalidate(path)
-    val seg = nextSeg(path)
+    val seg = allocSeg(path)
     docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
       .distinct().coalesce(1)
       .write.mode(SaveMode.Append).parquet(manifestPath(path))
@@ -208,27 +224,53 @@ object DeltaTable {
     * the broadcast join. Manifest rows of uncommitted segments (a crash
     * between manifest write and marker) are ignored on both paths. */
   def resolve(spark: SparkSession, raw: DataFrame, path: String, docCol: String): DataFrame = {
-    if (!hasManifest(path)) raw
+    if (!isLocal(path)) {
+      // non-local home (IvfIndex routes hdfs/s3a delta homes through
+      // here): the java.io probes above cannot see the directory, so the
+      // manifest is read Spark-side and joined; the commit-marker filter
+      // degrades to pre-marker semantics (every segment committed) on
+      // such stores — their writers are expected to sit on a
+      // transactional table format anyway (see the class doc's
+      // Delta/Iceberg migration seam)
+      scala.util.Try(spark.read.parquet(manifestPath(path))).toOption match {
+        case None => raw
+        case Some(manifest) => joinResolve(raw, manifest, docCol)
+      }
+    } else if (!hasManifest(path)) raw
     else if (manifestBytes(path) <= LiteralManifestMaxBytes) {
       val latest = cachedLatest(spark, path, docCol)
       if (latest.isEmpty) raw
-      else raw.where(coalesce(
-        element_at(typedLit(latest), raw(docCol).cast("string")) === col("seg"),
-        lit(true)))
-    } else {
-      val manifest0 = spark.read.parquet(manifestPath(path))
-      val manifest = committedSegs(path) match {
-        case Some(c) => manifest0.where(col("seg").isin(c.toSeq: _*))
-        case None => manifest0
+      else {
+        // O(1) hash probe per row via a reference-object expression — a
+        // map LITERAL here (element_at) would scan its keys linearly per
+        // row, turning reads O(rows × manifest entries) near the budget
+        val lookup = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          LatestSegLookup(org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(raw(docCol).cast("string")), latest))
+        raw.where(coalesce(lookup === col("seg"), lit(true)))
       }
-      val latest = manifest
-        .groupBy(col(docCol)).agg(max(col("seg")).as("__latest"))
-      raw.join(broadcast(latest),
-          raw(docCol).cast("string") === latest(docCol), "left")
-        .where(col("__latest").isNull || col("seg") === col("__latest"))
-        .drop(latest(docCol)).drop("__latest")
+    } else joinResolve(raw, committedManifest(spark, path), docCol)
+  }
+
+  private def committedManifest(spark: SparkSession, path: String): DataFrame = {
+    val manifest0 = spark.read.parquet(manifestPath(path))
+    committedSegs(path) match {
+      case Some(c) => manifest0.where(col("seg").isin(c.toSeq: _*))
+      case None => manifest0
     }
   }
+
+  private def joinResolve(raw: DataFrame, manifest: DataFrame, docCol: String): DataFrame = {
+    val latest = manifest
+      .groupBy(col(docCol)).agg(max(col("seg")).as("__latest"))
+    raw.join(broadcast(latest),
+        raw(docCol).cast("string") === latest(docCol), "left")
+      .where(col("__latest").isNull || col("seg") === col("__latest"))
+      .drop(latest(docCol)).drop("__latest")
+  }
+
+  private def isLocal(path: String): Boolean =
+    !path.contains("://") || path.startsWith("file:")
 
   // the forced-compaction budget is 4 MB of manifest files, so this bound
   // makes the literal path the steady state; beyond it (mid-burst) the
@@ -242,9 +284,13 @@ object DeltaTable {
 
   // doc→latest-committed-seg, cached per manifest version. The fingerprint
   // covers manifest file identity AND the committed-marker set, so a crash
-  // cleanup or late-landing marker invalidates naturally.
-  private val manifestCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Map[String, Int])]
+  // cleanup or late-landing marker invalidates naturally. Bounded: a
+  // writeBase (compaction / full sync) evicts its path, and the whole
+  // cache clears past a size cap so deleted tables cannot leak maps for
+  // the JVM lifetime.
+  private val manifestCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer])]
+  private val ManifestCacheMaxPaths = 64
 
   private def manifestFingerprint(path: String): String = {
     val files = Option(new java.io.File(manifestPath(path)).listFiles())
@@ -254,20 +300,22 @@ object DeltaTable {
     files + "#" + committedSegs(path).map(_.toSeq.sorted.mkString(",")).getOrElse("ALL")
   }
 
-  private def cachedLatest(spark: SparkSession, path: String, docCol: String): Map[String, Int] = {
+  private def cachedLatest(spark: SparkSession, path: String, docCol: String)
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
     val fp = manifestFingerprint(path)
     manifestCache.get(path) match {
       case Some((`fp`, m)) => m
       case _ =>
-        val manifest0 = spark.read.parquet(manifestPath(path))
-        val manifest = committedSegs(path) match {
-          case Some(c) => manifest0.where(col("seg").isin(c.toSeq: _*))
-          case None => manifest0
-        }
-        val m = manifest
+        val rows = committedManifest(spark, path)
           .groupBy(col(docCol)).agg(max(col("seg")).as("__latest"))
           .select(col(docCol).cast("string"), col("__latest").cast("int"))
-          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+          .collect()
+        val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+          rows.length * 2)
+        rows.foreach(r => m.put(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          Integer.valueOf(r.getInt(1))))
+        if (manifestCache.size >= ManifestCacheMaxPaths) manifestCache.clear()
         manifestCache.put(path, (fp, m))
         m
     }
@@ -334,4 +382,31 @@ object DeltaTable {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     if (f.exists()) f.delete()
   }
+}
+
+/** O(1) doc→latest-segment probe for [[DeltaTable.resolve]]'s literal
+  * path: holds the driver-collected manifest map as a codegen reference
+  * object and hash-probes it per row. NULL when the document was never
+  * rewritten (the resolve filter then keeps the row unconditionally). */
+private[store] case class LatestSegLookup(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    latest: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "latest_seg_lookup"
+  override def nullSafeEval(v: Any): Any = latest.get(v) // null when absent
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("latestSegMap", latest, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object lsRes = $ref.get($c);
+      if (lsRes == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Integer) lsRes).intValue(); }""")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }

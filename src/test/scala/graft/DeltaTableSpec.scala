@@ -112,13 +112,33 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(new java.io.File(s"$p/_commits/seg-1").delete()) // crash mid-tombstone
     val alive = DeltaTable.read(spark, p).select("document_id").as[String].collect().toSet
     assert(alive == Set("a", "b"))
-    DeltaTable.tombstone(spark, p, Seq("a").toDF("document_id")) // retry lands
+    // the retry takes a FRESH number (the crashed call's alloc marker burns
+    // seg 1) and lands
+    DeltaTable.tombstone(spark, p, Seq("a").toDF("document_id"))
     assert(DeltaTable.read(spark, p).select("document_id").as[String].collect().toSet == Set("b"))
-    // a committed tombstone's (data-less) number is never handed out again
+    // neither the burned slot nor the committed tombstone's (data-less)
+    // number is ever handed out again
+    val seg = DeltaTable.appendDelta(spark, p,
+      Seq(("c", 0, "w")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("c").toDF("document_id"))
+    assert(seg == 3)
+  }
+
+  test("a later append can never retroactively commit a crashed tombstone's orphan row") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "z"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.tombstone(spark, p, Seq("a").toDF("document_id"))
+    assert(new java.io.File(s"$p/_commits/seg-1").delete()) // crash mid-tombstone
+    // an UNRELATED append must take a fresh number — were it to reuse
+    // seg 1, its commit marker would bless the orphan manifest row and
+    // silently delete 'a'
     val seg = DeltaTable.appendDelta(spark, p,
       Seq(("c", 0, "w")).toDF("document_id", "chunk_index", "chunk"),
       Seq("c").toDF("document_id"))
     assert(seg == 2)
+    val alive = DeltaTable.read(spark, p).select("document_id").as[String].collect().toSet
+    assert(alive == Set("a", "b", "c"))
   }
 
   test("a pre-marker layout (no _commits dir) reads every segment") {

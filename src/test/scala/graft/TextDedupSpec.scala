@@ -230,6 +230,15 @@ class TextDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.Corpus.assignSplits(docs, "id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // chaining after sampleMixture under the SAME user seed must not
+    // correlate: a weight-w sample is the bottom-w slice of ITS draw, so
+    // with a shared hash family every survivor would land in 'train'
+    val sampled = graft.operators.Corpus.sampleMixture(
+      docs.withColumn("source", lit("s")), "id", "source", Map("s" -> 0.2), seed = 5L)
+    val chained = graft.operators.Corpus.assignSplits(sampled, "id", splits, seed = 5L)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chained.keySet == Set("train", "val", "test"),
+      s"sampled survivors collapsed into $chained")
   }
 
   test("redactPii scrubs emails, IPv4s, and phone runs; prose survives") {
