@@ -134,16 +134,23 @@ object TextFunctions {
   /** Hamming distance between two 64-bit sketches (bit_count is built-in). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** PII patterns shared between [[redactPii]] and its SQL oracle. Kept
-    * alternation-free so Java regex (leftmost-first) and RE2
-    * (leftmost-longest) match identically: greedy character-class
-    * quantifiers agree across both engines, alternation prefixes may not.
-    * Applied email → ipv4 → phone; the phone pattern requires a digit at
-    * both ends and ≥8 chars total so prices/years survive. */
+  /** PII patterns shared between [[redactPii]] and its SQL oracle (the t9
+    * oracle folds these same strings into its DuckDB SQL, so the two
+    * engines cannot drift). Kept alternation- and lookaround-free: RE2
+    * (DuckDB) has no lookaround, and greedy character-class quantifiers
+    * match identically under Java's leftmost-first and RE2's semantics.
+    * Applied email → ipv4 → phone. The phone pattern counts DIGITS, not
+    * characters: ≥9 digits with at most 2 separator chars `()\s.-`
+    * between consecutive digits. Dates (2024-05-01, 8 digits), prices
+    * (9.99), ranges (12.50 - 13.75: the 3-char ` - ` gap also breaks the
+    * run) and million-scale grouped numbers (1 000 000, 7 digits) all
+    * survive; the known over-match is digit-grouped runs that reach 9
+    * digits (billion-scale locale numbers, date+time runs like
+    * `2024-05-01 12` — and 16-digit card numbers, which SHOULD scrub). */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
-    "\\+?[0-9][0-9()\\s.-]{6,}[0-9]" -> "<PHONE>")
+    "\\+?\\(?(?:[0-9][()\\s.-]{0,2}){8,}[0-9]" -> "<PHONE>")
 
   /** Scrub emails / IPv4 addresses / phone-shaped digit runs to typed
     * placeholders — the C4/RefinedWeb-style PII pass of a pretraining

@@ -58,10 +58,7 @@ object Corpus {
     * lambda an expression re-evaluates per window, turning the gram pass
     * quadratic in document length. */
   private def ngramHashes(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    transform(ngrams(toks, n), g => md5(g))
 
   /** Benchmark decontamination — drop every corpus document sharing ANY
     * n-token window with the benchmark/eval corpus (the eval-leakage gate
@@ -100,8 +97,8 @@ object Corpus {
   def curateStream(
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       lang: String = "en", minQuality: Double = 0.3,
-      maxDup3: Double = 1.0, watermark: String = "10 minutes"): DataFrame =
-    docs
+      maxDup3: Double = 1.0, watermark: String = "10 minutes"): DataFrame = {
+    val gated = docs
       .withColumn("lang", TextFunctions.langId(col(textCol)))
       .where(col("lang") === lang)
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
@@ -112,12 +109,26 @@ object Corpus {
       .where(col("dup3_frac") <= maxDup3)
       .withColumn("__text_md5", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__text_md5")
+    // Streaming takes the WithinWatermark variant — the state-BOUNDED
+    // one: a plain dropDuplicates(key) never evicts (the watermark column
+    // is not among the keys), so every md5 ever seen would sit in the
+    // state store forever on an unbounded stream. The trade-off is the
+    // documented horizon: a duplicate arriving later than `watermark`
+    // after its first sighting is NOT collapsed here — that is
+    // near-dedup's compaction-time job (see above). Batch mode keeps the
+    // plain (whole-corpus, horizon-free) dedup — WithinWatermark is
+    // streaming-only in Spark, and unbounded lookback IS the right batch
+    // semantic.
+    val deduped =
+      if (gated.isStreaming) gated.dropDuplicatesWithinWatermark("__text_md5")
+      else gated.dropDuplicates("__text_md5")
+    deduped
       // n_tokens from the already-materialized token array (lowercasing
       // never changes whitespace token counts) — no second regex split on
       // the streaming hot path
       .select(col(idCol), col(tsCol), col("lang"), col("quality"), col("dup3_frac"),
         size(col("__toks")).as("n_tokens"))
+  }
 
   /** Raw n-token-window grams of the token-array column `toks` (empty
     * below n tokens) — same attribute-materialization caveat as
@@ -180,11 +191,17 @@ object Corpus {
   /** Top 24 bits of the seeded splitmix64 of the id — the uniform draw the
     * sampling operators share (numeric ids hash directly, string ids via
     * xxhash64; a long cast of a string id would null out). */
-  private def draw24(docs: DataFrame, idCol: String, seed: Long): Column = {
+  private def draw24(docs: DataFrame, idCol: String, seed: Long): Column =
+    shiftrightunsigned(TextFunctions.mix64(idHash64(docs, idCol), seed), 40)
+
+  /** The id-as-long dispatch every striping/sampling operator shares:
+    * numeric ids pass through (SQL-replayable — the c3/c5/t7 oracles),
+    * string ids (e.g. the store's md5 uuids) go through xxhash64 — a long
+    * cast of a string id would null out and collapse every row together. */
+  private def idHash64(docs: DataFrame, idCol: String): Column = {
     val numericId = docs.schema(idCol).dataType.isInstanceOf[
       org.apache.spark.sql.types.NumericType]
-    val h = if (numericId) col(idCol).cast("long") else xxhash64(col(idCol))
-    shiftrightunsigned(TextFunctions.mix64(h, seed), 40)
+    if (numericId) col(idCol).cast("long") else xxhash64(col(idCol))
   }
 
   /** ⌊w·2²⁴⌋ — the threshold arithmetic shared verbatim with the c3/c5
@@ -242,14 +259,7 @@ object Corpus {
       docs: DataFrame, idCol: String, textCol: String,
       budget: Int, stripes: Int = 32): DataFrame = {
     require(budget > 0 && stripes > 0, "budget and stripes must be positive")
-    // numeric ids stripe by modulo (SQL-replayable — the t7 oracle);
-    // string ids (e.g. the store's md5 uuids) stripe by hash — a cast to
-    // long would null out and collapse every row into one stripe
-    val numericId = docs.schema(idCol).dataType.isInstanceOf[
-      org.apache.spark.sql.types.NumericType]
-    val stripeCol =
-      if (numericId) pmod(col(idCol).cast("long"), lit(stripes.toLong))
-      else pmod(xxhash64(col(idCol)), lit(stripes.toLong))
+    val stripeCol = pmod(idHash64(docs, idCol), lit(stripes.toLong))
     val w = Window.partitionBy(col("stripe")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

@@ -762,12 +762,16 @@ object QueryCatalog {
             lit(" reach me at jane.doe+x@mail-host.org or 10.0.42.7 or +1 (555) 123-4567 at 3pm")))
             .as("redacted"))
         .orderBy(col("doc_id")),
-    Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-              text || ' reach me at jane.doe+x@mail-host.org or 10.0.42.7 or +1 (555) 123-4567 at 3pm',
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-              '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
-            FROM documents ORDER BY doc_id"""))
+    Some {
+      // fold the operator's OWN pattern strings into the SQL — mirrors
+      // redactPii's foldLeft chain exactly, so pattern edits cannot drift
+      val planted =
+        "text || ' reach me at jane.doe+x@mail-host.org or 10.0.42.7 or +1 (555) 123-4567 at 3pm'"
+      val chain = graft.functions.TextFunctions.piiPatterns.foldLeft(planted) {
+        case (e, (pat, repl)) => s"regexp_replace($e, '$pat', '$repl', 'g')"
+      }
+      s"SELECT doc_id, $chain AS redacted FROM documents ORDER BY doc_id"
+    })
 
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at

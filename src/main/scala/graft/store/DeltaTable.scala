@@ -53,14 +53,24 @@ object DeltaTable {
   val RowsPerDeltaFile = 2000
   val CoalesceBatchMax = 20000
 
+  /** file:-scheme URIs fold to plain local paths for every java.io.File
+    * touch (probes, markers, swaps) — Spark accepts both spellings, the
+    * JDK only the latter, and treating `file:///x` as a relative path
+    * would silently skip manifest resolution and no-op the publish swap.
+    * Genuinely remote schemes (hdfs://, s3a://) pass through unchanged
+    * and take the Spark-side resolve branch. */
+  private def ioPath(path: String): String =
+    if (!path.startsWith("file:")) path
+    else "/" + path.stripPrefix("file:").dropWhile(_ == '/')
+
   /** True if the path holds any table this object can read. */
   def exists(path: String): Boolean = {
-    val d = new java.io.File(path)
+    val d = new java.io.File(ioPath(path))
     d.isDirectory && segDirs(path).nonEmpty
   }
 
   private def segDirs(path: String): Seq[java.io.File] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    Option(new java.io.File(ioPath(path)).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("seg=")).toSeq
 
   private def maxSeg(path: String): Int =
@@ -69,9 +79,9 @@ object DeltaTable {
 
   def segmentCount(path: String): Int = segDirs(path).length
 
-  private def manifestPath(path: String) = s"$path/$ManifestDir"
+  private def manifestPath(path: String) = s"${ioPath(path)}/$ManifestDir"
 
-  private def commitsPath(path: String) = s"$path/$CommitsDir"
+  private def commitsPath(path: String) = s"${ioPath(path)}/$CommitsDir"
 
   /** None = pre-marker layout (treat every segment as committed). */
   private def committedSegs(path: String): Option[Set[Int]] = {
@@ -270,7 +280,7 @@ object DeltaTable {
   }
 
   private def isLocal(path: String): Boolean =
-    !path.contains("://") || path.startsWith("file:")
+    !ioPath(path).contains("://")
 
   // the forced-compaction budget is 4 MB of manifest files, so this bound
   // makes the literal path the steady state; beyond it (mid-burst) the
@@ -339,7 +349,7 @@ object DeltaTable {
       val stage = path + "_compact_stage"
       read(spark, path, docCol).write.mode(SaveMode.Overwrite).parquet(stage)
       writeBase(spark.read.parquet(stage), path, sortCols)
-      deleteRec(new java.io.File(stage))
+      deleteRec(new java.io.File(ioPath(stage)))
       true
     }
   }
@@ -368,14 +378,14 @@ object DeltaTable {
   private[graft] def deleteRecursively(f: java.io.File): Unit = deleteRec(f)
 
   private def swap(tmp: String, path: String): Unit = {
-    val target = new java.io.File(path)
+    val target = new java.io.File(ioPath(path))
     if (target.exists()) {
-      val old = new java.io.File(path + "_old")
+      val old = new java.io.File(ioPath(path) + "_old")
       deleteRec(old)
       target.renameTo(old)
     }
-    new java.io.File(tmp).renameTo(target)
-    deleteRec(new java.io.File(path + "_old"))
+    new java.io.File(ioPath(tmp)).renameTo(target)
+    deleteRec(new java.io.File(ioPath(path) + "_old"))
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -401,10 +411,13 @@ private[store] case class LatestSegLookup(
   override def nullSafeEval(v: Any): Any = latest.get(v) // null when absent
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("latestSegMap", latest, "java.util.HashMap")
+    // freshName: two instances fused into one codegen class must not
+    // collide on the local
+    val res = ctx.freshName("latestSeg")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object lsRes = $ref.get($c);
-      if (lsRes == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((Integer) lsRes).intValue(); }""")
+      Object $res = $ref.get($c);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Integer) $res).intValue(); }""")
   }
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression)

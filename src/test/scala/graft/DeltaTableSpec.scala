@@ -141,6 +141,22 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(alive == Set("a", "b", "c"))
   }
 
+  test("file:-scheme homes resolve supersession and tombstones like plain paths") {
+    val p = "file://" + tmp() // file:///tmp/... — Spark-legal, java.io-hostile
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "y"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.appendDelta(spark, p,
+      Seq(("a", 0, "x2")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"))
+    val rows = DeltaTable.read(spark, p).select("document_id", "chunk")
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("a", "x2"), ("b", "y")),
+      "supersession must not be skipped on a file:-scheme home")
+    DeltaTable.tombstone(spark, p, Seq("b").toDF("document_id"))
+    assert(DeltaTable.read(spark, p).select("document_id")
+      .as[String].collect().toSet == Set("a"))
+  }
+
   test("a pre-marker layout (no _commits dir) reads every segment") {
     val p = tmp()
     DeltaTable.writeBase(Seq(("a", 0, "x")).toDF("document_id", "chunk_index", "chunk"), p)

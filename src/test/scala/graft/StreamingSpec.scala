@@ -71,6 +71,13 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(dup.schema).parquet(s"$dir/in")
     val curated = graft.operators.Corpus.curateStream(
       stream, "id", "text", "ts", minQuality = 0.2, maxDup3 = 0.9)
+    // the dedup must be the state-BOUNDED within-watermark variant: a
+    // plain dropDuplicates(md5) never evicts (the event-time column is
+    // not among its keys), so state grows with every distinct text ever
+    // seen — the finite input here can't surface that, so pin the plan
+    assert(curated.queryExecution.logical.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeduplicateWithinWatermark => d
+    }.nonEmpty, "streaming curation dedup must be watermark-bounded")
     val q = curated.writeStream.outputMode("append")
       .format("memory").queryName("curate_out").start()
     try {

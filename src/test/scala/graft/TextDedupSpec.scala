@@ -247,7 +247,12 @@ class TextDedupSpec extends AnyFunSuite {
       (2L, "server at 192.168.0.1 responded"),
       (3L, "call +44 (0)20 7946-0958 now"),
       (4L, "v1.2.3 released in 2024, price 9.99"),
-      (5L, "plain prose with no identifiers at all")
+      (5L, "plain prose with no identifiers at all"),
+      // digit-bearing prose the phone pattern must NOT eat: an ISO date
+      // (8 digits), a price range (the 3-char ` - ` gap), a
+      // grouped million (7 digits)
+      (6L, "released 2024-05-01, range 12.50 - 13.75, population 1 000 000"),
+      (7L, "card 4111 1111 1111 1111 should scrub")
     ).toDF("id", "text")
     val out = rows.select(col("id"),
         graft.functions.TextFunctions.redactPii(col("text")).as("r"))
@@ -257,5 +262,7 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L) == "call <PHONE> now")
     assert(out(4L) == "v1.2.3 released in 2024, price 9.99")
     assert(out(5L) == "plain prose with no identifiers at all")
+    assert(out(6L) == "released 2024-05-01, range 12.50 - 13.75, population 1 000 000")
+    assert(out(7L) == "card <PHONE> should scrub")
   }
 }
