@@ -169,13 +169,40 @@ object DeltaTable {
     val seg = allocSeg(path)
     val sized = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     val sorted = if (sortCols.nonEmpty) sized.sortWithinPartitions(sortCols.map(col): _*) else sized
-    sorted.withColumn("seg", lit(seg))
-      .write.mode(SaveMode.Append).partitionBy("seg").parquet(path)
-    docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
-      .distinct().coalesce(1)
-      .write.mode(SaveMode.Append).parquet(manifestPath(path))
+    // stage-then-rename, NOT SaveMode.Append: concurrent appenders to one
+    // table would clobber each other's shared _temporary staging dir, so
+    // distinct segment numbers alone don't make appends concurrent-safe.
+    // Each writer stages under its own (seg-unique) dir and renames into
+    // place — which also skips Append-mode's full listing of the table.
+    // The seg value comes from the directory name (partition discovery),
+    // exactly as partitionBy wrote it.
+    val stage = s"${ioPath(path)}_seg${seg}_stage"
+    sorted.write.mode(SaveMode.Overwrite).parquet(stage)
+    if (!new java.io.File(stage).renameTo(new java.io.File(s"${ioPath(path)}/seg=$seg")))
+      throw new java.io.IOException(s"could not publish segment $seg under $path")
+    appendManifest(path, docIds, docCol, seg)
     commitSeg(path, seg)
     seg
+  }
+
+  /** Manifest rows land by staging one parquet file per writer and moving
+    * it into `_manifest/` — part filenames carry a job UUID, so movers
+    * never collide, where a SaveMode.Append from two writers would race
+    * on the shared `_temporary` dir. */
+  private def appendManifest(path: String, docIds: DataFrame, docCol: String, seg: Int): Unit = {
+    val stage = s"${manifestPath(path)}_stage$seg"
+    docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
+      .distinct().coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    val mdir = new java.io.File(manifestPath(path))
+    mdir.mkdirs()
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        if (!f.renameTo(new java.io.File(mdir, f.getName)))
+          throw new java.io.IOException(s"could not publish manifest rows for segment $seg")
+      }
+    deleteRec(new java.io.File(stage))
   }
 
   /** Tombstone: `docIds`' documents lose all rows (a manifest entry whose
@@ -188,9 +215,7 @@ object DeltaTable {
       docCol: String = "document_id"): Unit = {
     graft.operators.IvfIndex.invalidate(path)
     val seg = allocSeg(path)
-    docIds.select(col(docCol).cast("string").as(docCol), lit(seg).as("seg"))
-      .distinct().coalesce(1)
-      .write.mode(SaveMode.Append).parquet(manifestPath(path))
+    appendManifest(path, docIds, docCol, seg)
     commitSeg(path, seg)
   }
 

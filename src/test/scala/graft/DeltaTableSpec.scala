@@ -141,6 +141,27 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(alive == Set("a", "b", "c"))
   }
 
+  test("concurrent appends take distinct segments and both commit") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x")).toDF("document_id", "chunk_index", "chunk"), p)
+    // the allocSeg createNewFile race is the only arbiter — drive it from
+    // two threads appending different documents at once (the sync path
+    // runs its three chains concurrently against SEPARATE tables; this
+    // pins the same-table case a multi-pipeline collection can hit)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val segs = Await.result(Future.sequence(Seq("b", "c").map(d => Future {
+      DeltaTable.appendDelta(spark, p,
+        Seq((d, 0, s"v_$d")).toDF("document_id", "chunk_index", "chunk"),
+        Seq(d).toDF("document_id"))
+    })), Duration.Inf)
+    assert(segs.toSet.size == 2, s"concurrent appends shared a segment: $segs")
+    val out = DeltaTable.read(spark, p).select("document_id", "chunk")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("a", "x"), ("b", "v_b"), ("c", "v_c")))
+  }
+
   test("file:-scheme homes resolve supersession and tombstones like plain paths") {
     val p = "file://" + tmp() // file:///tmp/... — Spark-legal, java.io-hostile
     DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "y"))
