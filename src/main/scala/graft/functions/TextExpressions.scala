@@ -146,7 +146,11 @@ object TextFunctions {
     * run) and million-scale grouped numbers (1 000 000, 7 digits) all
     * survive; the known over-match is digit-grouped runs that reach 9
     * digits (billion-scale locale numbers, date+time runs like
-    * `2024-05-01 12` — and 16-digit card numbers, which SHOULD scrub). */
+    * `2024-05-01 12` — and 16-digit card numbers, which SHOULD scrub).
+    * The accepted under-match: 7–8-digit numbers (US local dialing,
+    * Danish/Norwegian/Singaporean national plans) pass through — ≥8
+    * digits would scrub every ISO date, and corpus destruction is the
+    * costlier error for a curation gate. */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",

@@ -134,6 +134,7 @@ object DeltaTable {
     * state every full sync and every compaction produces. */
   def writeBase(df: DataFrame, path: String, sortCols: Seq[String] = Nil): Unit = {
     graft.operators.IvfIndex.invalidate(path)
+    requireLocalWrites(path, "writeBase")
     manifestCache.remove(path)
     // per-file sort (not a global orderBy): tight row-group stats for key
     // pushdown without the range partitioner's extra sampling pass, which
@@ -166,23 +167,56 @@ object DeltaTable {
       // low target (usually 1); 0 leaves the partitioning alone.
       coalesceTo: Int = 0): Int = {
     graft.operators.IvfIndex.invalidate(path)
+    requireLocalWrites(path, "appendDelta")
     val seg = allocSeg(path)
     val sized = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     val sorted = if (sortCols.nonEmpty) sized.sortWithinPartitions(sortCols.map(col): _*) else sized
     // stage-then-rename, NOT SaveMode.Append: concurrent appenders to one
     // table would clobber each other's shared _temporary staging dir, so
     // distinct segment numbers alone don't make appends concurrent-safe.
-    // Each writer stages under its own (seg-unique) dir and renames into
-    // place — which also skips Append-mode's full listing of the table.
-    // The seg value comes from the directory name (partition discovery),
-    // exactly as partitionBy wrote it.
-    val stage = s"${ioPath(path)}_seg${seg}_stage"
+    // Each writer stages under its own (seg-unique) underscore dir INSIDE
+    // the table — invisible to Spark's listing, swept by compaction's dir
+    // swap if a crash orphans it — then renames into place, which also
+    // skips Append-mode's full listing of the table. The seg value comes
+    // from the directory name (partition discovery), exactly as
+    // partitionBy wrote it. The Spark write keeps the caller's scheme
+    // (file: homes); only the java.io rename goes through ioPath.
+    val stage = s"$path/_stage-seg$seg"
     sorted.write.mode(SaveMode.Overwrite).parquet(stage)
-    if (!new java.io.File(stage).renameTo(new java.io.File(s"${ioPath(path)}/seg=$seg")))
+    // a 0-row batch publishes NO data dir — the pre-rename layout wrote
+    // none either, and Collection's changelog guard keys on that. The
+    // manifest entries below still land: that is how a document shrinks
+    // to zero rows.
+    if (stageRowCount(stage) == 0L) deleteRec(new java.io.File(ioPath(stage)))
+    else if (!new java.io.File(ioPath(stage)).renameTo(
+        new java.io.File(s"${ioPath(path)}/seg=$seg")))
       throw new java.io.IOException(s"could not publish segment $seg under $path")
     appendManifest(path, docIds, docCol, seg)
     commitSeg(path, seg)
     seg
+  }
+
+  /** Writers need java.io-visible homes (plain local or file: paths): the
+    * marker protocol, stage renames, and publish swaps have no remote
+    * implementation — failing loudly beats the silent no-op publish a
+    * scheme'd path would hit. Remote deployments sit this layout on a
+    * transactional table format (see the class doc); [[resolve]] still
+    * READS remote homes Spark-side. */
+  private def requireLocalWrites(path: String, op: String): Unit =
+    require(isLocal(path),
+      s"DeltaTable.$op writes need a local filesystem home, got: $path " +
+        "(remote stores should use a transactional table format)")
+
+  /** Staged row count straight from the parquet footers — no Spark job. */
+  private def stageRowCount(stage: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Option(new java.io.File(ioPath(stage)).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** Manifest rows land by staging one parquet file per writer and moving
@@ -196,12 +230,18 @@ object DeltaTable {
       .write.mode(SaveMode.Overwrite).parquet(stage)
     val mdir = new java.io.File(manifestPath(path))
     mdir.mkdirs()
-    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+    val staged = Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-      .foreach { f =>
-        if (!f.renameTo(new java.io.File(mdir, f.getName)))
-          throw new java.io.IOException(s"could not publish manifest rows for segment $seg")
-      }
+    // a 0-row manifest batch still writes exactly one (empty) part file —
+    // zero staged files means the write landed somewhere we can't see,
+    // and committing without manifest rows would silently no-op the
+    // tombstone/supersession this segment exists to record
+    if (staged.isEmpty)
+      throw new java.io.IOException(s"no staged manifest files for segment $seg under $path")
+    staged.foreach { f =>
+      if (!f.renameTo(new java.io.File(mdir, f.getName)))
+        throw new java.io.IOException(s"could not publish manifest rows for segment $seg")
+    }
     deleteRec(new java.io.File(stage))
   }
 
@@ -214,6 +254,7 @@ object DeltaTable {
       docIds: DataFrame,
       docCol: String = "document_id"): Unit = {
     graft.operators.IvfIndex.invalidate(path)
+    requireLocalWrites(path, "tombstone")
     val seg = allocSeg(path)
     appendManifest(path, docIds, docCol, seg)
     commitSeg(path, seg)
@@ -395,6 +436,7 @@ object DeltaTable {
     * crash-window semantics live in exactly one place. */
   private[graft] def writeSnapshot(df: DataFrame, path: String): Unit = {
     graft.operators.IvfIndex.invalidate(path)
+    requireLocalWrites(path, "writeSnapshot")
     val tmp = path + "_tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     swap(tmp, path)

@@ -141,6 +141,42 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(alive == Set("a", "b", "c"))
   }
 
+  test("a 0-row batch publishes no data dir; its manifest entries still shrink docs to zero") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "y"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.appendDelta(spark, p,
+      Seq.empty[(String, Int, String)].toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"))
+    // doc a shrank to zero rows through the manifest alone…
+    assert(DeltaTable.read(spark, p).select("document_id")
+      .as[String].collect().toSet == Set("b"))
+    // …and no empty seg dir fragments the table (Collection's changelog
+    // guard and the compaction trigger both key on data dirs existing)
+    assert(DeltaTable.segmentCount(p) == 1)
+  }
+
+  test("compaction sweeps crash-orphaned stage dirs") {
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "y"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.appendDelta(spark, p,
+      Seq(("a", 0, "x2")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"))
+    // simulate an append that died between stage write and rename
+    val orphan = new java.io.File(s"$p/_stage-seg9")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$p/_stage-seg9/part-orphan.parquet"), "junk")
+    // invisible to readers (underscore dir)…
+    assert(DeltaTable.read(spark, p).count() == 2)
+    // …and gone after the compaction swap
+    assert(DeltaTable.compactIfNeeded(spark, p, maxSegments = 1))
+    assert(!orphan.exists(), "compaction must sweep crashed stage dirs")
+    assert(DeltaTable.read(spark, p).select("document_id", "chunk")
+      .as[(String, String)].collect().toSet == Set(("a", "x2"), ("b", "y")))
+  }
+
   test("concurrent appends take distinct segments and both commit") {
     val p = tmp()
     DeltaTable.writeBase(Seq(("a", 0, "x")).toDF("document_id", "chunk_index", "chunk"), p)
