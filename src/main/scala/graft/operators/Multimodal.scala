@@ -11,11 +11,13 @@ import graft.functions.TextKernels
   * as *batched per-partition* operators (the Scala analogue of Pandas UDFs
   * over `mapInPandas` — one vectorized call per batch, not per row).
   *
-  * The actual codec calls are STUBBED (this container ships no image/audio
-  * libraries): `StubCodec` produces deterministic pseudo-decodes from the
-  * bytes, so every Spark-side concern — schema, batching, partitioning,
-  * output shape — is real and tested, and a production build swaps
-  * `MediaCodec` for a JNI/FFI implementation with no pipeline changes.
+  * Image decode ([[Multimodal.ImageIoCodec]], javax.imageio) and audio
+  * decode ([[Multimodal.AudioWavCodec]], javax.sound.sampled) are REAL
+  * pure-JDK codecs; video frame extraction remains stubbed
+  * (`StubCodec` produces deterministic pseudo-decodes from the bytes), so
+  * every Spark-side concern — schema, batching, partitioning, output
+  * shape — is real and tested, and a production build swaps `MediaCodec`
+  * for a heavier JNI/FFI implementation with no pipeline changes.
   */
 object Multimodal {
 
@@ -106,6 +108,100 @@ object Multimodal {
     }
     override def sampleFrames(row: MediaRow, n: Int): Seq[FrameRow] =
       fallback.sampleFrames(row, n)
+  }
+
+  /** REAL pure-JVM audio decode (WAV/PCM through javax.sound.sampled —
+    * the JDK's own RIFF/WAVE codec, no native libs) behind the same codec
+    * boundary. Audio features are decoded-sample statistics,
+    * `[n_samples, sample_rate, mean, rms, zero_crossings]`: the integer
+    * stats are exact, and mean/rms are one double division (+ sqrt) of
+    * exact BIGINT sums — IEEE-identical across JVM and SQL, so a DuckDB
+    * oracle can replay them float-for-float. Non-audio kinds and
+    * undecodable blobs batch through the fallback like [[ImageIoCodec]]. */
+  final class AudioWavCodec(fallback: MediaCodec = new StubCodec(16)) extends MediaCodec {
+    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = {
+      val decoded = rows.map { r =>
+        val pcm =
+          if (r.kind != "audio") None
+          else scala.util.Try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.bytes))
+            val fmt = ais.getFormat
+            require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+            (ais.readAllBytes(), fmt.getSampleRate, fmt.isBigEndian)
+          }.toOption
+        r -> pcm
+      }
+      val fbByKey = fallback.decodeBatch(decoded.collect { case (r, None) => r })
+        .map(f => f.media_id -> f).toMap
+      decoded.map {
+        case (r, None) => fbByKey(r.media_id)
+        case (r, Some((bytes, rate, bigEndian))) => audioStats(r, bytes, rate, bigEndian)
+      }
+    }
+
+    private def audioStats(
+        r: MediaRow, bytes: Array[Byte], rate: Float, bigEndian: Boolean): MediaFeatures = {
+      val n = bytes.length / 2
+      var sum = 0L; var sumSq = 0L; var zcr = 0L
+      var prevNonNeg = true
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+        sum += s; sumSq += s.toLong * s
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zcr += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+      MediaFeatures(r.media_id, r.kind,
+        Array(n.toFloat, rate, mean.toFloat, rms.toFloat, zcr.toFloat))
+    }
+    override def sampleFrames(row: MediaRow, n: Int): Seq[FrameRow] =
+      fallback.sampleFrames(row, n)
+  }
+
+  /** Deterministic REAL WAV table: sample i of clip `id` is the signed
+    * 16-bit value `(mix(id, i) & 0xffff) − 32768`, wrapped in a canonical
+    * 44-byte RIFF/WAVE PCM16LE mono container (hand-assembled, so the
+    * synthesis side shares no code with the decoding JDK codec). The
+    * recurrence is SQL-replayable, so a DuckDB oracle recomputes the
+    * sample statistics without any audio library — hash-gating the
+    * container parse + PCM decode end-to-end. */
+  def syntheticWavMedia(
+      ids: Dataset[java.lang.Long],
+      nSamples: Int = 256,
+      sampleRate: Int = 16000): Dataset[MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.map { idBoxed =>
+      val id = idBoxed.longValue()
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        bb.putShort((((TextKernels.mix(id, i.toLong) & 0xffffL) - 32768L)).toShort)
+        i += 1
+      }
+      MediaRow(id, "audio", bb.array(),
+        MediaMeta(0, 0, "wav", nSamples * 1000L / sampleRate))
+    }
   }
 
   /** Deterministic REAL PNG table: pixel (x, y) channel c of image `id` is

@@ -1657,6 +1657,33 @@ object QueryCatalog {
     },
     Some(Mm2OracleSql.sql))
 
+  /** REAL audio decode end-to-end: deterministic WAVs (PCM16 samples from
+    * a splitmix recurrence, hand-assembled RIFF container) →
+    * javax.sound.sampled decode → sample stats. PCM is lossless, so the
+    * DuckDB oracle recomputes the stats from the recurrence with no audio
+    * library — a hash match proves the container parse and sample decode
+    * reproduced every 16-bit sample bit-exactly.
+    */
+  val mm3AudioDecode: GraftQuery = GraftQuery(
+    "mm3_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      val media = graft.operators.Multimodal.syntheticWavMedia(ids)
+      graft.operators.Multimodal.extractFeatures(
+          media, new graft.operators.Multimodal.AudioWavCodec())
+        .toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("n_samples"),
+          element_at(col("features"), 2).cast("long").as("sample_rate"),
+          element_at(col("features"), 3).cast("double").as("mean_amp"),
+          element_at(col("features"), 4).cast("double").as("rms_amp"),
+          element_at(col("features"), 5).cast("long").as("zero_crossings"))
+        .orderBy(col("media_id"))
+    },
+    Some(Mm3OracleSql.sql))
+
   /** pgml.load_dataset built-in fixture (api.rs:561-587): the iris frame is
     * fully deterministic (seeded splitmix streams), so the oracle REBUILDS
     * the dataset from the same recurrence in SQL and must match
@@ -1687,5 +1714,5 @@ object QueryCatalog {
     s6VectorSearchChunked,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
-    mm1MediaFeatures, mm2MediaDecode, ds1LoadIris)
+    mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, ds1LoadIris)
 }
