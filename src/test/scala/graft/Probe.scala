@@ -137,6 +137,14 @@ object Probe {
       val packs = graft.operators.Corpus.packSequences(docs, "doc_id", "text", 2048, 4)
         .agg(max($"pack_id")).head().getLong(0)
       println(s"PACKS max pack_id: $packs")
+      val wavIds = docs.limit(8).select($"doc_id".cast("long")).as[java.lang.Long]
+      val wavFeats = graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.syntheticWavMedia(wavIds),
+          new graft.operators.Multimodal.AudioWavCodec())
+        .collect().map(f => f.features(0).toInt -> f.features(4).toInt)
+      println(s"WAV decoded: ${wavFeats.length} clips, n_samples/zcr " +
+        wavFeats.take(3).mkString(" ") +
+        (if (wavFeats.forall(_._1 == 256)) "" else " (BAD)"))
       spark.stop()
 
     case "ivf-recall" :: rest =>
