@@ -204,6 +204,116 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM video frame extraction: animated GIF through
+    * javax.imageio — the JDK's GIF plugin reads multi-frame containers
+    * frame-by-frame, which makes GIF the one video-ish format this
+    * sandbox can decode for real. `sampleFrames` returns n evenly-spaced
+    * REAL frames re-encoded as standalone PNGs (lossless, so downstream
+    * image ops — [[ImageIoCodec]], resize — consume them unchanged);
+    * `decodeBatch` and non-GIF kinds batch through the fallback. */
+  final class GifVideoCodec(fallback: MediaCodec = new StubCodec(16)) extends MediaCodec {
+    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] =
+      fallback.decodeBatch(rows)
+
+    override def sampleFrames(row: MediaRow, n: Int): Seq[FrameRow] = {
+      val frames = scala.util.Try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(row.bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext)
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val total = reader.getNumImages(true)
+          require(total > 0)
+          // n evenly-spaced frames (all of them when n >= total), each a
+          // full image (the synthetic writer emits full-replacement
+          // frames; partial-disposal GIFs would need compositing here)
+          val picks =
+            if (n >= total) 0 until total
+            else (0 until n).map(i => i * total / n)
+          picks.zipWithIndex.map { case (f, i) =>
+            val img = reader.read(f)
+            // explicit palette→RGB copy before the PNG encode: the JDK
+            // PNG writer quantizes when handed the GIF reader's indexed
+            // image directly (observed 240→248), while TYPE_INT_RGB
+            // round-trips losslessly
+            val rgb = new java.awt.image.BufferedImage(
+              img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                rgb.setRGB(x, y, img.getRGB(x, y)); x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(rgb, "png", baos)
+            FrameRow(row.media_id, i, baos.toByteArray)
+          }
+        } finally reader.dispose()
+      }.toOption
+      frames.getOrElse(fallback.sampleFrames(row, n))
+    }
+  }
+
+  /** Deterministic REAL animated-GIF table: frame f's pixel (x, y) of clip
+    * `id` is the 8-bit gray value `mix(id, (f·h + y)·w + x) & 0xff`,
+    * written as an INDEXED image over an explicit 256-gray palette — GIF
+    * stores palette indices losslessly (no quantization to invite), so
+    * the recurrence is SQL-replayable and a DuckDB oracle can recompute
+    * per-frame pixel statistics without any codec, hash-gating the
+    * animated-container parse + frame decode end-to-end. */
+  def syntheticGifMedia(
+      ids: Dataset[java.lang.Long],
+      frames: Int = 6, w: Int = 8, h: Int = 8): Dataset[MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.map { idBoxed =>
+      val id = idBoxed.longValue()
+      val grays = Array.tabulate(256)(i => (i | (i << 8) | (i << 16) | 0xff000000).toInt)
+      val icm = new java.awt.image.IndexColorModel(
+        8, 256, grays, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      val baos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(
+          writer.getDefaultStreamMetadata(writer.getDefaultWriteParam))
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                (TextKernels.mix(id, ((f * h + y) * w + x).toLong) & 0xff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          // image metadata derived from the indexed type: the frame's
+          // local color table is then the explicit 256-gray palette, not
+          // a writer-chosen quantization
+          val meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, meta), writer.getDefaultWriteParam)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      MediaRow(id, "video", baos.toByteArray, MediaMeta(w, h, "gif", frames * 100L))
+    }
+  }
+
   /** Deterministic REAL PNG table: pixel (x, y) channel c of image `id` is
     * `mix(id, (c·h + y)·w + x) & 0xff` (TextKernels.mix — splitmix64
     * finalizer), encoded through the JDK's lossless PNG writer. Because the

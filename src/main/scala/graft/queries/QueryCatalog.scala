@@ -1684,6 +1684,42 @@ object QueryCatalog {
     },
     Some(Mm3OracleSql.sql))
 
+  /** REAL video frame extraction end-to-end: deterministic animated GIFs
+    * (gray frames from a splitmix recurrence over an identity palette) →
+    * javax.imageio multi-frame decode → per-frame pixel sums. GIF LZW and
+    * the PNG frame re-encode are lossless, so the DuckDB oracle
+    * recomputes the sums from the recurrence with no codec — a hash match
+    * proves container parse + frame seek + re-encode reproduced every
+    * pixel of every frame bit-exactly.
+    */
+  val mm4VideoFrames: GraftQuery = GraftQuery(
+    "mm4_video_frames",
+    (s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      val media = graft.operators.Multimodal.syntheticGifMedia(ids, frames = 6)
+      graft.operators.Multimodal.sampleFrames(
+          media, new graft.operators.Multimodal.GifVideoCodec(), framesPerVideo = 6)
+        .map { fr =>
+          // decode the sampled PNG back to gray sums — through the real
+          // image codec, so the gate covers the whole frame pipeline
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fr.frame_bytes))
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          (fr.media_id, fr.frame_index, sum)
+        }
+        .toDF("media_id", "frame_index", "gray_sum")
+        .orderBy(col("media_id"), col("frame_index"))
+    },
+    Some(Mm4OracleSql.sql))
+
   /** pgml.load_dataset built-in fixture (api.rs:561-587): the iris frame is
     * fully deterministic (seeded splitmix streams), so the oracle REBUILDS
     * the dataset from the same recurrence in SQL and must match
@@ -1714,5 +1750,5 @@ object QueryCatalog {
     s6VectorSearchChunked,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
-    mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, ds1LoadIris)
+    mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames, ds1LoadIris)
 }

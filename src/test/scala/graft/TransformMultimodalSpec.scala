@@ -203,4 +203,38 @@ class TransformMultimodalSpec extends AnyFunSuite {
       .filter(_.kind != "audio").orderBy("media_id").collect().map(_.features.toSeq)
     assert(viaReal.toSeq == viaStub.toSeq)
   }
+
+  test("multimodal: GifVideoCodec extracts real animated-GIF frames, pixel-exact") {
+    import graft.functions.TextKernels
+    val ids = Seq(3L, 41L).map(java.lang.Long.valueOf).toDS()
+    val media = Multimodal.syntheticGifMedia(ids, frames = 6, w = 8, h = 8)
+    val all = Multimodal.sampleFrames(media, new Multimodal.GifVideoCodec(), framesPerVideo = 6)
+      .collect().map(f => (f.media_id, f.frame_index) -> f.frame_bytes).toMap
+    assert(all.size == 12)
+    for (id <- Seq(3L, 41L); f <- 0 until 6) {
+      // every sampled frame decodes (as the PNG re-encode) to exactly the
+      // gray recurrence it was synthesized from — the animated container
+      // survived write → frame-seek → read bit-for-bit
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(all((id, f))))
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val expect = (TextKernels.mix(id, ((f * 8 + y) * 8 + x).toLong) & 0xff).toInt
+        assert((img.getRGB(x, y) & 0xff) == expect, s"id=$id f=$f ($x,$y)")
+      }
+    }
+    // n < total picks evenly-spaced REAL frames (0, 2, 4 of 6)
+    val sampled = Multimodal.sampleFrames(media, new Multimodal.GifVideoCodec(), framesPerVideo = 3)
+      .filter(_.media_id == 3L).collect().sortBy(_.frame_index)
+    assert(sampled.length == 3)
+    val img1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sampled(1).frame_bytes))
+    assert((img1.getRGB(0, 0) & 0xff) ==
+      (TextKernels.mix(3L, (2 * 8 * 8).toLong) & 0xff).toInt)
+    // junk "video" bytes fall back to the stub slicer
+    val junk = Seq(Multimodal.MediaRow(9L, "video", Array[Byte](1, 2, 3, 4),
+      Multimodal.MediaMeta(0, 0, "mp4", 0L))).toDS()
+    val fb = Multimodal.sampleFrames(junk, new Multimodal.GifVideoCodec(), framesPerVideo = 2)
+      .collect()
+    assert(fb.length == 2 && fb.forall(_.frame_bytes.nonEmpty))
+  }
 }
