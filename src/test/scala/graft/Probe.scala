@@ -145,6 +145,12 @@ object Probe {
       println(s"WAV decoded: ${wavFeats.length} clips, n_samples/zcr " +
         wavFeats.take(3).mkString(" ") +
         (if (wavFeats.forall(_._1 == 256)) "" else " (BAD)"))
+      val gifFrames = graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.syntheticGifMedia(wavIds, frames = 4),
+          new graft.operators.Multimodal.GifVideoCodec(), framesPerVideo = 2)
+        .collect()
+      println(s"GIF frames sampled: ${gifFrames.length} (want 16), bytes " +
+        gifFrames.take(2).map(_.frame_bytes.length).mkString(" "))
       spark.stop()
 
     case "ivf-recall" :: rest =>
