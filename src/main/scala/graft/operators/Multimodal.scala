@@ -368,6 +368,52 @@ object Multimodal {
       .flatMap(r => codec.sampleFrames(r, framesPerVideo))
   }
 
+  /** REAL batched image resize: decode (javax.imageio) → nearest-neighbor
+    * scale to the [[planResize]] box fit → lossless PNG re-encode, one
+    * partition-local pass (the mapInPandas batch shape, like
+    * [[extractFeatures]]). Nearest-neighbor is the deterministic choice:
+    * destination pixel (x, y) samples source pixel (⌊x/s⌋, ⌊y/s⌋), which
+    * is SQL-replayable — bilinear would drag in AWT filtering internals
+    * no oracle could pin. Non-image kinds and undecodable blobs pass
+    * through unchanged (metadata intact) so mixed tables keep flowing. */
+  def resizeImages(
+      media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val resized = scala.util.Try {
+        require(r.kind == "image")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        require(img != null)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+        require(scale < 1.0) // already inside the box: passthrough
+        val dw = math.max(1, math.floor(img.getWidth * scale).toInt)
+        val dh = math.max(1, math.floor(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x < dw) {
+            // explicit floor sampling, not AffineTransformOp: the AWT
+            // op's half-pixel phase is an implementation detail; this
+            // mapping is the contract (and the mm5 oracle's replay)
+            out.setRGB(x, y, img.getRGB(
+              math.min(img.getWidth - 1, (x / scale).toInt),
+              math.min(img.getHeight - 1, (y / scale).toInt)))
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        MediaRow(r.media_id, r.kind, baos.toByteArray,
+          MediaMeta(dw, dh, "png", r.meta.duration_ms))
+      }
+      resized.getOrElse(r)
+    }
+  }
+
   /** Metadata-level resize planning (pure column math — no decode needed):
     * target box fit preserving aspect ratio. */
   def planResize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {

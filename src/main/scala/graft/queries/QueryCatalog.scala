@@ -1720,6 +1720,35 @@ object QueryCatalog {
     },
     Some(Mm4OracleSql.sql))
 
+  /** REAL image resize end-to-end: the mm2 PNGs → decode →
+    * floor-nearest-neighbor 8×8→4×4 downsample → PNG re-encode → pixel
+    * stats through the SAME ImageIoCodec that serves mm2. The resample
+    * contract (dest (x,y) = src (2x,2y)) lets the DuckDB oracle replay
+    * the recurrence at even coordinates only — a hash match proves the
+    * decoded, resampled, re-encoded pixels are exactly the contracted
+    * subset.
+    */
+  val mm5ImageResize: GraftQuery = GraftQuery(
+    "mm5_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id").cast("long")).as[java.lang.Long]
+      val media = graft.operators.Multimodal.syntheticPngMedia(ids)
+      val resized = graft.operators.Multimodal.resizeImages(media, 4, 4)
+      graft.operators.Multimodal.extractFeatures(
+          resized, new graft.operators.Multimodal.ImageIoCodec())
+        .toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("sum_r"),
+          element_at(col("features"), 4).cast("long").as("sum_g"),
+          element_at(col("features"), 5).cast("long").as("sum_b"))
+        .orderBy(col("media_id"))
+    },
+    Some(Mm5OracleSql.sql))
+
   /** pgml.load_dataset built-in fixture (api.rs:561-587): the iris frame is
     * fully deterministic (seeded splitmix streams), so the oracle REBUILDS
     * the dataset from the same recurrence in SQL and must match
@@ -1750,5 +1779,6 @@ object QueryCatalog {
     s6VectorSearchChunked,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
-    mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames, ds1LoadIris)
+    mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
+    mm5ImageResize, ds1LoadIris)
 }

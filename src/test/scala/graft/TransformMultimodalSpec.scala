@@ -237,4 +237,30 @@ class TransformMultimodalSpec extends AnyFunSuite {
       .collect()
     assert(fb.length == 2 && fb.forall(_.frame_bytes.nonEmpty))
   }
+
+  test("multimodal: resizeImages really downsamples pixels (floor nearest-neighbor)") {
+    import graft.functions.TextKernels
+    val ids = Seq(3L, 41L).map(java.lang.Long.valueOf).toDS()
+    val media = Multimodal.syntheticPngMedia(ids, w = 8, h = 8)
+    val out = Multimodal.resizeImages(media, 4, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    for (id <- Seq(3L, 41L)) {
+      val r = out(id)
+      assert(r.meta.width == 4 && r.meta.height == 4)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      // dest (x,y) must be EXACTLY source (2x, 2y) of the recurrence
+      for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+        val expect = (TextKernels.mix(id, ((c * 8 + 2 * y) * 8 + 2 * x).toLong) & 0xff).toInt
+        val got = (img.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        assert(got == expect, s"id=$id ($x,$y) c=$c")
+      }
+    }
+    // already inside the box, non-image kinds, junk bytes: all passthrough
+    val small = Multimodal.resizeImages(media, 16, 16).collect().head
+    assert(small.meta.format == "png" && small.meta.width == 8)
+    val junk = Seq(Multimodal.MediaRow(9L, "audio", Array[Byte](1, 2),
+      Multimodal.MediaMeta(0, 0, "wav", 0L))).toDS()
+    assert(Multimodal.resizeImages(junk, 4, 4).collect().head.bytes.length == 2)
+  }
 }
