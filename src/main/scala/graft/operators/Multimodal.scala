@@ -11,13 +11,15 @@ import graft.functions.TextKernels
   * as *batched per-partition* operators (the Scala analogue of Pandas UDFs
   * over `mapInPandas` — one vectorized call per batch, not per row).
   *
-  * Image decode ([[Multimodal.ImageIoCodec]], javax.imageio) and audio
-  * decode ([[Multimodal.AudioWavCodec]], javax.sound.sampled) are REAL
-  * pure-JDK codecs; video frame extraction remains stubbed
-  * (`StubCodec` produces deterministic pseudo-decodes from the bytes), so
-  * every Spark-side concern — schema, batching, partitioning, output
-  * shape — is real and tested, and a production build swaps `MediaCodec`
-  * for a heavier JNI/FFI implementation with no pipeline changes.
+  * All four verbs are REAL pure-JDK implementations: image decode
+  * ([[Multimodal.ImageIoCodec]], javax.imageio), audio decode
+  * ([[Multimodal.AudioWavCodec]], javax.sound.sampled), video frame
+  * extraction ([[Multimodal.GifVideoCodec]], animated GIF through
+  * javax.imageio), and pixel-exact resize ([[Multimodal.resizeImages]]).
+  * `StubCodec` remains the deterministic fallback for undecodable blobs
+  * and the stand-in for heavy-model feature extraction; a production
+  * build swaps `MediaCodec` for a heavier JNI/FFI implementation with no
+  * pipeline changes.
   */
 object Multimodal {
 
@@ -217,8 +219,11 @@ object Multimodal {
 
     override def sampleFrames(row: MediaRow, n: Int): Seq[FrameRow] = {
       val frames = scala.util.Try {
+        // close the input stream too: with the default disk cache it holds
+        // an open temp file per call, which a long-lived executor leaks
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(row.bytes))
+        try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         require(readers.hasNext)
         val reader = readers.next()
@@ -253,6 +258,7 @@ object Multimodal {
             FrameRow(row.media_id, i, baos.toByteArray)
           }
         } finally reader.dispose()
+        } finally iis.close()
       }.toOption
       frames.getOrElse(fallback.sampleFrames(row, n))
     }
@@ -415,14 +421,16 @@ object Multimodal {
   }
 
   /** Metadata-level resize planning (pure column math — no decode needed):
-    * target box fit preserving aspect ratio. */
+    * target box fit preserving aspect ratio. Dimensions clamp to ≥1, the
+    * same floor [[resizeImages]] applies, so plan and execution always
+    * agree on extreme aspect ratios. */
   def planResize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(lit(maxW) / col("meta.width").cast("double"),
       lit(maxH) / col("meta.height").cast("double"), lit(1.0))
     media.select(col("media_id"),
       col("meta.width").as("src_w"), col("meta.height").as("src_h"),
-      floor(col("meta.width") * scale).cast("int").as("dst_w"),
-      floor(col("meta.height") * scale).cast("int").as("dst_h"))
+      greatest(lit(1), floor(col("meta.width") * scale).cast("int")).as("dst_w"),
+      greatest(lit(1), floor(col("meta.height") * scale).cast("int")).as("dst_h"))
   }
 
   /** Deterministic synthetic media table (for tests/bench: binary payloads

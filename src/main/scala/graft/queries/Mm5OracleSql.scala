@@ -10,15 +10,8 @@ package graft.queries
   */
 object Mm5OracleSql {
 
-  /** (a * c) mod 2^64 with a < 2^64 and c a 64-bit literal, via limbs. */
-  private def mul(a: String, c: String): String =
-    s"(((($a) >> 32) * ($c & 4294967295::HUGEINT) + (($a) & 4294967295::HUGEINT) * ($c >> 32)) " +
-      s"% 4294967296::HUGEINT * 4294967296::HUGEINT " +
-      s"+ (($a) & 4294967295::HUGEINT) * ($c & 4294967295::HUGEINT)) % 18446744073709551616::HUGEINT"
-
-  private val Golden = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
-  private val C1 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
-  private val C2 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
+  // the shared limb-multiply + avalanche constants — one copy to fix
+  import SplitmixSql.{mul, Golden, C1, C2}
 
   val sql: String =
     s"""WITH px AS (SELECT doc_id AS media_id, CAST(c AS INT) AS c,

@@ -15,6 +15,7 @@ object SplitmixSql {
       s"% 4294967296::HUGEINT * 4294967296::HUGEINT " +
       s"+ (($a) & 4294967295::HUGEINT) * ($c & 4294967295::HUGEINT)) % 18446744073709551616::HUGEINT"
 
+  val Golden = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
   val C1 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
   val C2 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
 

@@ -207,16 +207,24 @@ object DeltaTable {
       s"DeltaTable.$op writes need a local filesystem home, got: $path " +
         "(remote stores should use a transactional table format)")
 
-  /** Staged row count straight from the parquet footers — no Spark job. */
+  /** Staged row count straight from the parquet footers — no Spark job.
+    * ZERO staged files is not a 0-row batch: even an empty Spark write
+    * leaves one (empty) part file, so an unlistable stage means the
+    * write landed somewhere java.io can't see — treating that as "no
+    * rows" would publish manifest entries that silently wipe the batch's
+    * documents. Throw instead (same contract as appendManifest). */
   private def stageRowCount(stage: String): Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    Option(new java.io.File(ioPath(stage)).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    val files = Option(new java.io.File(ioPath(stage)).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty)
+      throw new java.io.IOException(s"no staged data files under $stage")
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Manifest rows land by staging one parquet file per writer and moving
