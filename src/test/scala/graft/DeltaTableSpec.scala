@@ -156,6 +156,44 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(DeltaTable.segmentCount(p) == 1)
   }
 
+  test("randomized op sequence matches an in-memory model (seeded)") {
+    // model-based stress: 40 random append/tombstone/compact ops against a
+    // Map[doc -> rows] model, read-equivalence checked after EVERY op —
+    // the test class that catches supersession/compaction interactions no
+    // example-based case pins. Seeded, so failures replay exactly.
+    val p = tmp()
+    val rng = new scala.util.Random(0xD317AL)
+    val docPool = ('a' to 'j').map(_.toString)
+    var model = Map.empty[String, Set[(String, Int, String)]]
+    def randRows(doc: String): Set[(String, Int, String)] =
+      (0 until rng.nextInt(4)).map(i => (doc, i, s"${doc}_v${rng.nextInt(1000)}")).toSet
+    DeltaTable.writeBase(
+      docPool.take(4).flatMap { d =>
+        val rows = randRows(d); model += d -> rows; rows
+      }.toDF("document_id", "chunk_index", "chunk"), p)
+    for (op <- 1 to 40) {
+      rng.nextInt(5) match {
+        case 0 => // tombstone 1-2 docs (possibly absent ones — must no-op)
+          val docs = (0 until 1 + rng.nextInt(2)).map(_ => docPool(rng.nextInt(docPool.size)))
+          DeltaTable.tombstone(spark, p, docs.toDF("document_id"))
+          docs.foreach(d => model -= d)
+        case 4 =>
+          DeltaTable.compactIfNeeded(spark, p, maxSegments = rng.nextInt(3))
+        case _ => // append: rewrite 1-3 docs wholesale (some may get 0 rows)
+          val docs = (0 until 1 + rng.nextInt(3))
+            .map(_ => docPool(rng.nextInt(docPool.size))).distinct
+          val rows = docs.flatMap { d =>
+            val r = randRows(d); model += d -> r; r
+          }
+          DeltaTable.appendDelta(spark, p,
+            rows.toDF("document_id", "chunk_index", "chunk"),
+            docs.toDF("document_id"))
+      }
+      val got = DeltaTable.read(spark, p).as[(String, Int, String)].collect().toSet
+      assert(got == model.values.flatten.toSet, s"divergence after op $op")
+    }
+  }
+
   test("compaction sweeps crash-orphaned stage dirs") {
     val p = tmp()
     DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "y"))
