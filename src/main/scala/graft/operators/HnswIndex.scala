@@ -478,15 +478,31 @@ object HnswIndex {
     }.toDF("pid", "graph")
   }
 
+  /** pid range reserved per delta segment: graph partition ids must be
+    * unique across CONCURRENT appenders (the executor graph cache and
+    * batch-search dedup key on (home, pid)), and "max existing pid + 1"
+    * races — so each segment owns the pid block [seg << 20, (seg+1) << 20).
+    * 2^20 graphs per segment at the default 100k-vector budget is ~10^11
+    * vectors per micro-batch; 2^10 segments before a merge is two orders
+    * past any sane merge policy. */
+  private val PidSegShift = 20
+
   /** Append a DELTA SEGMENT to a persisted forest: build graphs over ONLY
     * `df` (the vectors a sync batch added or replaced) and add them as new
-    * forest partitions — existing graphs are untouched and never rebuilt,
-    * which is what makes a micro-batch sync O(batch) instead of O(corpus).
-    * Search unions all partitions, so delta nodes serve immediately; a
-    * vector that REPLACES an older one must carry a fresh node id (the
-    * Collection keys ids on (doc, chunk, table segment)) so the stale
-    * node's hit resolves to nothing downstream. Forest-wide merge (full
-    * rebuild) is the caller's compaction policy. */
+    * forest partitions under `delta/seg=N` — existing graphs are untouched
+    * and never rebuilt, which is what makes a micro-batch sync O(batch)
+    * instead of O(corpus). Search unions all partitions, so delta nodes
+    * serve immediately; a vector that REPLACES an older one must carry a
+    * fresh node id (the Collection keys ids on (doc, chunk, table
+    * segment)) so the stale node's hit resolves to nothing downstream.
+    * Forest-wide merge (full rebuild) is the caller's compaction policy.
+    *
+    * Runs under [[graft.store.DeltaTable]]'s commit protocol — write-ahead
+    * seg allocation (concurrent appenders take distinct segments and
+    * therefore distinct pid blocks; SaveMode.Append would have them
+    * clobber the shared `_temporary` staging dir), stage-then-rename
+    * publication, commit marker last — so a crashed append leaves an
+    * invisible segment a retry supersedes. */
   def appendSegment(
       spark: SparkSession,
       path: String,
@@ -496,14 +512,26 @@ object HnswIndex {
       partitionBudget: Int = DefaultPartitionBudget,
       seed: Long = 42L): Unit = {
     require(existsAt(spark, path), s"no persisted forest at $path to append to")
-    val idx = load(spark, path)
-    val nextPid = idx.graphs.agg(coalesce(max(col("pid")), lit(-1))).head().getInt(0) + 1
-    val blobs = buildGraphBlobs(spark, df, vecCol, idCol, idx.m,
-      idx.efConstruction, numPartitions = 0, partitionBudget, seed, nextPid)
-    blobs.write.mode(SaveMode.Append).parquet(s"$path/data")
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      IndexStore.readString(fs, new Path(path, Sidecar)))
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    // capture the pre-append frame: its plan is what a prior load() handed
+    // to the CacheManager, and the post-append frame (new file listing)
+    // would no longer match it for the unpersist below
+    val before = blobFrame(spark, path)
+    val seg = graft.store.DeltaTable.allocSegment(path, minSeg = 1,
+      segParent = s"$path/delta")
+    require(seg < (1 << (31 - PidSegShift)),
+      s"HNSW home $path has accumulated $seg delta segments; merge (rebuild) before appending more")
+    val blobs = buildGraphBlobs(spark, df, vecCol, idCol,
+      (meta \ "m").extract[Int], (meta \ "efConstruction").extract[Int],
+      numPartitions = 0, partitionBudget, seed, pidOffset = seg << PidSegShift)
+    graft.store.DeltaTable.stagePublishSegment(blobs, s"$path/delta", seg)
+    graft.store.DeltaTable.commitSegment(path, seg)
     // drop session + executor caches so the next load sees the new blobs
     invalidate(path)
-    try spark.read.parquet(s"$path/data").unpersist(true)
+    try before.unpersist(true)
     catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
@@ -518,9 +546,24 @@ object HnswIndex {
     // fresh load() would silently adopt the old in-memory blobs. unpersist
     // (plan-matched, no recache) while the old files still resolve.
     invalidate(path)
-    try spark.read.parquet(s"$path/data").unpersist(true)
+    try blobFrame(spark, path).unpersist(true)
     catch { case _: org.apache.spark.sql.AnalysisException => () }
     IndexStore.fsFor(spark, path).delete(new Path(path), true); ()
+  }
+
+  /** The forest's blob table: base graphs under `data/` plus every
+    * COMMITTED `delta/seg=N` segment (crashed appends have no marker and
+    * stay invisible; a pre-marker layout counts everything). Built
+    * identically by load (which caches it) and by the unpersist sites (so
+    * the CacheManager's plan-keyed entry can be dropped). */
+  private def blobFrame(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/data")
+    val segs = IndexStore.committedDeltaSegs(spark, path)
+    if (segs.isEmpty) base
+    else base.unionByName(
+      spark.read.parquet(s"$path/delta")
+        .where(col("seg").isin(segs.map(Integer.valueOf): _*))
+        .drop("seg"))
   }
 
   /** Load a persisted forest. Graph blobs deserialize lazily per executor
@@ -536,7 +579,7 @@ object HnswIndex {
     // serve from memory: an HNSW graph is an in-RAM structure by design
     // (the reference's index pages live in the DB's shared buffers);
     // without the cache every query re-reads the full blob table
-    new HnswIndex(spark.read.parquet(s"$path/data").cache(), path, m, efc)
+    new HnswIndex(blobFrame(spark, path).cache(), path, m, efc)
   }
 
   /** Load if `path` holds a compatible forest, else build from `df` and

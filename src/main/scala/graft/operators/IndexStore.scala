@@ -47,6 +47,26 @@ private[operators] object IndexStore {
     }
   }
 
+  /** Delta segments of an index home that are both present under
+    * `home/delta` and committed per the home's `_commits` markers
+    * ([[graft.store.DeltaTable]]'s protocol). A delta dir with seg dirs but
+    * no markers is a pre-marker layout: all count. Crashed (unmarked)
+    * appends stay invisible until their retry lands a fresh segment. */
+  def committedDeltaSegs(spark: SparkSession, home: String): Seq[Int] = {
+    val fs = fsFor(spark, home)
+    val deltaDir = new Path(s"$home/delta")
+    if (!fs.exists(deltaDir)) Nil
+    else {
+      val present = fs.listStatus(deltaDir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+        .map(_.getPath.getName.stripPrefix("seg=").toInt)
+      graft.store.DeltaTable.committedSegments(home) match {
+        case Some(c) => present.filter(c)
+        case None => present
+      }
+    }
+  }
+
   /** Latest modification time under `path` (a file or one-level directory) —
     * the freshness component of a persisted home's key. */
   def mtimeOf(spark: SparkSession, path: String): Long = {

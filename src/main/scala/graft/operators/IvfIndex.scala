@@ -174,13 +174,26 @@ object IvfIndex {
       .extract[Array[Array[Float]]]
     val base = spark.read.parquet(s"$path/data")
     // all layout probes go through the Hadoop FileSystem like every other
-    // IvfIndex IO — java.io.File would silently miss deltas on HDFS/S3A
-    val deltaExists = fs.exists(new Path(s"$path/delta"))
+    // IvfIndex IO — java.io.File would silently miss deltas on HDFS/S3A.
+    // Committed delta SEGMENTS (crashed appends have no marker and stay
+    // invisible; pre-marker layouts count everything) are unioned under the
+    // base; the manifest is consulted whenever it exists — even with no
+    // delta data at all, because an empty sync batch (a document clearing
+    // an indexed field) appends ONLY manifest rows, and skipping resolution
+    // then would keep serving the document's stale vectors.
+    val deltaSegs = IndexStore.committedDeltaSegs(spark, path)
+    val manifestExists = fs.exists(new Path(s"$path/_manifest")) &&
+      fs.listStatus(new Path(s"$path/_manifest"))
+        .exists(_.getPath.getName.endsWith(".parquet"))
     val data =
-      if (!deltaExists) base
+      if (deltaSegs.isEmpty && !manifestExists) base
       else {
-        val raw = base.withColumn("seg", lit(0))
-          .unionByName(spark.read.parquet(s"$path/delta"))
+        val withSeg = base.withColumn("seg", lit(0))
+        val raw =
+          if (deltaSegs.isEmpty) withSeg
+          else withSeg.unionByName(
+            spark.read.parquet(s"$path/delta")
+              .where(col("seg").isin(deltaSegs.map(Integer.valueOf): _*)))
         graft.store.DeltaTable.resolve(spark, raw, path, DeltaDocCol).drop("seg")
       }
     new IvfIndex(data, centroids, vecCol)
@@ -196,7 +209,19 @@ object IvfIndex {
     * under `delta/seg=N/cluster_id=M`, recording each document's new owning
     * segment in the home's `_manifest` so [[load]] drops any stale rows the
     * documents had in earlier segments. O(batch) work and IO; existing
-    * files are never rewritten. */
+    * files are never rewritten.
+    *
+    * The append runs under [[graft.store.DeltaTable]]'s commit protocol —
+    * write-ahead seg allocation (concurrent appenders take distinct
+    * numbers; SaveMode.Append would have them clobber the shared
+    * `_temporary` staging dir), stage-then-rename publication, manifest
+    * rows staged and moved in, commit marker LAST — so a crash anywhere
+    * mid-append leaves an uncommitted (invisible) segment that a retry
+    * supersedes, never a half-applied one (e.g. data without its manifest
+    * claim, which would serve a re-synced document's old AND new vectors).
+    * A 0-row batch (a changed document with no chunks for this field)
+    * publishes no data dir but still claims its documents in the manifest
+    * — that is how their stale vectors drop out. */
   def appendSegment(
       spark: SparkSession,
       path: String,
@@ -211,19 +236,14 @@ object IvfIndex {
     val centroids = org.json4s.jackson.JsonMethods.parse(json)
       .extract[Array[Array[Float]]]
     val deltaPath = s"$path/delta"
-    val deltaDir = new Path(deltaPath)
-    val nextSeg = 1 + (
-      if (!fs.exists(deltaDir)) 0
-      else fs.listStatus(deltaDir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
-        .map(_.getPath.getName.stripPrefix("seg=").toInt).foldLeft(0)(math.max))
-    assignClusters(df, centroids, vecCol, nassign)
-      .withColumn("seg", lit(nextSeg))
-      .write.mode(SaveMode.Append).partitionBy("seg", "cluster_id")
-      .parquet(deltaPath)
-    docIds.select(col(DeltaDocCol).cast("string").as(DeltaDocCol),
-        lit(nextSeg).as("seg")).distinct()
-      .write.mode(SaveMode.Append).parquet(s"$path/_manifest")
+    // base rows read as seg 0, so deltas start at 1
+    val seg = graft.store.DeltaTable.allocSegment(path, minSeg = 1,
+      segParent = deltaPath)
+    graft.store.DeltaTable.stagePublishSegment(
+      assignClusters(df, centroids, vecCol, nassign),
+      deltaPath, seg, partitionCols = Seq("cluster_id"))
+    graft.store.DeltaTable.appendManifestFor(path, docIds, DeltaDocCol, seg)
+    graft.store.DeltaTable.commitSegment(path, seg)
     invalidate(path)
   }
 

@@ -253,6 +253,105 @@ object DeltaTable {
     deleteRec(new java.io.File(stage))
   }
 
+  // ---------------------------------------------------------------------
+  // Segment protocol for EXTERNAL segmented homes (the ANN index stores).
+  //
+  // HnswIndex/IvfIndex keep their own layouts (base under `data/`, delta
+  // segments under `delta/seg=N`, manifest under `_manifest`) but their
+  // appends need exactly the hardening this table implements: write-ahead
+  // segment allocation (concurrent writers get distinct numbers, crashed
+  // numbers burn), stage-then-rename publication (two appenders under
+  // SaveMode.Append clobber the shared `_temporary` dir — proved by the
+  // round-9 probe), and commit markers written last (a crash mid-append
+  // leaves an invisible segment, never a half-applied one). Exposing the
+  // primitives here keeps one copy of the crash-window reasoning.
+  // ---------------------------------------------------------------------
+
+  /** Write-ahead segment allocation for an external home. `minSeg` lets
+    * index homes reserve low numbers (IvfIndex's base rows read as seg 0,
+    * so its deltas start at 1); `segParent` is where the home's seg dirs
+    * actually live (IvfIndex keeps them under `delta/`), consulted so a
+    * pre-marker layout's existing segments are never re-allocated. */
+  private[graft] def allocSegment(
+      home: String, minSeg: Int = 0, segParent: String = ""): Int = {
+    requireLocalWrites(home, "allocSegment")
+    val d = new java.io.File(commitsPath(home))
+    d.mkdirs()
+    val existing = maxSeg(if (segParent.nonEmpty) segParent else home)
+    var seg = math.max(math.max(existing, markerMax(home)) + 1, minSeg)
+    while (!new java.io.File(d, s"alloc-$seg").createNewFile()) seg += 1
+    seg
+  }
+
+  /** Stage `df` under a hidden sibling of `segParent` and rename it into
+    * place as `segParent/seg=N`. Returns false (publishing nothing) for a
+    * 0-row batch — the caller's manifest entries are how a document
+    * shrinks to zero rows. Partitioned stages (IVF's cluster_id dirs) are
+    * judged empty by their recursive footer count. */
+  private[graft] def stagePublishSegment(
+      df: DataFrame, segParent: String, seg: Int,
+      partitionCols: Seq[String] = Nil): Boolean = {
+    requireLocalWrites(segParent, "stagePublishSegment")
+    val stage = s"$segParent/_stage-seg$seg"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(stage)
+    val rows = stageRowCountRec(stage, tolerateEmpty = partitionCols.nonEmpty)
+    if (rows == 0L) { deleteRec(new java.io.File(ioPath(stage))); false }
+    else {
+      new java.io.File(ioPath(segParent)).mkdirs()
+      if (!new java.io.File(ioPath(stage)).renameTo(
+          new java.io.File(s"${ioPath(segParent)}/seg=$seg")))
+        throw new java.io.IOException(
+          s"could not publish segment $seg under $segParent")
+      true
+    }
+  }
+
+  /** Manifest append for an external home (same stage-and-move protocol as
+    * [[appendManifest]]). */
+  private[graft] def appendManifestFor(
+      home: String, docIds: DataFrame, docCol: String, seg: Int): Unit = {
+    requireLocalWrites(home, "appendManifestFor")
+    appendManifest(home, docIds, docCol, seg)
+  }
+
+  /** Commit marker — the last step of an external append. */
+  private[graft] def commitSegment(home: String, seg: Int): Unit =
+    commitSeg(home, seg)
+
+  /** Committed segments of an external home; None = pre-marker layout
+    * (every segment counts). */
+  private[graft] def committedSegments(home: String): Option[Set[Int]] =
+    if (!isLocal(home)) None else committedSegs(home)
+
+  /** Recursive footer row count of a staged write. A non-partitioned stage
+    * always leaves at least one part file, so zero files means the write
+    * landed somewhere java.io can't see (throw, same contract as
+    * [[stageRowCount]]); a PARTITIONED 0-row stage legitimately writes no
+    * part files at all, which `tolerateEmpty` accepts as 0 rows provided
+    * the Spark commit marker (_SUCCESS) proves the job ran here. */
+  private def stageRowCountRec(stage: String, tolerateEmpty: Boolean): Long = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(files)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    val parts = files(new java.io.File(ioPath(stage)))
+    if (parts.isEmpty) {
+      if (tolerateEmpty && new java.io.File(ioPath(stage), "_SUCCESS").exists()) 0L
+      else throw new java.io.IOException(s"no staged data files under $stage")
+    } else {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      parts.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }
+  }
+
   /** Tombstone: `docIds`' documents lose all rows (a manifest entry whose
     * segment holds nothing for them). O(batch), no table rewrite — the
     * cascade-delete path. */
@@ -399,7 +498,12 @@ object DeltaTable {
         rows.foreach(r => m.put(
           org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
           Integer.valueOf(r.getInt(1))))
-        if (manifestCache.size >= ManifestCacheMaxPaths) manifestCache.clear()
+        // evict ONE entry at the cap, not the whole map: >64 live tables
+        // (a few collections × pipelines × 4 derived tables) would
+        // otherwise thrash the cache and re-collect every manifest on
+        // every read — the per-read driver job this path exists to avoid
+        if (manifestCache.size >= ManifestCacheMaxPaths)
+          manifestCache.keys.headOption.foreach(manifestCache.remove)
         manifestCache.put(path, (fp, m))
         m
     }
@@ -457,9 +561,14 @@ object DeltaTable {
     if (target.exists()) {
       val old = new java.io.File(ioPath(path) + "_old")
       deleteRec(old)
-      target.renameTo(old)
+      if (!target.renameTo(old))
+        throw new java.io.IOException(s"could not retire old table at $path")
     }
-    new java.io.File(ioPath(tmp)).renameTo(target)
+    // each rename checked: a silent failure here would report success while
+    // the live table stays stale and the staged data orphans (appendDelta's
+    // publish already throws; the base/compaction path must too)
+    if (!new java.io.File(ioPath(tmp)).renameTo(target))
+      throw new java.io.IOException(s"could not publish staged table at $path")
     deleteRec(new java.io.File(ioPath(path) + "_old"))
   }
 

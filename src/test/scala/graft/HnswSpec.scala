@@ -225,4 +225,68 @@ class HnswSpec extends AnyFunSuite {
     ba.zip(bb).foreach { case (x, y) => assert(java.util.Arrays.equals(x, y)) }
     a.graphs.unpersist(); b.graphs.unpersist()
   }
+
+  // ---- commit-protocol probes (the DeltaTableSpec suite for index homes) ----
+
+  private def idVecs(ids: Seq[Long], dim: Int = 8): Seq[(Long, Array[Float])] =
+    ids.map { d =>
+      val v = Array.fill(dim)(0.01f * (d % 3 + 1))
+      v((d % dim).toInt) = 1.0f
+      (d, v)
+    }
+
+  private def freshHnswHome(): String = {
+    val home = java.nio.file.Files.createTempDirectory("graft_hnsw_proto_").toString + "/idx"
+    val idx = HnswIndex.build(spark, idVecs(0L until 40L).toDF("id", "vec"),
+      "vec", "id", m = 8, efConstruction = 32)
+    idx.save(home)
+    idx.graphs.unpersist()
+    home
+  }
+
+  private def servedIds(home: String, probeFor: Long): Set[Long] = {
+    HnswIndex.invalidate(home)
+    val idx = HnswIndex.load(spark, home)
+    val q = idVecs(Seq(probeFor)).head._2
+    idx.search(q, 5, ef = 500).select("id").as[Long].collect().toSet
+  }
+
+  test("concurrent appendSegment: distinct segments and pid blocks, both visible") {
+    val home = freshHnswHome()
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val a = Future { HnswIndex.appendSegment(spark, home,
+      idVecs(Seq(1000L)).toDF("id", "vec"), "vec", "id") }
+    val b = Future { HnswIndex.appendSegment(spark, home,
+      idVecs(Seq(2000L)).toDF("id", "vec"), "vec", "id") }
+    Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+    val segs = new java.io.File(s"$home/delta").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg=")).map(_.getName).toSet
+    assert(segs.size == 2, s"expected 2 delta segments, got $segs")
+    // pid blocks keyed on the segment number never collide
+    HnswIndex.invalidate(home)
+    val pids = HnswIndex.load(spark, home).graphs
+      .select("pid").as[Int].collect().toSeq
+    assert(pids.distinct.size == pids.size, s"pid collision across segments: $pids")
+    assert(servedIds(home, 1000L).contains(1000L), "first appender's vectors lost")
+    assert(servedIds(home, 2000L).contains(2000L), "second appender's vectors lost")
+  }
+
+  test("crashed appendSegment (no commit marker) is invisible; retry serves") {
+    val home = freshHnswHome()
+    HnswIndex.appendSegment(spark, home,
+      idVecs(Seq(3000L)).toDF("id", "vec"), "vec", "id")
+    // simulate the crash: drop the commit marker written last
+    val markers = new java.io.File(s"$home/_commits").listFiles()
+      .filter(_.getName.startsWith("seg-"))
+    assert(markers.nonEmpty)
+    markers.foreach(_.delete())
+    assert(!servedIds(home, 3000L).contains(3000L),
+      "uncommitted delta segment's nodes are being served")
+    // retry takes a fresh segment and serves
+    HnswIndex.appendSegment(spark, home,
+      idVecs(Seq(3000L)).toDF("id", "vec"), "vec", "id")
+    assert(servedIds(home, 3000L).contains(3000L))
+  }
 }

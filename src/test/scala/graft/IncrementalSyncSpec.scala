@@ -325,11 +325,16 @@ class IncrementalSyncSpec extends AnyFunSuite {
       s"""{"id": $i, "body": "hnsw base doc $i ${"theme " * (i % 7 + 1)}"}""").toDF("document"))
     c.syncPipelineIncremental(p) // full build
 
+    // base blobs live under data/, delta segments under delta/seg=N
     def hnswDataFiles: Map[String, Long] = {
-      val d = new java.io.File(s"$wh/inchnsw/p/body_hnsw/data")
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.length).toMap
+      val root = new java.io.File(s"$wh/inchnsw/p/body_hnsw")
+      val out = scala.collection.mutable.Map[String, Long]()
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          out(f.getAbsolutePath.stripPrefix(root.getAbsolutePath)) = f.length
+      walk(new java.io.File(root, "data")); walk(new java.io.File(root, "delta"))
+      out.toMap
     }
     val before = hnswDataFiles
     assert(before.nonEmpty)

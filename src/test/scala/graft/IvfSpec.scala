@@ -154,4 +154,98 @@ class IvfSpec extends AnyFunSuite {
       .select("document_id").as[String].collect().toSeq
     assert(viaIvf == exact)
   }
+
+  // ---- commit-protocol probes (the DeltaTableSpec suite for index homes) ----
+
+  /** Deterministic doc-keyed vectors: doc d gets a one-hot-ish vector so
+    * search(query=vec(d)) must return d first. `shift` rotates the hot
+    * axis — a replacement batch built with a shift is directionally
+    * distinct from the original (cosine can tell them apart). */
+  private def docVecs(ids: Seq[Int], dim: Int = 8, shift: Int = 0): Seq[(String, Array[Float])] =
+    ids.map { d =>
+      val v = Array.fill(dim)(0.01f * (d % 3 + 1))
+      v((d + shift) % dim) = 1.0f
+      (s"doc$d", v)
+    }
+
+  private def freshIvfHome(ids: Seq[Int]): String = {
+    val home = java.nio.file.Files.createTempDirectory("graft_ivf_proto_").toString + "/idx"
+    val base = docVecs(ids).toDF("document_id", "embedding")
+    val idx = IvfIndex.build(spark, base, "embedding", nlist = 2)
+    idx.save(home)
+    idx.data.unpersist()
+    home
+  }
+
+  private def servedDocs(home: String): Set[String] = {
+    IvfIndex.invalidate(home)
+    IvfIndex.load(spark, home, "embedding").data
+      .select("document_id").as[String].collect().toSet
+  }
+
+  test("concurrent appendSegment: distinct segments, both batches visible") {
+    val home = freshIvfHome(0 until 20)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val a = Future { IvfIndex.appendSegment(spark, home,
+      docVecs(100 to 104).toDF("document_id", "embedding"), "embedding",
+      docVecs(100 to 104).toDF("document_id", "embedding").select("document_id")) }
+    val b = Future { IvfIndex.appendSegment(spark, home,
+      docVecs(200 to 204).toDF("document_id", "embedding"), "embedding",
+      docVecs(200 to 204).toDF("document_id", "embedding").select("document_id")) }
+    Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+    // two distinct committed segments, no clobbered staging
+    val segs = new java.io.File(s"$home/delta").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg=")).map(_.getName).toSet
+    assert(segs.size == 2, s"expected 2 delta segments, got $segs")
+    val docs = servedDocs(home)
+    assert((100 to 104).forall(d => docs(s"doc$d")), "first appender's batch lost")
+    assert((200 to 204).forall(d => docs(s"doc$d")), "second appender's batch lost")
+    assert(docs("doc0"), "base rows lost")
+  }
+
+  test("crashed appendSegment (no commit marker) is invisible; retry supersedes") {
+    val home = freshIvfHome(0 until 20)
+    // replacement batch for doc3 + a new doc, directionally distinct
+    val batch = docVecs(Seq(3, 300), shift = 4).toDF("document_id", "embedding")
+    IvfIndex.appendSegment(spark, home, batch, "embedding", batch.select("document_id"))
+    // simulate the crash: the marker (written LAST) never landed
+    val markers = new java.io.File(s"$home/_commits").listFiles()
+      .filter(_.getName.startsWith("seg-"))
+    assert(markers.nonEmpty)
+    markers.foreach(_.delete())
+    val docs = servedDocs(home)
+    assert(!docs("doc300"), "uncommitted segment's new doc is being served")
+    assert(docs("doc3"), "uncommitted manifest rows deleted doc3's base vector")
+    // the doc3 vector served must be the OLD one (score ~1.0 on the base axis)
+    val idx = IvfIndex.load(spark, home, "embedding")
+    val old3 = docVecs(Seq(3)).head._2
+    val top = idx.search(old3, 1, nprobe = 2, Seq("document_id"))
+      .select("document_id").as[String].head()
+    assert(top == "doc3")
+    // retry takes a FRESH segment number and commits
+    IvfIndex.appendSegment(spark, home, batch, "embedding", batch.select("document_id"))
+    val docs2 = servedDocs(home)
+    assert(docs2("doc300"), "retried append not served")
+  }
+
+  test("0-row appendSegment publishes manifest only; load survives and drops the docs") {
+    val home = freshIvfHome(0 until 10)
+    val empty = docVecs(Nil).toDF("document_id", "embedding")
+    // doc4 cleared its indexed field: no vectors, but the claim must land
+    IvfIndex.appendSegment(spark, home, empty, "embedding",
+      Seq("doc4").toDF("document_id"))
+    // no delta data dir (nothing to publish), manifest + marker present
+    val segDirs = Option(new java.io.File(s"$home/delta").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("seg="))
+    assert(segDirs.isEmpty, "0-row batch published a data segment")
+    val docs = servedDocs(home) // must not throw (the r9 empty-delta AnalysisException)
+    assert(!docs("doc4"), "tombstoned doc4 still served")
+    assert(docs("doc3") && docs("doc5"), "untouched docs lost")
+    // a later real append still works
+    val batch = docVecs(Seq(400)).toDF("document_id", "embedding")
+    IvfIndex.appendSegment(spark, home, batch, "embedding", batch.select("document_id"))
+    assert(servedDocs(home)("doc400"))
+  }
 }

@@ -241,11 +241,18 @@ class StreamingSpec extends AnyFunSuite {
     b1.write.parquet(s"$dir/in/batch1")
     val stream = spark.readStream.schema(b1.schema).parquet(s"$dir/in/*")
     val q = c.syncStream(stream, Seq(p), s"$dir/ckpt")
+    // base blobs live under data/, delta segments under delta/seg=N —
+    // walk both so "existing blobs byte-identical + new segment appended"
+    // covers the whole forest
     def hnswDataFiles: Map[String, Long] = {
-      val d = new java.io.File(s"$wh/csx/p/body_hnsw/data")
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.length).toMap
+      val root = new java.io.File(s"$wh/csx/p/body_hnsw")
+      val out = scala.collection.mutable.Map[String, Long]()
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          out(f.getAbsolutePath.stripPrefix(root.getAbsolutePath)) = f.length
+      walk(new java.io.File(root, "data")); walk(new java.io.File(root, "delta"))
+      out.toMap
     }
     try {
       q.processAllAvailable()
