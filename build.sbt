@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward graft.* tuning props (e.g. -Dgraft.lsh.inlineVerifyMaxBytes=0)
+  // into the forked run/test JVMs
+  sys.props.toSeq.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" }

@@ -29,6 +29,23 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Corpus-size threshold for the LSH verify strategy. At or below it the
+    * exact Jaccard verify runs INLINE in the band-join stream — the
+    * candidate arrays ride the band exchange, one join, no pair-distinct
+    * round-trip — which is cheaper when the whole corpus is small (the
+    * ×2×bands payload blow-up of a sub-64 MB corpus is noise, while the
+    * slim path's extra distinct + two verify joins cost two fixed shuffle
+    * rounds). Above it, the band exchange ships only fixed-width
+    * (g, sz, band, bucket) rows and candidate pairs verify once after a
+    * 16-byte-row distinct — the 100 TB regime, where the array payload
+    * (≈ 256 B per unique token across sides × bands) would dominate the
+    * exchange. Judged from the input plan's Catalyst size estimate: no
+    * extra job, deterministic per input. Tests pin a regime by setting
+    * this (0 forces slim everywhere). */
+  @volatile var inlineVerifyMaxCorpusBytes: Long =
+    sys.props.get("graft.lsh.inlineVerifyMaxBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
   /** Token-set (unigram) Jaccard between two string columns, as a Column. */
   def tokenJaccard(a: Column, b: Column): Column = {
     val ta = array_distinct(split(trim(lower(a)), "\\s+"))
@@ -54,16 +71,20 @@ object Dedup {
     *  3. token-hash arrays are computed from the cached groups frame —
     *     candidate verification is a codegen merge-walk on precomputed
     *     sorted long arrays, never re-tokenization per pair;
-    *  4. the band self-join exchanges ONLY (g, sz, band, bucket) — a
-    *     fixed ~24 B/row payload independent of document length (the
-    *     token-hash arrays never ride the ×bands shuffle);
+    *  4. ABOVE the [[inlineVerifyMaxCorpusBytes]] gate, the band self-join
+    *     exchanges ONLY (g, sz, band, bucket) — a fixed ~24 B/row payload
+    *     independent of document length (the token-hash arrays never ride
+    *     the ×bands shuffle);
     *  5. size-ratio prefilter: jaccard >= t forces
     *     min(|A|,|B|) >= t·max(|A|,|B|) — pairs failing it are dropped as
     *     they stream out of the join, before the pair-distinct;
     *  6. surviving candidate pairs distinct() on 16-byte (g_a, g_b) rows,
     *     then verify ONCE per pair by joining back to the cached groups
     *     (the small pair side broadcasts; worst case the token hashes
-    *     shuffle once — never per band).
+    *     shuffle once — never per band). AT OR BELOW the gate the verify
+    *     instead runs inline in the band-join stream (arrays in the
+    *     exchange, no pair-distinct round-trip) — cheaper when the whole
+    *     corpus is small.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
@@ -119,46 +140,81 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"), first(col("toks")).as("toks"))
       .cache()
 
-    // (2) LSH over unique groups; signature from the canonical token text.
-    val sig = groups.select(col("g"), size(col("toks")).as("sz"),
-      minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
-    // (4) the band exchange ships ONLY (g, sz, band, bucket) — 4 fixed-width
-    // columns, ~24 B/row regardless of document length. Token-hash arrays
-    // used to ride this shuffle (×2 sides ×bands ≈ 256 B per unique token);
-    // for long documents that payload, not the group count, dominated the
-    // exchange. LshShuffleSpec pins the slim payload in the plan.
-    val banded = sig.select(col("g"), col("sz"),
+    // verify-strategy choice (see [[inlineVerifyMaxCorpusBytes]]): the
+    // Catalyst size estimate of the INPUT plan — file-size-derived for
+    // scans, no job either way
+    val inlineVerify =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(inlineVerifyMaxCorpusBytes)
+
+    // `th` = sorted 64-bit token hashes: the exact verify is a codegen
+    // merge-walk over primitive longs, never per-pair re-tokenization (set
+    // jaccard is hash-invariant).
+    def thCol: Column = array_sort(transform(col("toks"), t => xxhash64(t)))
+    def bandCols(sig: Column): Column =
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"), col("sz").as("sz_a"))
-    val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"), col("sz").as("sz_b"))
+        b => xxhash64(b, slice(sig, b * rows + 1, lit(rows)))))
+    // size-ratio prefilter — necessary condition for jaccard >= t, applied
+    // in the join stream before anything wider than the joined row exists
+    def sizeCompatible: Column =
+      least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b"))
 
-    // (3)+(5): size-ratio prefilter in the join stream, then distinct the
-    // surviving candidate GROUP PAIRS — 16-byte rows, far smaller than any
-    // payload-bearing alternative — and verify each pair once.
-    val candPairs = a.join(b, Seq("band", "bucket"))
-      .where(col("g_a") < col("g_b"))
-      // size-ratio prefilter — necessary condition for jaccard >= t
-      .where(least(col("sz_a"), col("sz_b")).cast("double") >=
-        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
-      .select(col("g_a"), col("g_b"))
-      .distinct()
+    val candidates = if (inlineVerify) {
+      // SMALL-CORPUS REGIME: arrays ride the band exchange and the verify
+      // runs inline as pairs stream out of the join; only VERIFIED
+      // near-dup pairs reach the distinct. One join, two shuffles total —
+      // the payload blow-up is bounded by the corpus-size gate above.
+      val sig = groups.select(col("g"), size(col("toks")).as("sz"),
+        thCol.as("th"),
+        minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
+      val banded = sig.select(col("g"), col("sz"), col("th"),
+        bandCols(col("sig")).as(Seq("band", "bucket")))
+      val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"),
+        col("sz").as("sz_a"), col("th").as("th_a"))
+      val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"),
+        col("sz").as("sz_b"), col("th").as("th_b"))
+      a.join(b, Seq("band", "bucket"))
+        .where(col("g_a") < col("g_b"))
+        .where(sizeCompatible)
+        .withColumn("jaccard",
+          graft.functions.JaccardFunctions.sortedJaccardLong(col("th_a"), col("th_b")))
+        .where(col("jaccard") >= threshold)
+        .select(col("g_a"), col("g_b"), col("jaccard"))
+        .distinct()
+    } else {
+      // SCALE REGIME: the band exchange ships ONLY (g, sz, band, bucket) —
+      // 4 fixed-width columns, ~24 B/row regardless of document length
+      // (token-hash arrays across sides × bands would otherwise dominate
+      // the shuffle; LshShuffleSpec pins the slim payload in the plan).
+      val sig = groups.select(col("g"), size(col("toks")).as("sz"),
+        minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
+      val banded = sig.select(col("g"), col("sz"),
+        bandCols(col("sig")).as(Seq("band", "bucket")))
+      val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"), col("sz").as("sz_a"))
+      val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"), col("sz").as("sz_b"))
 
-    // (6) verify by joining the deduped pairs BACK to the cached groups:
-    // the candidate side is small (true near-dups + size-compatible band
-    // collisions), so AQE broadcasts it and the token-hash arrays are
-    // computed map-side from the cache — they never enter a shuffle. `th` =
-    // sorted 64-bit token hashes: the merge-walk compares primitive longs,
-    // not strings (set jaccard is hash-invariant).
-    val th = groups.select(col("g"),
-      array_sort(transform(col("toks"), t => xxhash64(t))).as("th"))
-    val candidates = candPairs
-      .join(th.select(col("g").as("g_a"), col("th").as("th_a")), Seq("g_a"))
-      .join(th.select(col("g").as("g_b"), col("th").as("th_b")), Seq("g_b"))
-      .withColumn("jaccard",
-        graft.functions.JaccardFunctions.sortedJaccardLong(col("th_a"), col("th_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("g_a"), col("g_b"), col("jaccard"))
+      // prefilter in the join stream, then distinct the surviving candidate
+      // GROUP PAIRS — 16-byte rows — and verify each pair exactly once
+      val candPairs = a.join(b, Seq("band", "bucket"))
+        .where(col("g_a") < col("g_b"))
+        .where(sizeCompatible)
+        .select(col("g_a"), col("g_b"))
+        .distinct()
+
+      // verify by joining the deduped pairs BACK to the cached groups: the
+      // candidate side is small (true near-dups + size-compatible band
+      // collisions), so AQE broadcasts it and the token-hash arrays are
+      // computed map-side from the cache — they never enter a shuffle
+      val th = groups.select(col("g"), thCol.as("th"))
+      candPairs
+        .join(th.select(col("g").as("g_a"), col("th").as("th_a")), Seq("g_a"))
+        .join(th.select(col("g").as("g_b"), col("th").as("th_b")), Seq("g_b"))
+        .withColumn("jaccard",
+          graft.functions.JaccardFunctions.sortedJaccardLong(col("th_a"), col("th_b")))
+        .where(col("jaccard") >= threshold)
+        .select(col("g_a"), col("g_b"), col("jaccard"))
+    }
 
     (groups, candidates)
   }

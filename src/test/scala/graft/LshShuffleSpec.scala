@@ -19,8 +19,13 @@ class LshShuffleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   test("band exchange carries no token arrays (plan) and total shuffle stays near token bytes") {
-    // 200 docs × ~300 unique tokens: the old design's band exchange alone
-    // would move ≥ 2·16·60k·8B ≈ 15 MB of token hashes
+    // 200 docs × ~300 unique tokens: the inline regime's band exchange
+    // alone would move ≥ 2·16·60k·8B ≈ 15 MB of token hashes. A corpus
+    // this small takes the inline path by default, so pin the SLIM (scale)
+    // regime for the whole test — this is the 100 TB contract under test.
+    val savedGate = Dedup.inlineVerifyMaxCorpusBytes
+    Dedup.inlineVerifyMaxCorpusBytes = 0L
+    try {
     val docs = (0 until 200).map { i =>
       val toks = (0 until 300).map(t => s"w${i}_$t")
       (i.toLong, toks.mkString(" "))
@@ -82,6 +87,7 @@ class LshShuffleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(arrayCols.isEmpty,
         s"band exchange ships array payload: ${arrayCols.map(_.name).mkString(",")}")
     }
+    } finally Dedup.inlineVerifyMaxCorpusBytes = savedGate
   }
 
   test("slim exchange returns identical pairs on a near-dup corpus") {
@@ -97,13 +103,25 @@ class LshShuffleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         else base.patch(i, Nil, 1) :+ s"x$i"
       (i.toLong, variant.mkString(" "))
     }.toDF("id", "text")
-    val pairs = Dedup.minhashLshPairs(docs, "id", "text", 0.95)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // run BOTH verify regimes over the same corpus: the strategy gate may
+    // only change cost, never the pair set
+    val savedGate = Dedup.inlineVerifyMaxCorpusBytes
+    val (inlinePairs, slimPairs) =
+      try {
+        Dedup.inlineVerifyMaxCorpusBytes = Long.MaxValue
+        val i = Dedup.minhashLshPairs(docs, "id", "text", 0.95)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        Dedup.inlineVerifyMaxCorpusBytes = 0L
+        val s = Dedup.minhashLshPairs(docs, "id", "text", 0.95)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        (i, s)
+      } finally Dedup.inlineVerifyMaxCorpusBytes = savedGate
     val base = (0 until 60).filter(_ % 3 == 0).map(_.toLong)
     val variants = (0 until 60).filter(_ % 3 != 0).map(_.toLong)
     val expected =
       (for (a <- base; b <- base if a < b) yield (a, b)).toSet ++
       (for (a <- base; b <- variants) yield (math.min(a, b), math.max(a, b))).toSet
-    assert(pairs == expected)
+    assert(inlinePairs == expected, "inline-verify regime pair set wrong")
+    assert(slimPairs == expected, "slim-exchange regime pair set wrong")
   }
 }
