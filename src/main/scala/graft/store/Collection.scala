@@ -805,18 +805,37 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // quadrupling the fetch until k survivors or the index is
         // exhausted — detected by the shortlist coming back SHORTER than
         // requested, so no corpus-sized count() job sits on the serving
-        // path. Worst case (a filter selecting almost nothing) degrades to
-        // the exact scan's cost over log4(N) probes; the common case
-        // touches an O(k/selectivity) shortlist instead of the corpus.
+        // path. ONE job per round: the shortlist's total row count and its
+        // filter-surviving count come from a single left-join aggregate
+        // (the old shape paid an eager checkpoint plus two count() jobs per
+        // round). Rounds are CAPPED: a filter selecting almost nothing
+        // stops widening after maxRounds (fetch ≈ 4^6·fetch0 by then) and
+        // degrades to the exact filtered scan — the reference's single
+        // filtered-scan cost, instead of log4(N) ever-larger index probes.
         val ids = filteredIds.get
         var fetch = fetch0
+        var rounds = 0
+        val maxRounds = 6
         var out: DataFrame = null
         while (out == null) {
           val (served, covers) = indexServe(fetch)
-          val shortlist = served.localCheckpoint() // ≤ fetch rows
-          val exhausted = covers && shortlist.count() < fetch
-          val survivors = shortlist.join(ids, Seq("document_id"), "left_semi")
-          if (exhausted || survivors.count() >= kGlobal) out = survivors
+          val counts = served
+            .join(ids.withColumn("__pass", lit(1)), Seq("document_id"), "left")
+            .agg(count(lit(1)).as("n"), count(col("__pass")).as("s")).head()
+          val (n, survivors) = (counts.getLong(0), counts.getLong(1))
+          val exhausted = covers && n < fetch
+          rounds += 1
+          if (exhausted || survivors >= kGlobal)
+            // the semi-join re-derives from the same deterministic index
+            // probe (persisted homes, cached graphs) — cheaper than keeping
+            // a checkpoint alive across rounds
+            out = served.join(ids, Seq("document_id"), "left_semi")
+          else if (rounds >= maxRounds)
+            out = embeddings(p, fq.field)
+              .join(ids, Seq("document_id"), "left_semi")
+              .withColumn("score",
+                cosineSimilarity(col("embedding"), floatVec(qv.toIndexedSeq)))
+              .select(col("document_id"), col("chunk_index"), col("score"))
           else fetch = (fetch * 4L).min(Int.MaxValue.toLong).toInt
         }
         out.orderBy(col("score").desc, col("document_id"), col("chunk_index"))

@@ -276,6 +276,41 @@ class QuantizedSpec extends AnyFunSuite {
     val negViaIdx = c.vectorSearch(binP, negQ, limit = 5)
       .select("document_id").as[String].collect().toSeq
     assert(negViaIdx == negExact)
+
+    // refill cost shape: ONE counting ACTION per refill round (a left-join
+    // aggregate head()), never an eager checkpoint plus two count()
+    // actions. Spark JOBS per action vary with AQE stage splits, so the
+    // census counts query-execution completions — exactly one per action.
+    // The refill loop acts during vectorSearch CONSTRUCTION (the returned
+    // frame stays lazy), so a census around the bare call measures exactly
+    // the per-round serving overhead.
+    c.vectorSearch(binP, q, limit = 5,
+      filterJson = Some("""{"id": {"$gte": 0}}""")) // warm plans + caches
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val census = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(census)
+    val rounds1 = try {
+      c.vectorSearch(binP, q, limit = 5,
+        filterJson = Some("""{"id": {"$gte": 0}}""")) // all-pass: 1 round
+      // the listener bus is async — wait for the count to go stable
+      var last = -1; var stable = 0
+      val deadline = System.currentTimeMillis() + 8000
+      while (stable < 4 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(120)
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      actions.get()
+    } finally spark.listenerManager.unregister(census)
+    assert(rounds1 <= 1,
+      s"single-round filtered refill ran $rounds1 actions — expected one counting aggregate")
   }
 
   test("sq8Knn: ADC top-k recalls most of the exact inner-product top-k; encoded twin agrees") {
