@@ -11,11 +11,19 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
-      // default; read nanos as long and convert (truncate) to micros.
+      // the driver has shipped events.ts as TIMESTAMP(NANOS) in some
+      // rounds and timestamp[us] in others — normalize either to a plain
+      // session-TZ TIMESTAMP (sessions here run UTC), adapting by the type
+      // actually read rather than assuming one writer
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos read as long
+          df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -117,6 +117,24 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   private def statePath(pipeline: String) =
     s"$warehouseDir/$name/$pipeline/_state.json"
 
+  private def pipelineKey(pipeline: String): String =
+    new java.io.File(s"$warehouseDir/$name/$pipeline").getAbsolutePath
+
+  /** Shared-side lock for appenders (delta syncs, cascade tombstones):
+    * many may run concurrently — the segment protocol keeps them apart —
+    * but none may overlap a merge's snapshot or publish. */
+  private def withSyncLock[A](pipeline: String)(body: => A): A = {
+    val l = Collection.lockFor(pipelineKey(pipeline)).readLock()
+    l.lock(); try body finally l.unlock()
+  }
+
+  /** Exclusive-side lock: full rewrites, pipeline removal, and the two
+    * bounded phases of a background merge. */
+  private def withExclusiveLock[A](pipeline: String)(body: => A): A = {
+    val l = Collection.lockFor(pipelineKey(pipeline)).writeLock()
+    l.lock(); try body finally l.unlock()
+  }
+
   private def readState(pipeline: String): Option[SyncState] = {
     val f = new java.io.File(statePath(pipeline))
     if (!f.exists()) None
@@ -287,25 +305,34 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         && !f.getName.startsWith("_")
         && !f.getName.endsWith("_tmp") && !f.getName.endsWith("_old"))
     pipelineDirs.foreach { pDir =>
-      Option(pDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach { tbl =>
-        val path = tbl.getAbsolutePath
-        if (tbl.getName.endsWith("_ivf")) {
-          graft.operators.IvfIndex.delete(spark, path)
-        } else if (tbl.getName.endsWith("_hnsw")) {
-          graft.operators.HnswIndex.delete(spark, path)
-        } else if (tbl.getName.endsWith("_chunks") || tbl.getName.endsWith("_embeddings")
-            || tbl.getName.endsWith("_tsvectors") || tbl.getName.endsWith("_binsig")) {
-          if (DeltaTable.exists(path)) DeltaTable.tombstone(spark, path, deadIds)
-          else {
-            // legacy flat-snapshot layout (pre-delta warehouse): a manifest
-            // would reference a `seg` column the files don't have — keep
-            // the old anti-join rewrite until a sync migrates the table
-            val kept = spark.read.parquet(path)
-              .join(deadIds, Seq("document_id"), "left_anti")
-            writeSnapshot(kept, path)
+      // exclusive per pipeline: the home deletions below must not race a
+      // background merge's publish (which would resurrect an index over
+      // the dead rows) — the generation bump aborts any in-flight merge
+      val key = pDir.getAbsolutePath
+      val lock = Collection.lockFor(key).writeLock()
+      lock.lock()
+      try {
+        Collection.generationOf(key).incrementAndGet()
+        Option(pDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach { tbl =>
+          val path = tbl.getAbsolutePath
+          if (tbl.getName.endsWith("_ivf")) {
+            graft.operators.IvfIndex.delete(spark, path)
+          } else if (tbl.getName.endsWith("_hnsw")) {
+            graft.operators.HnswIndex.delete(spark, path)
+          } else if (tbl.getName.endsWith("_chunks") || tbl.getName.endsWith("_embeddings")
+              || tbl.getName.endsWith("_tsvectors") || tbl.getName.endsWith("_binsig")) {
+            if (DeltaTable.exists(path)) DeltaTable.tombstone(spark, path, deadIds)
+            else {
+              // legacy flat-snapshot layout (pre-delta warehouse): a manifest
+              // would reference a `seg` column the files don't have — keep
+              // the old anti-join rewrite until a sync migrates the table
+              val kept = spark.read.parquet(path)
+                .join(deadIds, Seq("document_id"), "left_anti")
+              writeSnapshot(kept, path)
+            }
           }
         }
-      }
+      } finally lock.unlock()
     }
   }
 
@@ -322,7 +349,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * changelog watermark jumps to "now" — the slate-clean state every
     * delta sync appends onto.
     */
-  def syncPipeline(p: Pipeline): Unit = {
+  def syncPipeline(p: Pipeline): Unit = withExclusiveLock(p.name) {
+    // a full rebuild supersedes anything an in-flight background merge
+    // staged — bump the generation so its publish aborts
+    Collection.generationOf(pipelineKey(p.name)).incrementAndGet()
     p.fields.foreach(syncFieldFull(p, _))
     writeState(p.name, SyncState(maxChangelogBatch, 0, Map.empty))
     pruneChangelog()
@@ -338,7 +368,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       // embedFrame, not embedCol: a batching embedder (remote endpoint /
       // on-device model) groups rows per model call at ingest
       val e = emb.embedFrame(chunks, col("chunk"), "embedding")
-        .select(col("document_id"), col("chunk_index"), col("embedding"))
+        .select(col("document_id"), col("chunk_index"),
+          contentHid.as("hid"), col("embedding"))
       DeltaTable.writeBase(e, tablePath(p.name, f.name, "embeddings"),
         sortCols = Seq("document_id", "chunk_index"))
       // ingest-time ANN index build (HNSW analogue, pipeline.rs:526-543):
@@ -385,15 +416,38 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * rebuilds indexes so fragmentation and over-fetch slack stay small.
     */
   def syncPipelineIncremental(p: Pipeline): Unit = {
-    val state = readState(p.name)
     // first sync of this pipeline (or a pre-changelog warehouse): full build
-    if (state.isEmpty) { syncPipeline(p); return }
+    if (readState(p.name).isEmpty) { syncPipeline(p); return }
+    // pre-hid embeddings tables (older warehouses keyed HNSW node ids on
+    // the owning segment) migrate via a full field rebuild before any
+    // delta can append mixed ids — exclusive, like any full rewrite
+    val legacy = p.fields.filter { f =>
+      f.semanticSearch.nonEmpty &&
+        DeltaTable.exists(tablePath(p.name, f.name, "embeddings")) &&
+        !DeltaTable.read(spark, tablePath(p.name, f.name, "embeddings"))
+          .columns.contains("hid")
+    }
+    if (legacy.nonEmpty) withExclusiveLock(p.name) {
+      Collection.generationOf(pipelineKey(p.name)).incrementAndGet()
+      legacy.foreach(syncFieldFull(p, _))
+    }
+    withSyncLock(p.name) {
+      syncIncrementalLocked(p, legacy.map(_.name).toSet)
+    }
+    mergeIfDue(p) // schedules background work only — never blocks the batch
+    pruneChangelog()
+  }
+
+  private def syncIncrementalLocked(p: Pipeline, alreadyRebuilt: Set[String]): Unit = {
+    val state = readState(p.name)
+    if (state.isEmpty) return
     // a field ADDED to the pipeline config since the last full sync has no
     // derived tables yet: full-build it over ALL documents now (which also
     // covers any unconsumed changelog batches) and skip its delta below
     val freshlyBuilt = p.fields
-      .filter(f => !DeltaTable.exists(tablePath(p.name, f.name, "chunks")))
-      .map { f => syncFieldFull(p, f); f.name }.toSet
+      .filter(f => !alreadyRebuilt(f.name)
+        && !DeltaTable.exists(tablePath(p.name, f.name, "chunks")))
+      .map { f => syncFieldFull(p, f); f.name }.toSet ++ alreadyRebuilt
     val wm = state.get.watermark
     val maxB = maxChangelogBatch
     if (maxB <= wm || !new java.io.File(changelogPath).exists()) return // nothing new
@@ -462,17 +516,18 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // over-fetch slack for stale ANN nodes until the next merge)
         val nStale = oldEmb.count()
         val newEmb = emb.embedFrame(changed, col("chunk"), "embedding")
-          .select(col("document_id"), col("chunk_index"), col("embedding"))
+          .select(col("document_id"), col("chunk_index"),
+            contentHid.as("hid"), col("embedding"))
         // unchanged chunks of changed documents carry their stored
         // embeddings into the new segment — only `changed` hits the model
         val reused = oldEmb
           .join(newChunks.join(changed, keyCols, "left_anti")
             .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
         val delta = reused.unionByName(newEmb).localCheckpoint()
-        // the hid of each new HNSW node must be derived from THIS segment
-        // number — hnswKeyed recomputes hids from the embeddings table's
-        // seg column, and the two must agree exactly
-        val embSeg = DeltaTable.appendDelta(spark, embP, delta, changedIds,
+        // the content-keyed hid rides IN the segment (new rows stamped it
+        // above, reused rows carry their stored one), so the HNSW append
+        // below and every later read agree on node ids with no derivation
+        DeltaTable.appendDelta(spark, embP, delta, changedIds,
           sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
 
         // index delta segments over ONLY the new segment's vectors
@@ -483,13 +538,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
               spark, ivfP, embeddings(p, f.name), "embedding", nlist)
             ()
           } else graft.operators.IvfIndex.appendSegment(
-            spark, ivfP, delta, "embedding", changedIds)
+            // the stored hid is HNSW plumbing — the IVF home's base rows
+            // (built over [[embeddings]], which drops it) must union with
+            // delta rows column-for-column
+            spark, ivfP, delta.drop("hid"), "embedding", changedIds)
         }
         f.hnswIndex.foreach { _ =>
           val hp = tablePath(p.name, f.name, "hnsw")
           if (!graft.operators.HnswIndex.existsAt(spark, hp)) rebuildHnsw(p, f)
           else graft.operators.HnswIndex.appendSegment(spark, hp,
-            delta.withColumn("hid", hidCol(lit(embSeg))), "embedding", "hid")
+            delta, "embedding", "hid")
         }
         if (f.binaryIndex) {
           val sigs = delta.select(col("document_id"), col("chunk_index"),
@@ -529,8 +587,6 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val stale = (prev.stale.keySet ++ staleDelta.keySet).map(k =>
       k -> (prev.stale.getOrElse(k, 0L) + staleDelta.getOrElse(k, 0L))).toMap
     writeState(p.name, SyncState(maxB, prev.deltaSyncs + 1, stale))
-    mergeIfDue(p)
-    pruneChangelog()
   }
 
   /** Drop changelog batches every pipeline has already consumed — the
@@ -564,28 +620,208 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * budget breach) compact every derived table back to one segment and
     * rebuild the ANN indexes from the compacted embeddings. Bounds manifest
     * size, small files, stale graph nodes, and IVF centroid drift — the
-    * delta path's only unbounded quantities. */
+    * delta path's only unbounded quantities. The O(corpus) work runs on the
+    * background merge thread ([[runStagedMerge]]); the sync that trips the
+    * policy returns in O(batch) time, and syncs keep landing against the
+    * old segments until the staged replacement publishes. */
   private def mergeIfDue(p: Pipeline): Unit = readState(p.name).foreach { st =>
-    if (st.deltaSyncs >= mergeEvery || st.stale.values.sum > maxStaleIndexRows) {
+    if (st.deltaSyncs >= mergeEvery || st.stale.values.sum > maxStaleIndexRows)
+      scheduleMerge(p)
+  }
+
+  private def scheduleMerge(p: Pipeline): Unit = {
+    val key = pipelineKey(p.name)
+    val done = scala.concurrent.Promise[Unit]()
+    // putIfAbsent is the one-merge-per-pipeline guard; the future lands in
+    // the map BEFORE the task can run, so a concurrent sync cannot
+    // double-schedule through the gap
+    if (Collection.pendingMerges.putIfAbsent(key, done.future).isEmpty) {
+      Collection.mergeEc.execute { () =>
+        try { runStagedMerge(p); done.success(()); () }
+        catch { case e: Throwable => done.failure(e); () }
+        finally { Collection.pendingMerges.remove(key); () }
+      }
+    }
+  }
+
+  /** Block until every background merge scheduled for this collection has
+    * finished — benches and specs that assert post-merge state (segment
+    * counts, rebuilt indexes) call this; serving paths never need to. A
+    * failed merge rethrows here instead of vanishing on the merge thread. */
+  def awaitMaintenance(): Unit = {
+    val prefix = new java.io.File(s"$warehouseDir/$name").getAbsolutePath +
+      java.io.File.separator
+    Collection.pendingMerges.snapshot().collect {
+      case (k, f) if k.startsWith(prefix) => f
+    }.foreach(f => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration.Inf))
+  }
+
+  /** The staged background merge — three phases (see DeltaTable's staged-
+    * compaction protocol):
+    *
+    *  1. SNAPSHOT (exclusive lock, pure listings): record every derived
+    *     table's and index home's segment/manifest/marker names plus the
+    *     sync state. Appenders hold the shared lock for their whole batch,
+    *     so the snapshot always cuts at a segment boundary.
+    *  2. BUILD (no lock — the O(corpus) work): compact each table from
+    *     EXACTLY the snapshot's committed segments into a `*_mergestage`
+    *     sibling, and rebuild IVF/HNSW/binsig from the staged embeddings.
+    *     Syncs keep appending to the live homes meanwhile.
+    *  3. PUBLISH (exclusive lock, renames only): hard-link segments,
+    *     manifest files, and markers that appended after the snapshot into
+    *     the staged homes — their higher segment numbers supersede the
+    *     compacted seg-0 base under the ordinary manifest rule — swap the
+    *     staged dirs into place, and subtract the snapshot's counters from
+    *     the sync state so late syncs keep theirs.
+    *
+    * Content-keyed hids (see [[contentHid]]) keep HNSW node ids identical
+    * across the swap, so a query racing the publish resolves correctly
+    * whichever side of each home's swap it reads. A full sync, delete
+    * cascade, or removePipeline that lands mid-build bumps the pipeline
+    * generation and the publish aborts — that rewrite already superseded
+    * everything this merge staged. */
+  private[store] def runStagedMerge(
+      p: Pipeline,
+      // test seam: runs after the snapshot, before the build — what a
+      // sync/delete/full-rebuild landing mid-merge looks like,
+      // deterministically
+      afterSnapshot: () => Unit = () => ()): Unit = {
+    val key = pipelineKey(p.name)
+    val gen0 = Collection.generationOf(key).get()
+    val tableKinds = Seq("chunks", "embeddings", "tsvectors")
+    // --- phase 1: snapshot
+    val (snaps, snapState) = withExclusiveLock(p.name) {
+      val tables = (for {
+        f <- p.fields
+        kind <- tableKinds :+ "binsig"
+        path = tablePath(p.name, f.name, kind)
+        if DeltaTable.exists(path)
+      } yield path -> DeltaTable.snapshotNames(path)).toMap
+      val homes = (for {
+        f <- p.fields
+        home <- Seq(tablePath(p.name, f.name, "ivf"), tablePath(p.name, f.name, "hnsw"))
+        if new java.io.File(home).isDirectory
+      } yield home -> DeltaTable.snapshotNames(home, segParent = s"$home/delta")).toMap
+      (tables ++ homes, readState(p.name))
+    }
+    // an earlier merge may have already compacted what this one was
+    // scheduled for
+    val due = snapState.exists(st =>
+      st.deltaSyncs >= mergeEvery || st.stale.values.sum > maxStaleIndexRows)
+    if (!due) return
+    afterSnapshot()
+
+    // --- phase 2: build
+    val staged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def stagePath(live: String): String = {
+      val st = live + "_mergestage"
+      deleteRec(new java.io.File(st)) // a crashed prior merge's leftover
+      staged(live) = st
+      st
+    }
+    try {
       p.fields.foreach { f =>
-        for (kind <- Seq("chunks", "embeddings", "tsvectors", "binsig")) {
-          DeltaTable.compactIfNeeded(spark, tablePath(p.name, f.name, kind),
-            maxSegments = 0, sortCols = Seq("document_id", "chunk_index"))
-        }
-        f.semanticSearch.foreach { _ =>
-          f.vectorIndex.foreach { nlist =>
-            val ivfP = tablePath(p.name, f.name, "ivf")
-            graft.operators.IvfIndex.delete(spark, ivfP)
-            graft.operators.IvfIndex.loadOrBuild(
-              spark, ivfP, embeddings(p, f.name), "embedding", nlist)
-            ()
+        for (kind <- tableKinds) {
+          val path = tablePath(p.name, f.name, kind)
+          snaps.get(path).foreach { snap =>
+            DeltaTable.stageBase(DeltaTable.readSnapshot(spark, path, snap),
+              stagePath(path), sortCols = Seq("document_id", "chunk_index"))
           }
-          rebuildHnsw(p, f)
-          rebuildBinary(p, f)
+        }
+        val embP = tablePath(p.name, f.name, "embeddings")
+        f.semanticSearch.foreach { _ =>
+          staged.get(embP).foreach { stagedEmb =>
+            def embRows = spark.read.parquet(stagedEmb)
+            val vecs = embRows.drop("seg", "hid")
+            f.vectorIndex.foreach { nlist =>
+              val ivfP = tablePath(p.name, f.name, "ivf")
+              if (snaps.contains(ivfP)) {
+                graft.operators.IvfIndex.loadOrBuild(
+                  spark, stagePath(ivfP), vecs, "embedding", nlist)
+                ()
+              }
+            }
+            f.hnswIndex.foreach { case (m, efc) =>
+              val hp = tablePath(p.name, f.name, "hnsw")
+              if (snaps.contains(hp)) {
+                // stored content hids; legacy (pre-hid) tables derive from
+                // the staged seg column (all 0) — same ids the old inline
+                // rebuild would have produced post-compaction
+                val keyed =
+                  if (embRows.columns.contains("hid")) embRows.drop("seg")
+                  else embRows.withColumn("hid", hidCol(col("seg"))).drop("seg")
+                val idx = graft.operators.HnswIndex.build(
+                  spark, keyed, "embedding", "hid", m, efc)
+                idx.save(stagePath(hp))
+                idx.graphs.unpersist()
+                ()
+              }
+            }
+            if (f.binaryIndex) {
+              val bp = tablePath(p.name, f.name, "binsig")
+              if (snaps.contains(bp)) {
+                val sigs = vecs.select(col("document_id"), col("chunk_index"),
+                  graft.functions.VecFunctions.vecSignPack(col("embedding")).as("sig"))
+                DeltaTable.stageBase(sigs, stagePath(bp),
+                  sortCols = Seq("document_id", "chunk_index"))
+              }
+            }
+          }
+        }
+        // a binsig table whose field no longer wants it still compacts
+        if (!f.binaryIndex) {
+          val bp = tablePath(p.name, f.name, "binsig")
+          snaps.get(bp).foreach { snap =>
+            DeltaTable.stageBase(DeltaTable.readSnapshot(spark, bp, snap),
+              stagePath(bp), sortCols = Seq("document_id", "chunk_index"))
+          }
         }
       }
-      writeState(p.name, SyncState(st.watermark, 0, Map.empty))
+    } catch {
+      case e: Throwable =>
+        staged.values.foreach(st => deleteRec(new java.io.File(st)))
+        // a full rewrite landing mid-build deletes the snapshot's files out
+        // from under the build's readers — that IS the abort path (the
+        // rewrite already produced the compacted state), not an error
+        if (Collection.generationOf(key).get() != gen0) return
+        throw e
     }
+
+    // --- phase 3: publish
+    val aborted = withExclusiveLock(p.name) {
+      if (Collection.generationOf(key).get() != gen0) true
+      else {
+        staged.foreach { case (live, st) =>
+          val isHome = live.endsWith("_ivf") || live.endsWith("_hnsw")
+          DeltaTable.carryLate(live, st, snaps(live),
+            segSubdir = if (isHome) "delta" else "")
+          if (live.endsWith("_hnsw")) {
+            // delete drops every cache layer while the old files still
+            // resolve; the carried links survive it (distinct dir entries
+            // to the same inodes)
+            graft.operators.HnswIndex.delete(spark, live)
+            if (!new java.io.File(st).renameTo(new java.io.File(live)))
+              throw new java.io.IOException(s"could not publish merged index at $live")
+          } else if (live.endsWith("_ivf")) {
+            graft.operators.IvfIndex.delete(spark, live)
+            if (!new java.io.File(st).renameTo(new java.io.File(live)))
+              throw new java.io.IOException(s"could not publish merged index at $live")
+          } else DeltaTable.publishStaged(st, live)
+        }
+        // late syncs keep their counters; the snapshot's are absorbed
+        readState(p.name).foreach { cur =>
+          val base = snapState.getOrElse(SyncState(cur.watermark, 0, Map.empty))
+          val stale = cur.stale.map { case (k2, v) =>
+            k2 -> math.max(0L, v - base.stale.getOrElse(k2, 0L))
+          }.filter(_._2 > 0L)
+          writeState(p.name, SyncState(cur.watermark,
+            math.max(0, cur.deltaSyncs - base.deltaSyncs), stale))
+        }
+        false
+      }
+    }
+    if (aborted) staged.values.foreach(st => deleteRec(new java.io.File(st)))
   }
 
   /** Sync-time HNSW forest rebuild for a field configured with
@@ -602,18 +838,30 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     }
 
   /** The 64-bit surrogate node id HNSW graphs store for a row: keyed on
-    * (document_id, chunk_index, owning segment) so a re-synced chunk's new
-    * node NEVER aliases its stale predecessor — the stale node's hit
-    * resolves to no live row and drops out, no tombstone list needed. */
+    * (document_id, chunk_index, chunk CONTENT) and stored in the
+    * embeddings table at sync time, so a re-embedded chunk's new node
+    * NEVER aliases its stale predecessor (the stale node's hit resolves to
+    * no live row and drops out, no tombstone list needed) while an
+    * UNCHANGED row keeps its id across segment merges — which is what lets
+    * a background compaction swap tables and graphs independently without
+    * a window where ids disagree. */
+  private def contentHid: Column =
+    xxhash64(col("document_id"), col("chunk_index"), col("chunk"))
+
+  /** Legacy derivation for pre-hid warehouses (node ids keyed on the
+    * owning segment); [[syncPipelineIncremental]] migrates such tables
+    * with a full field rebuild before appending to them. */
   private def hidCol(seg: Column): Column =
     xxhash64(col("document_id"), col("chunk_index"), seg)
 
   /** Embeddings with the surrogate node id the HNSW graph stores —
     * composite (document_id, chunk_index) keys don't fit a graph node, so
     * hits resolve back through this frame. */
-  private def hnswKeyed(p: Pipeline, field: String): DataFrame =
-    DeltaTable.readWithSeg(spark, tablePath(p.name, field, "embeddings"))
-      .withColumn("hid", hidCol(col("seg"))).drop("seg")
+  private def hnswKeyed(p: Pipeline, field: String): DataFrame = {
+    val t = DeltaTable.readWithSeg(spark, tablePath(p.name, field, "embeddings"))
+    if (t.columns.contains("hid")) t.drop("seg")
+    else t.withColumn("hid", hidCol(col("seg"))).drop("seg")
+  }
 
   /** Sync-time signature-table rebuild for a field with `binaryIndex`:
     * (document_id, chunk_index, sig) — the natural keys ride along so
@@ -722,8 +970,12 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
 
   def chunks(p: Pipeline, field: String): DataFrame =
     DeltaTable.read(spark, tablePath(p.name, field, "chunks"))
-  def embeddings(p: Pipeline, field: String): DataFrame =
-    DeltaTable.read(spark, tablePath(p.name, field, "embeddings"))
+  def embeddings(p: Pipeline, field: String): DataFrame = {
+    // the stored hid is index plumbing (see contentHid) — serving paths
+    // and index builds over raw vectors never see it
+    val t = DeltaTable.read(spark, tablePath(p.name, field, "embeddings"))
+    if (t.columns.contains("hid")) t.drop("hid") else t
+  }
   def tsvectors(p: Pipeline, field: String): DataFrame =
     DeltaTable.read(spark, tablePath(p.name, field, "tsvectors"))
 
@@ -1101,7 +1353,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * (collection.rs:396-421: DROP SCHEMA CASCADE + DELETE row). */
   def removePipeline(p: Pipeline): Unit = {
     checkPipelineName(p.name)
-    deleteRec(new java.io.File(s"$warehouseDir/$name/${p.name}"))
+    withExclusiveLock(p.name) {
+      Collection.generationOf(pipelineKey(p.name)).incrementAndGet()
+      deleteRec(new java.io.File(s"$warehouseDir/$name/${p.name}"))
+    }
     writePipelines(pipelines - p.name)
   }
 
@@ -1157,6 +1412,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * dead after archive).
     */
   def archive(): String = {
+    // drain background merges first: renaming the collection home out from
+    // under an in-flight merge would fail its build mid-job
+    awaitMaintenance()
     val ts = System.currentTimeMillis()
     val src = new java.io.File(s"$warehouseDir/$name")
     // millisecond stamp, then probe _2, _3... so re-archiving a recreated
@@ -1194,6 +1452,45 @@ object Collection {
             t
           }
         }))
+
+  /** Single background thread for segment merges (staged compaction +
+    * index rebuilds). One on purpose: a merge is O(corpus) executor work,
+    * and running two pipelines' merges concurrently would contend for the
+    * same cores without finishing either sooner. */
+  private[store] lazy val mergeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newSingleThreadExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-merge")
+          t.setDaemon(true)
+          t
+        }))
+
+  // Per-pipeline-directory writer coordination, keyed by absolute path so
+  // two Collection instances over one warehouse share locks. Syncs and
+  // cascade deletes hold the READ side (they may append concurrently —
+  // the segment protocol keeps them apart); a merge's snapshot and publish
+  // phases, full syncs, and pipeline removal hold the WRITE side.
+  private val pipelineLocks = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.locks.ReentrantReadWriteLock]
+  private[store] def lockFor(key: String): java.util.concurrent.locks.ReentrantReadWriteLock =
+    pipelineLocks.getOrElseUpdate(key, new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  // Pipeline generation: bumped by every operation that REWRITES or
+  // removes the pipeline's homes wholesale (full sync, delete cascade,
+  // removePipeline). An in-flight background merge re-checks it under the
+  // publish lock and aborts when it moved — the rewrite already
+  // superseded everything the merge staged.
+  private val generations = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+  private[store] def generationOf(key: String): java.util.concurrent.atomic.AtomicLong =
+    generations.getOrElseUpdate(key, new java.util.concurrent.atomic.AtomicLong(0L))
+
+  /** In-flight background merges by pipeline key — the schedule guard
+    * (one merge per pipeline) and what [[Collection.awaitMaintenance]]
+    * drains. */
+  private[store] val pendingMerges = scala.collection.concurrent.TrieMap
+    .empty[String, scala.concurrent.Future[Unit]]
 }
 
 final case class VectorSearchField(

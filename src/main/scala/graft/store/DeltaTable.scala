@@ -352,6 +352,124 @@ object DeltaTable {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Staged (background) compaction. The O(corpus) half of a segment merge
+  // — resolving every live row and rewriting it as one segment, plus
+  // rebuilding ANN indexes over it — must not stall the sync micro-batch
+  // that happens to trip the merge policy. The protocol:
+  //
+  //   1. SNAPSHOT (caller holds the home's writer lock; pure listings):
+  //      record the names of every segment dir, manifest file, and commit
+  //      marker. No append is mid-flight under the lock, so the name sets
+  //      cut the home at a segment boundary.
+  //   2. BUILD (lock-free): [[readSnapshot]] resolves rows from EXACTLY
+  //      the snapshot's committed segments and manifest files — appends
+  //      that land meanwhile never leak in — and [[stageBase]] writes the
+  //      compacted replacement into a sibling `*_mergestage` dir.
+  //   3. PUBLISH (writer lock again; renames only): [[carryLate]] hard-
+  //      links everything that appended after the snapshot into the
+  //      staged home — late segments keep their (higher) numbers, so the
+  //      ordinary manifest rule makes them supersede the compacted seg-0
+  //      base — then [[publishStaged]] swaps the staged dir into place.
+  //      Links, not moves: the live home stays fully intact up to the one
+  //      atomic swap, so a crash mid-carry orphans the staged dir and
+  //      loses nothing.
+  // ---------------------------------------------------------------------
+
+  /** Name listing of a segmented home at one instant — the carry-over
+    * ledger for staged compaction. `segParent` points where the seg dirs
+    * live when it is not the home itself (IVF keeps them under `delta/`). */
+  private[graft] final case class HomeSnapshot(
+      segs: Set[String], manifests: Set[String], markers: Set[String],
+      hasCommitsDir: Boolean)
+
+  private[graft] def snapshotNames(home: String, segParent: String = ""): HomeSnapshot = {
+    val sp = ioPath(if (segParent.nonEmpty) segParent else home)
+    val segs = Option(new java.io.File(sp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg=")).map(_.getName).toSet
+    val manifests = Option(new java.io.File(manifestPath(home)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val commits = new java.io.File(commitsPath(home))
+    val markers = Option(commits.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSet
+    HomeSnapshot(segs, manifests, markers, commits.isDirectory)
+  }
+
+  /** Resolved rows as of `snap`: reads ONLY the snapshot's committed
+    * segments and manifest files, so segments appended after the snapshot
+    * never half-leak into a staged compaction (carry-over republishes them
+    * whole instead). */
+  private[graft] def readSnapshot(
+      spark: SparkSession, path: String, snap: HomeSnapshot,
+      docCol: String = "document_id"): DataFrame = {
+    val segNums = snap.segs.map(_.stripPrefix("seg=").toInt)
+    val committed =
+      if (!snap.hasCommitsDir) segNums // pre-marker layout: all committed
+      else segNums.filter(n => snap.markers.contains(s"seg-$n"))
+    val raw = spark.read.parquet(path)
+      .where(col("seg").isin(committed.toSeq.map(Integer.valueOf): _*))
+    val mfiles = snap.manifests.toSeq.sorted.map(n => s"${manifestPath(path)}/$n")
+    if (mfiles.isEmpty) raw
+    else joinResolve(raw,
+      spark.read.parquet(mfiles: _*)
+        .where(col("seg").isin(committed.toSeq.map(Integer.valueOf): _*)),
+      docCol)
+  }
+
+  /** Write `df` as a fresh single-segment committed table at `staged` (a
+    * sibling of the live home, same filesystem) without touching the live
+    * home — the build half of staged compaction. */
+  private[graft] def stageBase(df: DataFrame, staged: String, sortCols: Seq[String] = Nil): Unit = {
+    requireLocalWrites(staged, "stageBase")
+    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    sorted.withColumn("seg", lit(0))
+      .write.mode(SaveMode.Overwrite).partitionBy("seg").parquet(staged)
+    commitSeg(staged, 0)
+  }
+
+  /** Hard-link into `staged` every segment dir, manifest file, and commit
+    * marker that appeared under `home` after `snap` (name-difference).
+    * Caller must hold the home's writer lock so no append is in flight. */
+  private[graft] def carryLate(
+      home: String, staged: String, snap: HomeSnapshot, segSubdir: String = ""): Unit = {
+    val liveSegs = if (segSubdir.nonEmpty) s"${ioPath(home)}/$segSubdir" else ioPath(home)
+    val stagedSegs = if (segSubdir.nonEmpty) s"${ioPath(staged)}/$segSubdir" else ioPath(staged)
+    Option(new java.io.File(liveSegs).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg=") && !snap.segs(f.getName))
+      .foreach(d => linkTree(d, new java.io.File(stagedSegs, d.getName)))
+    Option(new java.io.File(manifestPath(home)).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !snap.manifests(f.getName))
+      .foreach(f => linkTree(f, new java.io.File(manifestPath(staged), f.getName)))
+    val stagedCommits = new java.io.File(commitsPath(staged))
+    Option(new java.io.File(commitsPath(home)).listFiles()).getOrElse(Array.empty)
+      .filter(f => !snap.markers(f.getName))
+      .foreach { f =>
+        stagedCommits.mkdirs()
+        new java.io.File(stagedCommits, f.getName).createNewFile()
+      }
+  }
+
+  /** Swap a staged home into place (cache-coherent twin of the swap inside
+    * [[writeBase]]). Caller must hold the home's writer lock. */
+  private[graft] def publishStaged(staged: String, home: String): Unit = {
+    graft.operators.IvfIndex.invalidate(home)
+    manifestCache.remove(home)
+    swap(staged, home)
+  }
+
+  private def linkTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(c => linkTree(c, new java.io.File(dst, c.getName)))
+    } else {
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.createLink(dst.toPath, src.toPath)
+      ()
+    }
+  }
+
   /** Tombstone: `docIds`' documents lose all rows (a manifest entry whose
     * segment holds nothing for them). O(batch), no table rewrite — the
     * cascade-delete path. */

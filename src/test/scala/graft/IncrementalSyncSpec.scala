@@ -219,8 +219,10 @@ class IncrementalSyncSpec extends AnyFunSuite {
     c.syncPipelineIncremental(p)
     assert(DeltaTable.segmentCount(chunksP) == 2) // base + one delta
     // second delta sync crosses mergeEvery=2 → compaction + index rebuild
+    // on the background merge thread (the sync itself returns in O(batch))
     c.upsertDocuments(Seq("""{"id": 101, "body": "second delta doc"}""").toDF("document"))
     c.syncPipelineIncremental(p)
+    c.awaitMaintenance()
     assert(DeltaTable.segmentCount(chunksP) == 1, "chunks did not compact")
     assert(DeltaTable.segmentCount(embP) == 1, "embeddings did not compact")
     assert(c.embeddings(p, "body").count() == 42)
