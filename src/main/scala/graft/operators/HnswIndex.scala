@@ -40,17 +40,39 @@ final class HnswGraph(
     val norms: Array[Double],
     val neighbors: Array[Array[Array[Int]]], // node → layer (0..level) → nbrs
     val entryPoint: Int,
-    val maxLevel: Int) extends Serializable {
+    val maxLevel: Int,
+    val metric: String = HnswIndex.MetricCosine) extends Serializable {
 
   def size: Int = ids.length
+
+  // pgvector's three operator classes (reference default vector_cosine_ops,
+  // pipeline.rs:526-543; vector_l2_ops / vector_ip_ops for raw vectors):
+  // the graph stores per-node L2 norms, so every metric's distance falls
+  // out of one dot-product loop. A blob serialized before metrics existed
+  // deserializes with `metric == null` → cosine, its build-time semantics.
+  @transient private lazy val mcode: Int = HnswIndex.metricCode(metric)
 
   private def cosDist(q: Array[Float], qNorm: Double, node: Int): Double = {
     var dot = 0.0
     val off = node * dim
     var i = 0
     while (i < dim) { dot += q(i).toDouble * vecs(off + i); i += 1 }
-    val denom = qNorm * norms(node)
-    if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    mcode match {
+      case 1 => // squared L2 (monotone with L2; sqrt only at score time)
+        qNorm * qNorm + norms(node) * norms(node) - 2.0 * dot
+      case 2 => -dot // inner product: larger dot = closer
+      case _ =>
+        val denom = qNorm * norms(node)
+        if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    }
+  }
+
+  /** Graph-internal distance → caller-facing score, "higher is closer" for
+    * every metric: cosine similarity, NEGATED L2 distance, raw dot. */
+  private def toScore(d: Double): Double = mcode match {
+    case 1 => -math.sqrt(math.max(d, 0.0))
+    case 2 => -d
+    case _ => 1.0 - d
   }
 
   /** Best-first search of one layer (Malkov & Yashunin alg. 2): bounded
@@ -127,7 +149,7 @@ final class HnswGraph(
     }
     searchLayer(q, qn, Array(ep), math.max(ef, k), 0)
       .dequeueAll.toArray
-      .map { case (d, node) => (ids(node), 1.0 - d) }
+      .map { case (d, node) => (ids(node), toScore(d)) }
       .sortBy { case (id, s) => (-s, id) }
       .take(k)
   }
@@ -136,8 +158,11 @@ final class HnswGraph(
 /** Incremental builder: standard HNSW insertion with the simple
   * closest-M neighbor selection and bidirectional links pruned to
   * m (upper layers) / 2m (layer 0). */
-final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long) {
+final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long,
+    metric: String = HnswIndex.MetricCosine) {
   require(m >= 2 && efConstruction >= m, s"need m>=2, efConstruction>=m; got ($m, $efConstruction)")
+
+  private val mcode = HnswIndex.metricCode(metric)
 
   private val mL = 1.0 / math.log(m.toDouble)
   private var rng = seed
@@ -170,8 +195,13 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long) {
     var dot = 0.0
     var i = 0
     while (i < w.length) { dot += v(i).toDouble * w(i); i += 1 }
-    val denom = vNorm * normsB(node)
-    if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    mcode match {
+      case 1 => vNorm * vNorm + normsB(node) * normsB(node) - 2.0 * dot
+      case 2 => -dot
+      case _ =>
+        val denom = vNorm * normsB(node)
+        if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    }
   }
 
   private def searchLayer(
@@ -283,7 +313,7 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long) {
     var i = 0
     while (i < n) { System.arraycopy(vecsB(i), 0, flat, i * d, d); i += 1 }
     new HnswGraph(d, m, efConstruction, idsB.toArray, flat, normsB.toArray,
-      nbrs.map(_.map(_.toArray)).toArray, entry, maxLevel)
+      nbrs.map(_.map(_.toArray)).toArray, entry, maxLevel, metric)
   }
 }
 
@@ -293,7 +323,8 @@ class HnswIndex private[operators] (
     val graphs: DataFrame,
     val cacheKey: String,
     val m: Int,
-    val efConstruction: Int) extends Serializable {
+    val efConstruction: Int,
+    val metric: String = HnswIndex.MetricCosine) extends Serializable {
 
   /** ANN top-k by cosine similarity: per-partition graph search, then a
     * (partitions × k)-row global merge. `ef` defaults to
@@ -388,7 +419,7 @@ class HnswIndex private[operators] (
     IndexStore.publishAtomic(fs, target) { tmp =>
       graphs.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "data").toString)
       IndexStore.writeString(fs, new Path(tmp, HnswIndex.Sidecar),
-        s"""{"m":$m,"efConstruction":$efConstruction}""")
+        s"""{"m":$m,"efConstruction":$efConstruction,"metric":"$metric"}""")
     }
   }
 }
@@ -398,7 +429,23 @@ object HnswIndex {
   private val Sidecar = "meta.json"
   // bump when the graph layout or build scheme changes: the format version
   // keys the persisted home, so an old-format index is never served
-  private val FormatVersion = 1
+  private val FormatVersion = 2
+
+  /** pgvector's three operator classes (pipeline.rs:526-543; the reference
+    * default is vector_cosine_ops). The metric is a BUILD-time property —
+    * graph edges encode it — so it rides the sidecar and a mismatched load
+    * is refused, never silently served. */
+  val MetricCosine = "cosine"
+  val MetricL2 = "l2"
+  val MetricIp = "ip"
+
+  private[operators] def metricCode(metric: String): Int = metric match {
+    case null | "cosine" => 0
+    case "l2" => 1
+    case "ip" => 2
+    case other => throw new IllegalArgumentException(
+      s"unknown ANN metric '$other' (expected cosine | l2 | ip)")
+  }
   /** Per-partition vector budget: graphs stay executor-memory-sized; more
     * data means more graphs, never bigger ones. */
   val DefaultPartitionBudget = 100000
@@ -436,11 +483,12 @@ object HnswIndex {
       efConstruction: Int = 64,
       numPartitions: Int = 0,
       partitionBudget: Int = DefaultPartitionBudget,
-      seed: Long = 42L): HnswIndex = {
+      seed: Long = 42L,
+      metric: String = MetricCosine): HnswIndex = {
     val graphs = buildGraphBlobs(spark, df, vecCol, idCol, m, efConstruction,
-      numPartitions, partitionBudget, seed, pidOffset = 0).cache()
+      numPartitions, partitionBudget, seed, pidOffset = 0, metric).cache()
     graphs.count() // materialize once; searches reuse the cached blobs
-    new HnswIndex(graphs, s"mem:${java.util.UUID.randomUUID()}", m, efConstruction)
+    new HnswIndex(graphs, s"mem:${java.util.UUID.randomUUID()}", m, efConstruction, metric)
   }
 
   private def buildGraphBlobs(
@@ -453,12 +501,16 @@ object HnswIndex {
       numPartitions: Int,
       partitionBudget: Int,
       seed: Long,
-      pidOffset: Int): DataFrame = {
+      pidOffset: Int,
+      metric: String = MetricCosine): DataFrame = {
     import spark.implicits._
-    val n = df.count()
+    metricCode(metric) // reject unknown metrics before any job runs
+    // the sizing count() runs only when the caller didn't fix a partition
+    // count — on micro-batch appends the job overhead outweighs the count
     val p =
       if (numPartitions > 0) numPartitions
-      else math.max(1, ((n + partitionBudget - 1) / partitionBudget).toInt)
+      else math.max(1,
+        ((df.count() + partitionBudget - 1) / partitionBudget).toInt)
     val src = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       // hash-by-id + sort-within: deterministic node placement and
@@ -469,9 +521,10 @@ object HnswIndex {
     val efc = efConstruction
     val sd = seed
     val off = pidOffset
+    val mtr = metric
     src.as[(Long, Array[Float])].mapPartitions { it =>
       val pid = off + org.apache.spark.TaskContext.getPartitionId()
-      val b = new HnswGraphBuilder(mm, efc, sd ^ (pid.toLong * 0x9e3779b97f4a7c15L))
+      val b = new HnswGraphBuilder(mm, efc, sd ^ (pid.toLong * 0x9e3779b97f4a7c15L), mtr)
       it.foreach { case (id, v) => b.add(id, v) }
       if (b.size == 0) Iterator.empty
       else Iterator((pid, serialize(b.freeze())))
@@ -510,7 +563,10 @@ object HnswIndex {
       vecCol: String,
       idCol: String,
       partitionBudget: Int = DefaultPartitionBudget,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      // callers that KNOW the batch is small pass 1 and skip the
+      // partition-sizing count() job; 0 = size from a count
+      numPartitions: Int = 0): Unit = {
     require(existsAt(spark, path), s"no persisted forest at $path to append to")
     val fs = IndexStore.fsFor(spark, path)
     val meta = org.json4s.jackson.JsonMethods.parse(
@@ -526,7 +582,9 @@ object HnswIndex {
       s"HNSW home $path has accumulated $seg delta segments; merge (rebuild) before appending more")
     val blobs = buildGraphBlobs(spark, df, vecCol, idCol,
       (meta \ "m").extract[Int], (meta \ "efConstruction").extract[Int],
-      numPartitions = 0, partitionBudget, seed, pidOffset = seg << PidSegShift)
+      numPartitions, partitionBudget, seed, pidOffset = seg << PidSegShift,
+      // delta graphs must rank with the same metric the base was built on
+      metric = (meta \ "metric").extractOpt[String].getOrElse(MetricCosine))
     graft.store.DeltaTable.stagePublishSegment(blobs, s"$path/delta", seg)
     graft.store.DeltaTable.commitSegment(path, seg)
     // drop session + executor caches so the next load sees the new blobs
@@ -576,15 +634,20 @@ object HnswIndex {
     implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
     val m = (meta \ "m").extract[Int]
     val efc = (meta \ "efConstruction").extract[Int]
+    val metric = (meta \ "metric").extractOpt[String].getOrElse(MetricCosine)
     // serve from memory: an HNSW graph is an in-RAM structure by design
     // (the reference's index pages live in the DB's shared buffers);
     // without the cache every query re-reads the full blob table
-    new HnswIndex(blobFrame(spark, path).cache(), path, m, efc)
+    new HnswIndex(blobFrame(spark, path).cache(), path, m, efc, metric)
   }
 
   /** Load if `path` holds a compatible forest, else build from `df` and
     * persist — only the first session pays the build. A loaded index whose
-    * build params contradict the requested ones is rebuilt, not served. */
+    * m/efConstruction contradict the requested ones is rebuilt, not served;
+    * a loaded index whose METRIC contradicts the request is REFUSED — a
+    * metric mismatch is a caller bug (pgvector likewise will not serve a
+    * vector_l2_ops query plan from a vector_cosine_ops index), and silently
+    * rebuilding would mask it. */
   def loadOrBuild(
       spark: SparkSession,
       path: String,
@@ -593,13 +656,19 @@ object HnswIndex {
       idCol: String,
       m: Int = 16,
       efConstruction: Int = 64,
-      numPartitions: Int = 0): HnswIndex = {
+      numPartitions: Int = 0,
+      metric: String = MetricCosine): HnswIndex = {
+    metricCode(metric)
     if (existsAt(spark, path)) {
       val loaded = load(spark, path)
+      require(loaded.metric == metric,
+        s"HNSW home $path was built with metric '${loaded.metric}' but " +
+          s"'$metric' was requested — delete the home or query with its metric")
       if (loaded.m == m && loaded.efConstruction == efConstruction) return loaded
       delete(spark, path)
     }
-    val idx = build(spark, df, vecCol, idCol, m, efConstruction, numPartitions)
+    val idx = build(spark, df, vecCol, idCol, m, efConstruction, numPartitions,
+      metric = metric)
     idx.save(path)
     idx.graphs.unpersist()
     load(spark, path)
@@ -617,11 +686,13 @@ object HnswIndex {
       idCol: String,
       m: Int = 16,
       efConstruction: Int = 64,
-      numPartitions: Int = 0): HnswIndex = {
-    val home = indexPathFor(spark, sourcePath, m, efConstruction, numPartitions)
+      numPartitions: Int = 0,
+      metric: String = MetricCosine): HnswIndex = {
+    val home = indexPathFor(spark, sourcePath, m, efConstruction, numPartitions,
+      metric)
     cache.getOrElseUpdate(home, {
       val idx = loadOrBuild(spark, home, df, vecCol, idCol, m, efConstruction,
-        numPartitions)
+        numPartitions, metric)
       IndexStore.publishManifestAndPrune(spark, home, sourcePath)
       idx
     })
@@ -629,14 +700,16 @@ object HnswIndex {
 
   /** Where the persisted forest for a source table lives: under
     * GRAFT_INDEX_DIR/hnsw (default java.io.tmpdir/graft-hnsw), keyed by
-    * source path + mtime + build params + format version. */
+    * source path + mtime + build params (metric included — each ops class
+    * is its own index, as in pgvector) + format version. */
   def indexPathFor(spark: SparkSession, sourcePath: String,
-      m: Int = 16, efConstruction: Int = 64, numPartitions: Int = 0): String = {
+      m: Int = 16, efConstruction: Int = 64, numPartitions: Int = 0,
+      metric: String = MetricCosine): String = {
     val mtime = IndexStore.mtimeOf(spark, sourcePath)
     val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/hnsw")
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-hnsw")
     val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@m=$m@efc=$efConstruction@p=$numPartitions@v$FormatVersion"))
+      s"$sourcePath@$mtime@m=$m@efc=$efConstruction@p=$numPartitions@mt=$metric@v$FormatVersion"))
     s"$root/$key"
   }
 

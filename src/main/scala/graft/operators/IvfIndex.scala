@@ -28,7 +28,8 @@ import graft.functions.VecFunctions._
 class IvfIndex private[operators] (
     val data: DataFrame, // (…idCols, vecCol, cluster_id) partitioned by cluster_id
     val centroids: Array[Array[Float]],
-    vecCol: String) extends Serializable {
+    vecCol: String,
+    val metric: String = IvfIndex.MetricCosine) extends Serializable {
 
   /** Persist as a cluster_id-partitioned parquet table + centroid sidecar —
     * the build-once analogue of the reference's persisted HNSW index
@@ -49,13 +50,20 @@ class IvfIndex private[operators] (
     IndexStore.publishAtomic(fs, target) { tmp =>
       data.write.mode(SaveMode.Overwrite)
         .partitionBy("cluster_id").parquet(new Path(tmp, "data").toString)
-      val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-      IndexStore.writeString(fs, new Path(tmp, IvfIndex.Sidecar), json)
+      val arr = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      IndexStore.writeString(fs, new Path(tmp, IvfIndex.Sidecar),
+        s"""{"metric":"$metric","centroids":$arr}""")
     }
   }
 
-  /** Exact top-k within the nprobe nearest clusters. */
+  /** Exact top-k within the nprobe nearest clusters. The `score` column is
+    * "higher is closer" under every metric: cosine similarity, NEGATED L2
+    * distance, raw inner product — so downstream fusion/limit logic is
+    * metric-agnostic. */
   def search(query: Array[Float], k: Int, nprobe: Int, idCols: Seq[String]): DataFrame = {
+    // rank centroids on the driver with the index's own metric (nlist is
+    // small); probing with a different metric than the one that assigned
+    // vectors to clusters would tank recall silently
     val ranked = centroids.zipWithIndex.map { case (c, i) =>
       var dot = 0.0; var nq = 0.0; var nc = 0.0
       var d = 0
@@ -63,13 +71,18 @@ class IvfIndex private[operators] (
         dot += query(d).toDouble * c(d); nq += query(d).toDouble * query(d); nc += c(d).toDouble * c(d)
         d += 1
       }
-      (i, if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc))
+      val affinity = metric match {
+        case IvfIndex.MetricL2 => -(nq + nc - 2.0 * dot)
+        case IvfIndex.MetricIp => dot
+        case _ => if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc)
+      }
+      (i, affinity)
     }.sortBy(-_._2).take(nprobe).map(_._1)
 
     data
       .where(col("cluster_id").isin(ranked.toIndexedSeq: _*))
       .select(idCols.map(col) :+
-        (cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)) as "score"): _*)
+        (IvfIndex.scoreExpr(metric, col(vecCol), query) as "score"): _*)
       // spill assignment stores each vector in nassign clusters; copies
       // carry identical scores, so any-one-wins dedup is exact
       .dropDuplicates(idCols)
@@ -84,7 +97,36 @@ object IvfIndex {
   // bump when the on-disk layout or assignment scheme changes: the format
   // version is part of the persisted-home key, so an old-format index is
   // never served to new code
-  private val FormatVersion = 2
+  private val FormatVersion = 3
+
+  /** pgvector's three operator classes (reference default vector_cosine_ops,
+    * pipeline.rs:526-543). Assignment + probe + scoring all use the build
+    * metric; a mismatched load is refused, never silently served. */
+  val MetricCosine = "cosine"
+  val MetricL2 = "l2"
+  val MetricIp = "ip"
+  private val Metrics = Set(MetricCosine, MetricL2, MetricIp)
+  private def checkMetric(metric: String): Unit =
+    require(Metrics(metric),
+      s"unknown IVF metric '$metric' (expected cosine | l2 | ip)")
+
+  /** "Higher is closer" scoring column for a metric (cosine similarity,
+    * negated L2 distance, raw dot) — shared by search and assignment. */
+  private[operators] def scoreExpr(
+      metric: String, vec: org.apache.spark.sql.Column, query: Array[Float])
+      : org.apache.spark.sql.Column = {
+    val q = floatVec(query.toIndexedSeq)
+    metric match {
+      case MetricL2 => -vecDistanceL2(vec, q)
+      case MetricIp => vecDot(vec, q)
+      case _ => cosineSimilarity(vec, q)
+    }
+  }
+
+  private def scoreExprC(
+      metric: String, vec: org.apache.spark.sql.Column,
+      centroid: Array[Float]): org.apache.spark.sql.Column =
+    scoreExpr(metric, vec, centroid)
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 
   /** Build-once-per-session cache (in-memory only — no persistence). `key`
@@ -109,13 +151,14 @@ object IvfIndex {
       sourcePath: String,
       df: => DataFrame,
       vecCol: String,
-      nlist: Int = 0): IvfIndex = {
+      nlist: Int = 0,
+      metric: String = MetricCosine): IvfIndex = {
     // the session-cache key IS the resolved on-disk home (source path +
     // mtime + build params): a mid-session rewrite of the source resolves
     // to a new home and therefore a fresh cache entry — never stale
-    val home = indexPathFor(spark, sourcePath, nlist)
+    val home = indexPathFor(spark, sourcePath, nlist, metric = metric)
     cache.getOrElseUpdate(home, {
-      val idx = loadOrBuild(spark, home, df, vecCol, nlist)
+      val idx = loadOrBuild(spark, home, df, vecCol, nlist, metric)
       IndexStore.publishManifestAndPrune(spark, home, sourcePath)
       idx
     })
@@ -128,12 +171,12 @@ object IvfIndex {
     * a new home, so a stale or differently-built index is never served.
     */
   def indexPathFor(spark: SparkSession, sourcePath: String, nlist: Int = 0,
-      nassign: Int = 3): String = {
+      nassign: Int = 3, metric: String = MetricCosine): String = {
     val mtime = IndexStore.mtimeOf(spark, sourcePath)
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       s"${sys.props("java.io.tmpdir")}/graft-ivf")
     val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@nlist=$nlist@nassign=$nassign@v$FormatVersion"))
+      s"$sourcePath@$mtime@nlist=$nlist@nassign=$nassign@mt=$metric@v$FormatVersion"))
     s"$root/$key"
   }
 
@@ -169,9 +212,7 @@ object IvfIndex {
   def load(spark: SparkSession, path: String, vecCol: String): IvfIndex = {
     val fs = IndexStore.fsFor(spark, path)
     val json = IndexStore.readString(fs, new Path(path, Sidecar))
-    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
-    val centroids = org.json4s.jackson.JsonMethods.parse(json)
-      .extract[Array[Array[Float]]]
+    val (centroids, metric) = parseSidecar(json)
     val base = spark.read.parquet(s"$path/data")
     // all layout probes go through the Hadoop FileSystem like every other
     // IvfIndex IO — java.io.File would silently miss deltas on HDFS/S3A.
@@ -196,7 +237,19 @@ object IvfIndex {
               .where(col("seg").isin(deltaSegs.map(Integer.valueOf): _*)))
         graft.store.DeltaTable.resolve(spark, raw, path, DeltaDocCol).drop("seg")
       }
-    new IvfIndex(data, centroids, vecCol)
+    new IvfIndex(data, centroids, vecCol, metric)
+  }
+
+  /** Sidecar parse: round-10 format `{"metric":…,"centroids":[…]}`; a bare
+    * JSON array is a pre-metric home (cosine, its build-time semantics). */
+  private def parseSidecar(json: String): (Array[Array[Float]], String) = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case a: org.json4s.JArray => (a.extract[Array[Array[Float]]], MetricCosine)
+      case o =>
+        ((o \ "centroids").extract[Array[Array[Float]]],
+          (o \ "metric").extractOpt[String].getOrElse(MetricCosine))
+    }
   }
 
   /** The document-identity column delta-capable homes resolve supersession
@@ -228,21 +281,22 @@ object IvfIndex {
       df: DataFrame,
       vecCol: String,
       docIds: DataFrame,
-      nassign: Int = 3): Unit = {
+      nassign: Int = 3,
+      // driver-known batch ids → job-free local manifest write
+      knownIds: Option[Seq[String]] = None): Unit = {
     require(existsAt(spark, path), s"no persisted IVF index at $path to append to")
     val fs = IndexStore.fsFor(spark, path)
     val json = IndexStore.readString(fs, new Path(path, Sidecar))
-    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
-    val centroids = org.json4s.jackson.JsonMethods.parse(json)
-      .extract[Array[Array[Float]]]
+    // delta rows must be assigned with the metric the base was built on
+    val (centroids, metric) = parseSidecar(json)
     val deltaPath = s"$path/delta"
     // base rows read as seg 0, so deltas start at 1
     val seg = graft.store.DeltaTable.allocSegment(path, minSeg = 1,
       segParent = deltaPath)
     graft.store.DeltaTable.stagePublishSegment(
-      assignClusters(df, centroids, vecCol, nassign),
+      assignClusters(df, centroids, vecCol, nassign, metric),
       deltaPath, seg, partitionCols = Seq("cluster_id"))
-    graft.store.DeltaTable.appendManifestFor(path, docIds, DeltaDocCol, seg)
+    graft.store.DeltaTable.appendManifestFor(path, docIds, DeltaDocCol, seg, knownIds)
     graft.store.DeltaTable.commitSegment(path, seg)
     invalidate(path)
   }
@@ -252,10 +306,10 @@ object IvfIndex {
     * — sort the per-centroid cosine structs desc, explode the top slice. */
   private def assignClusters(
       df: DataFrame, centroids: Array[Array[Float]], vecCol: String,
-      nassign: Int): DataFrame = {
+      nassign: Int, metric: String = MetricCosine): DataFrame = {
     val k = centroids.length
     val centroidCols = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosineSimilarity(col(vecCol), floatVec(c.toIndexedSeq)).as("s"), lit(i).as("i"))
+      struct(scoreExprC(metric, col(vecCol), c).as("s"), lit(i).as("i"))
     }
     val top = slice(
       sort_array(array(centroidCols.toIndexedSeq: _*), asc = false),
@@ -275,13 +329,20 @@ object IvfIndex {
       path: String,
       df: => DataFrame,
       vecCol: String,
-      nlist: Int = 0): IvfIndex = {
+      nlist: Int = 0,
+      metric: String = MetricCosine): IvfIndex = {
+    checkMetric(metric)
     if (existsAt(spark, path)) {
       val loaded = load(spark, path, vecCol)
+      // metric mismatch is a caller bug — refuse loudly (pgvector will not
+      // serve a vector_l2_ops plan from a vector_cosine_ops index either)
+      require(loaded.metric == metric,
+        s"IVF home $path was built with metric '${loaded.metric}' but " +
+          s"'$metric' was requested — delete the home or query with its metric")
       if (nlist <= 0 || loaded.centroids.length == nlist) return loaded
       delete(spark, path)
     }
-    val idx = build(spark, df, vecCol, nlist)
+    val idx = build(spark, df, vecCol, nlist, metric = metric)
     idx.save(path)
     idx.data.unpersist()
     load(spark, path, vecCol)
@@ -298,8 +359,10 @@ object IvfIndex {
       nlist: Int = 0,
       sampleSize: Int = 20000,
       seed: Long = 42L,
-      nassign: Int = 3): IvfIndex = {
+      nassign: Int = 3,
+      metric: String = MetricCosine): IvfIndex = {
     import spark.implicits._
+    checkMetric(metric)
     val n = df.count()
     val k = if (nlist > 0) nlist else math.max(2, math.sqrt(n.toDouble).toInt)
 
@@ -316,12 +379,12 @@ object IvfIndex {
     // Storage ×nassign buys the recall that single-assignment IVF loses on
     // hard (near-uniform) distributions; `search` dedups by id, so results
     // are exact within the probed set.
-    val assigned = assignClusters(df, centroids, vecCol, nassign)
+    val assigned = assignClusters(df, centroids, vecCol, nassign, metric)
       // co-locate clusters: at scale this is a partitioned write; locally a
       // repartition so each probe scan touches few partitions
       .repartition(math.min(k, 64), col("cluster_id"))
       .cache()
     assigned.count() // materialize
-    new IvfIndex(assigned, centroids, vecCol)
+    new IvfIndex(assigned, centroids, vecCol, metric)
   }
 }

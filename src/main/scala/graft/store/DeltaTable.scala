@@ -165,7 +165,13 @@ object DeltaTable {
       // full partition count costs a parquet file + commit per partition
       // for one-row payloads. Callers that know the batch is small pass a
       // low target (usually 1); 0 leaves the partitioning alone.
-      coalesceTo: Int = 0): Int = {
+      coalesceTo: Int = 0,
+      // the batch's ids when the caller already holds them on the driver
+      // (the incremental-sync path collects them for the In-pushdown
+      // anyway): the manifest then writes driver-side with ZERO Spark jobs
+      // instead of a coalesce(1) job per table-touch — on a micro-batch,
+      // scheduling fixed costs dwarf the one-row payloads
+      knownIds: Option[Seq[String]] = None): Int = {
     graft.operators.IvfIndex.invalidate(path)
     requireLocalWrites(path, "appendDelta")
     val seg = allocSeg(path)
@@ -191,9 +197,43 @@ object DeltaTable {
     else if (!new java.io.File(ioPath(stage)).renameTo(
         new java.io.File(s"${ioPath(path)}/seg=$seg")))
       throw new java.io.IOException(s"could not publish segment $seg under $path")
-    appendManifest(path, docIds, docCol, seg)
+    knownIds match {
+      case Some(ids) if ids.nonEmpty => appendManifestLocal(path, ids, docCol, seg)
+      case _ => appendManifest(path, docIds, docCol, seg)
+    }
     commitSeg(path, seg)
     seg
+  }
+
+  /** Driver-side manifest append for a batch whose ids are already on the
+    * driver: one parquet file written via parquet-hadoop directly — no
+    * Spark job — staged as a hidden sibling and renamed in, same publish
+    * contract as [[appendManifest]]. Readers cannot tell the two writers
+    * apart (same (docCol UTF8, seg int32) schema). */
+  private def appendManifestLocal(
+      path: String, ids: Seq[String], docCol: String, seg: Int): Unit = {
+    val mdir = new java.io.File(manifestPath(path))
+    mdir.mkdirs()
+    val name = s"part-local-$seg-${java.util.UUID.randomUUID()}.parquet"
+    val stage = new java.io.File(mdir.getParentFile, s"_mstage-$name")
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      s"message manifest { required binary $docCol (UTF8); required int32 seg; }")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.parquet.io.LocalOutputFile(stage.toPath))
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    try ids.distinct.foreach { id =>
+      val g = factory.newGroup()
+      g.add(docCol, id)
+      g.add("seg", seg)
+      writer.write(g)
+    } finally writer.close()
+    if (!stage.renameTo(new java.io.File(mdir, name)))
+      throw new java.io.IOException(
+        s"could not publish manifest rows for segment $seg under $path")
   }
 
   /** Writers need java.io-visible homes (plain local or file: paths): the
@@ -309,11 +349,15 @@ object DeltaTable {
   }
 
   /** Manifest append for an external home (same stage-and-move protocol as
-    * [[appendManifest]]). */
+    * [[appendManifest]]; driver-known ids take the job-free local writer). */
   private[graft] def appendManifestFor(
-      home: String, docIds: DataFrame, docCol: String, seg: Int): Unit = {
+      home: String, docIds: DataFrame, docCol: String, seg: Int,
+      knownIds: Option[Seq[String]] = None): Unit = {
     requireLocalWrites(home, "appendManifestFor")
-    appendManifest(home, docIds, docCol, seg)
+    knownIds match {
+      case Some(ids) if ids.nonEmpty => appendManifestLocal(home, ids, docCol, seg)
+      case _ => appendManifest(home, docIds, docCol, seg)
+    }
   }
 
   /** Commit marker — the last step of an external append. */

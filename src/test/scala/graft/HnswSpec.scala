@@ -40,6 +40,57 @@ class HnswSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("metric l2/ip: full-sweep graph search equals exact KNN on un-normalized points") {
+    // points deliberately NOT normalized (norms spread 1..~8) so the three
+    // metric orderings genuinely differ — pgvector's vector_l2_ops /
+    // vector_ip_ops regime (reference pipeline.rs:526-543)
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 96).map { i =>
+      val scale = 1.0f + (i % 8)
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat * scale))
+    }
+    val q = Array.fill(8)(rnd.nextGaussian().toFloat * 3f)
+
+    def exactL2 = pts.map { case (id, v) =>
+      (id, math.sqrt(v.zip(q).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum))
+    }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    def exactIp = pts.map { case (id, v) =>
+      (id, v.zip(q).map { case (a, b) => a.toDouble * b }.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+
+    val bl2 = new HnswGraphBuilder(m = 4, efConstruction = 16, seed = 1L, metric = "l2")
+    pts.foreach { case (id, v) => bl2.add(id, v) }
+    assert(bl2.freeze().search(q, 5, ef = 96).map(_._1).toSeq == exactL2)
+
+    val bip = new HnswGraphBuilder(m = 4, efConstruction = 16, seed = 1L, metric = "ip")
+    pts.foreach { case (id, v) => bip.add(id, v) }
+    assert(bip.freeze().search(q, 5, ef = 96).map(_._1).toSeq == exactIp)
+
+    // the cosine ordering differs from both on this data — the metrics are
+    // not secretly aliases of one another
+    val bcos = new HnswGraphBuilder(m = 4, efConstruction = 16, seed = 1L)
+    pts.foreach { case (id, v) => bcos.add(id, v) }
+    val cosIds = bcos.freeze().search(q, 5, ef = 96).map(_._1).toSeq
+    assert(cosIds != exactL2 || cosIds != exactIp)
+  }
+
+  test("mismatched-metric loadOrBuild is refused, not silently rebuilt or served") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_metric_").toString
+    val home = s"$dir/forest"
+    HnswIndex.loadOrBuild(spark, home, emb.limit(200), "embedding", "vec_id",
+      m = 8, efConstruction = 32, metric = "cosine").graphs.unpersist()
+    val ex = intercept[IllegalArgumentException] {
+      HnswIndex.loadOrBuild(spark, home, emb.limit(200), "embedding", "vec_id",
+        m = 8, efConstruction = 32, metric = "l2")
+    }
+    assert(ex.getMessage.contains("metric"))
+    intercept[IllegalArgumentException] {
+      HnswIndex.loadOrBuild(spark, home, emb.limit(200), "embedding", "vec_id",
+        m = 8, efConstruction = 32, metric = "chebyshev")
+    }
+    HnswIndex.invalidate(home)
+  }
+
   test("forest recall gate vs exact brute force on real embeddings") {
     val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",
       m = 16, efConstruction = 64, numPartitions = 4)

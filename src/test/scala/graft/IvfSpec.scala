@@ -47,6 +47,57 @@ class IvfSpec extends AnyFunSuite {
     idx.data.unpersist()
   }
 
+  test("metric l2/ip: full probe equals exact KNN on un-normalized vectors") {
+    import graft.functions.VecFunctions._
+    // de-normalize so the metric orderings genuinely differ (the raw
+    // testdata embeddings are unit-norm, where all three coincide)
+    val scaled = emb.select(col("vec_id"),
+      vecMulScalar(col("embedding"), (col("vec_id") % 7 + 1).cast("float"))
+        .as("embedding")).cache()
+    val q = scaled.where($"vec_id" === 13).select("embedding")
+      .as[Array[Float]].head()
+
+    def exactBy(score: org.apache.spark.sql.Column) = scaled
+      .select(col("vec_id"), score.as("s"))
+      .orderBy(col("s").desc, col("vec_id"))
+      .limit(10).select("vec_id").as[Long].collect().toSeq
+
+    val l2Idx = IvfIndex.build(spark, scaled, "embedding", nlist = 8, metric = "l2")
+    val l2Got = l2Idx.search(q, 10, nprobe = 8, Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(l2Got == exactBy(-vecDistanceL2(col("embedding"), floatVec(q.toIndexedSeq))))
+    l2Idx.data.unpersist()
+
+    val ipIdx = IvfIndex.build(spark, scaled, "embedding", nlist = 8, metric = "ip")
+    val ipGot = ipIdx.search(q, 10, nprobe = 8, Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ipGot == exactBy(vecDot(col("embedding"), floatVec(q.toIndexedSeq))))
+    ipIdx.data.unpersist()
+
+    // and the two orderings are not the same thing on this data
+    assert(l2Got != ipGot)
+    scaled.unpersist()
+    ()
+  }
+
+  test("mismatched-metric loadOrBuild is refused; sidecar round-trips the metric") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_metric_").toString
+    val home = s"$dir/ivf"
+    val built = IvfIndex.loadOrBuild(spark, home, emb.limit(300), "embedding",
+      nlist = 4, metric = "ip")
+    assert(built.metric == "ip")
+    assert(IvfIndex.load(spark, home, "embedding").metric == "ip")
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.loadOrBuild(spark, home, emb.limit(300), "embedding",
+        nlist = 4, metric = "cosine")
+    }
+    assert(ex.getMessage.contains("metric"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.build(spark, emb.limit(10), "embedding", nlist = 2, metric = "hamming")
+    }
+    IvfIndex.invalidate(home)
+  }
+
   test("persisted IVF: save→load round-trip identical, probes prune partitions") {
     val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
     val idx = IvfIndex.build(spark, emb, "embedding", nlist = 16)
