@@ -196,18 +196,23 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       if (!DeltaTable.exists(docsPath))
         DeltaTable.writeBase(spark.read.parquet(docsPath), docsPath,
           sortCols = Seq("source_uuid"))
-      val batchN = incoming.count() // size only — never the uuids themselves
       val current = DeltaTable.read(spark, docsPath, "source_uuid")
-      // literal-In pushdown only for small batches: a thousands-wide In
-      // costs planning time without pruning anything extra (and collecting
-      // a bulk backfill's ids would sit on the driver); bigger batches
-      // broadcast-semi-join instead
-      val olds = (
-        if (batchN <= DeltaTable.InPushdownMaxIds)
-          current.where(col("source_uuid").isin(
-            incoming.select("source_uuid").as[String].collect().toSeq: _*))
-        else current.join(broadcast(incoming.select("source_uuid")),
-          Seq("source_uuid"), "left_semi"))
+      // ONE action both sizes the batch and captures a small batch's ids
+      // (collect up to the pushdown cap + 1; overflow = big batch, count
+      // instead). Small batches get the literal-In pushdown — a
+      // thousands-wide In costs planning time without pruning more, and
+      // collecting a bulk backfill's ids would sit on the driver — and the
+      // collected ids are reused for the job-free manifest write below.
+      val probe = incoming.select("source_uuid")
+        .limit(DeltaTable.InPushdownMaxIds + 1).as[String].collect().toSeq
+      val idsLocal =
+        if (probe.size <= DeltaTable.InPushdownMaxIds) Some(probe) else None
+      val batchN = idsLocal.map(_.size.toLong).getOrElse(incoming.count())
+      val olds = (idsLocal match {
+        case Some(ids) => current.where(col("source_uuid").isin(ids: _*))
+        case None => current.join(broadcast(incoming.select("source_uuid")),
+          Seq("source_uuid"), "left_semi")
+      })
         .select(col("source_uuid"), col("document").as("old_doc"),
           col("created_at").as("old_created"))
       val upserted = incoming
@@ -226,7 +231,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         coalesceTo =
           if (batchN <= DeltaTable.CoalesceBatchMax)
             math.max(1, (batchN / DeltaTable.RowsPerDeltaFile).toInt)
-          else 0)
+          else 0,
+        knownIds = idsLocal)
       // record the batch's FINAL (post-merge) documents for incremental
       // sync by reading back the segment just written — an O(batch) file
       // scan; re-evaluating `upserted` here would replay the whole merge
@@ -438,6 +444,25 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     pruneChangelog()
   }
 
+  /** Session clone for the micro-batch delta path: AQE OFF (adaptive
+    * execution materializes every shuffle stage as its own Spark job —
+    * on one-document frames the per-job scheduling overhead IS the
+    * latency) and auto-broadcast OFF (each broadcast build is another
+    * async job; a sort-merge join over a 4-row frame is free). Shares the
+    * SparkContext, CacheManager, and executor caches with the main
+    * session — only SQLConf diverges, so serving queries keep AQE. With
+    * both off, every sync action runs as ONE job over all its stages.
+    * Corpus-sized work (full syncs, backfills' explicit broadcast hints,
+    * merges) stays on the main session. */
+  private lazy val microSpark: SparkSession = {
+    // newSession: same SparkContext/CacheManager/warehouse, fresh SQLConf
+    // seeded from the builder conf (shuffle partitions, timezone carry over)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2
+  }
+
   private def syncIncrementalLocked(p: Pipeline, alreadyRebuilt: Set[String]): Unit = {
     val state = readState(p.name)
     if (state.isEmpty) return
@@ -452,15 +477,20 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val maxB = maxChangelogBatch
     if (maxB <= wm || !new java.io.File(changelogPath).exists()) return // nothing new
 
+    // the delta path's frames all originate here, so building them on the
+    // micro session keeps the whole batch on the one-job-per-action plan
+    val ms = microSpark
     // latest post-merge document per uuid among the new batches; checkpoint
-    // so later re-executions can never observe a shifted changelog
-    val changedDocs = spark.read.parquet(changelogPath)
+    // so later re-executions can never observe a shifted changelog. LAZY:
+    // the full-frame collect on the next line materializes every partition
+    // (freezing the frame exactly like the eager form) in the same job
+    val changedDocs = ms.read.parquet(changelogPath)
       .where(col("batch") > wm)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("source_uuid")).orderBy(col("batch").desc)))
       .where(col("_rn") === 1)
       .select(col("source_uuid"), col("document"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val changedIds = changedDocs.select(col("source_uuid").as("document_id"))
     val idSeq = changedDocs.select("source_uuid").as[String].collect().toSeq
 
@@ -485,12 +515,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       // is cheap AND stable — and each skipped barrier is one less Spark
       // job on the per-micro-batch critical path
       val newChunks = chunkFrame(changedDocs, f)
-      val oldChunks = changedOnly(DeltaTable.read(spark, chunksP))
+      val oldChunks = changedOnly(DeltaTable.read(ms, chunksP))
       val changed = newChunks.join(oldChunks, keyCols, "left_anti")
       val smallBatch =
         if (idSeq.size <= DeltaTable.CoalesceBatchMax)
           math.max(1, idSeq.size / DeltaTable.RowsPerDeltaFile)
         else 0
+      // driver-known batch ids let every manifest append below write its
+      // parquet file driver-side — zero Spark jobs — instead of one
+      // coalesce(1) job per table-touch (4 tables + the IVF home)
+      val localIds =
+        if (idSeq.size <= DeltaTable.InPushdownMaxIds) Some(idSeq) else None
       // The three append chains below (chunks / embeddings→indexes /
       // tsvectors) are independent: every frame they share is defined
       // above from the checkpointed changedDocs plus PRE-append file
@@ -504,14 +539,18 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       implicit val ec: scala.concurrent.ExecutionContext = Collection.maintenanceEc
 
       val chunksF = Future {
-        DeltaTable.appendDelta(spark, chunksP, newChunks, changedIds,
-          sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
+        DeltaTable.appendDelta(ms, chunksP, newChunks, changedIds,
+          sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch,
+          knownIds = localIds)
         ()
       }
       val embF: Future[Option[Long]] = Future {
         f.semanticSearch.map { emb =>
         val embP = tablePath(p.name, f.name, "embeddings")
-        val oldEmb = changedOnly(DeltaTable.read(spark, embP)).localCheckpoint()
+        // LAZY checkpoint: the count() below materializes it, so freezing
+        // the frame and measuring the stale slack share ONE Spark job
+        val oldEmb = changedOnly(DeltaTable.read(ms, embP))
+          .localCheckpoint(eager = false)
         // old index rows these documents are about to supersede (exact
         // over-fetch slack for stale ANN nodes until the next merge)
         val nStale = oldEmb.count()
@@ -527,8 +566,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // the content-keyed hid rides IN the segment (new rows stamped it
         // above, reused rows carry their stored one), so the HNSW append
         // below and every later read agree on node ids with no derivation
-        DeltaTable.appendDelta(spark, embP, delta, changedIds,
-          sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch)
+        DeltaTable.appendDelta(ms, embP, delta, changedIds,
+          sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch,
+          knownIds = localIds)
 
         // index delta segments over ONLY the new segment's vectors
         f.vectorIndex.foreach { nlist =>
@@ -541,20 +581,24 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
             // the stored hid is HNSW plumbing — the IVF home's base rows
             // (built over [[embeddings]], which drops it) must union with
             // delta rows column-for-column
-            spark, ivfP, delta.drop("hid"), "embedding", changedIds)
+            ms, ivfP, delta.drop("hid"), "embedding", changedIds,
+            knownIds = localIds)
         }
         f.hnswIndex.foreach { _ =>
           val hp = tablePath(p.name, f.name, "hnsw")
           if (!graft.operators.HnswIndex.existsAt(spark, hp)) rebuildHnsw(p, f)
-          else graft.operators.HnswIndex.appendSegment(spark, hp,
-            delta, "embedding", "hid")
+          else graft.operators.HnswIndex.appendSegment(ms, hp,
+            delta, "embedding", "hid",
+            // a small batch fits one forest partition; skipping the
+            // partition-sizing count() saves a job on the critical path
+            numPartitions = if (localIds.isDefined) 1 else 0)
         }
         if (f.binaryIndex) {
           val sigs = delta.select(col("document_id"), col("chunk_index"),
             graft.functions.VecFunctions.vecSignPack(col("embedding")).as("sig"))
-          DeltaTable.appendDelta(spark, tablePath(p.name, f.name, "binsig"),
+          DeltaTable.appendDelta(ms, tablePath(p.name, f.name, "binsig"),
             sigs, changedIds, sortCols = Seq("document_id", "chunk_index"),
-            coalesceTo = smallBatch)
+            coalesceTo = smallBatch, knownIds = localIds)
           ()
         }
         nStale
@@ -564,9 +608,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         if (f.fullTextSearch) {
           val newTs = newChunks.select(col("document_id"), col("chunk_index"),
             TsRank.tsVector(col("chunk")).as("terms"))
-          DeltaTable.appendDelta(spark, tablePath(p.name, f.name, "tsvectors"),
+          DeltaTable.appendDelta(ms, tablePath(p.name, f.name, "tsvectors"),
             newTs, changedIds, sortCols = Seq("document_id", "chunk_index"),
-            coalesceTo = smallBatch)
+            coalesceTo = smallBatch, knownIds = localIds)
           ()
         }
       }

@@ -57,6 +57,49 @@ object Probe {
       println(df.queryExecution.executedPlan.toString)
       spark.stop()
 
+    case "sf1gen" :: rest =>
+      // 10× scale-up of sf0.1 (documents + embeddings) for headroom runs:
+      // per copy k, every WORD gets a k-keyed 2-hex suffix — every shingle
+      // differs across copies (no artificial cross-copy near-dup explosion)
+      // while within-copy near-dup structure is preserved verbatim — and
+      // embeddings rotate by k dims (unit norms and within-copy geometry
+      // preserved; copies land elsewhere on the sphere). Deterministic.
+      val src = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      val dst = rest.drop(1).headOption.getOrElse("/tmp/graft_sf1")
+      val spark = session()
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val docCopies = (0 until 10).map { k =>
+        val salted =
+          if (k == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            w => concat(w, substring(md5(concat(w, lit(s"#$k"))), 1, 2))), " ")
+        docs.select((col("doc_id") + lit(k * maxId)).as("doc_id"),
+          salted.as("text"), col("lang"), col("source"), col("n_chars"))
+      }
+      docCopies.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dst/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val maxVid = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val embCopies = (0 until 10).map { k =>
+        val rot =
+          if (k == 0) col("embedding")
+          else concat(slice(col("embedding"), k + 1, 64 - k),
+            slice(col("embedding"), 1, k))
+        emb.select((col("vec_id") + lit(k * maxVid)).as("vec_id"),
+          rot.as("embedding"), col("label"))
+      }
+      embCopies.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dst/embeddings.parquet")
+      println(s"SF1 corpus at $dst: " +
+        s"${spark.read.parquet(s"$dst/documents.parquet").count()} docs, " +
+        s"${spark.read.parquet(s"$dst/embeddings.parquet").count()} vectors")
+      spark.stop()
+
     case "drive" :: _ =>
       val spark = session(4)
       import spark.implicits._
