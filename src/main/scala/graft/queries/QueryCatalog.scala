@@ -1146,6 +1146,137 @@ object QueryCatalog {
             SELECT vec_id, round(ip, 4) AS ip FROM d
             ORDER BY ip DESC, vec_id LIMIT 10"""))
 
+  // -------------------------------------------- metric-parameterized indexes
+  //
+  // pgvector indexes un-normalized vectors under vector_l2_ops /
+  // vector_ip_ops as well as the default vector_cosine_ops
+  // (pipeline.rs:526-543); the testdata embeddings are L2-normalized (all
+  // three orderings coincide there), so these twins DE-normalize first —
+  // each vector scaled by (vec_id % 7 + 1) in float32 — making the l2/ip
+  // orderings genuinely different from cosine's. Full-sweep / full-probe
+  // parameters make the index results exact (the v10/v7 exact-twin
+  // argument), so the whole metric-specific build/link/probe machinery
+  // sits behind the DuckDB gate; pruned-recall contracts per metric live
+  // in HnswSpec/IvfSpec.
+
+  private def scaledEmb(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb.select(col("vec_id"),
+      vecMulScalar(col("embedding"),
+        (col("vec_id") % 7 + 1).cast("float")).as("embedding"))
+  }
+
+  private def scaledQuery(s: SparkSession, dir: String, id: Int): Array[Float] = {
+    import s.implicits._
+    val raw = t(s, dir, "embeddings").where(col("vec_id") === id)
+      .select("embedding").as[Array[Float]].head()
+    val f = (id % 7 + 1).toFloat
+    raw.map(_ * f)
+  }
+
+  // the de-normalized vectors and query, replayed in float32 in DuckDB
+  private def scaledSql(qid: Int) =
+    s"""q AS (SELECT list_transform(embedding,
+             x -> CAST(x * CAST(${qid % 7 + 1} AS FLOAT) AS FLOAT)) AS qe
+           FROM embeddings WHERE vec_id = $qid),
+        se AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(x * CAST((vec_id % 7 + 1) AS FLOAT) AS FLOAT)) AS embedding
+           FROM embeddings)"""
+
+  /** HNSW forest built on METRIC l2 over un-normalized vectors, full sweep
+    * (ef = N) → exact L2 top-k. */
+  val v17KnnHnswL2: GraftQuery = GraftQuery(
+    "v17_knn_hnsw_l2",
+    (s, dir) => {
+      import s.implicits._
+      val emb = scaledEmb(s, dir)
+      val q = scaledQuery(s, dir, 33)
+      val n = emb.count().toInt
+      val idx = graft.operators.HnswIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
+        m = 16, efConstruction = 64, numPartitions = 8,
+        metric = graft.operators.HnswIndex.MetricL2)
+      idx.search(q, 10, ef = n, idName = "vec_id")
+        .select(col("vec_id"), round(-col("score"), 4).as("dist"))
+    },
+    Some(s"""WITH ${scaledSql(33)},
+            d AS (SELECT e.vec_id,
+                sqrt(sum(pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                             - CAST(q.qe[CAST(i AS INT)] AS DOUBLE), 2))) AS dist
+              FROM se e, q, range(1, 65) t(i)
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(dist, 4) AS dist FROM d
+            ORDER BY dist, vec_id LIMIT 10"""))
+
+  /** HNSW forest built on METRIC ip over un-normalized vectors, full sweep
+    * → exact inner-product top-k (pgvector `<#>`). */
+  val v18KnnHnswIp: GraftQuery = GraftQuery(
+    "v18_knn_hnsw_ip",
+    (s, dir) => {
+      import s.implicits._
+      val emb = scaledEmb(s, dir)
+      val q = scaledQuery(s, dir, 21)
+      val n = emb.count().toInt
+      val idx = graft.operators.HnswIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
+        m = 16, efConstruction = 64, numPartitions = 8,
+        metric = graft.operators.HnswIndex.MetricIp)
+      idx.search(q, 10, ef = n, idName = "vec_id")
+        .select(col("vec_id"), round(col("score"), 4).as("ip"))
+    },
+    Some(s"""WITH ${scaledSql(21)},
+            d AS (SELECT e.vec_id,
+                sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS ip
+              FROM se e, q, range(1, 65) t(i)
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(ip, 4) AS ip FROM d
+            ORDER BY ip DESC, vec_id LIMIT 10"""))
+
+  /** IVF home built on METRIC l2 (assignment, centroid ranking, and
+    * scoring all L2), probing every cluster → exact L2 top-k. */
+  val v19KnnIvfL2: GraftQuery = GraftQuery(
+    "v19_knn_ivf_l2",
+    (s, dir) => {
+      val emb = scaledEmb(s, dir)
+      val q = scaledQuery(s, dir, 33)
+      val idx = graft.operators.IvfIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", nlist = 16,
+        metric = graft.operators.IvfIndex.MetricL2)
+      idx.search(q, 10, nprobe = 16, Seq("vec_id"))
+        .select(col("vec_id"), round(-col("score"), 4).as("dist"))
+    },
+    Some(s"""WITH ${scaledSql(33)},
+            d AS (SELECT e.vec_id,
+                sqrt(sum(pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                             - CAST(q.qe[CAST(i AS INT)] AS DOUBLE), 2))) AS dist
+              FROM se e, q, range(1, 65) t(i)
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(dist, 4) AS dist FROM d
+            ORDER BY dist, vec_id LIMIT 10"""))
+
+  /** IVF home built on METRIC ip, probing every cluster → exact
+    * inner-product top-k. */
+  val v20KnnIvfIp: GraftQuery = GraftQuery(
+    "v20_knn_ivf_ip",
+    (s, dir) => {
+      val emb = scaledEmb(s, dir)
+      val q = scaledQuery(s, dir, 21)
+      val idx = graft.operators.IvfIndex.serveOrBuild(
+        s, s"$dir/embeddings.parquet", emb, "embedding", nlist = 16,
+        metric = graft.operators.IvfIndex.MetricIp)
+      idx.search(q, 10, nprobe = 16, Seq("vec_id"))
+        .select(col("vec_id"), round(col("score"), 4).as("ip"))
+    },
+    Some(s"""WITH ${scaledSql(21)},
+            d AS (SELECT e.vec_id,
+                sum(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(q.qe[CAST(i AS INT)] AS DOUBLE)) AS ip
+              FROM se e, q, range(1, 65) t(i)
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(ip, 4) AS ip FROM d
+            ORDER BY ip DESC, vec_id LIMIT 10"""))
+
   // ---------------------------------------------------------------- doc store
 
   /** Recursive-character chunking (pgml.chunk) over the documents table.
@@ -1332,6 +1463,91 @@ object QueryCatalog {
           col("chunk"), round(col("score"), 5).as("score"))
     },
     Some(S6OracleSql.sql))
+
+  /** Document-level HYBRID search (`collection.search`,
+    * search_query_builder.rs:437-470), ORACLED end to end: per-arm
+    * best-chunk-per-document (semantic = hash-embed cosine × boost, the s4
+    * replay; full-text = ts_rank(32) × boost gated on all-terms-present,
+    * the s3 replay), FULL OUTER JOIN + COALESCE-sum fusion, global top-k.
+    * Boosts are dyadic (0.75 / 0.5) so the float math is IEEE-identical
+    * across engines. The chunk config (100000) makes each document one
+    * chunk, so the window dedup is the identity and the DuckDB replay
+    * needs no chunk fold — fusion itself is what this query gates.
+    */
+  val s7HybridSearch: GraftQuery = GraftQuery(
+    "s7_hybrid_search",
+    (s, dir) => {
+      val (c, p) = e2eCollection(s, dir, 100000, 0)
+      c.search(p,
+          semantic = Seq(graft.store.VectorSearchField(
+            "text", "spark query table join", boost = 0.75)),
+          fullText = Seq(graft.store.FullTextField("text", "spark data", boost = 0.5)),
+          limit = 10)
+        .select(col("document_id"),
+          get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          round(col("score"), 5).as("score"))
+    },
+    Some("""WITH inp AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL SELECT -1, 'spark query table join'),
+            tok AS (SELECT doc_id,
+              unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> t <> '')) AS t FROM inp),
+            toku AS (SELECT DISTINCT t FROM tok),
+            th AS (SELECT t, list_reduce(
+                list_concat([14695981039346656037::HUGEINT],
+                  list_transform(flatten(list_transform(string_split(t, ''), ch ->
+                    CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
+                         WHEN unicode(ch) < 2048 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
+                         WHEN unicode(ch) < 65536 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+                         ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+                    END)), b -> b::HUGEINT)),
+                (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+              FROM toku),
+            sgn AS (SELECT t, d,
+                xor(h, (d::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z0,
+                xor(z0, z0 >> 30) AS x1,
+                ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+                  + (((x1 // 4294967296::HUGEINT) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+                    * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1,
+                xor(z1, z1 >> 27) AS x2,
+                ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+                  + (((x2 // 4294967296::HUGEINT) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+                    * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2,
+                xor(z2, z2 >> 31) AS r,
+                CASE WHEN (r % 2::HUGEINT) = 0::HUGEINT THEN 1.0 ELSE -1.0 END AS s
+              FROM th, (SELECT unnest(range(0, 64)) AS d)),
+            acc AS (SELECT tok.doc_id, sgn.d, sum(sgn.s) AS a
+              FROM tok JOIN sgn ON tok.t = sgn.t GROUP BY tok.doc_id, sgn.d),
+            nrm AS (SELECT doc_id, sqrt(sum(a * a)) AS nr FROM acc GROUP BY doc_id),
+            fvec AS (SELECT acc.doc_id, acc.d, CAST(acc.a * (1.0 / nrm.nr) AS REAL) AS f
+              FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id),
+            vecs AS (SELECT doc_id, list(CAST(f AS DOUBLE) ORDER BY d) AS v
+              FROM fvec GROUP BY doc_id),
+            sem AS (SELECT dv.doc_id,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * q.v[i]), (x, y) -> x + y) AS dt,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * dv.v[i]), (x, y) -> x + y) AS na,
+                list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y) AS nb,
+                (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                      ELSE dt / (sqrt(na) * sqrt(nb)) END) * 0.75 AS s0
+              FROM vecs dv, (SELECT v FROM vecs WHERE doc_id = -1) q
+              WHERE dv.doc_id >= 0),
+            dtok AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            cnt AS (SELECT doc_id,
+              CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS c1,
+              CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) AS c2,
+              greatest(CAST(len(toks) AS DOUBLE), 1.0) AS len FROM dtok),
+            fts AS (SELECT doc_id,
+              ((c1 / len + c2 / len) / ((c1 / len + c2 / len) + 1.0)) * 0.5 AS s1
+              FROM cnt WHERE c1 > 0 AND c2 > 0),
+            fused AS (SELECT coalesce(sem.doc_id, fts.doc_id) AS doc_id,
+                coalesce(sem.s0, 0.0) + coalesce(fts.s1, 0.0) AS total
+              FROM sem FULL OUTER JOIN fts ON sem.doc_id = fts.doc_id)
+            SELECT md5(CAST(doc_id AS VARCHAR)) AS document_id, doc_id,
+              round(total, 5) AS score
+            FROM fused
+            ORDER BY total DESC, md5(CAST(doc_id AS VARCHAR)) LIMIT 10"""))
 
   /** order_by over JSON document paths with NULLS LAST (order_by_builder
     * semantics): docs whose `rank` key is absent sort last; output carries
@@ -1769,6 +1985,7 @@ object QueryCatalog {
     v1KnnCosine, v2VecAvgByLabel, v3VecNorms, v4KnnBatch, v5KnnIvf, v6SqlSurface,
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
+    v17KnnHnswL2, v18KnnHnswIp, v19KnnIvfL2, v20KnnIvfIp,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
@@ -1776,7 +1993,7 @@ object QueryCatalog {
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
-    s6VectorSearchChunked,
+    s6VectorSearchChunked, s7HybridSearch,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,

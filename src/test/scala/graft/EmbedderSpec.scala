@@ -91,6 +91,73 @@ class EmbedderSpec extends AnyFunSuite {
         .select("document_id", "chunk", "score").collect().toSeq
     assert(results(c1, p1) == results(c2, p2))
   }
+
+  // ---- a genuinely TRAINED model through the same seam (no stand-in): fit
+  // MLlib Word2Vec on the corpus, persist, serve — sync → index → search
+  // end-to-end, plus the remote batch protocol over the same weights.
+
+  test("trained Word2Vec model serves the full sync → index → search path") {
+    import graft.functions.Word2VecEmbedder
+    val wh = Files.createTempDirectory("graft_w2v_wh_").toString
+    val topics = Seq("spark", "vectors", "parquet", "shuffle", "broadcast")
+    val docs = (0 until 40).map { i =>
+      s"""{"id": $i, "body": "document $i about ${topics(i % 5)} ${topics((i + 1) % 5)} processing"}"""
+    }
+
+    // fit on the corpus text itself, persist with MLlib's writer, reload —
+    // the serving session never retrains
+    val corpus = docs.toDF("document")
+      .select(get_json_object(col("document"), "$.body").as("body"))
+    val modelPath = s"$wh/w2v_model"
+    Word2VecEmbedder.fitAndSave(corpus, "body", modelPath, dim = 16, minCount = 1)
+    val emb = Word2VecEmbedder.load(spark, modelPath)
+    assert(emb.dim == 16 && emb.vectors.nonEmpty)
+    // learned vectors are unit-pooled per the contract
+    val v = emb.embedOne("spark processing")
+    assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+
+    val c = new Collection(spark, "w2v", wh)
+    c.upsertDocuments(docs.toDF("document"))
+    val p = Pipeline("p", Seq(PipelineField("body", splitter = Some((100000, 0)),
+      semanticSearch = Some(emb), hnswIndex = Some((8, 32)))))
+    c.syncPipeline(p)
+
+    // exact serving: the top hit for a document's own text is that document
+    // (doc 7 = topics(7 % 5) + topics(8 % 5) = "parquet shuffle")
+    val probe = """document 7 about parquet shuffle processing"""
+    val top = c.vectorSearch(p, Seq(VectorSearchField("body", probe)), limit = 1)
+      .select(get_json_object(col("document"), "$.id").cast("int").as("id"))
+      .as[Int].head()
+    assert(top == 7, s"expected doc 7 for its own text, got $top")
+    // index-served path agrees
+    val hTop = c.hnswSearch(p, "body", emb.embedOne(probe), 1, ef = 200)
+      .select("document_id").as[String].head()
+    val expect = c.documents
+      .where(get_json_object(col("document"), "$.id") === "7")
+      .select("source_uuid").as[String].head()
+    assert(hTop == expect)
+
+    // the incremental path embeds new documents with the same model
+    c.upsertDocuments(Seq(
+      """{"id": 99, "body": "fresh document about vectors parquet processing"}""").toDF("document"))
+    c.syncPipelineIncremental(p)
+    assert(c.embeddings(p, "body").count() == 41)
+    c.awaitMaintenance()
+  }
+
+  test("Word2Vec weights behind the remote batch protocol match the in-process embedder") {
+    import graft.functions.{Word2VecBackedClient, Word2VecEmbedder}
+    val corpus = (0 until 30).map(i => s"training sentence $i about spark vectors")
+      .toDF("body")
+    val emb = Word2VecEmbedder.fit(corpus, "body", dim = 12, minCount = 1)
+    val remote = RemoteEmbedder(Word2VecBackedClient(emb), dim = 12, batchSize = 4)
+    val df = Seq("spark vectors", "training sentence", "about spark").toDF("t")
+    val direct = df.select(emb.embedCol(col("t")).as("e")).as[Array[Float]].collect()
+    val viaRemote = remote.embedFrame(df, col("t"), "e")
+      .select("e").as[Array[Float]].collect()
+    assert(direct.zip(viaRemote).forall { case (a, b) => a.sameElements(b) })
+    assert(remote.embedOne("spark vectors").sameElements(emb.embedOne("spark vectors")))
+  }
 }
 
 object EmbedderSpec {
