@@ -27,6 +27,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_QUERIES=name1,name2 restricts the run to a subset
+    // (used for the one-off scale-headroom runs at generated SFs, where
+    // only the corpus-proportional legs are of interest and the TPC-H
+    // tables are not generated).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = Seq(
       "q1_pricing_agg", "q2_revenue_by_nation", "q3_filter_pushdown",
       "q4_window_topn", "q8_events_hourly", "q9_json_extract",
@@ -42,7 +48,7 @@ object Bench {
       "s4_ingest", "s4_sync_delta", "s4_vector_search_e2e",
       "s6_vector_search_chunked",
       "x1_transform_sentiment", "x2_sessions", "c1_corpus_curate",
-      "m1_linear_regression")
+      "m1_linear_regression").filter(n => only.forall(_.contains(n)))
 
     // s4_ingest times the store's ingest leg (upsert → chunk → embed →
     // tsvector re-sync) in isolation; the s4/s6 entries then reuse the
