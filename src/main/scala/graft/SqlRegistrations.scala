@@ -44,6 +44,7 @@ object SqlRegistrations {
     "vec_hamming" -> (es => HammingWords(es(0), es(1))),
     "sq8_encode" -> (es => Sq8Encode(es(0), es(1), es(2))),
     "sq8_adc_dot" -> (es => Sq8AdcDot(es(0), es(1), es(2))),
+    "sq8_adc_poly" -> (es => Sq8AdcPoly(es(0), es(1), es(2))),
     "pq_encode" -> (es => PqEncode(es(0), es(1), intArg(es, 2, 8), intArg(es, 3, 256))),
     "pq_adc_dot" -> (es => PqAdcDot(es(0), es(1))))
 }

@@ -116,6 +116,30 @@ object QuantKernels {
     s
   }
 
+  /** Quadratic ADC: `base + Σ_d (wts(2d) + wts(2d+1)·code(d)) · code(d)`
+    * over INTERLEAVED per-dim weight pairs (linear at 2d, quadratic at
+    * 2d+1). This is the second ADC factorization SQ8 needs once the
+    * serving metric is a parameter: with `a_d = q_d − min_d`,
+    *   - w1 = 2·a·scale, w2 = −scale², base = −Σ a²  evaluates
+    *     −‖q − v̂‖² (the higher-is-closer L2 score, pgvector `<->`);
+    *   - w1 = 2·min·scale, w2 = scale², base = Σ min²  evaluates
+    *     ‖v̂‖² (the reconstructed norm cosine needs for its denominator).
+    * Per-row cost stays an integer-indexed fused multiply-add per dim —
+    * no dequantize, same cost class as [[sq8AdcDot]]. */
+  def sq8AdcPoly(codes: Array[Byte], wts: ArrayData, base: Double): Double = {
+    val n = codes.length
+    require(2 * n == wts.numElements(),
+      s"weight length mismatch: ${wts.numElements()} vs 2*$n")
+    var s = base
+    var i = 0
+    while (i < n) {
+      val c = (codes(i) & 0xFF).toDouble
+      s += (wts.getDouble(2 * i) + wts.getDouble(2 * i + 1) * c) * c
+      i += 1
+    }
+    s
+  }
+
   // ---- product quantization (Jégou et al., "Product Quantization for
   // Nearest Neighbor Search", TPAMI 2011 — the standard billion-scale
   // compression: dim floats → m bytes) ----
@@ -378,6 +402,39 @@ case class Sq8AdcDot(first: Expression, second: Expression, third: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (c, w, b) => s"graft.functions.QuantKernels.sq8AdcDot($c, $w, $b)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `sq8_adc_poly(codes, interleaved_weights, base) → double` — quadratic
+  * ADC (see [[QuantKernels.sq8AdcPoly]]): the factorization that serves
+  * SQ8 under the l2 and cosine metrics without dequantizing. */
+case class Sq8AdcPoly(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_adc_poly"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType &&
+      (second.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) && third.dataType == DoubleType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, array<double>, double), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(codes: Any, wts: Any, base: Any): Any =
+    QuantKernels.sq8AdcPoly(codes.asInstanceOf[Array[Byte]],
+      wts.asInstanceOf[ArrayData], base.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, w, b) => s"graft.functions.QuantKernels.sq8AdcPoly($c, $w, $b)")
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)

@@ -74,6 +74,8 @@ object VecFunctions {
     c(Sq8Encode(e(v), e(mins), e(scales)))
   def sq8AdcDot(codes: Column, weights: Column, base: Column): Column =
     c(Sq8AdcDot(e(codes), e(weights), e(base)))
+  def sq8AdcPoly(codes: Column, wts: Column, base: Column): Column =
+    c(Sq8AdcPoly(e(codes), e(wts), e(base)))
 
   /** Register the full graft SQL function surface on a live session (same
     * registration table as [[graft.GraftExtensions]]). */

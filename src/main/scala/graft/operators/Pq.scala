@@ -56,6 +56,42 @@ object Pq {
       }
       out
     }
+
+    /** Metric-parameterized ADC table — because the subspaces PARTITION
+      * the dims, per-group terms sum to the whole-vector quantity:
+      *   - ip / cosine: lut = ⟨q_g, centroid⟩, Σ_g = ⟨q, v̂⟩ (on the
+      *     cosine contract's normalized vectors that IS the similarity);
+      *   - l2: lut = −‖q_g − centroid‖², Σ_g = −‖q − v̂‖² — the
+      *     higher-is-closer L2 score, still m table reads per row.
+      * The codes themselves are metric-agnostic (L2-nearest-centroid
+      * encoding, the standard PQ construction even for IP serving), so
+      * one persisted code table serves every metric. */
+    def lutFor(query: Array[Float], metric: String): Array[Double] = metric match {
+      case HnswIndex.MetricCosine | HnswIndex.MetricIp => lut(query)
+      case HnswIndex.MetricL2 =>
+        require(query.length == dim, s"query dim ${query.length} != model dim $dim")
+        val out = new Array[Double](m * k)
+        var g = 0
+        while (g < m) {
+          var c = 0
+          while (c < k) {
+            val off = (g * k + c) * subDim
+            var s = 0.0
+            var j = 0
+            while (j < subDim) {
+              val d = query(g * subDim + j).toDouble - codebook(off + j)
+              s += d * d
+              j += 1
+            }
+            out(g * k + c) = -s
+            c += 1
+          }
+          g += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(
+        s"unknown metric '$other' (expected cosine | l2 | ip)")
+    }
   }
 
   private def splitmix(state: Long): Long = {
@@ -182,8 +218,9 @@ object Pq {
     * (idCol, score|qscore), ordered best-first with id tie-break. */
   def knn(
       df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, model: PqModel, rerank: Int = 0): DataFrame = {
-    val lut = model.lut(query)
+      query: Array[Float], k: Int, model: PqModel, rerank: Int = 0,
+      metric: String = HnswIndex.MetricCosine): DataFrame = {
+    val lut = model.lutFor(query, metric)
     val scored = df.select(col(idCol), col(vecCol),
       adcCol(encodeCol(col(vecCol), model), lut).as("qscore"))
     if (rerank <= 0)
@@ -192,7 +229,7 @@ object Pq {
     else {
       val r = math.max(rerank, k)
       scored.orderBy(col("qscore").desc, col(idCol).asc).limit(r)
-        .withColumn("score", cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)))
+        .withColumn("score", VectorSearch.exactScoreCol(metric, col(vecCol), query))
         .orderBy(col("score").desc, col(idCol).asc).limit(k)
         .select(col(idCol), col("score"))
     }
@@ -203,8 +240,9 @@ object Pq {
     * in this table). */
   def knnEncoded(
       df: DataFrame, idCol: String, codesCol: String,
-      query: Array[Float], k: Int, model: PqModel): DataFrame =
-    df.select(col(idCol), adcCol(col(codesCol), model.lut(query)).as("qscore"))
+      query: Array[Float], k: Int, model: PqModel,
+      metric: String = HnswIndex.MetricCosine): DataFrame =
+    df.select(col(idCol), adcCol(col(codesCol), model.lutFor(query, metric)).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc).limit(k)
 
   // ---- persisted serving path (IndexStore home, like IVF/HNSW/binary).
@@ -218,14 +256,17 @@ object Pq {
     scala.collection.concurrent.TrieMap.empty[String, (PqModel, DataFrame)]
 
   /** Where the persisted codes for a source live, keyed by source path +
-    * mtime + build params + format version. */
+    * mtime + build params + format version. `variant` distinguishes homes
+    * built over DERIVED frames of the same file (e.g. a re-scaled view) —
+    * callers passing a transformed `df` must tag it or the cache would
+    * serve the untransformed build. */
   def indexPathFor(spark: org.apache.spark.sql.SparkSession, sourcePath: String,
-      m: Int = 8, k: Int = 256): String = {
+      m: Int = 8, k: Int = 256, variant: String = ""): String = {
     val mtime = IndexStore.mtimeOf(spark, sourcePath)
     val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/pq")
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-pq")
     val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@m=$m@k=$k@v$FormatVersion"))
+      s"$sourcePath@$mtime@m=$m@k=$k@var=$variant@v$FormatVersion"))
     s"$root/$key"
   }
 
@@ -253,8 +294,8 @@ object Pq {
   def serveCodes(
       spark: org.apache.spark.sql.SparkSession, sourcePath: String,
       df: => DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 256): (PqModel, DataFrame) = {
-    val home = indexPathFor(spark, sourcePath, m, k)
+      m: Int = 8, k: Int = 256, variant: String = ""): (PqModel, DataFrame) = {
+    val home = indexPathFor(spark, sourcePath, m, k, variant)
     cache.getOrElseUpdate(home, {
       val fs = IndexStore.fsFor(spark, home)
       val target = fs.makeQualified(new org.apache.hadoop.fs.Path(home))
@@ -293,13 +334,15 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, sourcePath: String,
       df: => DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, rerank: Int = 0,
-      m: Int = 8, kCent: Int = 256, inPushdownMax: Int = 8192): DataFrame = {
+      m: Int = 8, kCent: Int = 256, inPushdownMax: Int = 8192,
+      metric: String = HnswIndex.MetricCosine, variant: String = ""): DataFrame = {
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
-    val (model, codes) = serveCodes(spark, sourcePath, df, idCol, vecCol, m, kCent)
-    val cand = knnEncoded(codes, "id", "pq", query, r, model)
+    val (model, codes) =
+      serveCodes(spark, sourcePath, df, idCol, vecCol, m, kCent, variant)
+    val cand = knnEncoded(codes, "id", "pq", query, r, model, metric)
       .select(col("id").as(idCol))
     VectorSearch.fetchShortlist(df, Seq(idCol), cand, r, inPushdownMax)
-      .withColumn("score", cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)))
+      .withColumn("score", VectorSearch.exactScoreCol(metric, col(vecCol), query))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))

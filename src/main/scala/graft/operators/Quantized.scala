@@ -53,11 +53,16 @@ object Quantized {
 
   /** One-pass binary-prefilter KNN over `df(idCol, vecCol)`: order by
     * (Hamming to query signature, id), keep `rerank` candidates (default
-    * 10k), exact-cosine re-rank to top-k. One scan; the win over brute
-    * force is compute (xor/popcount vs a 2·dim-flop cosine per row). */
+    * 10k), exact re-rank to top-k under `metric` ∈ {cosine, l2, ip}. One
+    * scan; the win over brute force is compute (xor/popcount vs a
+    * 2·dim-flop cosine per row). Sign-bit Hamming is an ANGULAR proxy
+    * (pgvector's `bit_hamming_ops` story): under l2/ip on un-normalized
+    * vectors the shortlist ignores magnitude, so recall is governed by the
+    * re-rank width — exactly the published binary-quantization trade. */
   def binaryKnn(
       df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, rerank: Int = 0): DataFrame = {
+      query: Array[Float], k: Int, rerank: Int = 0,
+      metric: String = HnswIndex.MetricCosine): DataFrame = {
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
     val qSig = typedLit(packQuery(query))
     val cand = df.select(col(idCol), col(vecCol))
@@ -65,7 +70,7 @@ object Quantized {
       .orderBy(col("__ham").asc, col(idCol).asc)
       .limit(r)
     cand
-      .withColumn("score", cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)))
+      .withColumn("score", VectorSearch.exactScoreCol(metric, col(vecCol), query))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -80,17 +85,19 @@ object Quantized {
       spark: SparkSession, sourcePath: String, df: => DataFrame,
       idCol: String, vecCol: String,
       query: Array[Float], k: Int, rerank: Int = 0,
-      inPushdownMax: Int = 8192): DataFrame = {
+      inPushdownMax: Int = 8192,
+      metric: String = HnswIndex.MetricCosine,
+      variant: String = ""): DataFrame = {
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
     val qSig = typedLit(packQuery(query))
-    val sigs = serveSignatures(spark, sourcePath, df, idCol, vecCol)
+    val sigs = serveSignatures(spark, sourcePath, df, idCol, vecCol, variant)
     val cand = sigs
       .withColumn("__ham", vecHamming(col("sig"), qSig))
       .orderBy(col("__ham").asc, col("id").asc)
       .limit(r)
       .select(col("id").as(idCol))
     VectorSearch.fetchShortlist(df, Seq(idCol), cand, r, inPushdownMax)
-      .withColumn("score", cosineSimilarity(col(vecCol), floatVec(query.toIndexedSeq)))
+      .withColumn("score", VectorSearch.exactScoreCol(metric, col(vecCol), query))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
@@ -106,12 +113,13 @@ object Quantized {
   /** Where the signature index for a source lives: GRAFT_INDEX_DIR/binsig
     * (default java.io.tmpdir/graft-binsig), keyed by source path + mtime +
     * format version — a source rewrite resolves to a fresh home. */
-  def indexPathFor(spark: SparkSession, sourcePath: String): String = {
+  def indexPathFor(spark: SparkSession, sourcePath: String,
+      variant: String = ""): String = {
     val mtime = IndexStore.mtimeOf(spark, sourcePath)
     val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/binsig")
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-binsig")
     val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@v$FormatVersion"))
+      s"$sourcePath@$mtime@var=$variant@v$FormatVersion"))
     s"$root/$key"
   }
 
@@ -121,8 +129,8 @@ object Quantized {
     * concurrent builders race safely). */
   def serveSignatures(
       spark: SparkSession, sourcePath: String, df: => DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val home = indexPathFor(spark, sourcePath)
+      idCol: String, vecCol: String, variant: String = ""): DataFrame = {
+    val home = indexPathFor(spark, sourcePath, variant)
     cache.getOrElseUpdate(home, {
       val fs = IndexStore.fsFor(spark, home)
       val target = fs.makeQualified(new Path(home))
@@ -174,44 +182,74 @@ object Quantized {
     df.withColumn(codesCol,
       sq8Encode(col(vecCol), typedLit(model.mins), typedLit(model.scales)))
 
-  /** Top-k by ADC inner product against the SQ8 codes: the scan is a
-    * byte-dot with query-precomputed weights/base, merged by
-    * TakeOrderedAndProject. Output (idCol, qscore), ordered
-    * (qscore desc, id). */
-  def sq8Knn(
-      df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, model: Sq8Model): DataFrame = {
+  /** Higher-is-closer ADC score column for `codes` under `metric`
+    * (pgvector's three ops classes), all query-side work precomputed:
+    *   - ip:     base + Σ wᵢ·cᵢ (the classic linear ADC dot);
+    *   - l2:     −‖q − v̂‖² via the quadratic ADC (one fused
+    *             multiply-add per dim — never dequantizes);
+    *   - cosine: dot / (‖q‖·‖v̂‖) with BOTH numerator and the
+    *             reconstructed row norm read off the codes (two ADC
+    *             passes per row; a degenerate v̂ = 0 scores 0).
+    * Every branch stays inside whole-stage codegen and is
+    * SQL-replayable — the v12/v21 oracles replay it term for term. */
+  def sq8ScoreCol(codes: org.apache.spark.sql.Column, query: Array[Float],
+      model: Sq8Model, metric: String): org.apache.spark.sql.Column = {
     require(query.length == model.dim,
       s"query dim ${query.length} != model dim ${model.dim}")
-    val weights = model.mins.indices
-      .map(i => query(i).toDouble * model.scales(i)).toArray
-    var base = 0.0
-    var i = 0
-    while (i < model.dim) { base += query(i).toDouble * model.mins(i); i += 1 }
+    val qd = query.map(_.toDouble)
+    metric match {
+      case HnswIndex.MetricIp | HnswIndex.MetricCosine =>
+        val weights = model.mins.indices.map(i => qd(i) * model.scales(i)).toArray
+        val base = model.mins.indices.map(i => qd(i) * model.mins(i)).sum
+        val dot = sq8AdcDot(codes, typedLit(weights), lit(base))
+        if (metric == HnswIndex.MetricIp) dot
+        else {
+          val qn = math.sqrt(qd.map(x => x * x).sum)
+          val nw = model.mins.indices.flatMap(i => Seq(
+            2.0 * model.mins(i) * model.scales(i),
+            model.scales(i) * model.scales(i))).toArray
+          val nbase = model.mins.map(m => m * m).sum
+          val norm2 = sq8AdcPoly(codes, typedLit(nw), lit(nbase))
+          when(norm2 > 0.0 && lit(qn) > 0.0, dot / (lit(qn) * sqrt(norm2)))
+            .otherwise(lit(0.0))
+        }
+      case HnswIndex.MetricL2 =>
+        val a = model.mins.indices.map(i => qd(i) - model.mins(i))
+        val w = model.mins.indices.flatMap(i => Seq(
+          2.0 * a(i) * model.scales(i),
+          -model.scales(i) * model.scales(i))).toArray
+        val base = -a.map(x => x * x).sum
+        sq8AdcPoly(codes, typedLit(w), lit(base))
+      case other => throw new IllegalArgumentException(
+        s"unknown metric '$other' (expected cosine | l2 | ip)")
+    }
+  }
+
+  /** Top-k by ADC score against the SQ8 codes under `metric` (default ip —
+    * the classic byte-dot): the scan is query-precomputed weighted byte
+    * arithmetic merged by TakeOrderedAndProject. Output (idCol, qscore),
+    * ordered (qscore desc, id) — qscore is higher-is-closer under every
+    * metric (−distance² for l2). */
+  def sq8Knn(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, model: Sq8Model,
+      metric: String = HnswIndex.MetricIp): DataFrame =
     df.select(col(idCol),
-        sq8AdcDot(
+        sq8ScoreCol(
           sq8Encode(col(vecCol), typedLit(model.mins), typedLit(model.scales)),
-          typedLit(weights), lit(base)).as("qscore"))
+          query, model, metric).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** [[sq8Knn]] over a frame that already carries the code column (the
     * persisted-codes serving shape: scan (id, sq8) — a quarter of the
     * full-precision bytes — and never touch the float vectors). */
   def sq8KnnEncoded(
       df: DataFrame, idCol: String, codesCol: String,
-      query: Array[Float], k: Int, model: Sq8Model): DataFrame = {
-    require(query.length == model.dim,
-      s"query dim ${query.length} != model dim ${model.dim}")
-    val weights = model.mins.indices
-      .map(i => query(i).toDouble * model.scales(i)).toArray
-    var base = 0.0
-    var i = 0
-    while (i < model.dim) { base += query(i).toDouble * model.mins(i); i += 1 }
+      query: Array[Float], k: Int, model: Sq8Model,
+      metric: String = HnswIndex.MetricIp): DataFrame =
     df.select(col(idCol),
-        sq8AdcDot(col(codesCol), typedLit(weights), lit(base)).as("qscore"))
+        sq8ScoreCol(col(codesCol), query, model, metric).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol).asc)
       .limit(k)
-  }
 }

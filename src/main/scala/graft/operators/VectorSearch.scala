@@ -20,6 +20,22 @@ import graft.functions.VecFunctions._
   */
 object VectorSearch {
 
+  /** Exact higher-is-closer score column for a metric ∈ {cosine, l2, ip}
+    * (pgvector's three ops classes): cosine similarity, NEGATED L2
+    * distance, raw inner product. The shared re-rank scorer of every
+    * quantized/ANN serving path — negating L2 keeps fusion and top-k
+    * metric-agnostic (`orderBy(score desc)` everywhere). */
+  def exactScoreCol(metric: String, vec: Column, query: Array[Float]): Column = {
+    val q = floatVec(query.toIndexedSeq)
+    metric match {
+      case HnswIndex.MetricCosine => cosineSimilarity(vec, q)
+      case HnswIndex.MetricL2 => -vecDistanceL2(vec, q)
+      case HnswIndex.MetricIp => vecDot(vec, q)
+      case other => throw new IllegalArgumentException(
+        s"unknown metric '$other' (expected cosine | l2 | ip)")
+    }
+  }
+
   /** Exact brute-force top-k by cosine similarity against a single query
     * vector. Returns `idCols :+ score`, ordered by score desc (ties broken
     * by the first id column for determinism).

@@ -1159,14 +1159,14 @@ object QueryCatalog {
   // sits behind the DuckDB gate; pruned-recall contracts per metric live
   // in HnswSpec/IvfSpec.
 
-  private def scaledEmb(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def scaledEmb(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     emb.select(col("vec_id"),
       vecMulScalar(col("embedding"),
         (col("vec_id") % 7 + 1).cast("float")).as("embedding"))
   }
 
-  private def scaledQuery(s: SparkSession, dir: String, id: Int): Array[Float] = {
+  private[queries] def scaledQuery(s: SparkSession, dir: String, id: Int): Array[Float] = {
     import s.implicits._
     val raw = t(s, dir, "embeddings").where(col("vec_id") === id)
       .select("embedding").as[Array[Float]].head()
@@ -1175,7 +1175,7 @@ object QueryCatalog {
   }
 
   // the de-normalized vectors and query, replayed in float32 in DuckDB
-  private def scaledSql(qid: Int) =
+  private[queries] def scaledSql(qid: Int) =
     s"""q AS (SELECT list_transform(embedding,
              x -> CAST(x * CAST(${qid % 7 + 1} AS FLOAT) AS FLOAT)) AS qe
            FROM embeddings WHERE vec_id = $qid),
@@ -1276,6 +1276,91 @@ object QueryCatalog {
               GROUP BY e.vec_id)
             SELECT vec_id, round(ip, 4) AS ip FROM d
             ORDER BY ip DESC, vec_id LIMIT 10"""))
+
+  /** SQ8 scan under METRIC l2 over un-normalized vectors — the quadratic
+    * ADC factorization (−‖q − v̂‖² read off the byte codes, never
+    * dequantized). The oracle replays fit → encode → reconstruct →
+    * squared-distance in SQL. */
+  val v21KnnSq8L2: GraftQuery = GraftQuery(
+    "v21_knn_sq8_l2",
+    (s, dir) => {
+      val emb = scaledEmb(s, dir)
+      val q = scaledQuery(s, dir, 9)
+      val model = graft.operators.Quantized.sq8Fit(emb, "embedding")
+      graft.operators.Quantized.sq8Knn(emb, "vec_id", "embedding", q, 10, model,
+          metric = graft.operators.HnswIndex.MetricL2)
+        .select(col("vec_id"), round(col("qscore"), 4).as("qscore"))
+    },
+    Some(s"""WITH ${scaledSql(9)},
+            x AS (SELECT vec_id, CAST(i AS INT) AS d,
+                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+              FROM se, range(1, 65) t(i)),
+            sc AS (SELECT d, min(v) AS mn,
+                CASE WHEN max(v) = min(v) THEN 0.0
+                     ELSE (max(v) - min(v)) / 255.0 END AS scale
+              FROM x GROUP BY d),
+            codes AS (SELECT x.vec_id, x.d,
+                CASE WHEN sc.scale = 0.0 THEN 0
+                     ELSE least(greatest(
+                       CAST(floor((x.v - sc.mn) / sc.scale + 0.5) AS INT), 0), 255)
+                END AS code
+              FROM x JOIN sc USING (d)),
+            qd AS (SELECT CAST(i AS INT) AS d,
+                CAST(qe[CAST(i AS INT)] AS DOUBLE) AS qv
+              FROM q, range(1, 65) t(i)),
+            sco AS (SELECT c.vec_id,
+                -sum(pow(qd.qv - (sc.mn + sc.scale * c.code), 2)) AS qscore
+              FROM codes c JOIN sc USING (d) JOIN qd USING (d)
+              GROUP BY c.vec_id)
+            SELECT vec_id, round(qscore, 4) AS qscore FROM sco
+            ORDER BY qscore DESC, vec_id LIMIT 10"""))
+
+  /** PQ serving under METRIC l2 over un-normalized vectors: the l2 ADC
+    * LUT (−‖q_g − centroid‖² per subspace, summing to −‖q − v̂‖²
+    * because subspaces partition the dims) shortlists, exact L2 re-ranks.
+    * Fitted-codebook replay like v16, generated per scale factor. */
+  val v22KnnPqL2: GraftQuery = GraftQuery(
+    "v22_knn_pq_l2",
+    (s, dir) => {
+      val emb = scaledEmb(s, dir)
+      val q = scaledQuery(s, dir, 7)
+      graft.operators.Pq.knnIndexed(
+          s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", q, 10,
+          rerank = 200, m = 8, kCent = 32,
+          metric = graft.operators.HnswIndex.MetricL2, variant = "scaled7")
+        .select(col("vec_id"), round(-col("score"), 4).as("dist"))
+    },
+    None,
+    oracleGen = Some((s, dir) => V22OracleSql.sql(s, dir)))
+
+  /** Binary-signature serving under METRIC l2 over un-normalized vectors:
+    * sign-bit Hamming shortlist (scale-invariant, the angular proxy), exact
+    * L2 re-rank — pgvector's bit_hamming_ops + re-rank shape. */
+  val v23KnnBinaryL2: GraftQuery = GraftQuery(
+    "v23_knn_binary_l2",
+    (s, dir) => {
+      val emb = scaledEmb(s, dir)
+      val q = scaledQuery(s, dir, 7)
+      graft.operators.Quantized.binaryKnnIndexed(
+          s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", q, 10,
+          rerank = 100, metric = graft.operators.HnswIndex.MetricL2,
+          variant = "scaled7")
+        .select(col("vec_id"), round(-col("score"), 4).as("dist"))
+    },
+    Some(s"""WITH ${scaledSql(7)},
+            h AS (SELECT e.vec_id,
+                sum(CASE WHEN (e.embedding[CAST(i AS INT)] > 0)
+                         <> (q.qe[CAST(i AS INT)] > 0) THEN 1 ELSE 0 END) AS ham
+              FROM se e, q, range(1, 65) t(i)
+              GROUP BY e.vec_id),
+            cand AS (SELECT vec_id FROM h ORDER BY ham, vec_id LIMIT 100),
+            d AS (SELECT e.vec_id,
+                sqrt(sum(pow(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                             - CAST(q.qe[CAST(i AS INT)] AS DOUBLE), 2))) AS dist
+              FROM se e JOIN cand USING (vec_id), q, range(1, 65) t(i)
+              GROUP BY e.vec_id)
+            SELECT vec_id, round(dist, 4) AS dist FROM d
+            ORDER BY dist, vec_id LIMIT 10"""))
 
   // ---------------------------------------------------------------- doc store
 
@@ -1986,6 +2071,7 @@ object QueryCatalog {
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     v17KnnHnswL2, v18KnnHnswIp, v19KnnIvfL2, v20KnnIvfIp,
+    v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,

@@ -104,4 +104,49 @@ class PqSpec extends AnyFunSuite {
       .select($"vec_id", round($"qscore", 9).as("s")).as[(Long, Double)].collect().toSeq
     assert(twin == direct)
   }
+
+  // ---- metric-parameterized LUTs ----
+
+  private lazy val scaled = emb.select($"vec_id",
+    vecMulScalar($"embedding", ($"vec_id" % 7 + 1).cast("float")).as("embedding"))
+
+  test("l2 LUT sums to the negated squared distance to the reconstructed vector") {
+    val model = Pq.fit(scaled, "vec_id", "embedding", m = 8, k = 16, iters = 5)
+    val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
+      .map(_ * 1f)
+    val lut = model.lutFor(q, graft.operators.HnswIndex.MetricL2)
+    val rows = Pq.encodeFrame(scaled.limit(40), "embedding", model)
+      .select($"vec_id", $"pq").as[(Long, Array[Byte])].collect()
+    rows.foreach { case (id, codes) =>
+      val adc = codes.indices.map(g => lut(g * model.k + (codes(g) & 0xFF))).sum
+      // reconstruct and measure directly
+      val want = -codes.indices.map { g =>
+        val off = (g * model.k + (codes(g) & 0xFF)) * model.subDim
+        (0 until model.subDim).map { j =>
+          val d = q(g * model.subDim + j).toDouble - model.codebook(off + j)
+          d * d
+        }.sum
+      }.sum
+      assert(math.abs(adc - want) < 1e-9, s"id $id")
+    }
+  }
+
+  test("knn metric=l2 with full-width re-rank equals exact L2 top-k; mixed metrics differ") {
+    val model = Pq.fit(scaled, "vec_id", "embedding", m = 8, k = 16, iters = 5)
+    val q = scaled.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
+    val n = scaled.count().toInt
+    val got = Pq.knn(scaled, "vec_id", "embedding", q, 10, model, rerank = n,
+        metric = graft.operators.HnswIndex.MetricL2)
+      .select($"vec_id").as[Long].collect().toSeq
+    val want = scaled
+      .select($"vec_id", vecDistanceL2($"embedding", floatVec(q.toIndexedSeq)).as("d"))
+      .orderBy($"d".asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == want)
+    // on de-normalized vectors the ip ordering is genuinely different
+    val ip = Pq.knn(scaled, "vec_id", "embedding", q, 10, model, rerank = n,
+        metric = graft.operators.HnswIndex.MetricIp)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(ip != got)
+  }
 }

@@ -49,6 +49,14 @@ object Probe {
       }
       spark.stop()
 
+    case "rows" :: rest =>
+      val (queries, opts) = rest.partition(SparkEntry.queries.contains)
+      val sfDir = opts.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+      val spark = session()
+      for (q <- queries)
+        println(s"ROWS $q = ${SparkEntry.queries(q)(spark, sfDir).count()}")
+      spark.stop()
+
     case "explain" :: q :: rest =>
       val sfDir = rest.headOption.getOrElse(TestSpark.sf001)
       val spark = session(8)

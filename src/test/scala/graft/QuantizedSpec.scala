@@ -333,4 +333,82 @@ class QuantizedSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq
     assert(twin == direct)
   }
+
+  // ---- metric-parameterized serving (pgvector's three ops classes) ----
+
+  private lazy val scaled = emb.select($"vec_id",
+    vecMulScalar($"embedding", ($"vec_id" % 7 + 1).cast("float")).as("embedding"))
+
+  private def scaledQ(id: Long): Array[Float] = {
+    val raw = emb.where($"vec_id" === id).select("embedding").as[Array[Float]].head()
+    raw.map(_ * (id % 7 + 1).toFloat)
+  }
+
+  test("sq8 l2 score equals negated squared distance to the reconstructed vector") {
+    val model = Quantized.sq8Fit(scaled, "embedding")
+    val q = scaledQ(9)
+    val got = scaled.limit(50)
+      .select($"vec_id",
+        Quantized.sq8ScoreCol(
+          sq8Encode($"embedding", typedLit(model.mins), typedLit(model.scales)),
+          q, model, graft.operators.HnswIndex.MetricL2).as("s"),
+        $"embedding")
+      .as[(Long, Double, Array[Float])].collect()
+    val codes = Quantized.sq8EncodeFrame(scaled.limit(50), "embedding", model)
+      .select($"vec_id", $"sq8").as[(Long, Array[Byte])].collect().toMap
+    got.foreach { case (id, s, _) =>
+      val c = codes(id)
+      val want = -c.indices.map { i =>
+        val vhat = model.mins(i) + model.scales(i) * (c(i) & 0xFF)
+        val d = q(i).toDouble - vhat
+        d * d
+      }.sum
+      assert(math.abs(s - want) < 1e-9, s"id $id: $s vs $want")
+    }
+  }
+
+  test("sq8 cosine score equals cosine of query and reconstructed vector") {
+    val model = Quantized.sq8Fit(scaled, "embedding")
+    val q = scaledQ(4)
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val got = scaled.limit(50)
+      .select($"vec_id",
+        Quantized.sq8ScoreCol(
+          sq8Encode($"embedding", typedLit(model.mins), typedLit(model.scales)),
+          q, model, graft.operators.HnswIndex.MetricCosine).as("s"))
+      .as[(Long, Double)].collect()
+    val codes = Quantized.sq8EncodeFrame(scaled.limit(50), "embedding", model)
+      .select($"vec_id", $"sq8").as[(Long, Array[Byte])].collect().toMap
+    got.foreach { case (id, s) =>
+      val c = codes(id)
+      val vhat = c.indices.map(i => model.mins(i) + model.scales(i) * (c(i) & 0xFF))
+      val dot = vhat.indices.map(i => q(i).toDouble * vhat(i)).sum
+      val vn = math.sqrt(vhat.map(x => x * x).sum)
+      val want = if (vn > 0 && qn > 0) dot / (qn * vn) else 0.0
+      assert(math.abs(s - want) < 1e-9, s"id $id: $s vs $want")
+    }
+  }
+
+  test("binary knn metric=l2 with full-width re-rank equals exact L2 top-k") {
+    val q = scaledQ(7)
+    val n = scaled.count().toInt
+    val got = Quantized.binaryKnn(scaled, "vec_id", "embedding", q, 10,
+        rerank = n, metric = graft.operators.HnswIndex.MetricL2)
+      .select($"vec_id").as[Long].collect().toSeq
+    val want = scaled
+      .select($"vec_id", vecDistanceL2($"embedding", floatVec(q.toIndexedSeq)).as("d"))
+      .orderBy($"d".asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
+  test("sq8_adc_poly registered on the SQL surface") {
+    graft.functions.VecFunctions.registerAll(spark)
+    // codes [2]: base 1 + (w1 + w2*2)*2 = 1 + (3 + 0.5*2)*2 = 9
+    val v = spark.sql(
+      """SELECT sq8_adc_poly(sq8_encode(array(CAST(2.0 AS FLOAT)),
+        |  array(0.0D), array(1.0D)),
+        |  array(3.0D, 0.5D), 1.0D) AS v""".stripMargin).as[Double].head()
+    assert(math.abs(v - 9.0) < 1e-12)
+  }
 }
