@@ -1475,20 +1475,19 @@ object QueryCatalog {
     else (new graft.store.Collection(s, "docs", e2eWh(key)), e2ePipeline(chunkSize, overlap))
   }
 
-  val s4VectorSearchE2e: GraftQuery = GraftQuery(
-    "s4_vector_search_e2e",
-    (s, dir) => {
-      val (c, p) = e2eCollection(s, dir, 100000, 0)
-      c.vectorSearch(p,
-          Seq(graft.store.VectorSearchField("text", "spark query table join")), limit = 10)
-        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
-          col("chunk"), round(col("score"), 5).as("score"))
-    },
-    Some("""WITH inp AS (
+  /** DuckDB replay of the whole-document hash-embed + cosine scoring of
+    * `vectorSearch` under the one-chunk-per-document config: documents ∪
+    * the query text hash-embed (FNV-1a token hash → splitmix64 per-dim
+    * sign → L2-normalized float32) replayed in HUGEINT limb SQL, then
+    * cosine against the query row. Ends at CTE `scored(doc_id, raw)` —
+    * callers append their own SELECT (s4's top-k, s8's RAG composition).
+    */
+  private[queries] def s4ScoredCtes(queryText: String): String =
+    s"""inp AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
-              UNION ALL SELECT -1, 'spark query table join'),
+              UNION ALL SELECT -1, '$queryText'),
             tok AS (SELECT doc_id,
-              unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                 t -> t <> '')) AS t FROM inp),
             toku AS (SELECT DISTINCT t FROM tok),
             th AS (SELECT t, list_reduce(
@@ -1528,7 +1527,18 @@ object QueryCatalog {
                 CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
                      ELSE dt / (sqrt(na) * sqrt(nb)) END AS raw
               FROM vecs dv, (SELECT v FROM vecs WHERE doc_id = -1) q
-              WHERE dv.doc_id >= 0)
+              WHERE dv.doc_id >= 0)"""
+
+  val s4VectorSearchE2e: GraftQuery = GraftQuery(
+    "s4_vector_search_e2e",
+    (s, dir) => {
+      val (c, p) = e2eCollection(s, dir, 100000, 0)
+      c.vectorSearch(p,
+          Seq(graft.store.VectorSearchField("text", "spark query table join")), limit = 10)
+        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          col("chunk"), round(col("score"), 5).as("score"))
+    },
+    Some(s"""WITH ${s4ScoredCtes("spark query table join")}
             SELECT sc.doc_id, d.text AS chunk, round(sc.raw, 5) AS score
             FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
             ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
@@ -1633,6 +1643,48 @@ object QueryCatalog {
               round(total, 5) AS score
             FROM fused
             ORDER BY total DESC, md5(CAST(doc_id AS VARCHAR)) LIMIT 10"""))
+
+  /** RAG envelope ORACLED end to end (`collection.rag`,
+    * pgml-sdks rag query shape): vectorSearch retrieves top-3 chunks, the
+    * prompt template's `{CONTEXT}` slot is filled with the newline-joined
+    * chunks, and the deterministic EchoGenerator digests the prompt (first
+    * 32 whitespace tokens behind a "[generated] " prefix — the offline
+    * stand-in for the in-process text-generation boundary). The DuckDB
+    * replay composes the s4 hash-embed/cosine CTEs with string_agg +
+    * replace + token-slice, so retrieval, composition, source attribution,
+    * and generation all sit behind ONE hash gate. Sources are joined with
+    * chr(31) (the list-safe separator the S1 oracle established).
+    */
+  val s8Rag: GraftQuery = GraftQuery(
+    "s8_rag",
+    (s, dir) => {
+      import s.implicits._
+      val (c, p) = e2eCollection(s, dir, 100000, 0)
+      val res = c.rag(p,
+        vars = Map("CONTEXT" ->
+          (Seq(graft.store.VectorSearchField("text", "spark query table join")), 3)),
+        promptTemplate = "Answer from context: {CONTEXT} Q: spark query table join",
+        joinSep = "\n")
+      Seq((res.rag, res.sources("CONTEXT").mkString("\u001f")))
+        .toDF("rag", "sources")
+    },
+    Some(s"""WITH ${s4ScoredCtes("spark query table join")},
+            top3 AS (SELECT sc.doc_id, d.text AS chunk, sc.raw
+              FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+              ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 3),
+            agg AS (SELECT
+                string_agg(chunk, chr(10)
+                  ORDER BY raw DESC, md5(CAST(doc_id AS VARCHAR))) AS ctx,
+                string_agg(chunk, chr(31)
+                  ORDER BY raw DESC, md5(CAST(doc_id AS VARCHAR))) AS srcs
+              FROM top3),
+            pr AS (SELECT replace(
+                'Answer from context: {CONTEXT} Q: spark query table join',
+                '{CONTEXT}', ctx) AS prompt, srcs FROM agg)
+            SELECT '[generated] ' || array_to_string(
+                list_slice(string_split_regex(prompt, '\\s+'), 1, 32), ' ') AS rag,
+              srcs AS sources
+            FROM pr"""))
 
   /** order_by over JSON document paths with NULLS LAST (order_by_builder
     * semantics): docs whose `rank` key is absent sort last; output carries
@@ -2079,7 +2131,7 @@ object QueryCatalog {
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
-    s6VectorSearchChunked, s7HybridSearch,
+    s6VectorSearchChunked, s7HybridSearch, s8Rag,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
