@@ -363,6 +363,27 @@ class Trainer(spark: SparkSession, registryDir: String) {
     def d(k: String, dft: Double) = hp.get(k).map(_.toString.toDouble).getOrElse(dft)
     def i(k: String, dft: Int) = hp.get(k).map(_.toString.toDouble.toInt).getOrElse(dft)
 
+    // Kernel-SVM family (sklearn SVC/NuSVC/SVR, RBF kernel by default —
+    // reference algorithm enum algorithm.rs:6-52): served via the random
+    // Fourier feature approximation + a linear estimator (sklearn's own
+    // documented large-scale path, RBFSampler) — see [[RffTransformer]].
+    // kernel='linear' stands the map down to the plain linear estimator.
+    // the passed estimator must already read features from "rff_features"
+    def kernelPipeline(linear: org.apache.spark.ml.PipelineStage)
+        : org.apache.spark.ml.Estimator[_] = {
+      val dim = train.select("features").head().getAs[Vector](0).size
+      val gamma = hp.get("gamma").map(_.toString) match {
+        case None | Some("scale") | Some("auto") => 1.0 / dim
+        case Some(g) => g.toDouble
+      }
+      val rff = RffTransformer
+        .draw(dim, i("n_components", 100), gamma, 42L)
+        .setInputCol("features").setOutputCol("rff_features")
+      new org.apache.spark.ml.Pipeline().setStages(Array(rff, linear))
+    }
+    def isRbf: Boolean =
+      hp.get("kernel").map(_.toString).getOrElse("rbf") != "linear"
+
     task match {
       case "regression" =>
         val y = yCol.get
@@ -382,6 +403,12 @@ class Trainer(spark: SparkSession, registryDir: String) {
           case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" =>
             new GBTRegressor().setMaxIter(i("n_estimators", 20)).setSeed(42)
               .setLabelCol(y).setFeaturesCol("features")
+          // SVR: RBF feature map + ridge (MLlib has no epsilon-insensitive
+          // loss — squared loss over the same kernel map, recorded fallback)
+          case "svm" | "nu_svm" if isRbf => kernelPipeline(
+            new LinearRegression().setRegParam(d("alpha", 1.0))
+              .setElasticNetParam(0.0)
+              .setLabelCol(y).setFeaturesCol("rff_features"))
           case _ => new LinearRegression().setSolver("normal") // nearest-family fallback
             .setLabelCol(y).setFeaturesCol("features")
         }
@@ -394,8 +421,12 @@ class Trainer(spark: SparkSession, registryDir: String) {
         val est: org.apache.spark.ml.Estimator[_] = algorithm match {
           case "linear" | "ridge" => new LogisticRegression().setMaxIter(100)
             .setLabelCol(y).setFeaturesCol("features")
-          case "svm" | "linear_svm" | "nu_svm" => new LinearSVC()
+          case "linear_svm" => new LinearSVC()
             .setLabelCol(y).setFeaturesCol("features")
+          case "svm" | "nu_svm" if !isRbf => new LinearSVC()
+            .setLabelCol(y).setFeaturesCol("features")
+          case "svm" | "nu_svm" => kernelPipeline(
+            new LinearSVC().setLabelCol(y).setFeaturesCol("rff_features"))
           case "random_forest" | "extra_trees" => new RandomForestClassifier()
             .setNumTrees(i("n_estimators", 20)).setSeed(42)
             .setLabelCol(y).setFeaturesCol("features")

@@ -103,7 +103,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * writes no segment directory; there is nothing to log then. */
   private def appendChangelogFromSeg(seg: Int): Unit = {
     val dir = new java.io.File(s"$docsPath/seg=$seg")
-    if (dir.isDirectory) appendChangelog(spark.read.parquet(dir.getPath))
+    if (dir.isDirectory) appendChangelog(
+      DeltaTable.readParquetCached(spark, dir.getPath, s"$docsPath#segdir"))
   }
 
   private def appendChangelog(batchDocs: DataFrame): Unit = {
@@ -454,12 +455,15 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * both off, every sync action runs as ONE job over all its stages.
     * Corpus-sized work (full syncs, backfills' explicit broadcast hints,
     * merges) stays on the main session. */
-  private lazy val microSpark: SparkSession = {
+  private def microSpark(shufflePartitions: Long): SparkSession = {
     // newSession: same SparkContext/CacheManager/warehouse, fresh SQLConf
-    // seeded from the builder conf (shuffle partitions, timezone carry over)
+    // seeded from the builder conf (timezone carries over). A session PER
+    // SYNC (cheap — one SQLConf clone) so the batch-sized reduce width
+    // below can never race a concurrent sync of another pipeline.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     s2
   }
 
@@ -477,14 +481,26 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val maxB = maxChangelogBatch
     if (maxB <= wm || !new java.io.File(changelogPath).exists()) return // nothing new
 
-    // the delta path's frames all originate here, so building them on the
-    // micro session keeps the whole batch on the one-job-per-action plan
-    val ms = microSpark
+    // the delta path's frames all originate on the micro session, keeping
+    // the whole batch on the one-job-per-action plan, with the reduce
+    // width sized to the BATCH rather than the session default: a
+    // 1-document micro-batch otherwise pays 32 reduce tasks per shuffle on
+    // every action (pure scheduling overhead, and 32 tiny files per
+    // written segment), while a bulk backfill still widens. Judged from
+    // the new changelog dirs' on-disk bytes — driver-side listing, no job.
+    val newBatchBytes = Option(new java.io.File(changelogPath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")
+        && f.getName.stripPrefix("batch=").toLong > wm)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .map(_.length()).sum
+    val ms = microSpark(
+      math.max(2L, math.min(32L, 1L + newBatchBytes / (32L << 20))))
     // latest post-merge document per uuid among the new batches; checkpoint
     // so later re-executions can never observe a shifted changelog. LAZY:
     // the full-frame collect on the next line materializes every partition
     // (freezing the frame exactly like the eager form) in the same job
-    val changedDocs = ms.read.parquet(changelogPath)
+    val changedDocs = DeltaTable.readParquetCached(ms, changelogPath)
       .where(col("batch") > wm)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("source_uuid")).orderBy(col("batch").desc)))

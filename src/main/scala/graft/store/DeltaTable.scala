@@ -136,6 +136,7 @@ object DeltaTable {
     graft.operators.IvfIndex.invalidate(path)
     requireLocalWrites(path, "writeBase")
     manifestCache.remove(path)
+    invalidateSchemas(path)
     // per-file sort (not a global orderBy): tight row-group stats for key
     // pushdown without the range partitioner's extra sampling pass, which
     // would evaluate upstream expressions (e.g. the embedder) twice
@@ -499,6 +500,7 @@ object DeltaTable {
   private[graft] def publishStaged(staged: String, home: String): Unit = {
     graft.operators.IvfIndex.invalidate(home)
     manifestCache.remove(home)
+    invalidateSchemas(home)
     swap(staged, home)
   }
 
@@ -529,6 +531,38 @@ object DeltaTable {
     commitSeg(path, seg)
   }
 
+  // ---------------------------------------------------------------------
+  // Schema-cached parquet reads. Every `spark.read.parquet(path)` pays a
+  // schema-inference Spark job (parallel footer reads) at plan time; on
+  // the sync path that is a handful of sub-100 ms jobs PER MICRO-BATCH
+  // against tables whose schemas never change between full rewrites.
+  // Supplying the schema skips the job entirely. Cache keyed by path (or
+  // an explicit stable key for per-segment dirs); invalidated on the
+  // rewrite paths (writeBase / publishStaged) — delta appends share the
+  // base's layout by construction.
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+  private val SchemaCacheMaxPaths = 256
+
+  private[graft] def readParquetCached(
+      spark: SparkSession, path: String, schemaKey: String = ""): DataFrame = {
+    val key = if (schemaKey.nonEmpty) schemaKey else path
+    schemaCache.get(key) match {
+      case Some(sc) => spark.read.schema(sc).parquet(path)
+      case None =>
+        val df = spark.read.parquet(path)
+        if (schemaCache.size >= SchemaCacheMaxPaths)
+          schemaCache.keys.headOption.foreach(schemaCache.remove)
+        schemaCache.put(key, df.schema)
+        df
+    }
+  }
+
+  private[graft] def invalidateSchemas(path: String): Unit = {
+    schemaCache.keys.filter(_.startsWith(path)).foreach(schemaCache.remove)
+    ()
+  }
+
   /** Resolved view without internal columns. */
   def read(spark: SparkSession, path: String, docCol: String = "document_id"): DataFrame =
     readWithSeg(spark, path, docCol).drop("seg")
@@ -537,7 +571,7 @@ object DeltaTable {
     * ids on (doc, chunk, seg) so a re-synced row never aliases its stale
     * predecessor's node). */
   def readWithSeg(spark: SparkSession, path: String, docCol: String = "document_id"): DataFrame = {
-    val raw0 = spark.read.parquet(path)
+    val raw0 = readParquetCached(spark, path)
     // hide uncommitted (crashed mid-append) segments; the filter is on the
     // partition column, so it prunes at planning time and is skipped
     // entirely in the common every-segment-committed state
@@ -598,7 +632,7 @@ object DeltaTable {
   }
 
   private def committedManifest(spark: SparkSession, path: String): DataFrame = {
-    val manifest0 = spark.read.parquet(manifestPath(path))
+    val manifest0 = readParquetCached(spark, manifestPath(path))
     committedSegs(path) match {
       case Some(c) => manifest0.where(col("seg").isin(c.toSeq: _*))
       case None => manifest0
