@@ -38,6 +38,14 @@ class Registry(spark: SparkSession, dir: String) {
   // attached, so generate() must not pay file IO + JSON parse per call
   private val responsesCache =
     scala.collection.concurrent.TrieMap.empty[Long, Option[Map[Int, String]]]
+
+  /** Drop every serving cache — the next predict resolves the deployment
+    * pointer and reloads the estimator through MLlib's readers (what a
+    * fresh process would do). Tests use this to prove persistence. */
+  def clearServingCaches(): Unit = {
+    modelCache.clear(); deployCache.clear()
+    metricsCache.clear(); responsesCache.clear()
+  }
   // highest allocated model id — seeded from the parquet table once, then
   // advanced in memory (model rows are append-only and ids never reused).
   // The in-memory counter is only a same-instance floor: another Registry
