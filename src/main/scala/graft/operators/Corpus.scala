@@ -81,6 +81,68 @@ object Corpus {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Exact-substring span deduplication (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): remove every
+    * NON-CANONICAL occurrence of any duplicated `n`-token window across
+    * the corpus, keeping the canonical (lowest (doc, position))
+    * occurrence's text intact. The published implementation builds a
+    * corpus-wide suffix array; the distributed shape here matches
+    * duplicated spans of length ≥ n by their length-n windows instead —
+    * same guarantee for spans ≥ n (every such span contains a duplicated
+    * n-window; overlapping windows mark the whole span), linear work, no
+    * global index.
+    *
+    * Shuffle profile at 100 TB: the occurrence exchange ships
+    * (md5-gram, id, pos) FIXED-WIDTH rows — one per token, never the
+    * text; document text is only touched in the final by-id join, and the
+    * removal-mark aggregation carries ints. Stride>1 window sampling
+    * would cut the exchange linearly at bounded recall loss for long
+    * spans — not applied here (exactness keeps the oracle exact).
+    *
+    * Matching is EXACT (case- and punctuation-sensitive raw whitespace
+    * tokens) like the reference algorithm. A document whose every token
+    * is covered dedups to the empty string (the Lee et al. behavior —
+    * downstream length gates drop it).
+    *
+    * Output: (idCol, n_tokens, n_removed, text_dedup), one row per input
+    * document. Deterministic and fully SQL-replayable (t10's oracle).
+    */
+  def dedupSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 20): DataFrame = {
+    require(n >= 2, s"span window must be >= 2 tokens, got $n")
+    val base = df.select(col(idCol), col(textCol))
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+    // (pos, md5(window)) structs — built-ins only, computed in the scan
+    // stage; pos is 1-based (slice/element_at convention)
+    val windows = when(size(col("__toks")) >= n,
+      transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("__toks"), i, lit(n)))).as("gh"))))
+      .otherwise(array().cast("array<struct<pos:int,gh:string>>"))
+    val occ = base
+      .select(col(idCol).as("__id"), explode(windows).as("__o"))
+      .select(col("__id"), col("__o.pos").as("__pos"), col("__o.gh").as("__gh"))
+    // canonical occurrence per gram = min (doc, pos); everything else is a
+    // removal mark over [pos, pos+n)
+    val owner = occ.groupBy(col("__gh"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__own"))
+    val marks = occ.join(owner, Seq("__gh"))
+      .where(!(col("__id") === col("__own.__id") && col("__pos") === col("__own.__pos")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__marks"))
+    base
+      .join(marks.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("__m", coalesce(col("__marks"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(sequence(lit(1), size(col("__toks"))),
+          j => !exists(col("__m"), p => p <= j && j < p + n)))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("__kept"), j => element_at(col("__toks"), j))).as("text_dedup"))
+  }
+
   /** Streaming counterpart of [[curate]] for continuous document ingest
     * (`spark.readStream` in, append-mode out). The language / quality /
     * repetition gates are stateless column kernels, so they run unchanged

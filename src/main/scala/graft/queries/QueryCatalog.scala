@@ -773,6 +773,47 @@ object QueryCatalog {
       s"SELECT doc_id, $chain AS redacted FROM documents ORDER BY doc_id"
     })
 
+  /** Exact-substring span dedup (Lee et al. 2022): every non-canonical
+    * occurrence of a duplicated 4-token window is cut out of the text,
+    * canonical = lowest (doc, pos). ORACLED end to end: the DuckDB replay
+    * recomputes windows → canonical owner (row_number over (doc, pos)) →
+    * covered token indexes → surviving-token string_agg, so the rebuilt
+    * deduplicated TEXT goes through the hash gate, not just the counts.
+    * (n=4 on this corpus yields a few hundred genuine cross-document
+    * window collisions — enough to exercise interval merging.)
+    */
+  val t10DedupSpans: GraftQuery = GraftQuery(
+    "t10_dedup_spans",
+    (s, dir) =>
+      graft.operators.Corpus.dedupSpans(t(s, dir, "documents"), "doc_id", "text", n = 4)
+        .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(text), '\s+') AS t FROM documents),
+            occ AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT)+3], ' ')) AS gh
+              FROM (SELECT doc_id, t, unnest(
+                  CASE WHEN len(t) >= 4 THEN range(1, len(t) - 2) ELSE [] END) AS i
+                FROM tk)),
+            rk AS (SELECT doc_id, pos, gh,
+                row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+              FROM occ),
+            cov AS (SELECT DISTINCT doc_id, pos + CAST(k AS INT) AS j
+              FROM rk, range(0, 4) s(k) WHERE rn > 1),
+            tok AS (SELECT doc_id, unnest(t) AS w,
+                unnest(range(1, len(t) + 1)) AS j FROM tk),
+            keptw AS (SELECT tok.doc_id, tok.w, tok.j
+              FROM tok LEFT JOIN cov
+                ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+              WHERE cov.j IS NULL),
+            agg AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(w, ' ' ORDER BY j) AS text_dedup
+              FROM keptw GROUP BY doc_id)
+            SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+              CAST(len(tk.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+              coalesce(agg.text_dedup, '') AS text_dedup
+            FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+            ORDER BY tk.doc_id"""))
+
   /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
     * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
     * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
@@ -2126,6 +2167,7 @@ object QueryCatalog {
     v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
+    t10DedupSpans,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,

@@ -265,4 +265,50 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(6L) == "released 2024-05-01, range 12.50 - 13.75, population 1 000 000")
     assert(out(7L) == "card <PHONE> should scrub")
   }
+
+  // ---- exact-substring span dedup (Corpus.dedupSpans) ----
+
+  test("dedupSpans removes later occurrences of duplicated windows, keeps canonical") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // canonical owner of the span
+      (2L, "zeta alpha beta gamma delta eta theta"),   // contains the 4-window once
+      (3L, "iota kappa lambda mu nu")                  // untouched
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.dedupSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 5L, 0L, "alpha beta gamma delta epsilon")))
+    // doc 2: windows (alpha..delta) and (beta..eta? no) — only pos2..5
+    // duplicated → tokens 2..5 removed
+    assert(out(1)._3 == 4L)
+    assert(out(1)._4 == "zeta eta theta")
+    assert(out(2) == ((3L, 5L, 0L, "iota kappa lambda mu nu")))
+  }
+
+  test("dedupSpans merges overlapping marked intervals and can empty a document") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")  // full duplicate: every window duplicated → empty
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.dedupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 6L, 0L, "a b c d e f")))
+    assert(out(1) == ((2L, 6L, 6L, "")))
+  }
+
+  test("dedupSpans removes in-document self-repetition after the first occurrence") {
+    val docs = Seq((7L, "x y z w q x y z w r")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.dedupSpans(docs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0)._3 == 4L)
+    assert(out(0)._4 == "x y z w q r")
+  }
+
+  test("dedupSpans leaves short documents (< n tokens) untouched") {
+    val docs = Seq((1L, "only two"), (2L, "only two")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.dedupSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.forall(r => r._3 == 0L))
+  }
 }
