@@ -311,4 +311,36 @@ class TextDedupSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
     assert(out.forall(r => r._3 == 0L))
   }
+
+  test("dedupSpans occurrence exchanges ship fixed-width rows, never text/token arrays") {
+    val docs = (0 until 50).map(i => (i.toLong, s"tok$i a b c d e f g h")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.dedupSpans(docs, "doc_id", "text", n = 4)
+    out.collect() // materialize the adaptive plan
+    val exchanges = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.execution.SparkPlan]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          exchanges += e
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(out.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty)
+    // the gram-keyed exchanges (owner agg + occurrence/owner join) must be
+    // fixed-width: no document text, no token arrays riding the shuffle —
+    // only the final by-id resolve join may carry the text
+    val gramExchanges = exchanges.filter(_.output.exists(_.name.contains("__gh")))
+    assert(gramExchanges.nonEmpty, "expected gram-keyed exchanges in the plan")
+    gramExchanges.foreach { e =>
+      val bad = e.output.filter(a =>
+        a.name == "text" || a.name == "__toks" ||
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(bad.isEmpty,
+        s"occurrence exchange carries payload: ${bad.map(_.name).mkString(",")}")
+    }
+  }
 }
