@@ -41,12 +41,12 @@ object Bench {
       "v9c_hnsw_local", "v11_knn_binary", "v12_knn_sq8", "v16_knn_pq",
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "t7_pack_sequences",
-      "t8_repetition_stats", "c3_sample_mixture",
+      "t8_repetition_stats", "t10_dedup_spans", "c3_sample_mixture",
       "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "d5_decontaminate",
       "s1_chunk", "s3_fulltext_rank",
       "s4_ingest", "s4_sync_delta", "s4_vector_search_e2e",
-      "s6_vector_search_chunked",
+      "s6_vector_search_chunked", "s7_hybrid_search",
       "x1_transform_sentiment", "x2_sessions", "c1_corpus_curate",
       "m1_linear_regression").filter(n => only.forall(_.contains(n)))
 
