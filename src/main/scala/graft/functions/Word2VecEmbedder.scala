@@ -59,22 +59,28 @@ final case class Word2VecEmbedder(
 
 object Word2VecEmbedder {
 
-  /** Fit on `corpus(textCol)` (whitespace-lowercase tokens — the same
-    * tokenization serving uses, so train and serve agree). Deterministic:
-    * fixed seed, one partition for the gradient pass. */
-  def fit(corpus: DataFrame, textCol: String, dim: Int = 32,
-      minCount: Int = 1, seed: Long = 42L): Word2VecEmbedder = {
+  /** The ONE fit path (train and serve tokenize identically; fit and
+    * fitAndSave must never drift): whitespace-lowercase tokens, fixed
+    * seed, single gradient partition for reproducibility. */
+  private def fitModel(corpus: DataFrame, textCol: String, dim: Int,
+      minCount: Int, seed: Long): org.apache.spark.ml.feature.Word2VecModel = {
     val toks = corpus
       .select(split(lower(col(textCol)), "\\s+").as("toks"))
       .where(size(col("toks")) > 0)
       .coalesce(1) // single gradient partition → reproducible fits
-    val model = new org.apache.spark.ml.feature.Word2Vec()
+    new org.apache.spark.ml.feature.Word2Vec()
       .setInputCol("toks").setOutputCol("vec")
       .setVectorSize(dim).setMinCount(minCount).setSeed(seed)
       .setMaxIter(1)
       .fit(toks)
-    fromModel(model)
   }
+
+  /** Fit on `corpus(textCol)` (whitespace-lowercase tokens — the same
+    * tokenization serving uses, so train and serve agree). Deterministic:
+    * fixed seed, one partition for the gradient pass. */
+  def fit(corpus: DataFrame, textCol: String, dim: Int = 32,
+      minCount: Int = 1, seed: Long = 42L): Word2VecEmbedder =
+    fromModel(fitModel(corpus, textCol, dim, minCount, seed))
 
   /** Wrap an already-fit (or loaded) MLlib model. */
   def fromModel(model: org.apache.spark.ml.feature.Word2VecModel): Word2VecEmbedder = {
@@ -93,15 +99,7 @@ object Word2VecEmbedder {
 
   def fitAndSave(corpus: DataFrame, textCol: String, path: String,
       dim: Int = 32, minCount: Int = 1, seed: Long = 42L): Word2VecEmbedder = {
-    val toks = corpus
-      .select(split(lower(col(textCol)), "\\s+").as("toks"))
-      .where(size(col("toks")) > 0)
-      .coalesce(1)
-    val model = new org.apache.spark.ml.feature.Word2Vec()
-      .setInputCol("toks").setOutputCol("vec")
-      .setVectorSize(dim).setMinCount(minCount).setSeed(seed)
-      .setMaxIter(1)
-      .fit(toks)
+    val model = fitModel(corpus, textCol, dim, minCount, seed)
     save(model, path)
     fromModel(model)
   }

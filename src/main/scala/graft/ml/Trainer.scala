@@ -372,8 +372,27 @@ class Trainer(spark: SparkSession, registryDir: String) {
     def kernelPipeline(linear: org.apache.spark.ml.PipelineStage)
         : org.apache.spark.ml.Estimator[_] = {
       val dim = train.select("features").head().getAs[Vector](0).size
+      // sklearn gamma semantics: 'scale' (the SVC default) = 1/(d·Var(X))
+      // with Var over the FLATTENED feature matrix; 'auto' = 1/d. The
+      // flattened variance folds out of the per-dim Summarizer moments:
+      // E[x²] = avg_j(var_j + mean_j²), E[x] = avg_j mean_j.
       val gamma = hp.get("gamma").map(_.toString) match {
-        case None | Some("scale") | Some("auto") => 1.0 / dim
+        case Some("auto") => 1.0 / dim
+        case None | Some("scale") =>
+          import org.apache.spark.ml.stat.Summarizer
+          val row = train.select(Summarizer
+            .metrics("mean", "variance", "count")
+            .summary(col("features")).as("s")).select("s.*").head()
+          val m = row.getAs[Vector](0).toArray
+          val v = row.getAs[Vector](1).toArray
+          val cnt = row.getLong(2).toDouble
+          // Summarizer variance is the n−1 sample form; sklearn's X.var()
+          // divides by n — rescale so the default-config model matches
+          val pop = if (cnt > 1) (cnt - 1) / cnt else 1.0
+          val ex = m.sum / dim
+          val ex2 = m.indices.map(j => v(j) * pop + m(j) * m(j)).sum / dim
+          val flatVar = ex2 - ex * ex
+          if (flatVar > 0) 1.0 / (dim * flatVar) else 1.0 / dim
         case Some(g) => g.toDouble
       }
       val rff = RffTransformer

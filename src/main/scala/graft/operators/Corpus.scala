@@ -85,7 +85,10 @@ object Corpus {
     * Training Data Makes Language Models Better", ACL 2022): remove every
     * NON-CANONICAL occurrence of any duplicated `n`-token window across
     * the corpus, keeping the canonical (lowest (doc, position))
-    * occurrence's text intact. The published implementation builds a
+    * occurrence's text intact — canonical ranges of duplicated windows
+    * are protected from other overlapping grams' marks, so at least one
+    * copy of every duplicated window ALWAYS survives. The published
+    * implementation builds a
     * corpus-wide suffix array; the distributed shape here matches
     * duplicated spans of length ≥ n by their length-n windows instead —
     * same guarantee for spans ≥ n (every such span contains a duplicated
@@ -122,20 +125,37 @@ object Corpus {
     val occ = base
       .select(col(idCol).as("__id"), explode(windows).as("__o"))
       .select(col("__id"), col("__o.pos").as("__pos"), col("__o.gh").as("__gh"))
-    // canonical occurrence per gram = min (doc, pos); everything else is a
-    // removal mark over [pos, pos+n)
+    // canonical occurrence per gram = min (doc, pos); every OTHER
+    // occurrence is a removal mark over [pos, pos+n). Canonical
+    // occurrences of DUPLICATED grams are additionally PROTECTED ranges:
+    // a mark from some other overlapping gram must not eat the one copy
+    // this operator promises to keep (protection is limited to duplicated
+    // grams — every window of a typical document is the sole, trivially
+    // canonical occurrence of its unique gram, and protecting those would
+    // block all removal). A marked span overlapping a protected range
+    // keeps the overlap's tokens: the cost of the keep-one guarantee is
+    // that fragments of a duplicate may survive where duplicated spans
+    // overlap.
     val owner = occ.groupBy(col("__gh"))
-      .agg(min(struct(col("__id"), col("__pos"))).as("__own"))
-    val marks = occ.join(owner, Seq("__gh"))
-      .where(!(col("__id") === col("__own.__id") && col("__pos") === col("__own.__pos")))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__own"),
+        count(lit(1)).as("__cnt"))
+    val tagged = occ.join(owner, Seq("__gh"))
+      .withColumn("__canon",
+        col("__id") === col("__own.__id") && col("__pos") === col("__own.__pos"))
+    val marks = tagged
+      .where(col("__cnt") > 1)
       .groupBy(col("__id"))
-      .agg(sort_array(collect_set(col("__pos"))).as("__marks"))
+      .agg(
+        sort_array(collect_set(when(!col("__canon"), col("__pos")))).as("__marks"),
+        sort_array(collect_set(when(col("__canon"), col("__pos")))).as("__keeps"))
     base
       .join(marks.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .withColumn("__m", coalesce(col("__marks"), array().cast("array<int>")))
+      .withColumn("__p", coalesce(col("__keeps"), array().cast("array<int>")))
       .withColumn("__kept",
         filter(sequence(lit(1), size(col("__toks"))),
-          j => !exists(col("__m"), p => p <= j && j < p + n)))
+          j => !exists(col("__m"), p => p <= j && j < p + n) ||
+            exists(col("__p"), p => p <= j && j < p + n)))
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),

@@ -795,16 +795,21 @@ object QueryCatalog {
                   CASE WHEN len(t) >= 4 THEN range(1, len(t) - 2) ELSE [] END) AS i
                 FROM tk)),
             rk AS (SELECT doc_id, pos, gh,
-                row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+                row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+                count(*) OVER (PARTITION BY gh) AS cnt
               FROM occ),
             cov AS (SELECT DISTINCT doc_id, pos + CAST(k AS INT) AS j
               FROM rk, range(0, 4) s(k) WHERE rn > 1),
+            pro AS (SELECT DISTINCT doc_id, pos + CAST(k AS INT) AS j
+              FROM rk, range(0, 4) s(k) WHERE rn = 1 AND cnt > 1),
             tok AS (SELECT doc_id, unnest(t) AS w,
                 unnest(range(1, len(t) + 1)) AS j FROM tk),
             keptw AS (SELECT tok.doc_id, tok.w, tok.j
               FROM tok LEFT JOIN cov
                 ON tok.doc_id = cov.doc_id AND tok.j = cov.j
-              WHERE cov.j IS NULL),
+              LEFT JOIN pro
+                ON tok.doc_id = pro.doc_id AND tok.j = pro.j
+              WHERE cov.j IS NULL OR pro.j IS NOT NULL),
             agg AS (SELECT doc_id, count(*) AS n_kept,
                 string_agg(w, ' ' ORDER BY j) AS text_dedup
               FROM keptw GROUP BY doc_id)

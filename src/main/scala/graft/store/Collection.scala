@@ -985,9 +985,15 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * exactly that count so a top-k can never under-fill. */
   def hnswSearch(p: Pipeline, field: String, query: Array[Float], k: Int,
       ef: Int = 0): DataFrame = {
+    // the FULL stale count, uncapped: since merges went background, delta
+    // syncs keep landing while a merge is in flight, so stale can exceed
+    // maxStaleIndexRows for the merge's duration — capping the slack there
+    // would let stale nodes crowd live rows out of the top-kk and silently
+    // under-fill results. Correctness pays the wider fetch until the
+    // publish resets the counter.
     val slack = readState(p.name)
       .flatMap(_.stale.get(field)).getOrElse(0L)
-      .min(maxStaleIndexRows).toInt
+      .min((Int.MaxValue - k).toLong).toInt
     val kk = k + slack
     val hits = hnswIndex(p, field).search(query, kk,
       if (ef > 0) math.max(ef, kk) else 0, idName = "hid")
@@ -1125,22 +1131,33 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // degrades to the exact filtered scan — the reference's single
         // filtered-scan cost, instead of log4(N) ever-larger index probes.
         val ids = filteredIds.get
+        // distinct BEFORE the counting join: a duplicate document_id row
+        // (however it arose) would otherwise multiply served rows in the
+        // left join and inflate both counts past what the final semi-join
+        // returns; the frame is filter-result-sized, the distinct is noise
+        val passIds = ids.select(col("document_id")).distinct()
+          .withColumn("__pass", lit(1))
         var fetch = fetch0
         var rounds = 0
         val maxRounds = 6
         var out: DataFrame = null
         while (out == null) {
-          val (served, covers) = indexServe(fetch)
+          // LAZY checkpoint, materialized by the counts job below: freezes
+          // the shortlist so the exit decision and the returned rows come
+          // from the SAME evaluation — a background merge publishing
+          // between the counts action and the final consumption would
+          // otherwise re-execute the probe against swapped index homes
+          // (FileNotFound or rows inconsistent with the counted decision).
+          // Still ONE job per round.
+          val (served0, covers) = indexServe(fetch)
+          val served = served0.localCheckpoint(eager = false)
           val counts = served
-            .join(ids.withColumn("__pass", lit(1)), Seq("document_id"), "left")
+            .join(passIds, Seq("document_id"), "left")
             .agg(count(lit(1)).as("n"), count(col("__pass")).as("s")).head()
           val (n, survivors) = (counts.getLong(0), counts.getLong(1))
           val exhausted = covers && n < fetch
           rounds += 1
           if (exhausted || survivors >= kGlobal)
-            // the semi-join re-derives from the same deterministic index
-            // probe (persisted homes, cached graphs) — cheaper than keeping
-            // a checkpoint alive across rounds
             out = served.join(ids, Seq("document_id"), "left_semi")
           else if (rounds >= maxRounds)
             out = embeddings(p, fq.field)

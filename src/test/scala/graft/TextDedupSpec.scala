@@ -343,4 +343,18 @@ class TextDedupSpec extends AnyFunSuite {
         s"occurrence exchange carries payload: ${bad.map(_.name).mkString(",")}")
     }
   }
+
+  test("dedupSpans protects the canonical copy of a span from other grams' marks") {
+    // "q s" is canonical in doc 2 at pos 2; doc 2 also carries a marked
+    // copy of doc 1's "p q" at pos 1 whose interval overlaps it — the
+    // protection must keep "q s" alive in doc 2 (and removed from doc 3)
+    val docs = Seq(
+      (1L, "p q r"), (2L, "p q s"), (3L, "q s t")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.dedupSpans(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out(0)._4 == "p q r")
+    assert(out(1)._4 == "q s")
+    assert(out(2)._4 == "t")
+  }
 }
