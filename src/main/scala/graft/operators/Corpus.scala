@@ -81,6 +81,81 @@ object Corpus {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Language-model perplexity scoring — the CCNet quality gate (Wenzek
+    * et al., "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data", LREC 2020): score each document's perplexity under
+    * an n-gram LM trained on a trusted reference corpus and filter on it
+    * (low perplexity ≈ reference-like prose, high ≈ boilerplate/garble).
+    * CCNet uses a KenLM 5-gram model; the offline stand-in here is an
+    * add-α bigram LM with the same scoring contract —
+    * P(w|h) = (c(h,w) + α) / (c(h) + α·V), ppl = exp(−Σ ln P / N) over a
+    * document's N = len−1 bigrams, c(h) = Σ_w c(h,w), V = |vocab of the
+    * reference corpus|.
+    *
+    * Spark-first and fully distributed: the LM lives as COUNT FRAMES, the
+    * scoring join streams the corpus's (id, pos, w1, w2) rows against
+    * them (the LM side is vocabulary-sized — Catalyst broadcasts it), and
+    * the per-document sum folds LEFT-ASSOCIATIVELY over the
+    * position-sorted ln-probabilities (sort_array + aggregate), so the
+    * float math is run-stable and replays IEEE-identically in SQL — the
+    * c6 oracle gates the ppl values themselves.
+    *
+    * Output: (idCol, n_bigrams, ppl), ppl null for docs under 2 tokens.
+    */
+  def perplexityStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame, lmTextCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    def bigrams(df: DataFrame, text: String, keep: Seq[Column]): DataFrame = {
+      val toked = df.withColumn("__toks", split(trim(lower(col(text))), "\\s+"))
+      toked.select(keep :+ explode(
+          when(size(col("__toks")) >= 2,
+            transform(sequence(lit(1), size(col("__toks")) - 1),
+              i => struct(i.as("pos"),
+                element_at(col("__toks"), i).as("w1"),
+                element_at(col("__toks"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+        ).as("__b"): _*)
+        .select(keep :+ col("__b.pos") :+ col("__b.w1") :+ col("__b.w2"): _*)
+    }
+    val lmBigrams = bigrams(lmCorpus, lmTextCol, Nil)
+    val c2 = lmBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = lmBigrams.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    // V = reference-corpus vocabulary (all positions, not just histories)
+    val v = lmCorpus
+      .select(explode(split(trim(lower(col(lmTextCol))), "\\s+")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val scored = bigrams(docs, textCol, Seq(col(idCol)))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("__lnp", log(
+        (coalesce(col("__c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(alpha * v))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("__lnp")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__lnp")).as("__s"))
+      .withColumn("ppl", exp(-col("__s") / col("n_bigrams")))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("ppl"))
+  }
+
+  /** [[perplexityStats]] as a gate: keep documents at or under `maxPpl`
+    * (docs too short to score pass — length gates own that case). */
+  def perplexityFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame, lmTextCol: String,
+      maxPpl: Double, alpha: Double = 0.1): DataFrame = {
+    val stats = perplexityStats(docs, idCol, textCol, lmCorpus, lmTextCol, alpha)
+    docs.join(
+      stats.where(col("ppl").isNull || col("ppl") <= maxPpl).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Exact-substring span deduplication (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022): remove every
     * NON-CANONICAL occurrence of any duplicated `n`-token window across

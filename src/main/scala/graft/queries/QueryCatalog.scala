@@ -773,6 +773,47 @@ object QueryCatalog {
       s"SELECT doc_id, $chain AS redacted FROM documents ORDER BY doc_id"
     })
 
+  /** CCNet-style perplexity scoring (c6): add-α bigram LM fit on the
+    * doc_id % 7 = 0 reference slice, every document scored. The per-doc
+    * sum folds left-associatively over position-sorted ln-probabilities
+    * on BOTH engines (0.0 + x = x exactly, so Spark's 0-seeded fold and
+    * DuckDB's seedless list_reduce agree), making the ppl values
+    * IEEE-replayable behind round(4). */
+  val c6Perplexity: GraftQuery = GraftQuery(
+    "c6_perplexity",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.perplexityStats(
+          docs, "doc_id", "text",
+          docs.where(col("doc_id") % 7 === 0), "text", alpha = 0.1)
+        .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+            bg AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+              FROM (SELECT doc_id, t, unnest(
+                  CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS i
+                FROM tk)),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg
+              WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM bg
+              WHERE doc_id % 7 = 0 GROUP BY 1),
+            vv AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(t) AS w FROM tk WHERE doc_id % 7 = 0)),
+            sc AS (SELECT bg.doc_id, bg.pos,
+                ln((coalesce(c2.c2, 0) + 0.1) / (coalesce(c1.c1, 0) + 0.1 * vv.v)) AS lnp
+              FROM bg LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                      LEFT JOIN c1 ON bg.w1 = c1.w1, vv),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                list_reduce(list(lnp ORDER BY pos), (x, y) -> x + y) AS s
+              FROM sc GROUP BY doc_id)
+            SELECT tk.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              round(exp(-agg.s / agg.n_bigrams), 4) AS ppl
+            FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+            ORDER BY tk.doc_id"""))
+
   /** Exact-substring span dedup (Lee et al. 2022): every non-canonical
     * occurrence of a duplicated 4-token window is cut out of the text,
     * canonical = lowest (doc, pos). ORACLED end to end: the DuckDB replay
@@ -2174,7 +2215,7 @@ object QueryCatalog {
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
-    c5AssignSplits,
+    c5AssignSplits, c6Perplexity,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
