@@ -357,4 +357,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(1)._4 == "q s")
     assert(out(2)._4 == "t")
   }
+
+  // ---- CCNet-style perplexity gate (Corpus.perplexityStats) ----
+
+  test("perplexityStats matches hand-computed add-alpha bigram values") {
+    val lm = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "c c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .perplexityStats(docs, "doc_id", "text", lm, "text", alpha = 0.1)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_bigrams", $"ppl").collect()
+    // lm: c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2
+    assert(math.abs(out(0).getDouble(2) - 2.2 / 2.1) < 1e-12)   // a b
+    assert(math.abs(out(1).getDouble(2) - 1.2 / 1.1) < 1e-12)   // b a
+    assert(math.abs(out(2).getDouble(2) - math.exp(-math.log(0.1 / 0.2))) < 1e-12) // unseen
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(2))       // 1 token: unscored
+  }
+
+  test("perplexityFilter keeps reference-like docs, drops high-ppl, passes unscored") {
+    val lm = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "c c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Corpus
+      .perplexityFilter(docs, "doc_id", "text", lm, "text", maxPpl = 1.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
 }
