@@ -87,6 +87,21 @@ object ExplainCheck {
           "Exchange [a-z]*partitioning".r.findAllIn(p).size <=
             "rangepartitioning".r.findAllIn(p.toLowerCase).size)
 
+    // metric-parameterized quantized serving keeps the cosine paths' plan
+    // shape: byte-code scans merge via TakeOrdered under l2 too
+    check("v21_knn_sq8_l2", "SQ8 l2 quadratic-ADC scan merges via TakeOrdered")(
+      p => p.contains("TakeOrderedAndProject"))
+    check("v23_knn_binary_l2", "binary l2 re-rank pushes In(vec_id…); TakeOrdered merge")(
+      p => p.contains("In(vec_id") && p.contains("TakeOrderedAndProject"))
+    // the perplexity LM is vocabulary-sized: both count frames must
+    // BROADCAST into the scoring join — the corpus side streams once and
+    // never shuffles for the lookup
+    check("c6_perplexity", "LM count frames broadcast into the scoring join")(
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // span dedup's gram-keyed work is hash joins over fixed-width rows
+    check("t10_dedup_spans", "no cartesian/nested-loop in the span-dedup plan")(
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition
     {
