@@ -375,7 +375,9 @@ class Trainer(spark: SparkSession, registryDir: String) {
       // sklearn gamma semantics: 'scale' (the SVC default) = 1/(d·Var(X))
       // with Var over the FLATTENED feature matrix; 'auto' = 1/d. The
       // flattened variance folds out of the per-dim Summarizer moments:
-      // E[x²] = avg_j(var_j + mean_j²), E[x] = avg_j mean_j.
+      // E[x²] = avg_j(var_j + mean_j²), E[x] = avg_j mean_j. Recomputed
+      // per fit BY DESIGN: sklearn evaluates X.var() on each fit's own
+      // training slice too, so CV folds legitimately get per-fold gammas.
       val gamma = hp.get("gamma").map(_.toString) match {
         case Some("auto") => 1.0 / dim
         case None | Some("scale") =>

@@ -120,11 +120,18 @@ object Corpus {
     }
     val lmBigrams = bigrams(lmCorpus, lmTextCol, Nil)
     val c2 = lmBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
-    val c1 = lmBigrams.groupBy("w1").agg(count(lit(1)).as("__c1"))
-    // V = reference-corpus vocabulary (all positions, not just histories)
+    // c(h) = Σ_w c(h,w): derived from the vocabulary-sized c2 aggregate,
+    // not a second corpus scan
+    val c1 = c2.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
+    // V = reference-corpus vocabulary over ALL positions (a single-token
+    // reference doc contributes to V though it yields no bigram). This is
+    // an eager driver value — the smoothing term is a plan literal.
     val v = lmCorpus
       .select(explode(split(trim(lower(col(lmTextCol))), "\\s+")).as("w"))
       .agg(countDistinct(col("w"))).head().getLong(0)
+    require(v > 0,
+      "perplexityStats: the reference corpus is empty — an LM with V = 0 " +
+        "has a zero smoothing denominator and cannot score anything")
     val scored = bigrams(docs, textCol, Seq(col(idCol)))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")

@@ -985,16 +985,25 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * exactly that count so a top-k can never under-fill. */
   def hnswSearch(p: Pipeline, field: String, query: Array[Float], k: Int,
       ef: Int = 0): DataFrame = {
-    // the FULL stale count, uncapped: since merges went background, delta
-    // syncs keep landing while a merge is in flight, so stale can exceed
-    // maxStaleIndexRows for the merge's duration — capping the slack there
-    // would let stale nodes crowd live rows out of the top-kk and silently
-    // under-fill results. Correctness pays the wider fetch until the
-    // publish resets the counter.
-    val slack = readState(p.name)
-      .flatMap(_.stale.get(field)).getOrElse(0L)
-      .min((Int.MaxValue - k).toLong).toInt
-    val kk = k + slack
+    // Since merges went background, delta syncs keep landing while a
+    // merge is in flight, so stale can exceed maxStaleIndexRows for the
+    // merge's duration — capping the slack there would let stale nodes
+    // crowd live rows out of the top-kk and silently under-fill results.
+    // Correctness pays the wider fetch up to a BOUNDED ceiling; past it
+    // (a bulk re-ingest racing a slow merge) the graph probe would devolve
+    // into a full-graph scan plus an unbounded broadcast, so serve the
+    // exact scan instead — same results, bounded cost, and the next
+    // publish restores the index path.
+    val stale = readState(p.name).flatMap(_.stale.get(field)).getOrElse(0L)
+    val slackCeiling = math.max(maxStaleIndexRows, 16L * k)
+    if (stale > slackCeiling)
+      return embeddings(p, field)
+        .withColumn("score",
+          cosineSimilarity(col("embedding"), floatVec(query.toIndexedSeq)))
+        .orderBy(col("score").desc, col("document_id"), col("chunk_index"))
+        .limit(k)
+        .select(col("document_id"), col("chunk_index"), col("score"))
+    val kk = k + stale.toInt
     val hits = hnswIndex(p, field).search(query, kk,
       if (ef > 0) math.max(ef, kk) else 0, idName = "hid")
     hnswKeyed(p, field)
@@ -1148,7 +1157,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           // between the counts action and the final consumption would
           // otherwise re-execute the probe against swapped index homes
           // (FileNotFound or rows inconsistent with the counted decision).
-          // Still ONE job per round.
+          // Still ONE job per round. Abandoned rounds' checkpoint blocks
+          // linger until the ContextCleaner GCs the frame — bounded by
+          // maxRounds shortlist-sized frames per query, reclaimed with the
+          // loop's references (no public API unpersists a checkpoint
+          // eagerly).
           val (served0, covers) = indexServe(fetch)
           val served = served0.localCheckpoint(eager = false)
           val counts = served
