@@ -73,6 +73,27 @@ case class Mix64(child: Expression, seed: Long) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-token FNV-1a-64 feature buckets ([[TextKernels.tokenFnvBuckets]]) —
+  * the hashed bag-of-words featurizer behind the trained quality
+  * classifier. `dim` must be a power of two (see the kernel's contract).
+  */
+case class TokenFnvBuckets(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_fnv_buckets"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && dim > 0 && (dim & (dim - 1)) == 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input and a power-of-two dim, got $dim")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokenFnvBuckets(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.tokenFnvBuckets($a, $dim)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -98,6 +119,7 @@ object TextFunctions {
     c(WinnowFingerprint(e(text), ngram, window))
   def langId(text: Column): Column = c(LangId(e(text)))
   def mix64(x: Column, seed: Long): Column = c(Mix64(e(x), seed))
+  def tokenFnvBuckets(text: Column, dim: Int): Column = c(TokenFnvBuckets(e(text), dim))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))

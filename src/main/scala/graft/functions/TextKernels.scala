@@ -173,4 +173,23 @@ object TextKernels {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Per-token hashed feature buckets (in token order): FNV-1a-64 of each
+    * canonical token folded to `dim` buckets. `dim` MUST be a power of two:
+    * the fold is then the hash's low bits, which equals the UNSIGNED
+    * `h mod dim` a SQL replay computes over HUGEINT hashes (for a non-power
+    * -of-two dim the signed/unsigned residues diverge). The feature hasher
+    * behind the trained quality classifier (fastText / GPT-3-quality-filter
+    * lineage — hashed bag-of-words into a fixed-width vector).
+    */
+  def tokenFnvBuckets(text: UTF8String, dim: Int): ArrayData = {
+    val toks = tokens(text.toString)
+    val out = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = (fnv1a64(toks(i)) & (dim - 1)).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -814,6 +814,26 @@ object QueryCatalog {
             FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
             ORDER BY tk.doc_id"""))
 
+  /** Trained quality classifier (c7): a real MLlib LogisticRegression fit
+    * over hashed bag-of-words tf features (GPT-3/DCLM-style quality
+    * filter), labels distilled from the heuristic curation gates, every
+    * document scored. Generated oracle: the fitted coefficients are
+    * inlined as exact double literals and the whole serving pipeline —
+    * per-token FNV bucketing, tf dot product folded left-associatively in
+    * token order, sigmoid — replays in DuckDB behind round(4).
+    */
+  val c7QualityClassifier: GraftQuery = GraftQuery(
+    "c7_quality_classifier",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = C7OracleSql.fitted(s, dir)
+      graft.operators.QualityClassifier.scores(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_toks"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    oracleGen = Some((s, dir) => C7OracleSql.sql(s, dir)))
+
   /** Exact-substring span dedup (Lee et al. 2022): every non-canonical
     * occurrence of a duplicated 4-token window is cut out of the text,
     * canonical = lowest (doc, pos). ORACLED end to end: the DuckDB replay
@@ -2215,7 +2235,7 @@ object QueryCatalog {
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
-    c5AssignSplits, c6Perplexity,
+    c5AssignSplits, c6Perplexity, c7QualityClassifier,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,

@@ -98,6 +98,10 @@ object ExplainCheck {
     // never shuffles for the lookup
     check("c6_perplexity", "LM count frames broadcast into the scoring join")(
       p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // the quality classifier's weight frame is dim-sized: it must
+    // broadcast into the scoring join — the corpus side streams once
+    check("c7_quality_classifier", "weight frame broadcasts into the scoring join")(
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
     // span dedup's gram-keyed work is hash joins over fixed-width rows
     check("t10_dedup_spans", "no cartesian/nested-loop in the span-dedup plan")(
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

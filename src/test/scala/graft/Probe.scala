@@ -188,6 +188,16 @@ object Probe {
       val packs = graft.operators.Corpus.packSequences(docs, "doc_id", "text", 2048, 4)
         .agg(max($"pack_id")).head().getLong(0)
       println(s"PACKS max pack_id: $packs")
+      // trained quality classifier: fit on the gates' keep decision, score
+      // everything, gate at 0.5 — kept set should broadly agree with curate
+      val keptIds = curated.select("doc_id")
+      val qcm = graft.operators.QualityClassifier.fit(
+        docs.join(keptIds, Seq("doc_id"), "left_semi"),
+        docs.join(keptIds, Seq("doc_id"), "left_anti"), "text", dim = 256)
+      val qcKept = graft.operators.QualityClassifier
+        .filterByScore(docs, "doc_id", "text", qcm, 0.5).count()
+      println(s"QUALITY-CLASSIFIER kept $qcKept/${docs.count()} " +
+        s"(curate kept ${curated.count()}), intercept ${qcm.intercept}")
       val wavIds = docs.limit(8).select($"doc_id".cast("long")).as[java.lang.Long]
       val wavFeats = graft.operators.Multimodal.extractFeatures(
           graft.operators.Multimodal.syntheticWavMedia(wavIds),
