@@ -1067,7 +1067,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       fieldQueries: Seq[VectorSearchField],
       limit: Int = 10,
       filterJson: Option[String] = None,
-      rerank: Option[Int] = None): DataFrame = {
+      rerank: Option[Int] = None,
+      reranker: graft.functions.Reranker = graft.functions.TokenOverlapReranker): DataFrame = {
     val docs = documents.select(
       col("source_uuid").as("document_id"), col("document"))
     // Score and top-k over (ids, score) ONLY; chunk text and document
@@ -1228,16 +1229,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     rerank match {
       case None => joined
       case Some(_) =>
-        // deterministic cross-scorer stand-in for pgml.rank (api.rs:612-625):
-        // token-overlap between query text and chunk — same alignment
-        // contract ((rank).corpus_id join) as the reference's cross-encoder.
-        // chunk_index is the final tie-break: overlapping chunks of one
-        // document can share a Jaccard score, and without it the ordering
-        // of equal-scored chunks is nondeterministic.
+        // cross-scorer seam for pgml.rank (api.rs:612-625) — default is the
+        // deterministic token-overlap stand-in; a BiEncoderReranker over a
+        // trained embedder (or a production cross-encoder) drops in through
+        // the same (query, chunk) → score contract. chunk_index is the
+        // final tie-break: overlapping chunks of one document can share a
+        // score, and without it the ordering of equal-scored chunks is
+        // nondeterministic.
         val queryText = fieldQueries.map(_.query).mkString(" ")
         joinedFull
-          .withColumn("rerank_score",
-            graft.operators.Dedup.tokenJaccard(lit(queryText), col("chunk")))
+          .withColumn("rerank_score", reranker.scoreCol(queryText, col("chunk")))
           .orderBy(col("rerank_score").desc, col("document_id"), col("chunk_index"))
           .limit(limit)
           .select(col("document_id"), col("document"), col("chunk"),

@@ -145,6 +145,46 @@ class EmbedderSpec extends AnyFunSuite {
     c.awaitMaintenance()
   }
 
+  test("trained bi-encoder serves through the rank seam (rerank_score = trained cosine)") {
+    import graft.functions.{BiEncoderReranker, Word2VecEmbedder}
+    val wh = Files.createTempDirectory("graft_rr_wh_").toString
+    val topics = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    val docs = (0 until 25).map { i =>
+      s"""{"id": $i, "body": "note $i topic ${topics(i % 5)} and ${topics((i + 2) % 5)}"}"""
+    }
+    val corpus = docs.toDF("document")
+      .select(get_json_object(col("document"), "$.body").as("body"))
+    val emb = Word2VecEmbedder.fit(corpus, "body", dim = 12, minCount = 1)
+
+    val c = new Collection(spark, "rr", wh)
+    c.upsertDocuments(docs.toDF("document"))
+    val p = Pipeline("p", Seq(PipelineField("body", splitter = Some((100000, 0)),
+      semanticSearch = Some(emb))))
+    c.syncPipeline(p)
+
+    val probe = "note 3 topic delta and alpha"
+    val ranked = c.vectorSearch(p, Seq(VectorSearchField("body", probe)),
+      limit = 5, rerank = Some(15), reranker = BiEncoderReranker(emb))
+    val rows = ranked.select(
+        get_json_object(col("document"), "$.id").cast("int").as("id"),
+        col("chunk"), col("rerank_score")).collect()
+    // the trained cross-score of the top hit IS the trained cosine — the
+    // seam serves the model's own numbers, not the token-overlap stand-in
+    val top = rows.head
+    val expected = {
+      val qv = emb.embedOne(probe)
+      val cv = emb.embedOne(top.getString(1))
+      qv.zip(cv).map { case (a, b) => a.toDouble * b }.sum
+    }
+    assert(math.abs(top.getDouble(2) - expected) < 1e-6,
+      s"rerank_score ${top.getDouble(2)} != trained cosine $expected")
+    assert(top.getInt(0) == 3, s"expected doc 3 for its own text, got ${top.getInt(0)}")
+    // ordering is by the trained score, descending
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    c.awaitMaintenance()
+  }
+
   test("Word2Vec weights behind the remote batch protocol match the in-process embedder") {
     import graft.functions.{Word2VecBackedClient, Word2VecEmbedder}
     val corpus = (0 until 30).map(i => s"training sentence $i about spark vectors")

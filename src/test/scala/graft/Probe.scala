@@ -188,6 +188,26 @@ object Probe {
       val packs = graft.operators.Corpus.packSequences(docs, "doc_id", "text", 2048, 4)
         .agg(max($"pack_id")).head().getLong(0)
       println(s"PACKS max pack_id: $packs")
+      // trained bi-encoder through the rank seam: Word2Vec fit on the real
+      // corpus, rerank a shortlist, top rerank_score must be a valid cosine
+      val w2v = graft.functions.Word2VecEmbedder.fit(
+        docs.select($"text".as("body")), "body", dim = 12, minCount = 1)
+      val wh2 = java.nio.file.Files.createTempDirectory("graft_probe_rr_").toString
+      val rrColl = new graft.store.Collection(spark, "probe_rr", wh2)
+      rrColl.upsertDocuments(docs.limit(50).select(
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct($"doc_id".as("id"), $"text")).as("document")))
+      val rrPipe = graft.store.Pipeline("p", Seq(graft.store.PipelineField("text",
+        splitter = Some((100000, 0)), semanticSearch = Some(w2v))))
+      rrColl.syncPipeline(rrPipe)
+      val probeText = docs.limit(1).select($"text").as[String].head()
+      val rr = rrColl.vectorSearch(rrPipe,
+          Seq(graft.store.VectorSearchField("text", probeText)), limit = 3,
+          rerank = Some(10), reranker = graft.functions.BiEncoderReranker(w2v))
+        .select($"rerank_score").as[Double].collect()
+      println(s"RERANK bi-encoder scores: ${rr.mkString(" ")}" +
+        (if (rr.nonEmpty && rr.head >= rr.last && rr.forall(s => s <= 1.0001 && s >= -1.0001)) ""
+         else " (BAD)"))
       // trained quality classifier: fit on the gates' keep decision, score
       // everything, gate at 0.5 — kept set should broadly agree with curate
       val keptIds = curated.select("doc_id")
