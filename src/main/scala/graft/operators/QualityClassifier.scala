@@ -44,6 +44,21 @@ object QualityClassifier {
   final case class Model(dim: Int, intercept: Double, weights: Array[Double]) {
     require(weights.length == dim, s"weights length ${weights.length} != dim $dim")
 
+    /** Driver/executor-local single-text score — the same math as the
+      * distributed [[QualityClassifier.scores]] in the same order (token
+      * -order left-associative sum), so the two paths agree bitwise. */
+    def scoreOne(text: String): Double = {
+      val toks = graft.functions.TextKernels.tokens(text)
+      val n = toks.length.toDouble
+      var s = 0.0
+      var i = 0
+      while (i < toks.length) {
+        s += weights((graft.functions.TextKernels.fnv1a64(toks(i)) & (dim - 1)).toInt) / n
+        i += 1
+      }
+      1.0 / (1.0 + math.exp(-(intercept + s)))
+    }
+
     def weightsFrame(spark: SparkSession): DataFrame = {
       import spark.implicits._
       weights.toIndexedSeq.zipWithIndex.map { case (w, b) => (b, w) }

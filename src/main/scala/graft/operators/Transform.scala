@@ -20,11 +20,44 @@ import graft.store.TsRank
   * batching, queries.rs:217-231), executor-side model caching, allowlist
   * guard, and JSON result columns.
   */
+/** A served model behind the transform dispatch — the boundary a real
+  * accelerator-backed backend (or a model trained in-pipeline) plugs into.
+  * Registered under a model name ([[Transform.registerModel]]); selecting
+  * it via `args("model")` routes the whole batch through [[runBatch]].
+  * Serializable: the DRIVER resolves the name and the model ships inside
+  * the mapPartitions closure, so registration never has to exist on
+  * executors (cluster-correct, unlike an executor-side registry lookup).
+  */
+trait TaskModel extends Serializable {
+  def task: String
+  /** One model call over a whole batch (the padded/stacked on-device shape). */
+  def runBatch(texts: Seq[String], args: Map[String, String]): Seq[String]
+}
+
 object Transform {
 
   /** `pgml.huggingface_whitelist` equivalent (bindings/transformers/
     * whitelist.rs): when set, only listed model names may run. */
   @volatile var modelAllowlist: Option[Set[String]] = None
+
+  private val customModels =
+    scala.collection.concurrent.TrieMap.empty[String, TaskModel]
+
+  /** Register a served model under `name`; `args("model") = name` then
+    * routes that task's batches through it (still allowlist-checked). */
+  def registerModel(name: String, m: TaskModel): Unit = customModels.put(name, m)
+  def unregisterModel(name: String): Unit = { customModels.remove(name); () }
+
+  /** Driver-side resolution of `args("model")` → a registered backend (or
+    * None → the deterministic stand-ins). Mismatched task fails loudly —
+    * serving a sentiment model under summarization is never what the
+    * caller meant. */
+  private def resolveModel(task: String, args: Map[String, String]): Option[TaskModel] =
+    args.get("model").flatMap(customModels.get).map { m =>
+      require(m.task == task,
+        s"model ${args("model")} serves task ${m.task}, not $task")
+      m
+    }
 
   def checkAllowed(model: String): Unit = modelAllowlist.foreach { wl =>
     if (!wl.contains(model))
@@ -50,6 +83,7 @@ object Transform {
     require(supportedTasks.contains(task), s"unsupported task $task")
     require(df.columns.contains(inputCol), s"missing input column $inputCol")
     args.get("model").foreach(checkAllowed)
+    val custom = resolveModel(task, args)
     val idx = df.schema.fieldIndex(inputCol)
     val outSchema = df.schema.add(outputCol, StringType)
     val enc = Encoders.row(outSchema)
@@ -59,7 +93,8 @@ object Transform {
           val v = r.get(idx)
           if (v == null) "" else v.toString
         }
-        val outs = TaskModels.runBatch(task, inputs, args)
+        val outs = custom.map(_.runBatch(inputs, args))
+          .getOrElse(TaskModels.runBatch(task, inputs, args))
         batch.lazyZip(outs).map((r, o) => Row.fromSeq(r.toSeq :+ o))
       }
     }(enc)
@@ -73,11 +108,13 @@ object Transform {
       args: Map[String, String] = Map.empty, batchSize: Int = 64): Dataset[String] = {
     require(supportedTasks.contains(task), s"unsupported task $task")
     args.get("model").foreach(checkAllowed)
+    val custom = resolveModel(task, args)
     import inputs.sparkSession.implicits._
     inputs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one call per batch: a real backend runs the whole batch on-device
-        batch.map(TaskModels.run(task, _, args))
+        custom.map(_.runBatch(batch, args))
+          .getOrElse(batch.map(TaskModels.run(task, _, args)))
       }
     }
   }
@@ -104,8 +141,10 @@ object Transform {
 /** Deterministic per-task "models" producing the reference's JSON shapes. */
 object TaskModels {
 
-  private val positive = Set("good", "great", "love", "excellent", "best", "fast", "happy", "like")
-  private val negative = Set("bad", "terrible", "hate", "worst", "slow", "awful", "sad", "broken")
+  // public: the trained-sentiment distillation (x5) uses the lexicon as its
+  // weak-label source, and oracles replay it
+  val positive = Set("good", "great", "love", "excellent", "best", "fast", "happy", "like")
+  val negative = Set("bad", "terrible", "hate", "worst", "slow", "awful", "sad", "broken")
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
@@ -230,4 +269,24 @@ object TaskModels {
 
     case other => throw new IllegalArgumentException(s"unsupported task $other")
   }
+}
+
+/** Sentiment served from a TRAINED [[QualityClassifier.Model]] through the
+  * transform dispatch — a real in-pipeline-trained MLlib model behind
+  * `pgml.transform('text-classification', model := ...)` (api.rs:670-751
+  * task dispatch; the HF pipeline's `[{"label", "score"}]` envelope with
+  * the winning-class probability). The score string is the raw double
+  * (`Double.toString` round-trips), so downstream rounding is the
+  * consumer's choice — and the x5 oracle can replay the probability
+  * IEEE-identically.
+  */
+final case class TrainedSentimentModel(model: QualityClassifier.Model)
+    extends TaskModel {
+  override def task: String = "text-classification"
+  override def runBatch(texts: Seq[String], args: Map[String, String]): Seq[String] =
+    texts.map { t =>
+      val p = model.scoreOne(t)
+      val (label, score) = if (p >= 0.5) ("POSITIVE", p) else ("NEGATIVE", 1.0 - p)
+      s"""[{"label": "$label", "score": $score}]"""
+    }
 }

@@ -54,8 +54,13 @@ object C7OracleSql {
       "WHEN unicode(ch) < 65536 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64] " +
       "ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64, 128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64] END))"
 
-  def sql(spark: SparkSession, dir: String): String = {
-    val m = fitted(spark, dir)
+  /** Shared WITH-clause body replaying a fitted model's serving math over
+    * `documents`: hashed bucketing, per-occurrence tf contributions, and
+    * the j-ordered left-assoc fold. Exposes CTEs `tk(doc_id, t)` and
+    * `agg(doc_id, s)`; the caller's SELECT applies
+    * `1/(1+exp(-(intercept + coalesce(s, 0))))`. Reused by the x5
+    * trained-sentiment oracle. */
+  def scoringCtes(m: QualityClassifier.Model): String = {
     val values = m.weights.zipWithIndex
       .map { case (w, b) => s"($b, ${w.toString})" }.mkString(", ")
     s"""WITH w(bucket, wt) AS (VALUES $values),
@@ -65,13 +70,18 @@ object C7OracleSql {
        |tok AS (SELECT doc_id, len(t) AS n, unnest(t) AS tokw,
        |    unnest(range(1, len(t) + 1)) AS j FROM tk),
        |bk AS (SELECT doc_id, n, j,
-       |    (${fnv(utf8Bytes("tokw"))} % ${Dim}::HUGEINT)::INT AS bucket
+       |    (${fnv(utf8Bytes("tokw"))} % ${m.dim}::HUGEINT)::INT AS bucket
        |  FROM tok),
        |sc AS (SELECT bk.doc_id, bk.j, coalesce(w.wt, 0.0) / bk.n AS c
        |  FROM bk LEFT JOIN w USING (bucket)),
        |agg AS (SELECT doc_id,
        |    list_reduce(list(c ORDER BY j), (x, y) -> x + y) AS s
-       |  FROM sc GROUP BY doc_id)
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
+  def sql(spark: SparkSession, dir: String): String = {
+    val m = fitted(spark, dir)
+    s"""${scoringCtes(m)}
        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_toks,
        |  round(1.0 / (1.0 + exp(-(${m.intercept.toString} + coalesce(agg.s, 0.0)))), 4) AS score
        |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id

@@ -2009,6 +2009,28 @@ object QueryCatalog {
                    THEN 'POSITIVE' ELSE 'NEGATIVE' END AS label
             FROM tk ORDER BY doc_id"""))
 
+  /** pgml.transform with a TRAINED model through the dispatch registry
+    * (x5): MLlib logistic sentiment (weak labels distilled from the
+    * lexicon stand-in) served as `args(model := trained-sentiment:...)`.
+    * Generated oracle: the fitted probability replays IEEE-identically
+    * (c7's scoring CTEs) plus the HF winning-class envelope.
+    */
+  val x5TransformTrained: GraftQuery = GraftQuery(
+    "x5_transform_trained",
+    (s, dir) => {
+      X5OracleSql.fittedAndRegistered(s, dir)
+      graft.operators.Transform(
+          t(s, dir, "documents"), "text-classification", "text",
+          args = Map("model" -> X5OracleSql.modelName(dir)))
+        .select(col("doc_id"),
+          get_json_object(col("output"), "$[0].label").as("label"),
+          round(get_json_object(col("output"), "$[0].score").cast("double"), 4)
+            .as("score"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    oracleGen = Some((s, dir) => X5OracleSql.sql(s, dir)))
+
   /** pgml.transform text2text-generation (seq2seq, api.rs:1532-1547 shape):
     * the deterministic stand-in consumes the instruction clause up to the
     * first ':' and "generates" the conditioned payload — SQL-replayable.
@@ -2242,6 +2264,7 @@ object QueryCatalog {
     s6VectorSearchChunked, s7HybridSearch, s8Rag,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
+    x5TransformTrained,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }

@@ -95,6 +95,48 @@ class TransformMultimodalSpec extends AnyFunSuite {
     assert(stream == List("one", "two"))
   }
 
+  test("trained model serves through the transform dispatch registry") {
+    import graft.operators.{QualityClassifier, TrainedSentimentModel, Transform}
+    val pos = (1 to 40).map(i => (i, s"great fast excellent work item $i love it")).toDF("id", "text")
+    val neg = (1 to 40).map(i => (i, s"terrible slow broken mess item $i hate it")).toDF("id", "text")
+    val m = QualityClassifier.fit(pos, neg, "text", dim = 256)
+    Transform.registerModel("test-sentiment", TrainedSentimentModel(m))
+    try {
+      val out = Transform(
+          Seq((1, "fast excellent love"), (2, "slow broken hate")).toDF("id", "text"),
+          "text-classification", "text", args = Map("model" -> "test-sentiment"))
+        .select(col("id"),
+          get_json_object(col("output"), "$[0].label").as("label"),
+          get_json_object(col("output"), "$[0].score").cast("double").as("score"))
+        .orderBy("id").collect()
+      assert(out(0).getString(1) == "POSITIVE" && out(1).getString(1) == "NEGATIVE")
+      // the served score IS the trained model's own probability
+      val p1 = m.scoreOne("fast excellent love")
+      assert(out(0).getDouble(2) == p1)
+      val p2 = m.scoreOne("slow broken hate")
+      assert(out(1).getDouble(2) == 1.0 - p2)
+      assert(out.forall(_.getDouble(2) > 0.5))
+      // without args(model) the deterministic stand-in still serves
+      val dft = Transform(Seq((1, "good")).toDF("id", "text"),
+          "text-classification", "text")
+        .select(get_json_object(col("output"), "$[0].score").cast("double"))
+        .head().getDouble(0)
+      assert(dft == 1.0) // lexicon stand-in: pos/(pos+neg)
+      // a registered model cannot serve a different task
+      val e = intercept[IllegalArgumentException] {
+        Transform(Seq((1, "x")).toDF("id", "text"), "summarization", "text",
+          args = Map("model" -> "test-sentiment"))
+      }
+      assert(e.getMessage.contains("serves task text-classification"))
+      // the allowlist still gates registered names
+      Transform.modelAllowlist = Some(Set("other-model"))
+      try intercept[IllegalArgumentException] {
+        Transform(Seq((1, "x")).toDF("id", "text"), "text-classification",
+          "text", args = Map("model" -> "test-sentiment"))
+      } finally Transform.modelAllowlist = None
+    } finally Transform.unregisterModel("test-sentiment")
+  }
+
   test("allowlist guard blocks unlisted models") {
     Transform.modelAllowlist = Some(Set("allowed-model"))
     try {
