@@ -38,7 +38,9 @@ object SqlRegistrations {
       MinHashSignature(es.head, intArg(es, 1, 128), intArg(es, 2, 1))),
     "winnow_fingerprint" -> (es =>
       WinnowFingerprint(es.head, intArg(es, 1, 8), intArg(es, 2, 4))),
-    "chunk_text" -> (es => ChunkText(es.head, intArg(es, 1, 1500), intArg(es, 2, 40))),
+    "chunk_text" -> (es => ChunkText(es.head, intArg(es, 1, 1500), intArg(es, 2, 40),
+      if (es.length > 3) ChunkKernel.setIdFor(es(3).eval(null).toString)
+      else 0)),
     "ts_vector" -> (es => graft.store.TsVectorExpr(es.head)),
     "vec_sign_pack" -> (es => SignPack(es.head)),
     "vec_hamming" -> (es => HammingWords(es(0), es(1))),

@@ -9,29 +9,58 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Recursive-character text splitter — the `pgml.chunk('recursive_character',
-  * text, {chunk_size, chunk_overlap})` operator (reference: pgml-extension/
-  * src/api.rs:650-668, which delegates to LangChain's
-  * RecursiveCharacterTextSplitter; semantics re-implemented from the
-  * published algorithm, not ported code).
+/** Named text splitters — the `pgml.chunk(splitter, text, {chunk_size,
+  * chunk_overlap})` operator (reference: pgml-extension/src/api.rs:650-668,
+  * which delegates to LangChain's splitter registry; semantics
+  * re-implemented from the published algorithms, not ported code).
   *
-  * Algorithm: try separators in order ("\n\n", "\n", " ", ""); split on the
-  * first that appears; greedily merge splits into chunks of at most
-  * `chunkSize` characters; consecutive chunks share up to `overlap`
-  * characters of suffix context. Oversized splits recurse with the next
-  * separator.
+  * Splitters (each a separator LIST driving the same merge algorithm):
+  *  - `recursive_character` (the SDK default): try "\n\n", "\n", " ", ""
+  *    in order; split on the first that appears; greedily merge splits
+  *    into chunks of at most `chunkSize` characters; consecutive chunks
+  *    share up to `overlap` characters of suffix context; oversized
+  *    splits recurse with the next separator.
+  *  - `character`: one separator ("\n\n"), no recursion — an oversized
+  *    split is emitted whole (LangChain's CharacterTextSplitter keeps
+  *    oversized chunks too, it only warns).
+  *  - `markdown`: the recursive algorithm over markdown structure
+  *    separators (headings h1–h6, fenced code, rules) before the prose
+  *    ones — LangChain's MarkdownTextSplitter separator set, with the
+  *    heading family as literal `\n#… ` prefixes (documented
+  *    simplification of its `#{1,6}` regex).
   */
 object ChunkKernel {
 
-  private val separators = Array("\n\n", "\n", " ", "")
+  val RecursiveSeparators: Array[String] = Array("\n\n", "\n", " ", "")
+  val CharacterSeparators: Array[String] = Array("\n\n")
+  val MarkdownSeparators: Array[String] = Array(
+    "\n# ", "\n## ", "\n### ", "\n#### ", "\n##### ", "\n###### ",
+    "```\n", "\n***\n", "\n---\n", "\n___\n", "\n\n", "\n", " ", "")
 
-  def chunk(text: String, chunkSize: Int, overlap: Int): Array[String] = {
+  // indexed for codegen (an int literal beats escaping a string literal)
+  private[graft] val separatorSets: Array[Array[String]] =
+    Array(RecursiveSeparators, CharacterSeparators, MarkdownSeparators)
+
+  val splitterNames: Seq[String] = Seq("recursive_character", "character", "markdown")
+
+  def setIdFor(splitter: String): Int = {
+    val i = splitterNames.indexOf(splitter)
+    require(i >= 0,
+      s"unknown splitter '$splitter' (supported: ${splitterNames.mkString(", ")})")
+    i
+  }
+
+  def chunk(text: String, chunkSize: Int, overlap: Int): Array[String] =
+    chunk(text, chunkSize, overlap, 0)
+
+  def chunk(text: String, chunkSize: Int, overlap: Int, setId: Int): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    split(text, 0, chunkSize, overlap, out)
+    split(separatorSets(setId), text, 0, chunkSize, overlap, out)
     out.filter(_.trim.nonEmpty).toArray
   }
 
   private def split(
+      separators: Array[String],
       text: String, sepIdx: Int, chunkSize: Int, overlap: Int,
       out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     if (text.length <= chunkSize) { if (text.nonEmpty) out += text; return }
@@ -40,14 +69,15 @@ object ChunkKernel {
       if (sep.isEmpty) text.grouped(chunkSize).toArray
       else text.split(java.util.regex.Pattern.quote(sep), -1)
     if (parts.length <= 1 && sepIdx < separators.length - 1) {
-      split(text, sepIdx + 1, chunkSize, overlap, out); return
+      split(separators, text, sepIdx + 1, chunkSize, overlap, out); return
     }
     val joinLen = sep.length
     var current = new StringBuilder
     parts.foreach { p =>
       if (p.length > chunkSize) {
         if (current.nonEmpty) { out += current.toString; current = new StringBuilder }
-        if (sepIdx < separators.length - 1) split(p, sepIdx + 1, chunkSize, overlap, out)
+        if (sepIdx < separators.length - 1)
+          split(separators, p, sepIdx + 1, chunkSize, overlap, out)
         else out += p
       } else {
         val add = (if (current.nonEmpty) joinLen else 0) + p.length
@@ -70,7 +100,7 @@ object ChunkKernel {
 }
 
 /** `chunk_text(text)` → array<string> chunks. */
-case class ChunkText(child: Expression, chunkSize: Int, overlap: Int)
+case class ChunkText(child: Expression, chunkSize: Int, overlap: Int, setId: Int = 0)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -81,23 +111,25 @@ case class ChunkText(child: Expression, chunkSize: Int, overlap: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string input, chunkSize>0, 0<=overlap<chunkSize")
   override def nullSafeEval(v: Any): Any = {
-    val chunks = ChunkKernel.chunk(v.asInstanceOf[UTF8String].toString, chunkSize, overlap)
+    val chunks = ChunkKernel.chunk(v.asInstanceOf[UTF8String].toString, chunkSize, overlap, setId)
     new GenericArrayData(chunks.map(UTF8String.fromString(_)))
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.ChunkKernelJ.chunkUtf8($a, $chunkSize, $overlap))")
+        s"graft.functions.ChunkKernelJ.chunkUtf8($a, $chunkSize, $overlap, $setId))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Java-callable helper for codegen (returns UTF8String[] directly). */
 object ChunkKernelJ {
-  def chunkUtf8(text: UTF8String, chunkSize: Int, overlap: Int): Array[UTF8String] =
-    ChunkKernel.chunk(text.toString, chunkSize, overlap).map(UTF8String.fromString(_))
+  def chunkUtf8(text: UTF8String, chunkSize: Int, overlap: Int, setId: Int): Array[UTF8String] =
+    ChunkKernel.chunk(text.toString, chunkSize, overlap, setId).map(UTF8String.fromString(_))
 }
 
 object ChunkFunctions {
-  def chunkText(text: Column, chunkSize: Int = 1500, overlap: Int = 40): Column =
-    ColumnBridge.column(ChunkText(ColumnBridge.expression(text), chunkSize, overlap))
+  def chunkText(text: Column, chunkSize: Int = 1500, overlap: Int = 40,
+      splitter: String = "recursive_character"): Column =
+    ColumnBridge.column(ChunkText(ColumnBridge.expression(text), chunkSize, overlap,
+      ChunkKernel.setIdFor(splitter)))
 }

@@ -317,6 +317,33 @@ class Registry(spark: SparkSession, dir: String) {
     }
   }
 
+  /** `pgml.generate_batch(project, inputs[])` (api.rs:838-844): one
+    * deployment/model resolve for the whole batch, then the per-input
+    * serving loop — the resolve cost amortizes exactly like the
+    * reference's single `Project::get_deployed_model_id` call. */
+  def generateBatch(project: String, inputs: Seq[String]): Seq[String] = {
+    val dep = currentDeployment(project)
+      .getOrElse(throw new IllegalStateException(s"no deployment for project $project"))
+    responsesOf(dep.model_id) match {
+      case Some(responses) =>
+        val (meta, model) = cachedModel(dep.model_id)
+        val km = model.asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
+        val dim = meta.featNames.length
+        val emb = graft.functions.HashEmbedder(dim)
+        inputs.map { input =>
+          val v = org.apache.spark.ml.linalg.Vectors.dense(
+            emb.embedOne(input).map(_.toDouble))
+          val cluster = km.clusterCenters.zipWithIndex
+            .minBy { case (c, i) =>
+              (org.apache.spark.ml.linalg.Vectors.sqdist(v, c), i) }._2
+          responses.getOrElse(cluster, "")
+        }
+      case None =>
+        inputs.map(graft.operators.TaskModels.run("text-generation", _,
+          Map("max_new_tokens" -> "16")))
+    }
+  }
+
   /** `pgml.predict(project, row(...))` — the heterogeneous tuple entry
     * (api.rs:494-497; model.rs:972-1143 predict_row semantics): a named
     * mixed-type row goes through the SAME per-column preprocessing as batch

@@ -604,8 +604,12 @@ object HnswIndex {
     // fresh load() would silently adopt the old in-memory blobs. unpersist
     // (plan-matched, no recache) while the old files still resolve.
     invalidate(path)
-    try blobFrame(spark, path).unpersist(true)
-    catch { case _: org.apache.spark.sql.AnalysisException => () }
+    // guard, don't catch: deleting a never-built home (every FIRST full
+    // sync) would otherwise pay a doomed analysis of `data/` whose
+    // swallowed failure Spark still logs as a full ERROR stack
+    if (existsAt(spark, path))
+      try blobFrame(spark, path).unpersist(true)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     IndexStore.fsFor(spark, path).delete(new Path(path), true); ()
   }
 

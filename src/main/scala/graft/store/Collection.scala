@@ -27,6 +27,9 @@ import graft.functions.TextFunctions
 final case class PipelineField(
     name: String,
     splitter: Option[(Int, Int)] = Some((1500, 40)), // chunk_size, overlap
+    // which named splitter drives the chunking (the reference's
+    // splitter.model — langchain registry; see ChunkKernel.splitterNames)
+    splitterModel: String = "recursive_character",
     semanticSearch: Option[Embedder] = Some(HashEmbedder(64)),
     fullTextSearch: Boolean = false,
     // nlist for a persisted IVF ANN index built at sync time (the engine's
@@ -346,7 +349,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   private def chunkFrame(docs: DataFrame, f: PipelineField): DataFrame = {
     val (size, overlap) = f.splitter.getOrElse((1500, 40))
     docs.select(col("source_uuid").as("document_id"),
-      posexplode(chunkText(get_json_object(col("document"), "$." + f.name), size, overlap))
+      posexplode(chunkText(get_json_object(col("document"), "$." + f.name),
+          size, overlap, f.splitterModel))
         .as(Seq("chunk_index", "chunk")))
   }
 

@@ -21,6 +21,7 @@ class ExtensionsSpec extends AnyFunSuite {
         |       vec_norm_l2(array(3.0D, 4.0D)) n,
         |       simhash64('hello world') h,
         |       size(chunk_text('one two three four five', 10, 2)) nc,
+        |       size(chunk_text('a\n\nvery long paragraph here', 8, 0, 'character')) cc,
         |       size(embed_text('hello', 32)) d,
         |       lang_id('the cat is on the mat and it is happy') l,
         |       size(ts_vector('queries running')) t""".stripMargin).head()
@@ -28,9 +29,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 5.0) < 1e-9)
     assert(r.getLong(2) != 0L)
     assert(r.getInt(3) >= 2)
-    assert(r.getInt(4) == 32)
-    assert(r.getString(5) == "en")
-    assert(r.getInt(6) == 2)
+    // character splitter keeps the oversized paragraph whole: 2 chunks
+    assert(r.getInt(4) == 2)
+    assert(r.getInt(5) == 32)
+    assert(r.getString(6) == "en")
+    assert(r.getInt(7) == 2)
     val agg = spark.sql(
       "SELECT vec_sum(v) FROM VALUES (array(1.0D,2.0D)), (array(3.0D,4.0D)) t(v)")
       .head().getSeq[Double](0)

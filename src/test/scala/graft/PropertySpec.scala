@@ -105,6 +105,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("named splitters: character keeps oversized splits, markdown cuts at headings") {
+    // character: split on \n\n only, merge to size; an oversized paragraph
+    // is emitted WHOLE (langchain CharacterTextSplitter warns, never cuts)
+    val para = "word " * 30 // 150 chars, no \n
+    val charChunks = ChunkKernel.chunk(
+      s"short one\n\n${para.trim}\n\nshort two", 40, 0,
+      ChunkKernel.setIdFor("character"))
+    assert(charChunks.contains(para.trim), "oversized paragraph was cut")
+    assert(charChunks.exists(_.contains("short one")))
+    // markdown: heading separators cut BEFORE prose separators, so two h2
+    // sections land in distinct chunks even when \n\n would merge them
+    val md = "## alpha\nintro text here\n## beta\nmore text here"
+    val mdChunks = ChunkKernel.chunk(md, 30, 0, ChunkKernel.setIdFor("markdown"))
+    assert(mdChunks.exists(c => c.contains("alpha") && !c.contains("beta")))
+    assert(mdChunks.exists(c => c.contains("beta") && !c.contains("alpha")))
+    // recursive default unchanged by the refactor
+    assert(ChunkKernel.chunk(md, 30, 0).sameElements(
+      ChunkKernel.chunk(md, 30, 0, ChunkKernel.setIdFor("recursive_character"))))
+    // unknown splitter refused loudly
+    intercept[IllegalArgumentException](ChunkKernel.setIdFor("semantic"))
+  }
+
   test("simhash is permutation-invariant (vote sum over tokens)") {
     samples(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd")), 100).foreach { toks =>
       val rnd = new scala.util.Random(toks.hashCode)

@@ -85,6 +85,11 @@ class TuneSpec extends AnyFunSuite {
     assert(w == "it is sunny with clear skies", s"weather reply: $w")
     val b = t.registry.generate("proj_conv", "question about my invoice payment billing")
     assert(b == "your invoice is ready in the billing portal", s"billing reply: $b")
+    // generate_batch: one resolve, per-input answers identical to generate()
+    val batch = t.registry.generateBatch("proj_conv", Seq(
+      "what is the weather forecast sky sunshine today",
+      "question about my invoice payment billing"))
+    assert(batch == Seq(w, b), s"generateBatch diverged: $batch")
   }
 
   test("tune rejects unknown tasks") {
