@@ -45,6 +45,7 @@ object Bench {
       "c6_perplexity", "c7_quality_classifier",
       "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "d5_decontaminate",
+      "d6_dedup_against",
       "s1_chunk", "s3_fulltext_rank",
       "s4_ingest", "s4_sync_delta", "s4_vector_search_e2e",
       "s6_vector_search_chunked", "s7_hybrid_search",

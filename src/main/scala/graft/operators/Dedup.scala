@@ -272,6 +272,57 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Exact dedup of an incoming batch AGAINST an existing corpus — the
+    * incremental-crawl shape: "which of today's documents already exist in
+    * the 100 TB historical corpus?" A plain join would shuffle the batch
+    * against the corpus hash set; instead the corpus's content hashes fold
+    * into a Bloom filter ONCE (one corpus scan, a few GB of bits for
+    * billions of documents at 1% fpp), the filter broadcasts, and the
+    * batch probes it MAP-SIDE. Only bloom-POSITIVE rows (true duplicates
+    * plus the fpp sliver) reach the exact semi-join that removes false
+    * positives — so the result is EXACT while the shuffle is O(duplicates),
+    * not O(batch), and the corpus is never re-shuffled at all.
+    *
+    * Returns (idCol, is_dup) for every batch row. `expectedItems` sizes
+    * the filter (0 ⇒ one count() of the corpus). The probe is a tiny UDF
+    * by necessity — Spark's sketch lives outside codegen — but it runs
+    * in the scan stage; everything downstream is hash joins.
+    */
+  def exactAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val ch = corpus.select(md5(col(textCol)).as("__h"))
+    val items = if (expectedItems > 0) expectedItems else math.max(1L, ch.count())
+    val bf = ch.stat.bloomFilter("__h", items, fpp)
+    val bfB = batch.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
+    val b = batch.select(col(idCol), md5(col(textCol)).as("__h"))
+    val confirmed = b.where(mightContain(col("__h")))
+      .join(ch, Seq("__h"), "left_semi")
+      .select(col(idCol)).withColumn("__dup", lit(true))
+    // the confirmed side is duplicate-sized (small) — AQE broadcasts it
+    b.select(col(idCol)).join(confirmed, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
+  /** [[exactAgainst]] as a gate: the batch rows NOT already in the corpus
+    * (what an incremental ingest appends). */
+  def newAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame =
+    batch.join(
+      exactAgainst(corpus, batch, idCol, textCol, expectedItems, fpp)
+        .where(!col("is_dup")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming (<=3
     * guaranteed caught by 4-band pigeonhole on the 64-bit sketch).
     */

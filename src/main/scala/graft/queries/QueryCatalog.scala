@@ -578,6 +578,28 @@ object QueryCatalog {
             WHERE ek.doc_id NOT IN (SELECT id FROM dropped)
             ORDER BY ek.doc_id"""))
 
+  /** Incremental dedup against an existing corpus (d6): Bloom-prefiltered
+    * exact membership — the corpus folds to a broadcast sketch, the batch
+    * probes map-side, only bloom-positives reach the exact verify join.
+    * The RESULT is exact (false positives removed by the semi-join), so
+    * the oracle is the plain hash membership join — filter internals
+    * (seed, fpp) cannot leak into the output.
+    */
+  val d6DedupAgainst: GraftQuery = GraftQuery(
+    "d6_dedup_against",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactAgainst(
+          docs.where(col("doc_id") % 10 < 6), docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE doc_id % 10 < 6),
+            b AS (SELECT doc_id, md5(text) AS h FROM documents)
+            SELECT b.doc_id, (corpus.h IS NOT NULL) AS is_dup
+            FROM b LEFT JOIN corpus ON b.h = corpus.h
+            ORDER BY b.doc_id"""))
+
   /** Benchmark decontamination: drop corpus docs sharing any 8-token
     * window with the (synthetic stand-in) benchmark set — the eval-leakage
     * gate. Oracle replays tokenization → n-gram windows → semi-join →
@@ -2259,6 +2281,7 @@ object QueryCatalog {
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
+    d6DedupAgainst,
     e1EmbeddingPairs,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag,

@@ -98,6 +98,11 @@ object ExplainCheck {
     // never shuffles for the lookup
     check("c6_perplexity", "LM count frames broadcast into the scoring join")(
       p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // incremental dedup: the corpus folds to a broadcast sketch; the only
+    // joins are the exact verify semi-join over bloom-positives and the
+    // small confirmed-flag join — never a corpus-wide exchange
+    check("d6_dedup_against", "bloom prefilter + semi-join verify, no cartesian")(
+      p => p.contains("LeftSemi") && !p.contains("CartesianProduct"))
     // the quality classifier's weight frame is dim-sized: it must
     // broadcast into the scoring join — the corpus side streams once
     check("c7_quality_classifier", "weight frame broadcasts into the scoring join")(
