@@ -248,6 +248,15 @@ class Registry(spark: SparkSession, dir: String) {
     out.withColumn("proba", VectorOps.toArray(col("probability")))
   }
 
+  /** `pgml.predict_proba(model_id, ...)` — the by-model-id overload
+    * (api.rs:505-509): probabilities from a SPECIFIC model, deployed or
+    * not (A/B'ing a candidate against the deployment). */
+  def predictProbaWithModel(modelId: Long, df: DataFrame): DataFrame = {
+    val out = predictWithModel(modelId, df)
+    require(out.columns.contains("probability"), s"model $modelId has no probability output")
+    out.withColumn("proba", VectorOps.toArray(col("probability")))
+  }
+
   /** `pgml.predict_batch`: flattened feature-array input, one prediction
     * per `numFeatures` slice (api.rs:479-485). */
   def predictBatch(project: String, features: Seq[Double], numFeatures: Int): Seq[Double] = {

@@ -46,6 +46,13 @@ class SdkSurfaceSpec extends AnyFunSuite {
     assert(proba(1) > 0.9) // x=80 is deep in class 1
     val batch = t.registry.predictBatch("pb", Seq(10.0, 90.0), numFeatures = 1)
     assert(batch == Seq(0.0, 1.0))
+    // by-model-id proba overload answers identically for the deployed model
+    val dep = t.registry.deployments.orderBy(desc("seq"))
+      .select("model_id").as[Long].head()
+    val probaById = t.registry.predictProbaWithModel(dep,
+        Seq((80.0, 0.0)).toDF("x", "label"))
+      .select("proba").as[Seq[Double]].head()
+    assert(probaById == proba)
   }
 
   test("registry dump/load round-trips model rows") {
