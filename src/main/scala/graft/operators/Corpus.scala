@@ -329,6 +329,49 @@ object Corpus {
         dupFrac(col("__g2")).as("dup2_frac"),
         dupFrac(col("__g3")).as("dup3_frac"))
 
+  /** C4-style line and page cleaning (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020, §2.2 — the published C4 heuristics):
+    *
+    *  - keep only lines that end in a terminal punctuation mark
+    *    (`.` `!` `?` `"`), have at least `minLineWords` words, and do not
+    *    mention "javascript";
+    *  - drop whole pages that contain "lorem ipsum" or a curly brace, or
+    *    whose CLEANED text has fewer than `minSentences` sentences
+    *    (counted as terminal `.!?` marks).
+    *
+    * Output: surviving pages only, (idCol, n_lines, n_kept, text_clean)
+    * with the retained lines rejoined by newline. Pure built-ins — the
+    * line filter and page gates all evaluate in the scan stage
+    * (shuffle-free, like the other curation gates), and every rule
+    * replays in SQL (the c8 oracle rebuilds text_clean behind the hash
+    * gate).
+    */
+  def c4Clean(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    def lineKeep(l: Column): Column = {
+      val r = rtrim(l)
+      val last = substring(r, -1, 1)
+      last.isin(".", "!", "?", "\"") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    }
+    val cleaned = docs
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(col("__lines"), lineKeep _))
+      .withColumn("__clean", array_join(col("__kept"), "\n"))
+    cleaned
+      .where(!lower(col(textCol)).contains("lorem ipsum"))
+      .where(!col(textCol).contains("{") && !col(textCol).contains("}"))
+      .where(length(col("__clean")) -
+        length(regexp_replace(col("__clean"), "[.!?]", "")) >= minSentences)
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        col("__clean").as("text_clean"))
+  }
+
   /** Deterministic per-source mixture sampling — the domain-reweighting
     * step that turns a raw crawl into a target training mixture ("keep
     * 100% of wiki, 25% of crawl, …"). The keep decision for a document is

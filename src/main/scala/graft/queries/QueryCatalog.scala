@@ -836,6 +836,59 @@ object QueryCatalog {
             FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
             ORDER BY tk.doc_id"""))
 
+  /** C4 line/page cleaning (c8): the published Raffel et al. 2020 §2.2
+    * heuristics over a deterministically synthesized multi-line corpus
+    * (the driver corpus has no newlines or punctuation, so the query
+    * plants lines that exercise every rule — terminal-punctuation keep,
+    * short-line drop, javascript drop, lorem-ipsum / curly-brace /
+    * sentence-count page gates). Oracle rebuilds text_clean line for
+    * line behind the hash gate.
+    */
+  val c8C4Clean: GraftQuery = GraftQuery(
+    "c8_c4_clean",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val synth = docs.select(col("doc_id"),
+        concat(
+          concat_ws("\n",
+            concat(col("text"), lit(".")),
+            lit("short line"),
+            concat(lit("javascript talk about "), substring(col("text"), 1, 40), lit(".")),
+            when(col("doc_id") % 7 === 0, lit("plain words with no marks here"))
+              .otherwise(lit("second sentence goes here! third one too? and a fourth statement lands.")),
+            substring(col("text"), 1, 30)),
+          when(col("doc_id") % 11 === 0, lit("\nthis has lorem ipsum inside.")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("\ncurly { brace } page.")).otherwise(lit(""))
+        ).as("text"))
+      graft.operators.Corpus.c4Clean(synth, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH synth AS (SELECT doc_id,
+              (text || '.') || chr(10) ||
+              'short line' || chr(10) ||
+              'javascript talk about ' || substr(text, 1, 40) || '.' || chr(10) ||
+              CASE WHEN doc_id % 7 = 0 THEN 'plain words with no marks here'
+                   ELSE 'second sentence goes here! third one too? and a fourth statement lands.' END
+              || chr(10) || substr(text, 1, 30) ||
+              CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'this has lorem ipsum inside.' ELSE '' END ||
+              CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'curly { brace } page.' ELSE '' END AS text
+            FROM documents),
+            ln AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM synth),
+            kept AS (SELECT doc_id, text, lines, list_filter(lines, l ->
+                right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                AND len(string_split_regex(trim(l), '\s+')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kl
+              FROM ln),
+            cl AS (SELECT doc_id, text, lines, kl,
+                array_to_string(kl, chr(10)) AS clean FROM kept)
+            SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(kl) AS BIGINT) AS n_kept, clean AS text_clean
+            FROM cl
+            WHERE NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{') AND NOT contains(text, '}')
+              AND length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3
+            ORDER BY doc_id"""))
+
   /** Trained quality classifier (c7): a real MLlib LogisticRegression fit
     * over hashed bag-of-words tf features (GPT-3/DCLM-style quality
     * filter), labels distilled from the heuristic curation gates, every
@@ -2279,7 +2332,7 @@ object QueryCatalog {
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
-    c5AssignSplits, c6Perplexity, c7QualityClassifier,
+    c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     d6DedupAgainst,
     e1EmbeddingPairs,

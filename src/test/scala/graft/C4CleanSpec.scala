@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** C4 line/page cleaning (Corpus.c4Clean — Raffel et al. 2020 §2.2):
+  * each published rule exercised on a hand-built multi-line corpus.
+  */
+class C4CleanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def clean(rows: (Int, String)*) =
+    Corpus.c4Clean(rows.toSeq.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("line rules: terminal punctuation, min words, javascript") {
+    val good = "this line has five words here."
+    val out = clean(1 ->
+      Seq(good,
+        "no terminal punctuation on this line",
+        "too short.",
+        "a javascript mention disqualifies this entire line.",
+        "an exclamation also counts as terminal here!",
+        "so does a question mark at the end?").mkString("\n"))
+    val (nLines, nKept, text) = out(1)
+    assert(nLines == 6 && nKept == 3)
+    assert(text == Seq(good,
+      "an exclamation also counts as terminal here!",
+      "so does a question mark at the end?").mkString("\n"))
+  }
+
+  test("page rules: lorem ipsum, curly braces, sentence count") {
+    val threeSentences =
+      "first sentence with enough words inside. second sentence also counts here! third question mark sentence counts too?"
+    val out = clean(
+      1 -> threeSentences,
+      2 -> (threeSentences + "\nsome Lorem Ipsum boilerplate."),
+      3 -> (threeSentences + "\ncode with a { brace in it."),
+      4 -> "only one qualifying sentence lives here.")
+    assert(out.keySet == Set(1))
+    assert(out(1)._3 == threeSentences)
+  }
+
+  test("quoted-speech lines keep (closing quote is terminal)") {
+    val q = "she said the words \"hello there general kenobi.\""
+    val filler = "more sentences to pass the gate. another one lands right here! is this enough now?"
+    val out = clean(1 -> (q + "\n" + filler))
+    assert(out(1)._2 == 2 && out(1)._3.startsWith(q))
+  }
+}
