@@ -363,6 +363,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic
+    * deduplication via CLUSTER-SCOPED cosine pruning. K-means partitions
+    * the embedding space; near-duplicate pairs are only sought WITHIN a
+    * cluster, so the quadratic pair work is bounded by cluster size
+    * instead of corpus size — the published trick that makes semantic
+    * dedup tractable at web scale. Deterministic keep rule (a
+    * simplification of the paper's keep-one-per-group): a vector is
+    * dropped iff a SMALLER-id vector above `threshold` cosine shares its
+    * cluster.
+    *
+    * Spark shape: the seeded MLlib KMeans fits distributed; the fitted
+    * centroids become plan literals, so assignment (argmax cosine, ties
+    * to the lower centroid index) is a map-side expression — the only
+    * shuffle is the within-cluster pair join, keyed by cluster id. For
+    * cluster counts beyond a few hundred, assign through a broadcast
+    * centroid join instead of literals (the IvfIndex path).
+    *
+    * Returns (idCol, cluster, is_kept) for every input row.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      threshold: Double = 0.97,
+      seed: Long = 42L,
+      maxIter: Int = 20,
+      // pre-fit centroids (skips the KMeans; what the e2 oracle shares)
+      fittedCenters: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centers = fittedCenters.getOrElse(
+      semDedupCentroids(df, vecCol, k, seed, maxIter))
+    val centStructs = array(centers.zipWithIndex.map { case (c, i) =>
+      struct((-cosineSimilarity(col(vecCol), floatVec(c.toIndexedSeq))).as("d"),
+        lit(i).as("ci"))
+    }: _*)
+    val assigned = df.select(col(idCol), col(vecCol),
+      array_min(centStructs).getField("ci").as("cluster"))
+    val a = assigned.select(col("cluster"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("__ida") < col("__idb"))
+      .where(cosineSimilarity(col("__va"), col("__vb")) >= threshold)
+      .select(col("__idb").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__drop"), lit(true)).as("is_kept"))
+  }
+
+  /** [[semDedup]] as a gate: the semantically-deduplicated corpus. */
+  def semDeduplicate(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, threshold: Double = 0.97, seed: Long = 42L): DataFrame =
+    df.join(
+      semDedup(df, idCol, vecCol, k, threshold, seed)
+        .where(col("is_kept")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Seeded distributed KMeans fit over an `array<float>` column — the
+    * centroids behind [[semDedup]] (exposed so oracles can inline them). */
+  def semDedupCentroids(
+      df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      maxIter: Int = 20): Array[Array[Float]] = {
+    val toVec = udf { v: scala.collection.Seq[Float] =>
+      org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray)
+    }
+    val feats = df.select(toVec(col(vecCol)).as("features"))
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats).clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
   /** Signed-random-projection blocked near-dup pairs: bucket by the sign
     * pattern of `nPlanes` fixed pseudo-random hyperplanes, compare within
     * buckets only. Approximate (high-cosine pairs agree on sign bits with

@@ -1087,6 +1087,23 @@ object QueryCatalog {
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
             ORDER BY id_a, id_b"""))
 
+  /** SemDeDup (e2): cluster-scoped semantic dedup — seeded KMeans
+    * partitions the embedding space (fitted centroids inlined into the
+    * generated oracle), assignment is a map-side argmax-cosine literal
+    * expression, and the only shuffle is the within-cluster pair join.
+    * Drop rule: a smaller-id same-cluster vector at >= threshold cosine
+    * exists.
+    */
+  val e2SemDedup: GraftQuery = GraftQuery(
+    "e2_semdedup",
+    (s, dir) =>
+      Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = E2OracleSql.K, threshold = E2OracleSql.Threshold,
+          fittedCenters = Some(E2OracleSql.fittedCenters(s, dir)))
+        .orderBy(col("vec_id")),
+    None,
+    oracleGen = Some((s, dir) => E2OracleSql.sql(s, dir)))
+
   /** Elementwise vector math surface (§2.8: ± × ÷ scalar|vector as
     * codegen'd higher-order built-ins): v = 2a + a∘a per position.
     */
@@ -2335,7 +2352,7 @@ object QueryCatalog {
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     d6DedupAgainst,
-    e1EmbeddingPairs,
+    e1EmbeddingPairs, e2SemDedup,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,

@@ -48,6 +48,35 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("semDedup: near-identical vectors in one cluster keep only the min id") {
+    // two tight clouds; ids 10/11/12 are near-identical, 20/21 distinct
+    def v(base: Array[Float], eps: Float) = base.zipWithIndex.map {
+      case (x, i) => x + (if (i == 0) eps else 0f) }
+    val c1 = Array(1f, 0f, 0f, 0f)
+    val c2 = Array(0f, 1f, 0f, 0f)
+    val rows = Seq(
+      (10, v(c1, 0.00f)), (11, v(c1, 0.01f)), (12, v(c1, 0.02f)),
+      (20, v(c2, 0.00f)), (21, Array(0f, 0.2f, 0.98f, 0f))).toDF("id", "vec")
+    val out = graft.operators.Dedup.semDedup(rows, "id", "vec",
+        k = 2, threshold = 0.999, seed = 7L)
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(10)._2 && !out(11)._2 && !out(12)._2, s"cloud-1 keep rule broke: $out")
+    assert(out(20)._2 && out(21)._2, s"distinct vectors dropped: $out")
+    // the three near-identical vectors share a cluster
+    assert(out(10)._1 == out(11)._1 && out(11)._1 == out(12)._1)
+    val kept = graft.operators.Dedup.semDeduplicate(rows, "id", "vec",
+      k = 2, threshold = 0.999, seed = 7L).select("id").as[Int].collect().toSet
+    assert(kept == Set(10, 20, 21))
+  }
+
+  test("semDedup pair work is cluster-keyed (no corpus-wide cartesian)") {
+    val rows = (1 to 50).map(i =>
+      (i, Array(math.cos(i / 7.0).toFloat, math.sin(i / 7.0).toFloat))).toDF("id", "vec")
+    val plan = graft.operators.Dedup.semDedup(rows, "id", "vec", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("explicit expectedItems skips the sizing count and stays exact") {
     val flags = Dedup.exactAgainst(corpus, batch, "id", "text",
         expectedItems = 500L)
