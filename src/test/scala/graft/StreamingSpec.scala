@@ -302,4 +302,45 @@ class StreamingSpec extends AnyFunSuite {
         && streamed(2L).contains("NEGATIVE"))
     } finally q.stop()
   }
+
+  test("C4 cleaning and trained quality scoring run unchanged on an unbounded stream") {
+    // both operators are stateless scan-stage expressions, so the SAME
+    // code path serves batch and streaming — the curation front door's
+    // stream-native contract extends to the round's new gates
+    val dir = Files.createTempDirectory("graft_stream_c4_").toString
+    val docs = Seq(
+      (1L, "a fine sentence with plenty of words lands here.\nshort."),
+      (2L, "first keeper sentence sits right here. second one follows along too! third question wraps it up?"),
+      (3L, "lorem ipsum filler page with a sentence. more sentences arrive now! and a third one lands?")).toDF("id", "text")
+    docs.write.parquet(s"$dir/in")
+    val model = graft.operators.QualityClassifier.fit(
+      docs.where($"id" =!= 3L), docs.where($"id" === 3L), "text", dim = 64)
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+
+    // c4Clean is pure scan-stage expressions → streams directly (append)
+    val cleanQ = graft.operators.Corpus.c4Clean(stream, "id", "text", minSentences = 1)
+      .writeStream.outputMode("append").format("memory").queryName("c4_out").start()
+    // scores() carries a per-document fold (an aggregation), so on a
+    // stream it applies per micro-batch — the foreachBatch serving shape
+    // continuous ingest already uses for sync
+    val scored = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val scoreQ = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.QualityClassifier.scores(batch, "id", "text", model)
+          .select("id", "score").as[(Long, Double)].collect()
+          .foreach { case (i, s) => scored.put(i, s) }
+        ()
+      }.start()
+    try {
+      cleanQ.processAllAvailable(); scoreQ.processAllAvailable()
+      val cleanS = spark.table("c4_out")
+        .select("id", "text_clean").as[(Long, String)].collect().toMap
+      val cleanB = graft.operators.Corpus.c4Clean(docs, "id", "text", minSentences = 1)
+        .select("id", "text_clean").as[(Long, String)].collect().toMap
+      assert(cleanS == cleanB && !cleanS.contains(3L) && cleanS(1L).endsWith("here."))
+      val scoreB = graft.operators.QualityClassifier.scores(docs, "id", "text", model)
+        .select("id", "score").as[(Long, Double)].collect().toMap
+      assert(scored.size == 3 && scoreB.forall { case (i, s) => scored.get(i) == s })
+    } finally { cleanQ.stop(); scoreQ.stop() }
+  }
 }
