@@ -306,30 +306,16 @@ class Registry(spark: SparkSession, dir: String) {
     * call — the per-row serving path must not schedule), return the stored
     * cluster reply. Other deployments fall back to the deterministic
     * text-generation stand-in (same gap as transform). */
-  def generate(project: String, input: String): String = {
-    val dep = currentDeployment(project)
-      .getOrElse(throw new IllegalStateException(s"no deployment for project $project"))
-    responsesOf(dep.model_id) match {
-      case Some(responses) =>
-        val (meta, model) = cachedModel(dep.model_id)
-        val km = model.asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
-        val dim = meta.featNames.length
-        val v = org.apache.spark.ml.linalg.Vectors.dense(
-          graft.functions.HashEmbedder(dim).embedOne(input).map(_.toDouble))
-        val cluster = km.clusterCenters.zipWithIndex
-          .minBy { case (c, i) =>
-            (org.apache.spark.ml.linalg.Vectors.sqdist(v, c), i) }._2
-        responses.getOrElse(cluster, "")
-      case None =>
-        graft.operators.TaskModels.run("text-generation", input,
-          Map("max_new_tokens" -> "16"))
-    }
-  }
+  def generate(project: String, input: String): String =
+    generateBatch(project, Seq(input)).head
 
-  /** `pgml.generate_batch(project, inputs[])` (api.rs:838-844): one
-    * deployment/model resolve for the whole batch, then the per-input
-    * serving loop — the resolve cost amortizes exactly like the
-    * reference's single `Project::get_deployed_model_id` call. */
+  /** `pgml.generate(project, input)` / `pgml.generate_batch(project,
+    * inputs[])` (api.rs:826-844): ONE deployment/model resolve for the
+    * whole batch — the resolve cost amortizes exactly like the
+    * reference's single `Project::get_deployed_model_id` call — then the
+    * per-input serving loop (driver-side centroid assign for tuned
+    * conversation projects, no Spark job per call; text-generation
+    * stand-in fallback otherwise). */
   def generateBatch(project: String, inputs: Seq[String]): Seq[String] = {
     val dep = currentDeployment(project)
       .getOrElse(throw new IllegalStateException(s"no deployment for project $project"))

@@ -358,7 +358,10 @@ object Corpus {
         !lower(l).contains("javascript")
     }
     val cleaned = docs
-      .withColumn("__lines", split(col(textCol), "\n"))
+      // \r?\n: Windows line endings would otherwise leave every line with
+      // a trailing \r, which fails the terminal-punctuation check and
+      // silently discards the whole page — crawl text is routinely CRLF
+      .withColumn("__lines", split(col(textCol), "\r?\n"))
       .withColumn("__kept", filter(col("__lines"), lineKeep _))
       .withColumn("__clean", array_join(col("__kept"), "\n"))
     cleaned

@@ -286,7 +286,10 @@ object Dedup {
     * Returns (idCol, is_dup) for every batch row. `expectedItems` sizes
     * the filter (0 ⇒ one count() of the corpus). The probe is a tiny UDF
     * by necessity — Spark's sketch lives outside codegen — but it runs
-    * in the scan stage; everything downstream is hash joins.
+    * in the scan stage; everything downstream is BROADCAST hash joins
+    * with the corpus always on the streaming side. The broadcast working
+    * set is the positive-hash set (≈ duplicates + fpp·|batch|) — bounded
+    * by the batch, which is the small side by the operator's definition.
     */
   def exactAgainst(
       corpus: DataFrame,
@@ -301,11 +304,20 @@ object Dedup {
     val bfB = batch.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
     val b = batch.select(col(idCol), md5(col(textCol)).as("__h"))
-    val confirmed = b.where(mightContain(col("__h")))
-      .join(ch, Seq("__h"), "left_semi")
+    val positives = b.where(mightContain(col("__h")))
+    // Verify with the CORPUS STREAMING and the small side broadcast-built:
+    // Spark only broadcast-builds the LEFT of inner/right-outer joins, so
+    // `positives left_semi corpus` would shuffle the whole corpus hash set
+    // — exactly what this operator exists to avoid. Instead the corpus
+    // semi-probes the broadcast positive-hash set map-side (its matching
+    // hashes are duplicate-sized), and the batch resolves against those.
+    val matched = ch
+      .join(broadcast(positives.select(col("__h")).distinct()), Seq("__h"), "left_semi")
+      .distinct()
+    val confirmed = positives
+      .join(broadcast(matched), Seq("__h"), "left_semi")
       .select(col(idCol)).withColumn("__dup", lit(true))
-    // the confirmed side is duplicate-sized (small) — AQE broadcasts it
-    b.select(col(idCol)).join(confirmed, Seq(idCol), "left")
+    b.select(col(idCol)).join(broadcast(confirmed), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
@@ -399,8 +411,10 @@ object Dedup {
       struct((-cosineSimilarity(col(vecCol), floatVec(c.toIndexedSeq))).as("d"),
         lit(i).as("ci"))
     }: _*)
+    // cache: three consumers (both pair-join sides + the final join) would
+    // otherwise each re-evaluate the k-cosine assignment expression
     val assigned = df.select(col(idCol), col(vecCol),
-      array_min(centStructs).getField("ci").as("cluster"))
+      array_min(centStructs).getField("ci").as("cluster")).cache()
     val a = assigned.select(col("cluster"), col(idCol).as("__ida"), col(vecCol).as("__va"))
     val b = assigned.select(col("cluster"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
     val dropped = a.join(b, Seq("cluster"))

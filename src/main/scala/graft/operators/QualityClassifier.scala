@@ -108,6 +108,11 @@ object QualityClassifier {
       maxIter: Int = 100,
       regParam: Double = 1e-4): Model = {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    // one-class training data makes LogisticRegression return an infinite
+    // intercept — which would serialize as invalid JSON and inline as an
+    // unparseable literal in generated oracles. Fail loudly instead.
+    require(!pos.isEmpty, "quality classifier fit: positive set is empty")
+    require(!neg.isEmpty, "quality classifier fit: negative set is empty")
     val labeled = pos.select(col(textCol).as("__text"), lit(1.0).as("label"))
       .unionByName(neg.select(col(textCol).as("__text"), lit(0.0).as("label")))
     val toTf = udf { bks: scala.collection.Seq[Int] =>
@@ -128,33 +133,59 @@ object QualityClassifier {
     val m = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam).setFamily("binomial")
       .fit(feats)
+    require(java.lang.Double.isFinite(m.intercept),
+      s"quality classifier fit diverged: intercept ${m.intercept}")
     Model(dim, m.intercept, m.coefficients.toArray)
   }
 
+  /** Weight counts at or under this ride the scoring plan as an ARRAY
+    * LITERAL (pure scan-stage fold — no explode, no join, no aggregation
+    * buffer); larger models broadcast as a (bucket, weight) frame instead
+    * (a 2²⁰-bucket model would bloat every plan by 8 MB of literals).
+    * Volatile so tests can pin a regime. */
+  @volatile var literalMaxDim: Int = 8192
+
   /** Score every document: (idCol, n_toks, score) with
     * score = sigmoid(intercept + Σ_occurrences w[bucket]/n_toks), the fold
-    * running left-associatively over position-sorted contributions. A
-    * document with no tokens scores sigmoid(intercept) — the model's
-    * prior, exactly what an all-zero tf vector predicts.
+    * running left-associatively in TOKEN ORDER. A document with no tokens
+    * scores sigmoid(intercept) — the model's prior, exactly what an
+    * all-zero tf vector predicts.
+    *
+    * Default (dim ≤ [[literalMaxDim]]) is fully map-side: the weights are
+    * a plan literal and the per-doc sum is `aggregate` over the bucket
+    * array — one scan, zero shuffle, constant memory per row regardless
+    * of document length. Above the gate the weights broadcast as a frame
+    * and the fold runs over position-sorted collected contributions
+    * (same order, same IEEE result — the oracle replays both
+    * identically).
     */
   def scores(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
-    val spark = docs.sparkSession
-    val w = model.weightsFrame(spark)
     val toked = docs.select(col(idCol),
       TextFunctions.tokenFnvBuckets(col(textCol), model.dim).as("__bks"))
-    val base = toked.select(col(idCol), size(col("__bks")).as("n_toks"))
-    val occ = toked.select(col(idCol), size(col("__bks")).as("__n"),
-      posexplode(col("__bks")).as(Seq("pos", "bucket")))
-    val scored = occ.join(broadcast(w), Seq("bucket"), "left")
-      .groupBy(col(idCol))
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("pos"),
-          (coalesce(col("w"), lit(0.0)) / col("__n")).as("c")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("c")).as("__s"))
-    base.join(scored, Seq(idCol), "left")
-      .select(col(idCol), col("n_toks").cast("long").as("n_toks"),
-        sigmoid(lit(model.intercept) + coalesce(col("__s"), lit(0.0))).as("score"))
+    if (model.dim <= literalMaxDim) {
+      val wLit = typedLit(model.weights.toIndexedSeq)
+      toked.select(col(idCol),
+        size(col("__bks")).cast("long").as("n_toks"),
+        sigmoid(lit(model.intercept) +
+          aggregate(col("__bks"), lit(0.0),
+            (acc, b) => acc + element_at(wLit, b + 1) / size(col("__bks"))))
+          .as("score"))
+    } else {
+      val w = model.weightsFrame(docs.sparkSession)
+      val base = toked.select(col(idCol), size(col("__bks")).as("n_toks"))
+      val occ = toked.select(col(idCol), size(col("__bks")).as("__n"),
+        posexplode(col("__bks")).as(Seq("pos", "bucket")))
+      val scored = occ.join(broadcast(w), Seq("bucket"), "left")
+        .groupBy(col(idCol))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("pos"),
+            (coalesce(col("w"), lit(0.0)) / col("__n")).as("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("__s"))
+      base.join(scored, Seq(idCol), "left")
+        .select(col(idCol), col("n_toks").cast("long").as("n_toks"),
+          sigmoid(lit(model.intercept) + coalesce(col("__s"), lit(0.0))).as("score"))
+    }
   }
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))

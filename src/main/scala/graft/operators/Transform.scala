@@ -7,6 +7,21 @@ import org.apache.spark.sql.types.StringType
 import graft.functions.{HashEmbedder, TextKernels}
 import graft.store.TsRank
 
+/** A served model behind the transform dispatch — the boundary a real
+  * accelerator-backed backend (or a model trained in-pipeline) plugs into.
+  * Registered under a model name ([[Transform.registerModel]]); selecting
+  * it via `args("model")` routes the whole batch through [[runBatch]].
+  * Serializable: the DRIVER resolves the name and the model ships inside
+  * the mapPartitions closure, so registration never has to exist on
+  * executors (cluster-correct, unlike an executor-side registry lookup).
+  */
+trait TaskModel extends Serializable {
+  def task: String
+  /** One model call over a whole batch (the padded/stacked on-device
+    * shape). MUST return exactly one output per input. */
+  def runBatch(texts: Seq[String], args: Map[String, String]): Seq[String]
+}
+
 /** `pgml.transform(task, args, inputs)` — the HF-pipeline task-dispatch
   * operator (pgml-extension/src/api.rs:670-751; task set pinned by its
   * golden tests at api.rs:1086-1579). Each task returns the reference's
@@ -20,20 +35,6 @@ import graft.store.TsRank
   * batching, queries.rs:217-231), executor-side model caching, allowlist
   * guard, and JSON result columns.
   */
-/** A served model behind the transform dispatch — the boundary a real
-  * accelerator-backed backend (or a model trained in-pipeline) plugs into.
-  * Registered under a model name ([[Transform.registerModel]]); selecting
-  * it via `args("model")` routes the whole batch through [[runBatch]].
-  * Serializable: the DRIVER resolves the name and the model ships inside
-  * the mapPartitions closure, so registration never has to exist on
-  * executors (cluster-correct, unlike an executor-side registry lookup).
-  */
-trait TaskModel extends Serializable {
-  def task: String
-  /** One model call over a whole batch (the padded/stacked on-device shape). */
-  def runBatch(texts: Seq[String], args: Map[String, String]): Seq[String]
-}
-
 object Transform {
 
   /** `pgml.huggingface_whitelist` equivalent (bindings/transformers/
@@ -95,6 +96,10 @@ object Transform {
         }
         val outs = custom.map(_.runBatch(inputs, args))
           .getOrElse(TaskModels.runBatch(task, inputs, args))
+        // a misaligned backend must fail loudly, not drop/shift rows
+        // (lazyZip would silently truncate to the shorter side)
+        require(outs.length == inputs.length,
+          s"task model returned ${outs.length} outputs for ${inputs.length} inputs")
         batch.lazyZip(outs).map((r, o) => Row.fromSeq(r.toSeq :+ o))
       }
     }(enc)
@@ -113,8 +118,11 @@ object Transform {
     inputs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one call per batch: a real backend runs the whole batch on-device
-        custom.map(_.runBatch(batch, args))
+        val outs = custom.map(_.runBatch(batch, args))
           .getOrElse(batch.map(TaskModels.run(task, _, args)))
+        require(outs.length == batch.length,
+          s"task model returned ${outs.length} outputs for ${batch.length} inputs")
+        outs
       }
     }
   }

@@ -39,12 +39,15 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(kept == (2001 to 2030).toSet)
   }
 
-  test("the probe runs before the verify join (bloom-positive rows only shuffle)") {
+  test("the corpus streams through broadcast joins — never shuffled for the verify") {
     val plan = Dedup.exactAgainst(corpus, batch, "id", "text")
       .queryExecution.executedPlan.toString
-    // the sketch probe is a filter (UDF by necessity); the exact verify is
-    // a semi join above it; nothing degenerates to a cartesian
-    assert(plan.contains("LeftSemi"))
+    // the sketch probe is a filter (UDF by necessity); the exact verify
+    // semi-probes the BROADCAST positive-hash set with the corpus on the
+    // streaming side — a sort-merge join here would mean the corpus hash
+    // set is being exchanged, the exact cost this operator exists to avoid
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
 

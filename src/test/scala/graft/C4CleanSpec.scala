@@ -46,6 +46,14 @@ class C4CleanSpec extends AnyFunSuite {
     assert(out(1)._3 == threeSentences)
   }
 
+  test("CRLF pages clean identically to LF pages") {
+    val lf = "first sentence with enough words inside.\nsecond sentence also counts here!\nthird question mark sentence counts too?"
+    val crlf = lf.replace("\n", "\r\n")
+    val out = clean(1 -> lf, 2 -> crlf)
+    assert(out.contains(2), "CRLF page was silently discarded")
+    assert(out(1)._2 == out(2)._2 && out(1)._3 == out(2)._3)
+  }
+
   test("quoted-speech lines keep (closing quote is terminal)") {
     val q = "she said the words \"hello there general kenobi.\""
     val filler = "more sentences to pass the gate. another one lands right here! is this enough now?"

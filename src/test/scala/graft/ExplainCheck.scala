@@ -102,12 +102,14 @@ object ExplainCheck {
     // incremental dedup: the corpus folds to a broadcast sketch; the only
     // joins are the exact verify semi-join over bloom-positives and the
     // small confirmed-flag join — never a corpus-wide exchange
-    check("d6_dedup_against", "bloom prefilter + semi-join verify, no cartesian")(
-      p => p.contains("LeftSemi") && !p.contains("CartesianProduct"))
-    // the quality classifier's weight frame is dim-sized: it must
-    // broadcast into the scoring join — the corpus side streams once
-    check("c7_quality_classifier", "weight frame broadcasts into the scoring join")(
-      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    check("d6_dedup_against", "bloom prefilter; corpus streams, never sort-merge shuffled")(
+      p => p.contains("LeftSemi") && p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the quality classifier at default dim serves MAP-SIDE: weights are
+    // a plan literal and the per-doc fold runs over the bucket array —
+    // no join, no aggregation, the corpus streams once through the scan
+    check("c7_quality_classifier", "literal-weight scoring is scan-fused (no join/agg)")(
+      p => !p.contains("Join") && !p.contains("HashAggregate"))
     // span dedup's gram-keyed work is hash joins over fixed-width rows
     check("t10_dedup_spans", "no cartesian/nested-loop in the span-dedup plan")(
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

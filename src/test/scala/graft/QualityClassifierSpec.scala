@@ -96,6 +96,27 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(loaded.weights.sameElements(model.weights))
   }
 
+  test("literal-fold and broadcast-join scoring paths agree bitwise") {
+    val docs = pos.limit(10).unionByName(neg.limit(10))
+    val viaLiteral = QualityClassifier.scores(docs, "id", "text", model)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val saved = QualityClassifier.literalMaxDim
+    QualityClassifier.literalMaxDim = 0 // force the large-model join path
+    try {
+      val viaJoin = QualityClassifier.scores(docs, "id", "text", model)
+        .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      // same token-order left-assoc fold on both paths → identical doubles
+      assert(viaJoin == viaLiteral)
+    } finally QualityClassifier.literalMaxDim = saved
+  }
+
+  test("one-class training data is refused (no infinite intercept)") {
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.fit(pos.limit(5), neg.limit(0), "text", dim = 64)
+    }
+    assert(e.getMessage.contains("negative set is empty"))
+  }
+
   test("non-power-of-two dim is refused") {
     intercept[IllegalArgumentException] {
       QualityClassifier.fit(pos, neg, "text", dim = 1000)

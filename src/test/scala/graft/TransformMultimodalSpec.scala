@@ -128,6 +128,23 @@ class TransformMultimodalSpec extends AnyFunSuite {
           args = Map("model" -> "test-sentiment"))
       }
       assert(e.getMessage.contains("serves task text-classification"))
+      // a backend returning the wrong output count fails loudly, never
+      // silently truncating or shifting rows
+      object Misaligned extends graft.operators.TaskModel {
+        override def task: String = "text-classification"
+        override def runBatch(texts: Seq[String], args: Map[String, String]) =
+          texts.drop(1).map(_ => """[{"label": "POSITIVE", "score": 1.0}]""")
+      }
+      Transform.registerModel("misaligned", Misaligned)
+      try {
+        val e2 = intercept[org.apache.spark.SparkException] {
+          Transform(Seq((1, "a"), (2, "b")).toDF("id", "text"),
+            "text-classification", "text", args = Map("model" -> "misaligned"))
+            .collect()
+        }
+        assert(e2.getMessage.contains("outputs for") ||
+          Option(e2.getCause).exists(_.getMessage.contains("outputs for")))
+      } finally Transform.unregisterModel("misaligned")
       // the allowlist still gates registered names
       Transform.modelAllowlist = Some(Set("other-model"))
       try intercept[IllegalArgumentException] {
