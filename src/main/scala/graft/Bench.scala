@@ -41,7 +41,8 @@ object Bench {
       "v9c_hnsw_local", "v11_knn_binary", "v12_knn_sq8", "v16_knn_pq",
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "t7_pack_sequences",
-      "t8_repetition_stats", "t10_dedup_spans", "c3_sample_mixture",
+      "t8_repetition_stats", "t10_dedup_spans", "t11_gopher_rules",
+      "c3_sample_mixture",
       "c6_perplexity", "c7_quality_classifier", "c8_c4_clean",
       "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "d5_decontaminate",

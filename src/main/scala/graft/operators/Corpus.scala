@@ -375,6 +375,85 @@ object Corpus {
         col("__clean").as("text_clean"))
   }
 
+  /** Gopher quality rules (Rae et al., "Scaling Language Models: Methods,
+    * Analysis & Insights from Training Gopher", 2021, §A1.1) — the other
+    * canonical published heuristic set next to C4's ([[c4Clean]]):
+    *
+    *  - word count within [minWords, maxWords] (paper: 50–100,000);
+    *  - mean word length within [3, 10] characters;
+    *  - symbol-to-word ratio (`#` or `...`) at most 0.1;
+    *  - at most 90% of lines starting with a bullet, at most 30% ending
+    *    in an ellipsis;
+    *  - at least 80% of words containing an alphabetic character;
+    *  - at least 2 distinct members of the paper's 8-stop-word list.
+    *
+    * Output: one row per document with every measured statistic plus the
+    * composite `keep` — pipelines gate on `keep` but tune on the stats.
+    * Pure built-ins in the scan stage (shuffle-free like the other
+    * gates); ratios rounded to 5 so the t11 oracle replays them exactly.
+    */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val words = col("__words")
+    val lines = col("__lines")
+    val nWords = size(words)
+    val nLines = size(lines)
+    val meanLen = round(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        greatest(nWords.cast("double"), lit(1.0)), 5)
+    val symbolRatio = round(
+      size(filter(words, w => w.contains("#") || w.contains("..."))).cast("double") /
+        greatest(nWords.cast("double"), lit(1.0)), 5)
+    val alphaFrac = round(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        greatest(nWords.cast("double"), lit(1.0)), 5)
+    val bulletFrac = round(
+      size(filter(lines, l =>
+        ltrim(l).startsWith("•") || ltrim(l).startsWith("- ") ||
+          ltrim(l).startsWith("* "))).cast("double") /
+        greatest(nLines.cast("double"), lit(1.0)), 5)
+    val ellipsisFrac = round(
+      size(filter(lines, l =>
+        rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("double") /
+        greatest(nLines.cast("double"), lit(1.0)), 5)
+    val stopHits = size(filter(
+      typedLit(gopherStopWords),
+      sw => array_contains(transform(words, w => lower(w)), sw)))
+    docs
+      .withColumn("__words",
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""))
+      .withColumn("__lines", split(col(textCol), "\r?\n"))
+      .select(col(idCol),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_word_frac"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        stopHits.cast("long").as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_hits") >= 2)
+  }
+
+  /** [[gopherRules]] as a gate. */
+  def gopherFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    docs.join(
+      gopherRules(docs, idCol, textCol, minWords, maxWords)
+        .where(col("keep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Deterministic per-source mixture sampling — the domain-reweighting
     * step that turns a raw crawl into a target training mixture ("keep
     * 100% of wiki, 25% of crawl, …"). The keep decision for a document is

@@ -578,6 +578,74 @@ object QueryCatalog {
             WHERE ek.doc_id NOT IN (SELECT id FROM dropped)
             ORDER BY ek.doc_id"""))
 
+  /** Gopher quality rules (t11): the Rae et al. 2021 §A1.1 heuristics over
+    * a corpus with deterministically planted bullets / ellipses / symbol
+    * words (the raw corpus exercises only the word-count, mean-length and
+    * stop-word rules). Every statistic plus the composite keep goes
+    * through the hash gate.
+    */
+  val t11GopherRules: GraftQuery = GraftQuery(
+    "t11_gopher_rules",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val synth = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit("\n- a bullet item\n- another bullet here")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit("\nthis line trails off...")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit(" ## ### #tags")).otherwise(lit(""))).as("text"))
+      graft.operators.Corpus.gopherRules(synth, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val stops = graft.operators.Corpus.gopherStopWords
+        .map(sw => s"(CASE WHEN list_contains(lw, '$sw') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH synth AS (SELECT doc_id, text ||
+            (CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || '- a bullet item' || chr(10) || '- another bullet here'
+              ELSE '' END) ||
+            (CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'this line trails off...' ELSE '' END) ||
+            (CASE WHEN doc_id % 6 = 0 THEN ' ## ### #tags' ELSE '' END) AS text
+          FROM documents),
+          w AS (SELECT doc_id, text,
+              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+              string_split_regex(text, '\\r?\\n') AS lines
+            FROM synth),
+          st AS (SELECT doc_id,
+              len(words) AS n_words,
+              round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                / greatest(CAST(len(words) AS DOUBLE), 1.0), 5) AS mean_word_len,
+              round(CAST(len(list_filter(words, x ->
+                  contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                / greatest(CAST(len(words) AS DOUBLE), 1.0), 5) AS symbol_ratio,
+              round(CAST(len(list_filter(words, x ->
+                  regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / greatest(CAST(len(words) AS DOUBLE), 1.0), 5) AS alpha_word_frac,
+              round(CAST(len(list_filter(lines, l ->
+                  starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '- ')
+                  OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+                / greatest(CAST(len(lines) AS DOUBLE), 1.0), 5) AS bullet_line_frac,
+              round(CAST(len(list_filter(lines, l ->
+                  right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS DOUBLE)
+                / greatest(CAST(len(lines) AS DOUBLE), 1.0), 5) AS ellipsis_line_frac,
+              (SELECT $stops FROM (SELECT list_transform(words, x -> lower(x)) AS lw))
+                AS n_stop_hits
+            FROM w)
+          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+            symbol_ratio, alpha_word_frac, bullet_line_frac, ellipsis_line_frac,
+            CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+            (n_words >= 50 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_ratio <= 0.1
+              AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+              AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS keep
+          FROM st ORDER BY doc_id"""
+    })
+
   /** Incremental dedup against an existing corpus (d6): Bloom-prefiltered
     * exact membership — the corpus folds to a broadcast sketch, the batch
     * probes map-side, only bloom-positives reach the exact verify join.
@@ -2347,7 +2415,7 @@ object QueryCatalog {
     v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
-    t10DedupSpans,
+    t10DedupSpans, t11GopherRules,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,

@@ -54,6 +54,28 @@ class C4CleanSpec extends AnyFunSuite {
     assert(out(1)._2 == out(2)._2 && out(1)._3 == out(2)._3)
   }
 
+  test("gopher rules: each published gate trips on its own violation") {
+    import org.apache.spark.sql.Row
+    val base = ("the words be to of and that have with plenty more filler " * 6).trim // 66 words, all rules pass
+    val rows = Seq(
+      1 -> base,
+      2 -> "the be to of short doc.", // word count < 50
+      3 -> (base + " " + Seq.fill(200)("#x").mkString(" ")), // symbol ratio > 0.1
+      4 -> (base + "\n" + Seq.fill(40)("- bullet").mkString("\n")), // > 90% bullet lines... 40/41 lines
+      5 -> base.replaceAll("the|be|to|of|and|that|have|with", "xxx"), // no stop words
+      6 -> (base + "\n" + Seq.fill(30)("trails...").mkString("\n")) // > 30% ellipsis lines
+    ).toDF("id", "text")
+    val out = graft.operators.Corpus.gopherRules(rows, "id", "text")
+      .collect().map { case Row(id: Int, nw: Long, _, _, _, _, _, _, keep: Boolean) =>
+        id -> (nw, keep) }.toMap
+    assert(out(1)._2, s"clean doc dropped: ${out(1)}")
+    assert(!out(2)._2 && !out(3)._2 && !out(4)._2 && !out(5)._2 && !out(6)._2,
+      s"a violation slipped through: $out")
+    val kept = graft.operators.Corpus.gopherFilter(rows, "id", "text")
+      .select("id").as[Int].collect().toSet
+    assert(kept == Set(1))
+  }
+
   test("quoted-speech lines keep (closing quote is terminal)") {
     val q = "she said the words \"hello there general kenobi.\""
     val filler = "more sentences to pass the gate. another one lands right here! is this enough now?"

@@ -82,7 +82,8 @@ object ExplainCheck {
         "c5_assign_splits" -> "split assignment is a scan-stage projection",
         "t8_repetition_stats" -> "repetition stats compute in the scan stage",
         "t9_redact_pii" -> "PII redaction computes in the scan stage",
-        "c8_c4_clean" -> "C4 line/page gates compute in the scan stage"))
+        "c8_c4_clean" -> "C4 line/page gates compute in the scan stage",
+        "t11_gopher_rules" -> "Gopher rules compute in the scan stage"))
       check(q, s"$what (no join/agg shuffle)")(p =>
         !p.contains("Join") && !p.contains("HashAggregate") &&
           "Exchange [a-z]*partitioning".r.findAllIn(p).size <=

@@ -208,6 +208,23 @@ object Probe {
       println(s"RERANK bi-encoder scores: ${rr.mkString(" ")}" +
         (if (rr.nonEmpty && rr.head >= rr.last && rr.forall(s => s <= 1.0001 && s >= -1.0001)) ""
          else " (BAD)"))
+      // round-10 curation operators over the real corpus
+      val gq = graft.operators.Corpus.gopherRules(docs, "doc_id", "text")
+      println("GOPHER kept " + gq.where($"keep").count() + s"/${docs.count()}" +
+        " mean_word_len " + gq.agg(round(avg($"mean_word_len"), 3)).head().get(0))
+      val c4n = graft.operators.Corpus.c4Clean(
+        docs.select($"doc_id", concat($"text", lit(".\nsecond line here lands fine!\na third question arrives right now?")).as("text")),
+        "doc_id", "text").count()
+      println(s"C4-CLEAN kept $c4n/${docs.count()}" + (if (c4n > 0) "" else " (BAD)"))
+      val half = docs.where($"doc_id" % 2 === 0)
+      val d6n = graft.operators.Dedup.exactAgainst(half, docs, "doc_id", "text")
+        .where($"is_dup").count()
+      println(s"BLOOM-DEDUP flagged $d6n (want ${half.count()})" +
+        (if (d6n == half.count()) "" else " (BAD)"))
+      val sd = graft.operators.Dedup.semDedup(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "vec_id", "embedding", k = 4, threshold = 0.8)
+      println("SEMDEDUP kept " + sd.where($"is_kept").count() + "/" + sd.count())
       // trained quality classifier: fit on the gates' keep decision, score
       // everything, gate at 0.5 — kept set should broadly agree with curate
       val keptIds = curated.select("doc_id")
