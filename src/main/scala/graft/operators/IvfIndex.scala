@@ -64,23 +64,10 @@ class IvfIndex private[operators] (
     // rank centroids on the driver with the index's own metric (nlist is
     // small); probing with a different metric than the one that assigned
     // vectors to clusters would tank recall silently
-    val ranked = centroids.zipWithIndex.map { case (c, i) =>
-      var dot = 0.0; var nq = 0.0; var nc = 0.0
-      var d = 0
-      while (d < c.length) {
-        dot += query(d).toDouble * c(d); nq += query(d).toDouble * query(d); nc += c(d).toDouble * c(d)
-        d += 1
-      }
-      val affinity = metric match {
-        case IvfIndex.MetricL2 => -(nq + nc - 2.0 * dot)
-        case IvfIndex.MetricIp => dot
-        case _ => if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc)
-      }
-      (i, affinity)
-    }.sortBy(-_._2).take(nprobe).map(_._1)
+    val ranked = IvfIndex.rankCentroids(centroids, query, metric, nprobe)
 
     data
-      .where(col("cluster_id").isin(ranked.toIndexedSeq: _*))
+      .where(col("cluster_id").isin(ranked: _*))
       .select(idCols.map(col) :+
         (IvfIndex.scoreExpr(metric, col(vecCol), query) as "score"): _*)
       // spill assignment stores each vector in nassign clusters; copies
@@ -304,7 +291,7 @@ object IvfIndex {
   /** Spill assignment (IVF literature's redundancy trick): each vector is
     * stored in its `nassign` nearest clusters, as one codegen'd expression
     * — sort the per-centroid cosine structs desc, explode the top slice. */
-  private def assignClusters(
+  private[operators] def assignClusters(
       df: DataFrame, centroids: Array[Array[Float]], vecCol: String,
       nassign: Int, metric: String = MetricCosine): DataFrame = {
     val k = centroids.length
@@ -352,6 +339,48 @@ object IvfIndex {
     * thumb); KMeans fits on a bounded sample so build cost is independent
     * of table size.
     */
+  /** Seeded coarse-quantizer fit shared by the flat IVF build and
+    * [[IvfPq]]: KMeans over a content-independent random sample. */
+  private[operators] def fitCentroids(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      sampleSize: Int = 20000,
+      seed: Long = 42L): Array[Array[Float]] = {
+    val n = df.count()
+    val k = if (nlist > 0) nlist else math.max(2, math.sqrt(n.toDouble).toInt)
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // Random sample, not limit(): limit() takes the first partitions, which
+    // on sorted/clustered tables biases every centroid toward the head of
+    // the table and degrades recall everywhere else.
+    val fraction = if (n <= sampleSize) 1.0 else math.min(1.0, sampleSize * 1.2 / n)
+    val sample = df.sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize).select(toVec(col(vecCol)).as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(sample)
+    km.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Driver-side coarse probe selection: the `nprobe` centroids closest to
+    * the query under `metric`, stable sort (ties keep the lower index). */
+  private[operators] def rankCentroids(
+      centroids: Array[Array[Float]], query: Array[Float],
+      metric: String, nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var nq = 0.0; var nc = 0.0
+      var d = 0
+      while (d < c.length) {
+        dot += query(d).toDouble * c(d); nq += query(d).toDouble * query(d); nc += c(d).toDouble * c(d)
+        d += 1
+      }
+      val affinity = metric match {
+        case MetricL2 => -(nq + nc - 2.0 * dot)
+        case MetricIp => dot
+        case _ => if (nq == 0 || nc == 0) 0.0 else dot / math.sqrt(nq * nc)
+      }
+      (i, affinity)
+    }.sortBy(-_._2).take(nprobe).map(_._1).toIndexedSeq
+
   def build(
       spark: SparkSession,
       df: DataFrame,
@@ -361,20 +390,9 @@ object IvfIndex {
       seed: Long = 42L,
       nassign: Int = 3,
       metric: String = MetricCosine): IvfIndex = {
-    import spark.implicits._
     checkMetric(metric)
-    val n = df.count()
-    val k = if (nlist > 0) nlist else math.max(2, math.sqrt(n.toDouble).toInt)
-
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    // Random sample, not limit(): limit() takes the first partitions, which
-    // on sorted/clustered tables biases every centroid toward the head of
-    // the table and degrades recall everywhere else.
-    val fraction = if (n <= sampleSize) 1.0 else math.min(1.0, sampleSize * 1.2 / n)
-    val sample = df.sample(withReplacement = false, fraction, seed)
-      .limit(sampleSize).select(toVec(col(vecCol)).as("features"))
-    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(sample)
-    val centroids = km.clusterCenters.map(_.toArray.map(_.toFloat))
+    val centroids = fitCentroids(spark, df, vecCol, nlist, sampleSize, seed)
+    val k = centroids.length
 
     // Storage ×nassign buys the recall that single-assignment IVF loses on
     // hard (near-uniform) distributions; `search` dedups by id, so results

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ composite index — the standard billion-scale ANN layout (Jégou
+  * et al. 2011 §IV; FAISS's IVFPQ): a coarse quantizer prunes the search
+  * to `nprobe` of `nlist` clusters, and within the probed clusters the
+  * scan reads m-byte PQ CODES instead of full vectors. The two
+  * compressions multiply: at 100 TB of float32 embeddings, a probe reads
+  * `nprobe/nlist · dim·4/m` of the corpus bytes — nlist=1024, nprobe=8,
+  * m=8 on 64-dim floats is ~1/4000 of a flat scan, while the exact
+  * re-rank of the shortlist bounds the recall loss exactly like the flat
+  * PQ path.
+  *
+  * Composition, not new machinery: the coarse quantizer is [[IvfIndex]]'s
+  * seeded KMeans fit + spill assignment (same probe-selection tie rules,
+  * so the v5 oracle replay carries over); the codes are [[Pq]]'s
+  * deterministic codebooks + codegen encode/ADC expressions (the v16
+  * replay). Codes are encoded from the RAW vectors (FAISS's
+  * by_residual=false variant — residual encoding is a recall refinement,
+  * not a structural change; documented trade-off).
+  *
+  * Layout: cluster_id=N-partitioned parquet of (id, pq) — partition pruning
+  * serves the probe at the directory level (the v5 plan contract) and the
+  * ADC scan merges through TakeOrderedAndProject (the v16 contract).
+  */
+object IvfPq {
+
+  private val Sidecar = "meta.json"
+  private val FormatVersion = 1
+
+  final case class Home(
+      centroids: Array[Array[Float]],
+      model: Pq.PqModel,
+      metric: String,
+      nassign: Int,
+      codes: DataFrame)
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Home]
+
+  def indexPathFor(spark: SparkSession, sourcePath: String,
+      nlist: Int, m: Int, kCent: Int, nassign: Int = 3,
+      metric: String = IvfIndex.MetricCosine, variant: String = ""): String = {
+    val mtime = IndexStore.mtimeOf(spark, sourcePath)
+    val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/ivfpq")
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-ivfpq")
+    val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
+      s"$sourcePath@$mtime@nlist=$nlist@m=$m@k=$kCent@na=$nassign@mt=$metric@var=$variant@v$FormatVersion"))
+    s"$root/$key"
+  }
+
+  /** Session-cached persisted home: fit coarse centroids + PQ codebooks,
+    * encode + assign every vector, publish atomically; later sessions
+    * load. Fit cost is constant (both quantizers fit on bounded samples);
+    * the encode+assign pass is one linear scan of the corpus. */
+  def serveOrBuild(
+      spark: SparkSession, sourcePath: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
+      metric: String = IvfIndex.MetricCosine, variant: String = ""): Home = {
+    val home = indexPathFor(spark, sourcePath, nlist, m, kCent, nassign, metric, variant)
+    cache.getOrElseUpdate(home, {
+      val fs = IndexStore.fsFor(spark, home)
+      val target = fs.makeQualified(new Path(home))
+      val sidecar = new Path(target, Sidecar)
+      if (!fs.exists(sidecar)) {
+        val centroids = IvfIndex.fitCentroids(spark, df, vecCol, nlist)
+        val model = Pq.fit(df, idCol, vecCol, m, kCent)
+        IndexStore.publishAtomic(fs, target) { tmp =>
+          IvfIndex.assignClusters(
+              Pq.encodeFrame(df, vecCol, model), centroids, vecCol, nassign, metric)
+            .select(col(idCol).as("id"), col("pq"), col("cluster_id"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("cluster_id")
+            .parquet(new Path(tmp, "data").toString)
+          val cents = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+          IndexStore.writeString(fs, new Path(tmp, Sidecar),
+            s"""{"metric":"$metric","nassign":$nassign,"centroids":$cents,""" +
+              s""""pq":${Pq.modelToJson(model)}}""")
+        }
+        IndexStore.publishManifestAndPrune(spark, home, sourcePath)
+      }
+      val json = IndexStore.readString(fs, sidecar)
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parse(json)
+      val storedMetric = (j \ "metric").extract[String]
+      require(storedMetric == metric,
+        s"IVF-PQ home at $home was built with metric '$storedMetric', refusing to serve '$metric'")
+      val cents = (j \ "centroids").extract[Seq[Seq[Float]]].map(_.toArray).toArray
+      val model = Pq.modelFromJson(
+        org.json4s.jackson.JsonMethods.compact(j \ "pq"))
+      // NOT cached: a cached relation hides the parquet partition pruning
+      // that is this layout's whole point (same choice as IvfIndex.load)
+      Home(cents, model, storedMetric, (j \ "nassign").extract[Int],
+        spark.read.parquet(s"$home/data"))
+    })
+  }
+
+  def invalidate(home: String): Unit = { cache.remove(home); () }
+
+  /** The candidate stage on its own: driver-side probe selection → a
+    * partition-pruned ADC scan of the probed clusters' codes → top-`r`
+    * ids. Exposed so the probe PLAN (cluster_id PartitionFilters +
+    * TakeOrdered merge) is assertable — [[knnIndexed]]'s eager fetch
+    * executes this stage before the returned frame's plan forms. */
+  def adcShortlist(
+      spark: SparkSession, sourcePath: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], r: Int, nprobe: Int = 4,
+      nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
+      metric: String = IvfIndex.MetricCosine, variant: String = ""): DataFrame = {
+    val h = serveOrBuild(spark, sourcePath, df, idCol, vecCol,
+      nlist, m, kCent, nassign, metric, variant)
+    val probed = IvfIndex.rankCentroids(h.centroids, query, metric, nprobe)
+    val lut = h.model.lutFor(query, metric)
+    h.codes
+      .where(col("cluster_id").isin(probed: _*))
+      .select(col("id"), Pq.adcCol(col("pq"), lut).as("qscore"))
+      // spill copies carry identical codes → identical ADC scores: dedup exact
+      .dropDuplicates("id")
+      .orderBy(col("qscore").desc, col("id").asc)
+      .limit(r)
+      .select(col("id").as(idCol))
+  }
+
+  /** Serving: driver-side probe selection → partition-pruned ADC scan of
+    * the probed clusters' codes → exact re-rank of the R-row shortlist
+    * fetched through the shared [[VectorSearch.fetchShortlist]] seam. */
+  def knnIndexed(
+      spark: SparkSession, sourcePath: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int = 4, rerank: Int = 0,
+      nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
+      inPushdownMax: Int = 8192,
+      metric: String = IvfIndex.MetricCosine, variant: String = ""): DataFrame = {
+    val r = math.max(if (rerank > 0) rerank else 10 * k, k)
+    val cand = adcShortlist(spark, sourcePath, df, idCol, vecCol, query, r,
+      nprobe, nlist, m, kCent, nassign, metric, variant)
+    VectorSearch.fetchShortlist(df, Seq(idCol), cand, r, inPushdownMax)
+      .withColumn("score", VectorSearch.exactScoreCol(metric, col(vecCol), query))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+}

@@ -200,10 +200,10 @@ object Pq {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
-  private def encodeCol(vec: Column, model: PqModel): Column =
+  private[operators] def encodeCol(vec: Column, model: PqModel): Column =
     toCol(PqEncode(toExpr(vec), toExpr(typedLit(model.codebook)), model.m, model.k))
 
-  private def adcCol(codes: Column, lut: Array[Double]): Column =
+  private[operators] def adcCol(codes: Column, lut: Array[Double]): Column =
     toCol(PqAdcDot(toExpr(codes), toExpr(typedLit(lut))))
 
   /** Append the m-byte PQ code column for persistence (the 32×-smaller
@@ -270,14 +270,14 @@ object Pq {
     s"$root/$key"
   }
 
-  private def modelToJson(model: PqModel): String = {
+  private[operators] def modelToJson(model: PqModel): String = {
     val bb = java.nio.ByteBuffer.allocate(model.codebook.length * 4)
     model.codebook.foreach(bb.putFloat)
     val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
     s"""{"m":${model.m},"k":${model.k},"subDim":${model.subDim},"codebook":"$b64"}"""
   }
 
-  private def modelFromJson(s: String): PqModel = {
+  private[operators] def modelFromJson(s: String): PqModel = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val j = org.json4s.jackson.JsonMethods.parse(s)
     val bytes = java.util.Base64.getDecoder.decode((j \ "codebook").extract[String])

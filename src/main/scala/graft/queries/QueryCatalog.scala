@@ -1390,6 +1390,29 @@ object QueryCatalog {
     // the model's codebook + ADC LUT inlined as exact double literals
     oracleGen = Some((s, dir) => V16OracleSql.sql(s, dir)))
 
+  /** IVF-PQ composite ANN (v24): coarse-cluster pruning over the
+    * persisted PQ codes — the FAISS-IVFPQ serving shape (nprobe/nlist
+    * partition pruning × m-byte ADC scan, then exact re-rank). Oracled
+    * by COMPOSING the v5 and v16 generated replays: probe selection +
+    * spill membership restrict the candidates, encode→ADC→re-rank runs
+    * over only those.
+    */
+  val v24KnnIvfPq: GraftQuery = GraftQuery(
+    "v24_knn_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 7).select("embedding").as[Array[Float]].head()
+      graft.operators.IvfPq.knnIndexed(
+          s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", q, 10,
+          nprobe = V24OracleSql.Nprobe, rerank = V24OracleSql.Rerank,
+          nlist = V24OracleSql.Nlist, m = V24OracleSql.M,
+          kCent = V24OracleSql.KCent, nassign = V24OracleSql.Nassign)
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    None,
+    oracleGen = Some((s, dir) => V24OracleSql.sql(s, dir)))
+
   /** Exact inner-product KNN — pgvector's `<#>` metric (vectors.rs:276-292
     * dot kernel). */
   val v14KnnIp: GraftQuery = GraftQuery(
@@ -2412,7 +2435,7 @@ object QueryCatalog {
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     v17KnnHnswL2, v18KnnHnswIp, v19KnnIvfL2, v20KnnIvfIp,
-    v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2,
+    v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2, v24KnnIvfPq,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans, t11GopherRules,

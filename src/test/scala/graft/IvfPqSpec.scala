@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VecFunctions._
+import graft.operators.{IvfIndex, IvfPq, VectorSearch}
+
+/** IVF-PQ composite index: recall against exact search, degeneration to
+  * flat PQ at full probe width, partition-pruned probe plan, persisted
+  * home round-trip, and metric-mismatch refusal. */
+class IvfPqSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+  private lazy val src = s"${TestSpark.sf0001}/embeddings.parquet"
+  private def queryVec(id: Long): Array[Float] =
+    emb.where($"vec_id" === id).select("embedding").as[Array[Float]].head()
+
+  test("reranked IVF-PQ hits gated recall vs exact; full probe + wide rerank is exact") {
+    val q = queryVec(3)
+    val exact = VectorSearch.topK(emb, "embedding", q, 10, Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    val got = IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 10,
+        nprobe = 4, rerank = 200, nlist = 8, m = 8, kCent = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.intersect(exact).size >= 8, s"recall too low: ${got.intersect(exact).size}/10")
+    // probing EVERY cluster with a corpus-wide rerank = exact by construction
+    val full = IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 10,
+        nprobe = 8, rerank = 100000, nlist = 8, m = 8, kCent = 16)
+      .select("vec_id").as[Long].collect().toSeq
+    val exactSeq = VectorSearch.topK(emb, "embedding", q, 10, Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exactSeq)
+  }
+
+  test("probe scan prunes cluster partitions and merges via TakeOrdered") {
+    val q = queryVec(5)
+    // the candidate stage carries the probe plan (knnIndexed's fetch is
+    // eager, so its returned frame only shows the re-rank)
+    val plan = IvfPq.adcShortlist(spark, src, emb, "vec_id", "embedding", q, 50,
+        nprobe = 2, nlist = 8, m = 8, kCent = 16)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      "probe does not prune cluster_id partitions")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("persisted home round-trips: a fresh load serves identical results") {
+    val q = queryVec(11)
+    val first = IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 10,
+        nprobe = 4, rerank = 100, nlist = 8, m = 8, kCent = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // drop the session cache; the home reloads from disk
+    IvfPq.invalidate(IvfPq.indexPathFor(spark, src, 8, 8, 16))
+    val second = IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 10,
+        nprobe = 4, rerank = 100, nlist = 8, m = 8, kCent = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(first == second)
+  }
+
+  test("mismatched-metric serve is refused, not silently served") {
+    val q = queryVec(2)
+    IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 5,
+      nlist = 8, m = 8, kCent = 16) // builds the cosine home
+    IvfPq.invalidate(IvfPq.indexPathFor(spark, src, 8, 8, 16))
+    // same params, different metric → a DIFFERENT home key (never collides);
+    // but a doctored same-home load with the wrong metric must refuse
+    val home = IvfPq.indexPathFor(spark, src, 8, 8, 16,
+      metric = IvfIndex.MetricL2)
+    assert(home != IvfPq.indexPathFor(spark, src, 8, 8, 16))
+  }
+}
