@@ -38,7 +38,7 @@ object Bench {
       "q4_window_topn", "q8_events_hourly", "q9_json_extract",
       "v1_knn_cosine", "v2_vec_avg_by_label", "v3_vec_norms",
       "v4_knn_batch", "v5_knn_ivf", "v9_knn_hnsw", "v9b_hnsw_batch",
-      "v9c_hnsw_local", "v11_knn_binary", "v12_knn_sq8", "v16_knn_pq", "v24_knn_ivfpq",
+      "v9c_hnsw_local", "v11_knn_binary", "v12_knn_sq8", "v16_knn_pq", "v24_knn_ivfpq", "v25_knn_ivfpq_residual",
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "t7_pack_sequences",
       "t8_repetition_stats", "t10_dedup_spans", "t11_gopher_rules",

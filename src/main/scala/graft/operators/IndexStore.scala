@@ -86,18 +86,30 @@ private[operators] object IndexStore {
     * homes of the SAME source with a different (stale-mtime / old-format)
     * key — without this every source rewrite leaks a full index copy into
     * the index root forever. */
+  /** Record which source (at which mtime) a home serves, and prune
+    * sibling homes of the SAME source at a DIFFERENT mtime — those are
+    * stale builds over rewritten data. Siblings at the SAME mtime are
+    * legitimate parameter variants (another metric, by_residual, m, …)
+    * of one live source and MUST survive: pruning them mid-session
+    * leaves cached frames pointing at deleted parquet. (Manifests written
+    * before the mtime line read as bare paths and prune once — they
+    * rebuild on next access.) */
   def publishManifestAndPrune(
       spark: SparkSession, home: String, sourcePath: String): Unit = {
     val fs = fsFor(spark, home)
     val homeP = fs.makeQualified(new Path(home))
     val manifest = new Path(homeP, SourceManifest)
-    if (!fs.exists(manifest)) writeString(fs, manifest, sourcePath)
+    val content = s"$sourcePath\n${mtimeOf(spark, sourcePath)}"
+    if (!fs.exists(manifest)) writeString(fs, manifest, content)
     val root = homeP.getParent
     if (fs.exists(root)) fs.listStatus(root).foreach { sib =>
       if (sib.isDirectory && sib.getPath != homeP) {
         val m = new Path(sib.getPath, SourceManifest)
-        if (fs.exists(m) && readString(fs, m) == sourcePath)
-          fs.delete(sib.getPath, true)
+        if (fs.exists(m)) {
+          val mc = readString(fs, m)
+          if (mc.linesIterator.nextOption().contains(sourcePath) && mc != content)
+            fs.delete(sib.getPath, true)
+        }
       }
     }
   }

@@ -362,8 +362,9 @@ object IvfIndex {
   }
 
   /** Driver-side coarse probe selection: the `nprobe` centroids closest to
-    * the query under `metric`, stable sort (ties keep the lower index). */
-  private[operators] def rankCentroids(
+    * the query under `metric`, stable sort (ties keep the lower index).
+    * Public to graft: the generated oracles replay probe selection. */
+  private[graft] def rankCentroids(
       centroids: Array[Array[Float]], query: Array[Float],
       metric: String, nprobe: Int): Seq[Int] =
     centroids.zipWithIndex.map { case (c, i) =>

@@ -36,19 +36,30 @@ object IvfPq {
       model: Pq.PqModel,
       metric: String,
       nassign: Int,
+      byResidual: Boolean,
       codes: DataFrame)
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Home]
 
   def indexPathFor(spark: SparkSession, sourcePath: String,
       nlist: Int, m: Int, kCent: Int, nassign: Int = 3,
-      metric: String = IvfIndex.MetricCosine, variant: String = ""): String = {
+      metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
+      variant: String = ""): String = {
     val mtime = IndexStore.mtimeOf(spark, sourcePath)
     val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/ivfpq")
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-ivfpq")
     val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@nlist=$nlist@m=$m@k=$kCent@na=$nassign@mt=$metric@var=$variant@v$FormatVersion"))
+      s"$sourcePath@$mtime@nlist=$nlist@m=$m@k=$kCent@na=$nassign@mt=$metric@res=$byResidual@var=$variant@v$FormatVersion"))
     s"$root/$key"
+  }
+
+  /** Per-element residual v − centroid(cluster_id), in FLOAT32 (single
+    * float rounding — what the SQL replay reproduces with FLOAT
+    * arithmetic). The centroid table rides the plan as a map literal. */
+  private def residualCol(vecCol: String, centroids: Array[Array[Float]]) = {
+    val centMap = typedLit(
+      centroids.zipWithIndex.map { case (c, i) => i -> c.toSeq }.toMap)
+    zip_with(col(vecCol), element_at(centMap, col("cluster_id")), (a, b) => a - b)
   }
 
   /** Session-cached persisted home: fit coarse centroids + PQ codebooks,
@@ -59,26 +70,45 @@ object IvfPq {
       spark: SparkSession, sourcePath: String,
       df: => DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
-      metric: String = IvfIndex.MetricCosine, variant: String = ""): Home = {
-    val home = indexPathFor(spark, sourcePath, nlist, m, kCent, nassign, metric, variant)
+      metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
+      variant: String = ""): Home = {
+    val home = indexPathFor(spark, sourcePath, nlist, m, kCent, nassign,
+      metric, byResidual, variant)
     cache.getOrElseUpdate(home, {
       val fs = IndexStore.fsFor(spark, home)
       val target = fs.makeQualified(new Path(home))
       val sidecar = new Path(target, Sidecar)
       if (!fs.exists(sidecar)) {
         val centroids = IvfIndex.fitCentroids(spark, df, vecCol, nlist)
-        val model = Pq.fit(df, idCol, vecCol, m, kCent)
+        // by_residual (the FAISS default): codebooks fit on PRIMARY-
+        // assignment residuals and each spill copy encodes v − c(copy) —
+        // residuals are smaller than raw vectors, so the same code bytes
+        // quantize finer. by_residual=false encodes raw vectors (one code
+        // per vector regardless of copy).
+        val model =
+          if (byResidual)
+            Pq.fit(IvfIndex.assignClusters(df, centroids, vecCol, 1, metric)
+                .withColumn("__res", residualCol(vecCol, centroids)),
+              idCol, "__res", m, kCent)
+          else Pq.fit(df, idCol, vecCol, m, kCent)
         IndexStore.publishAtomic(fs, target) { tmp =>
-          IvfIndex.assignClusters(
-              Pq.encodeFrame(df, vecCol, model), centroids, vecCol, nassign, metric)
+          val assigned =
+            IvfIndex.assignClusters(df, centroids, vecCol, nassign, metric)
+          val encoded =
+            if (byResidual)
+              Pq.encodeFrame(
+                assigned.withColumn("__res", residualCol(vecCol, centroids)),
+                "__res", model)
+            else Pq.encodeFrame(assigned, vecCol, model)
+          encoded
             .select(col(idCol).as("id"), col("pq"), col("cluster_id"))
             .write.mode(SaveMode.Overwrite)
             .partitionBy("cluster_id")
             .parquet(new Path(tmp, "data").toString)
           val cents = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
           IndexStore.writeString(fs, new Path(tmp, Sidecar),
-            s"""{"metric":"$metric","nassign":$nassign,"centroids":$cents,""" +
-              s""""pq":${Pq.modelToJson(model)}}""")
+            s"""{"metric":"$metric","nassign":$nassign,"byResidual":$byResidual,""" +
+              s""""centroids":$cents,"pq":${Pq.modelToJson(model)}}""")
         }
         IndexStore.publishManifestAndPrune(spark, home, sourcePath)
       }
@@ -94,6 +124,7 @@ object IvfPq {
       // NOT cached: a cached relation hides the parquet partition pruning
       // that is this layout's whole point (same choice as IvfIndex.load)
       Home(cents, model, storedMetric, (j \ "nassign").extract[Int],
+        (j \ "byResidual").extractOpt[Boolean].getOrElse(false),
         spark.read.parquet(s"$home/data"))
     })
   }
@@ -110,19 +141,52 @@ object IvfPq {
       df: => DataFrame, idCol: String, vecCol: String,
       query: Array[Float], r: Int, nprobe: Int = 4,
       nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
-      metric: String = IvfIndex.MetricCosine, variant: String = ""): DataFrame = {
+      metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
+      variant: String = ""): DataFrame = {
     val h = serveOrBuild(spark, sourcePath, df, idCol, vecCol,
-      nlist, m, kCent, nassign, metric, variant)
+      nlist, m, kCent, nassign, metric, byResidual, variant)
     val probed = IvfIndex.rankCentroids(h.centroids, query, metric, nprobe)
-    val lut = h.model.lutFor(query, metric)
-    h.codes
-      .where(col("cluster_id").isin(probed: _*))
-      .select(col("id"), Pq.adcCol(col("pq"), lut).as("qscore"))
-      // spill copies carry identical codes → identical ADC scores: dedup exact
-      .dropDuplicates("id")
-      .orderBy(col("qscore").desc, col("id").asc)
-      .limit(r)
-      .select(col("id").as(idCol))
+    val pruned = h.codes.where(col("cluster_id").isin(probed: _*))
+    if (!h.byResidual) {
+      val lut = h.model.lutFor(query, metric)
+      pruned
+        .select(col("id"), Pq.adcCol(col("pq"), lut).as("qscore"))
+        // spill copies carry identical codes → identical ADC scores: dedup exact
+        .dropDuplicates("id")
+        .orderBy(col("qscore").desc, col("id").asc)
+        .limit(r)
+        .select(col("id").as(idCol))
+    } else {
+      // residual scoring: v̂ = c + r̂, so
+      //   ip/cosine: ⟨q, v̂⟩ = ⟨q, c⟩ (per-cluster constant) + Σ_g lut(q);
+      //   l2: −‖q − v̂‖² = −‖(q−c) − r̂‖² — a per-cluster LUT over q−c.
+      // Both ride as map literals keyed by cluster_id; copies now quantize
+      // against different centroids, so the best copy wins (max — exact
+      // for the copies' shared true vector).
+      val qscore = metric match {
+        case IvfIndex.MetricL2 =>
+          val lutMap = typedLit(probed.map { ci =>
+            val qc = query.indices.map(d => query(d) - h.centroids(ci)(d)).toArray
+            ci -> h.model.lutFor(qc, metric).toSeq
+          }.toMap)
+          Pq.adcCol(col("pq"), element_at(lutMap, col("cluster_id")))
+        case _ =>
+          val lut = h.model.lut(query)
+          val qcMap = typedLit(probed.map { ci =>
+            var s = 0.0
+            var d = 0
+            while (d < query.length) { s += query(d).toDouble * h.centroids(ci)(d); d += 1 }
+            ci -> s
+          }.toMap)
+          element_at(qcMap, col("cluster_id")) + Pq.adcCol(col("pq"), lut)
+      }
+      pruned
+        .select(col("id"), qscore.as("qscore"))
+        .groupBy(col("id")).agg(max(col("qscore")).as("qscore"))
+        .orderBy(col("qscore").desc, col("id").asc)
+        .limit(r)
+        .select(col("id").as(idCol))
+    }
   }
 
   /** Serving: driver-side probe selection → partition-pruned ADC scan of
@@ -134,10 +198,11 @@ object IvfPq {
       query: Array[Float], k: Int, nprobe: Int = 4, rerank: Int = 0,
       nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
       inPushdownMax: Int = 8192,
-      metric: String = IvfIndex.MetricCosine, variant: String = ""): DataFrame = {
+      metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
+      variant: String = ""): DataFrame = {
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
     val cand = adcShortlist(spark, sourcePath, df, idCol, vecCol, query, r,
-      nprobe, nlist, m, kCent, nassign, metric, variant)
+      nprobe, nlist, m, kCent, nassign, metric, byResidual, variant)
     VectorSearch.fetchShortlist(df, Seq(idCol), cand, r, inPushdownMax)
       .withColumn("score", VectorSearch.exactScoreCol(metric, col(vecCol), query))
       .orderBy(col("score").desc, col(idCol).asc)

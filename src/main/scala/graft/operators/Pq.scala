@@ -206,6 +206,11 @@ object Pq {
   private[operators] def adcCol(codes: Column, lut: Array[Double]): Column =
     toCol(PqAdcDot(toExpr(codes), toExpr(typedLit(lut))))
 
+  /** Column-LUT variant — the per-cluster LUT of [[IvfPq]]'s residual
+    * serving (the LUT arrives via a map-literal lookup, not a literal). */
+  private[operators] def adcCol(codes: Column, lut: Column): Column =
+    toCol(PqAdcDot(toExpr(codes), toExpr(lut)))
+
   /** Append the m-byte PQ code column for persistence (the 32×-smaller
     * serving table: scan (id, pq) and never touch the float vectors). */
   def encodeFrame(df: DataFrame, vecCol: String, model: PqModel,

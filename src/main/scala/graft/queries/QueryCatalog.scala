@@ -1413,6 +1413,29 @@ object QueryCatalog {
     None,
     oracleGen = Some((s, dir) => V24OracleSql.sql(s, dir)))
 
+  /** Residual IVF-PQ (v25): FAISS's by_residual=true refinement — spill
+    * copies encode v − c(copy) in float32, scores add the per-cluster
+    * ⟨q,c⟩ constant to the shared residual-LUT sum, best copy wins.
+    * Oracled via the v24 composition extended with the per-copy residual
+    * encode and the MAX-over-copies rule.
+    */
+  val v25KnnIvfPqResidual: GraftQuery = GraftQuery(
+    "v25_knn_ivfpq_residual",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 7).select("embedding").as[Array[Float]].head()
+      graft.operators.IvfPq.knnIndexed(
+          s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", q, 10,
+          nprobe = V25OracleSql.Nprobe, rerank = V25OracleSql.Rerank,
+          nlist = V25OracleSql.Nlist, m = V25OracleSql.M,
+          kCent = V25OracleSql.KCent, nassign = V25OracleSql.Nassign,
+          byResidual = true)
+        .select(col("vec_id"), round(col("score"), 5).as("score"))
+    },
+    None,
+    oracleGen = Some((s, dir) => V25OracleSql.sql(s, dir)))
+
   /** Exact inner-product KNN — pgvector's `<#>` metric (vectors.rs:276-292
     * dot kernel). */
   val v14KnnIp: GraftQuery = GraftQuery(
@@ -2435,7 +2458,7 @@ object QueryCatalog {
     v7KnnIvfFull, v8VecElementwise, v9KnnHnsw, v10KnnHnswFull,
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     v17KnnHnswL2, v18KnnHnswIp, v19KnnIvfL2, v20KnnIvfIp,
-    v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2, v24KnnIvfPq,
+    v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2, v24KnnIvfPq, v25KnnIvfPqResidual,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans, t11GopherRules,

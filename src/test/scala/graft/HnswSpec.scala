@@ -205,7 +205,9 @@ class HnswSpec extends AnyFunSuite {
         .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-hnsw"))
       Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).flatMap { d =>
         val m = new java.io.File(d, "source.path")
-        if (m.exists() && java.nio.file.Files.readString(m.toPath) == src)
+        // manifest = "<sourcePath>\n<mtime>" — match on the path line
+        if (m.exists() && java.nio.file.Files.readString(m.toPath)
+              .linesIterator.nextOption().contains(src))
           Some(d.getAbsolutePath)
         else None
       }.toSeq

@@ -62,6 +62,29 @@ class IvfPqSpec extends AnyFunSuite {
     assert(first == second)
   }
 
+  test("by_residual: distinct home, gated recall, exact at full probe + corpus rerank") {
+    val q = queryVec(9)
+    val exact = VectorSearch.topK(emb, "embedding", q, 10, Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    // residual serving with a modest re-rank hits gated recall (random
+    // unit-norm vectors are the hard near-uniform regime)
+    val residTop = IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 10,
+        nprobe = 8, rerank = 100, nlist = 8, m = 8, kCent = 16, byResidual = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(residTop.intersect(exact).size >= 8,
+      s"residual recall too low: ${residTop.intersect(exact).size}/10")
+    // reranked serving is exact-grade like the raw path
+    val got = IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 10,
+        nprobe = 8, rerank = 100000, nlist = 8, m = 8, kCent = 16, byResidual = true)
+      .select("vec_id").as[Long].collect().toSeq
+    val exactSeq = VectorSearch.topK(emb, "embedding", q, 10, Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exactSeq)
+    // the residual home is keyed apart from the raw home
+    assert(IvfPq.indexPathFor(spark, src, 8, 8, 16, byResidual = true) !=
+      IvfPq.indexPathFor(spark, src, 8, 8, 16))
+  }
+
   test("mismatched-metric serve is refused, not silently served") {
     val q = queryVec(2)
     IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 5,

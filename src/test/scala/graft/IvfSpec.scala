@@ -156,7 +156,9 @@ class IvfSpec extends AnyFunSuite {
         s"${sys.props("java.io.tmpdir")}/graft-ivf"))
       Option(r.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).flatMap { d =>
         val m = new java.io.File(d, "source.path")
-        if (m.exists() && java.nio.file.Files.readString(m.toPath) == src)
+        // manifest = "<sourcePath>\n<mtime>" — match on the path line
+        if (m.exists() && java.nio.file.Files.readString(m.toPath)
+              .linesIterator.nextOption().contains(src))
           Some(d.getAbsolutePath)
         else None
       }.toSeq
