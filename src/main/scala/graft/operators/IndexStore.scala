@@ -100,7 +100,14 @@ private[operators] object IndexStore {
     val homeP = fs.makeQualified(new Path(home))
     val manifest = new Path(homeP, SourceManifest)
     val content = s"$sourcePath\n${mtimeOf(spark, sourcePath)}"
-    if (!fs.exists(manifest)) writeString(fs, manifest, content)
+    // refresh on CONTENT MISMATCH, not just absence: a pre-upgrade home
+    // carries a bare-path manifest, and leaving it in place would let the
+    // next sibling publish prune this LIVE home (the exact mid-session
+    // deletion this function guards against). The home is mtime-keyed, so
+    // reaching here means it serves the current source — stamping the
+    // current mtime is always correct.
+    if (!fs.exists(manifest) || readString(fs, manifest) != content)
+      writeString(fs, manifest, content)
     val root = homeP.getParent
     if (fs.exists(root)) fs.listStatus(root).foreach { sib =>
       if (sib.isDirectory && sib.getPath != homeP) {

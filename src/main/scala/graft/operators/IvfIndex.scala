@@ -93,7 +93,7 @@ object IvfIndex {
   val MetricL2 = "l2"
   val MetricIp = "ip"
   private val Metrics = Set(MetricCosine, MetricL2, MetricIp)
-  private def checkMetric(metric: String): Unit =
+  private[operators] def checkMetric(metric: String): Unit =
     require(Metrics(metric),
       s"unknown IVF metric '$metric' (expected cosine | l2 | ip)")
 

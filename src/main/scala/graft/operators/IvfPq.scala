@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * seeded KMeans fit + spill assignment (same probe-selection tie rules,
   * so the v5 oracle replay carries over); the codes are [[Pq]]'s
   * deterministic codebooks + codegen encode/ADC expressions (the v16
-  * replay). Codes are encoded from the RAW vectors (FAISS's
-  * by_residual=false variant — residual encoding is a recall refinement,
-  * not a structural change; documented trade-off).
+  * replay). Codes encode either the RAW vectors (by_residual=false) or
+  * each spill copy's residual v − c(copy) (by_residual=true, the FAISS
+  * default — residuals are smaller than raw vectors, so the same code
+  * bytes quantize finer; serving then adds the per-cluster ⟨q,c⟩
+  * constant, or uses per-cluster LUTs under l2, and the best copy
+  * wins).
   *
   * Layout: cluster_id=N-partitioned parquet of (id, pq) — partition pruning
   * serves the probe at the directory level (the v5 plan contract) and the
@@ -72,6 +75,9 @@ object IvfPq {
       nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
       metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
       variant: String = ""): Home = {
+    // validate up front: an unknown metric would otherwise fall through
+    // every `case _ => cosine` and build a silently mis-ranked home
+    IvfIndex.checkMetric(metric)
     val home = indexPathFor(spark, sourcePath, nlist, m, kCent, nassign,
       metric, byResidual, variant)
     cache.getOrElseUpdate(home, {
@@ -86,11 +92,18 @@ object IvfPq {
         // quantize finer. by_residual=false encodes raw vectors (one code
         // per vector regardless of copy).
         val model =
-          if (byResidual)
-            Pq.fit(IvfIndex.assignClusters(df, centroids, vecCol, 1, metric)
+          if (byResidual) {
+            // SAMPLE FIRST, then assign + residualize: Pq.fit only reads
+            // its bounded (xxhash64(id), id)-ordered sample, and feeding
+            // it the pre-drawn identical sample keeps the fit genuinely
+            // constant-cost instead of assigning the whole corpus twice.
+            // (Pq.fit re-draws the same ordering over the same rows, so
+            // the fitted codebook is unchanged.)
+            val sample = df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(20000)
+            Pq.fit(IvfIndex.assignClusters(sample, centroids, vecCol, 1, metric)
                 .withColumn("__res", residualCol(vecCol, centroids)),
               idCol, "__res", m, kCent)
-          else Pq.fit(df, idCol, vecCol, m, kCent)
+          } else Pq.fit(df, idCol, vecCol, m, kCent)
         IndexStore.publishAtomic(fs, target) { tmp =>
           val assigned =
             IvfIndex.assignClusters(df, centroids, vecCol, nassign, metric)

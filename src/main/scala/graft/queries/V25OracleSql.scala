@@ -29,6 +29,10 @@ object V25OracleSql {
   def sql(spark: SparkSession, dir: String, queryId: Long = 7, k: Int = 10): String = {
     import spark.implicits._
     val h = home(spark, dir)
+    // the replay SQL is cosine-only (assignment, probe selection, final
+    // scoring); a non-cosine home must extend the SQL, not silently mix
+    require(h.metric == graft.operators.IvfIndex.MetricCosine,
+      s"replay is cosine-only, home is built with metric '${h.metric}'")
     val q = graft.Tables.load(spark, dir, "embeddings")
       .where(org.apache.spark.sql.functions.col("vec_id") === queryId)
       .select("embedding").as[Array[Float]].head()

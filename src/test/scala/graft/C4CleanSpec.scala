@@ -54,23 +54,45 @@ class C4CleanSpec extends AnyFunSuite {
     assert(out(1)._2 == out(2)._2 && out(1)._3 == out(2)._3)
   }
 
-  test("gopher rules: each published gate trips on its own violation") {
+  test("gopher rules: each published gate trips on its own violation, in isolation") {
     import org.apache.spark.sql.Row
-    val base = ("the words be to of and that have with plenty more filler " * 6).trim // 66 words, all rules pass
+    val base = ("the words be to of and that have with plenty more filler " * 6).trim // 72 words, all rules pass
+    // every violating doc is built so ONLY the named gate trips — long
+    // bullet/ellipsis lines keep alpha/symbol/mean-length healthy, so a
+    // co-tripping sibling rule can't mask a regression in the named one
+    val bulletLine = "- the words keep flowing along here today again"
+    val ellipsisLine = "the words keep flowing along here and then they trail away..."
     val rows = Seq(
       1 -> base,
-      2 -> "the be to of short doc.", // word count < 50
-      3 -> (base + " " + Seq.fill(200)("#x").mkString(" ")), // symbol ratio > 0.1
-      4 -> (base + "\n" + Seq.fill(40)("- bullet").mkString("\n")), // > 90% bullet lines... 40/41 lines
+      2 -> "the be to of short doc.", // word count < minWords
+      3 -> (base + " " + Seq.fill(9)("#x #x the words flow onward here").mkString(" ")), // symbol ratio only
+      4 -> Seq.fill(12)(bulletLine).mkString("\n"), // 12/12 bullet lines; 1 of 9 words non-alpha
       5 -> base.replaceAll("the|be|to|of|and|that|have|with", "xxx"), // no stop words
-      6 -> (base + "\n" + Seq.fill(30)("trails...").mkString("\n")) // > 30% ellipsis lines
+      6 -> Seq.fill(12)(ellipsisLine).mkString("\n"), // 12/12 ellipsis lines; 1 of 11 words symbolic
+      7 -> ("the be to of and that have with " + Seq.fill(60)("a b").mkString(" ")) // mean word length < 3
     ).toDF("id", "text")
     val out = graft.operators.Corpus.gopherRules(rows, "id", "text")
-      .collect().map { case Row(id: Int, nw: Long, _, _, _, _, _, _, keep: Boolean) =>
-        id -> (nw, keep) }.toMap
-    assert(out(1)._2, s"clean doc dropped: ${out(1)}")
-    assert(!out(2)._2 && !out(3)._2 && !out(4)._2 && !out(5)._2 && !out(6)._2,
-      s"a violation slipped through: $out")
+      .collect().map { case Row(id: Int, nw: Long, ml: Double, sr: Double,
+          af: Double, bf: Double, ef: Double, sh: Long, keep: Boolean) =>
+        id -> ((nw, ml, sr, af, bf, ef, sh, keep)) }.toMap
+    assert(out(1)._8, s"clean doc dropped: ${out(1)}")
+    assert(!out(2)._8 && out(2)._1 < 50)
+    assert(!out(3)._8 && out(3)._3 > 0.1 &&
+      out(3)._4 >= 0.8 && out(3)._2 >= 3.0, s"symbol not isolated: ${out(3)}")
+    assert(!out(4)._8 && out(4)._5 > 0.9 &&
+      out(4)._3 <= 0.1 && out(4)._4 >= 0.8 && out(4)._2 >= 3.0,
+      s"bullet not isolated: ${out(4)}")
+    assert(!out(5)._8 && out(5)._7 < 2)
+    assert(!out(6)._8 && out(6)._6 > 0.3 &&
+      out(6)._3 <= 0.1 && out(6)._4 >= 0.8, s"ellipsis not isolated: ${out(6)}")
+    assert(!out(7)._8 && out(7)._2 < 3.0 &&
+      out(7)._1 >= 50 && out(7)._7 >= 2, s"mean-length not isolated: ${out(7)}")
+    // the maxWords upper bound, via the parameter (a 100k-word literal
+    // would be all cost, no extra coverage)
+    val capped = graft.operators.Corpus.gopherRules(
+        Seq(1 -> base).toDF("id", "text"), "id", "text", maxWords = 60)
+      .select("keep").as[Boolean].head()
+    assert(!capped)
     val kept = graft.operators.Corpus.gopherFilter(rows, "id", "text")
       .select("id").as[Int].collect().toSet
     assert(kept == Set(1))

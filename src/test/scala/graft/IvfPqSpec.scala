@@ -89,11 +89,49 @@ class IvfPqSpec extends AnyFunSuite {
     val q = queryVec(2)
     IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 5,
       nlist = 8, m = 8, kCent = 16) // builds the cosine home
-    IvfPq.invalidate(IvfPq.indexPathFor(spark, src, 8, 8, 16))
-    // same params, different metric → a DIFFERENT home key (never collides);
-    // but a doctored same-home load with the wrong metric must refuse
-    val home = IvfPq.indexPathFor(spark, src, 8, 8, 16,
-      metric = IvfIndex.MetricL2)
-    assert(home != IvfPq.indexPathFor(spark, src, 8, 8, 16))
+    // different metric → a different home key, so keys never collide…
+    val cosHome = IvfPq.indexPathFor(spark, src, 8, 8, 16)
+    val l2Home = IvfPq.indexPathFor(spark, src, 8, 8, 16, metric = IvfIndex.MetricL2)
+    assert(l2Home != cosHome)
+    // …but a DOCTORED home (cosine files copied under the l2 key — a bad
+    // restore / manual copy) must REFUSE to serve, never silently rank
+    // with the wrong metric. Copy the built home and probe it as l2.
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(cosHome),
+      fs, new org.apache.hadoop.fs.Path(l2Home), false, conf)
+    IvfPq.invalidate(l2Home)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 5,
+        nlist = 8, m = 8, kCent = 16, metric = IvfIndex.MetricL2)
+    }
+    assert(e.getMessage.contains("refusing to serve 'l2'"), e.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(l2Home), true)
+    // an unknown metric is rejected before anything is built or keyed
+    intercept[IllegalArgumentException] {
+      IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 5,
+        nlist = 8, m = 8, kCent = 16, metric = "L2")
+    }
+  }
+
+  test("by_residual under l2: per-cluster LUT serving is exact at full probe + rerank") {
+    // de-normalize so l2 and cosine orderings genuinely differ
+    val scaled = emb.select($"vec_id",
+      transform($"embedding", x => (x * (($"vec_id" % 7 + 1)).cast("float")).cast("float"))
+        .as("embedding"))
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_l2_").toString
+    scaled.write.parquet(s"$wh/scaled")
+    val sdf = spark.read.parquet(s"$wh/scaled")
+    val q = sdf.where($"vec_id" === 4).select("embedding").as[Array[Float]].head()
+    val got = IvfPq.knnIndexed(spark, s"$wh/scaled", sdf, "vec_id", "embedding", q, 10,
+        nprobe = 8, rerank = 100000, nlist = 8, m = 8, kCent = 16,
+        metric = IvfIndex.MetricL2, byResidual = true)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = sdf.select($"vec_id",
+        (-vecDistanceL2($"embedding", floatVec(q.toIndexedSeq))).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact, s"l2 residual serving diverged: $got vs $exact")
   }
 }
