@@ -225,6 +225,21 @@ object Probe {
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
         "vec_id", "embedding", k = 4, threshold = 0.8)
       println("SEMDEDUP kept " + sd.where($"is_kept").count() + "/" + sd.count())
+      // IVF-PQ composite index: raw and residual serving vs exact head
+      val embP = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val qp = embP.where($"vec_id" === 0).select($"embedding").as[Array[Float]].head()
+      val exactHead = graft.operators.VectorSearch
+        .topK(embP, "embedding", qp, 5, Seq("vec_id"))
+        .select("vec_id").as[Long].collect().toSet
+      for (res <- Seq(false, true)) {
+        val hits = graft.operators.IvfPq.knnIndexed(
+            spark, "/root/testdata/sf0.001/embeddings.parquet", embP,
+            "vec_id", "embedding", qp, 5, nprobe = 4, rerank = 100,
+            nlist = 8, m = 8, kCent = 16, byResidual = res)
+          .select("vec_id").as[Long].collect().toSet
+        println(s"IVFPQ(residual=$res) overlap@5 vs exact: " +
+          s"${hits.intersect(exactHead).size}/5")
+      }
       // trained quality classifier: fit on the gates' keep decision, score
       // everything, gate at 0.5 — kept set should broadly agree with curate
       val keptIds = curated.select("doc_id")
