@@ -390,8 +390,11 @@ class Registry(spark: SparkSession, dir: String) {
       .load(path).asInstanceOf[org.apache.spark.ml.Transformer]
   }
 
+  // stage-then-rename append (graft.store.DeltaTable): registry rows may
+  // land from concurrent trains; raw SaveMode.Append writers clobber each
+  // other's shared _temporary staging dir
   private def append(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(path)
+    graft.store.DeltaTable.appendLogFiles(df, path)
 }
 
 final case class ModelRow(model_id: Long, project: String, task: String,

@@ -101,6 +101,13 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getName.stripPrefix("batch=").toLong).foldLeft(-1L)(math.max)
 
+  /** The batch bound CONSUMERS advance watermarks to: stops short of any
+    * allocated batch a concurrent upsert hasn't published yet, so a
+    * later-numbered batch landing first can never make a sync skip the
+    * straggler (it stays above the watermark until it settles). */
+  private def settledChangelogBatch: Long =
+    DeltaTable.settledLogBatch(changelogPath)
+
   /** Changelog entry sourced from a documents segment already on disk —
     * an O(batch) file scan with no plan replay. An empty upsert batch
     * writes no segment directory; there is nothing to log then. */
@@ -111,11 +118,14 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   }
 
   private def appendChangelog(batchDocs: DataFrame): Unit = {
-    val batch = maxChangelogBatch + 1
-    batchDocs
-      .select(col("source_uuid"), col("document"))
-      .withColumn("batch", lit(batch))
-      .write.mode(SaveMode.Append).partitionBy("batch").parquet(changelogPath)
+    // write-ahead numbering + stage-then-rename: the old read-then-append
+    // `maxChangelogBatch + 1` handed two concurrent upserts the same batch
+    // id, and their SaveMode.Append writes raced on a shared _temporary
+    // dir (the failure mode the data segments were hardened against)
+    val batch = DeltaTable.allocLogBatch(changelogPath)
+    DeltaTable.publishLogBatch(
+      batchDocs.select(col("source_uuid"), col("document")),
+      changelogPath, batch)
   }
 
   private def statePath(pipeline: String) =
@@ -365,7 +375,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // staged — bump the generation so its publish aborts
     Collection.generationOf(pipelineKey(p.name)).incrementAndGet()
     p.fields.foreach(syncFieldFull(p, _))
-    writeState(p.name, SyncState(maxChangelogBatch, 0, Map.empty))
+    writeState(p.name, SyncState(settledChangelogBatch, 0, Map.empty))
     pruneChangelog()
   }
 
@@ -482,7 +492,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         && !DeltaTable.exists(tablePath(p.name, f.name, "chunks")))
       .map { f => syncFieldFull(p, f); f.name }.toSet ++ alreadyRebuilt
     val wm = state.get.watermark
-    val maxB = maxChangelogBatch
+    // consume up to the SETTLED bound only: a batch allocated by a
+    // concurrent upsert but not yet published holds the watermark back, so
+    // a later batch that landed first can't make this sync skip it
+    val maxB = settledChangelogBatch
     if (maxB <= wm || !new java.io.File(changelogPath).exists()) return // nothing new
 
     // the delta path's frames all originate on the micro session, keeping
@@ -494,8 +507,13 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // the new changelog dirs' on-disk bytes — driver-side listing, no job.
     val newBatchBytes = Option(new java.io.File(changelogPath).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=")
-        && f.getName.stripPrefix("batch=").toLong > wm)
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory && n.startsWith("batch=") && {
+          val b = n.stripPrefix("batch=").toLong
+          b > wm && b <= maxB
+        }
+      }
       .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
       .map(_.length()).sum
     val ms = microSpark(
@@ -505,7 +523,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // the full-frame collect on the next line materializes every partition
     // (freezing the frame exactly like the eager form) in the same job
     val changedDocs = DeltaTable.readParquetCached(ms, changelogPath)
-      .where(col("batch") > wm)
+      // upper-bound too: a batch published between the settled probe and
+      // this read would otherwise be consumed without the watermark
+      // advancing past it (and then re-consumed by the next sync)
+      .where(col("batch") > wm && col("batch") <= maxB)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("source_uuid")).orderBy(col("batch").desc)))
       .where(col("_rn") === 1)
@@ -678,6 +699,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")
         && f.getName.stripPrefix("batch=").toLong <= safe)
       .foreach(deleteRec)
+    // retire the pruned batches' alloc/burn markers with them — numbering
+    // stays monotonic off the surviving (≥ safe+1) markers and dirs
+    DeltaTable.pruneLogMarkers(changelogPath, safe)
   }
 
   /** Segment-merge policy: past [[mergeEvery]] delta syncs (or a stale-row
@@ -1381,22 +1405,28 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val queryJson = s"""{"semantic": [${semantic.map(f => s""""${f.field}:${f.query}"""").mkString(",")}],""" +
       s""" "full_text": [${fullText.map(f => s""""${f.field}:${f.query}"""").mkString(",")}]}"""
     val results = search(p, semantic, fullText, limit, filterJson).cache()
-    Seq((searchId, queryJson, java.time.Instant.now().toString))
-      .toDF("search_id", "query", "created_at")
-      .write.mode(SaveMode.Append).parquet(searchesPath)
-    results.withColumn("search_id", lit(searchId))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("document_id"))))
-      .select("search_id", "document_id", "rank", "score")
-      .write.mode(SaveMode.Append).parquet(searchResultsPath)
+    // search logging is concurrent BY NATURE (the reference logs inside
+    // every search statement) — stage-then-rename appends, never
+    // SaveMode.Append's shared _temporary dir
+    DeltaTable.appendLogFiles(
+      Seq((searchId, queryJson, java.time.Instant.now().toString))
+        .toDF("search_id", "query", "created_at"),
+      searchesPath)
+    DeltaTable.appendLogFiles(
+      results.withColumn("search_id", lit(searchId))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("document_id"))))
+        .select("search_id", "document_id", "rank", "score"),
+      searchResultsPath)
     (searchId, results)
   }
 
   /** Clickthrough feedback (INSERT_SEARCH_EVENT, queries.rs:131-133). */
   def addSearchEvent(searchId: Long, documentId: String, eventJson: String): Unit =
-    Seq((searchId, documentId, eventJson, java.time.Instant.now().toString))
-      .toDF("search_id", "document_id", "event", "created_at")
-      .write.mode(SaveMode.Append).parquet(searchEventsPath)
+    DeltaTable.appendLogFiles(
+      Seq((searchId, documentId, eventJson, java.time.Instant.now().toString))
+        .toDF("search_id", "document_id", "event", "created_at"),
+      searchEventsPath)
 
   def searches: DataFrame = spark.read.parquet(searchesPath)
   def searchResults: DataFrame = spark.read.parquet(searchResultsPath)

@@ -398,6 +398,146 @@ object DeltaTable {
   }
 
   // ---------------------------------------------------------------------
+  // Concurrent-append LOG sinks. The upsert changelog, search logging
+  // tables, and registry appends are append-only logs with INHERENTLY
+  // concurrent writers (the reference logs every search inside the query
+  // statement, search_query_builder.rs:476-518, and upserts may land from
+  // many sessions). Raw SaveMode.Append is unsafe there for the same
+  // reason it was unsafe for data segments: two writers share one
+  // `_temporary` staging dir and clobber each other (the round-9 probe).
+  // These helpers give the logs the same two guarantees the tables got —
+  // write-ahead numbering (for the batch-partitioned changelog) and
+  // stage-then-rename publication (atomic visibility, no shared staging).
+  //
+  // The changelog adds an ORDERING contract the other sinks don't need:
+  // consumers advance a watermark, so a later-numbered batch publishing
+  // BEFORE an earlier in-flight one must not let the watermark skip the
+  // straggler. [[settledLogBatch]] is the consumer-side bound: the largest
+  // batch below which no allocated batch is still unaccounted for. A
+  // writer that fails burns its number (burn marker, try/catch in
+  // [[publishLogBatch]]); a writer that dies without burning (JVM kill)
+  // stalls the watermark only until its alloc marker ages past
+  // [[logAllocGraceMs]].
+  // ---------------------------------------------------------------------
+
+  /** Grace period before an allocated-but-unpublished log batch is
+    * presumed crashed and stops blocking [[settledLogBatch]]. Var so
+    * concurrency specs can compress the window. */
+  private[graft] var logAllocGraceMs: Long = 10L * 60L * 1000L
+
+  private def logBatchDirs(path: String): Seq[Long] =
+    Option(new java.io.File(ioPath(path)).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).toSeq
+
+  private def logMarkers(path: String, prefix: String): Map[Long, Long] =
+    Option(new java.io.File(commitsPath(path)).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith(prefix)) Some(n.stripPrefix(prefix).toLong -> f.lastModified())
+        else None
+      }.toMap
+
+  /** Write-ahead batch allocation for a `batch=N`-partitioned log: the
+    * `alloc-N` marker lands (atomically, createNewFile) before any data,
+    * so concurrent writers get distinct numbers and a crashed writer's
+    * number burns instead of being re-issued — the read-then-append
+    * `max+1` it replaces could hand two upserts the same batch. */
+  private[graft] def allocLogBatch(path: String): Long = {
+    requireLocalWrites(path, "allocLogBatch")
+    val d = new java.io.File(commitsPath(path))
+    d.mkdirs()
+    val floor = (logBatchDirs(path) ++ logMarkers(path, "alloc-").keys)
+      .foldLeft(-1L)(math.max)
+    var b = floor + 1
+    while (!new java.io.File(d, s"alloc-$b").createNewFile()) b += 1
+    b
+  }
+
+  /** Publish `df` as `path/batch=N`: stage under a hidden sibling (each
+    * writer its own dir — no shared `_temporary`), rename into place
+    * (atomic visibility: readers see the whole batch or none of it). On
+    * failure the batch number is burned so consumers don't wait out the
+    * grace period for it. The on-disk layout is identical to what
+    * `partitionBy("batch")` wrote — files carry the data columns only,
+    * `batch` comes from the dir name via partition discovery. */
+  private[graft] def publishLogBatch(df: DataFrame, path: String, batch: Long): Unit = {
+    requireLocalWrites(path, "publishLogBatch")
+    try {
+      val stage = s"$path/_stage-batch$batch"
+      df.write.mode(SaveMode.Overwrite).parquet(stage)
+      new java.io.File(ioPath(path)).mkdirs()
+      if (!new java.io.File(ioPath(stage)).renameTo(
+          new java.io.File(s"${ioPath(path)}/batch=$batch")))
+        throw new java.io.IOException(s"could not publish log batch $batch under $path")
+    } catch {
+      case e: Throwable =>
+        new java.io.File(commitsPath(path), s"burn-$batch").createNewFile()
+        throw e
+    }
+  }
+
+  /** The largest batch number a log CONSUMER may advance its watermark to:
+    * every allocated batch at or below it is settled — published, burned,
+    * or stale past [[logAllocGraceMs]] (presumed-dead writer). An
+    * in-flight lower batch holds the bound back so a later batch that
+    * published first is consumed only once the straggler lands (it stays
+    * readable above the watermark until then). Pre-protocol logs (batch
+    * dirs, no markers) settle at their max published dir. */
+  private[graft] def settledLogBatch(path: String): Long = {
+    val published = logBatchDirs(path).toSet
+    val allocs = logMarkers(path, "alloc-")
+    val burned = logMarkers(path, "burn-").keySet
+    val top = (published ++ allocs.keys).foldLeft(-1L)(math.max)
+    val now = System.currentTimeMillis()
+    val pending = allocs.collect {
+      case (b, mtime) if !published(b) && !burned(b)
+        && now - mtime <= logAllocGraceMs => b
+    }
+    if (pending.isEmpty) top else pending.min - 1L
+  }
+
+  /** Drop a log's bookkeeping markers for pruned batches (numbers at or
+    * below `upTo`); numbering stays monotonic off the surviving markers
+    * and dirs. */
+  private[graft] def pruneLogMarkers(path: String, upTo: Long): Unit = {
+    val d = new java.io.File(commitsPath(path))
+    Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      val num = n.split("-") match {
+        case Array("alloc" | "burn", v) => v.toLong
+        case _ => Long.MaxValue
+      }
+      if (num <= upTo) f.delete()
+    }
+  }
+
+  /** Concurrency-safe append for an UNPARTITIONED log table (searches /
+    * search_results / search_events, registry models / deployments): the
+    * batch stages under a per-writer hidden dir and its part file renames
+    * in. coalesce(1) makes each append a single atomic rename — these are
+    * row-scale logging writes, one small file per event is the intended
+    * layout; readers listing mid-rename see whole appends only. Part
+    * names carry the writing job's UUID, so movers never collide. */
+  private[graft] def appendLogFiles(df: DataFrame, path: String): Unit = {
+    requireLocalWrites(path, "appendLogFiles")
+    val stage = s"$path/_stage-${java.util.UUID.randomUUID()}"
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val staged = Option(new java.io.File(ioPath(stage)).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    if (staged.isEmpty)
+      throw new java.io.IOException(s"no staged log files under $stage")
+    val dir = new java.io.File(ioPath(path))
+    dir.mkdirs()
+    staged.foreach { f =>
+      if (!f.renameTo(new java.io.File(dir, f.getName)))
+        throw new java.io.IOException(s"could not publish log file ${f.getName} under $path")
+    }
+    deleteRec(new java.io.File(ioPath(stage)))
+  }
+
+  // ---------------------------------------------------------------------
   // Staged (background) compaction. The O(corpus) half of a segment merge
   // — resolving every live row and rewriting it as one segment, plus
   // rebuilding ANN indexes over it — must not stall the sync micro-batch
