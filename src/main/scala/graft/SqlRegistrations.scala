@@ -14,6 +14,18 @@ object SqlRegistrations {
   private def intArg(es: Seq[Expression], i: Int, dflt: Int): Int =
     if (es.length > i) es(i).eval(null).toString.toInt else dflt
 
+  /** Config arguments must be foldable non-NULL literals: a non-foldable
+    * expression would silently evaluate against a null row, and a NULL
+    * literal would NPE with an opaque message — both are caller errors
+    * worth naming. */
+  private def literalArg(es: Seq[Expression], i: Int, fn: String): String = {
+    val e = es(i)
+    require(e.foldable, s"$fn argument ${i + 1} must be a literal, got: ${e.sql}")
+    val v = e.eval(null)
+    require(v != null, s"$fn argument ${i + 1} must not be NULL")
+    v.toString
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => DotProduct(es(0), es(1))),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
@@ -39,7 +51,7 @@ object SqlRegistrations {
     "winnow_fingerprint" -> (es =>
       WinnowFingerprint(es.head, intArg(es, 1, 8), intArg(es, 2, 4))),
     "chunk_text" -> (es => ChunkText(es.head, intArg(es, 1, 1500), intArg(es, 2, 40),
-      if (es.length > 3) ChunkKernel.setIdFor(es(3).eval(null).toString)
+      if (es.length > 3) ChunkKernel.setIdFor(literalArg(es, 3, "chunk_text"))
       else 0)),
     "ts_vector" -> (es => graft.store.TsVectorExpr(es.head)),
     "vec_sign_pack" -> (es => SignPack(es.head)),

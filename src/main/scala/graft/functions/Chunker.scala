@@ -41,6 +41,13 @@ object ChunkKernel {
   private[graft] val separatorSets: Array[Array[String]] =
     Array(RecursiveSeparators, CharacterSeparators, MarkdownSeparators)
 
+  // keep_separator per set: the markdown splitter re-attaches each
+  // separator to the part that FOLLOWS it (LangChain MarkdownTextSplitter
+  // passes keep_separator=True), so a section starting a new chunk keeps
+  // its '\n## ' heading marker instead of losing it at the boundary. The
+  // prose sets keep LangChain's consume-and-rejoin default.
+  private[graft] val keepSeparatorSets: Array[Boolean] = Array(false, false, true)
+
   val splitterNames: Seq[String] = Seq("recursive_character", "character", "markdown")
 
   def setIdFor(splitter: String): Int = {
@@ -55,29 +62,37 @@ object ChunkKernel {
 
   def chunk(text: String, chunkSize: Int, overlap: Int, setId: Int): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    split(separatorSets(setId), text, 0, chunkSize, overlap, out)
+    split(separatorSets(setId), keepSeparatorSets(setId), text, 0, chunkSize, overlap, out)
     out.filter(_.trim.nonEmpty).toArray
   }
 
   private def split(
-      separators: Array[String],
+      separators: Array[String], keepSep: Boolean,
       text: String, sepIdx: Int, chunkSize: Int, overlap: Int,
       out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     if (text.length <= chunkSize) { if (text.nonEmpty) out += text; return }
     val sep = separators(sepIdx)
-    val parts: Array[String] =
+    val rawParts: Array[String] =
       if (sep.isEmpty) text.grouped(chunkSize).toArray
       else text.split(java.util.regex.Pattern.quote(sep), -1)
-    if (parts.length <= 1 && sepIdx < separators.length - 1) {
-      split(separators, text, sepIdx + 1, chunkSize, overlap, out); return
+    // keep_separator: the separator rides at the HEAD of the part after it
+    // (parts then merge with an empty join), so structural markers survive
+    // chunk boundaries
+    val parts: Array[String] =
+      if (keepSep && sep.nonEmpty)
+        rawParts.zipWithIndex.map { case (p, i) => if (i == 0) p else sep + p }
+      else rawParts
+    if (rawParts.length <= 1 && sepIdx < separators.length - 1) {
+      split(separators, keepSep, text, sepIdx + 1, chunkSize, overlap, out); return
     }
-    val joinLen = sep.length
+    val joinSep = if (keepSep) "" else sep
+    val joinLen = joinSep.length
     var current = new StringBuilder
     parts.foreach { p =>
       if (p.length > chunkSize) {
         if (current.nonEmpty) { out += current.toString; current = new StringBuilder }
         if (sepIdx < separators.length - 1)
-          split(separators, p, sepIdx + 1, chunkSize, overlap, out)
+          split(separators, keepSep, p, sepIdx + 1, chunkSize, overlap, out)
         else out += p
       } else {
         val add = (if (current.nonEmpty) joinLen else 0) + p.length
@@ -91,7 +106,7 @@ object ChunkKernel {
             current ++= tail
           }
         }
-        if (current.nonEmpty) current ++= sep
+        if (current.nonEmpty) current ++= joinSep
         current ++= p
       }
     }

@@ -411,17 +411,24 @@ object Dedup {
       struct((-cosineSimilarity(col(vecCol), floatVec(c.toIndexedSeq))).as("d"),
         lit(i).as("ci"))
     }: _*)
-    // cache: three consumers (both pair-join sides + the final join) would
-    // otherwise each re-evaluate the k-cosine assignment expression
+    // cache: both pair-join sides would otherwise re-evaluate the k-cosine
+    // assignment expression. The cache is RELEASED before returning —
+    // the dropped-id set (one compact id column) materializes eagerly
+    // while the cache is live, and the final join re-derives the
+    // assignment in one map-side pass; a lazy return would instead pin
+    // the cached relation for the session lifetime on every call.
     val assigned = df.select(col(idCol), col(vecCol),
       array_min(centStructs).getField("ci").as("cluster")).cache()
     val a = assigned.select(col("cluster"), col(idCol).as("__ida"), col(vecCol).as("__va"))
     val b = assigned.select(col("cluster"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
-    val dropped = a.join(b, Seq("cluster"))
-      .where(col("__ida") < col("__idb"))
-      .where(cosineSimilarity(col("__va"), col("__vb")) >= threshold)
-      .select(col("__idb").as(idCol)).distinct()
-      .withColumn("__drop", lit(true))
+    val dropped =
+      try a.join(b, Seq("cluster"))
+        .where(col("__ida") < col("__idb"))
+        .where(cosineSimilarity(col("__va"), col("__vb")) >= threshold)
+        .select(col("__idb").as(idCol)).distinct()
+        .withColumn("__drop", lit(true))
+        .localCheckpoint()
+      finally assigned.unpersist()
     assigned.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(!col("__drop"), lit(true)).as("is_kept"))

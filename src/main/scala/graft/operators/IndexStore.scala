@@ -82,10 +82,6 @@ private[operators] object IndexStore {
     }
   }
 
-  /** Record which source a persisted home derives from, then drop sibling
-    * homes of the SAME source with a different (stale-mtime / old-format)
-    * key — without this every source rewrite leaks a full index copy into
-    * the index root forever. */
   /** Record which source (at which mtime) a home serves, and prune
     * sibling homes of the SAME source at a DIFFERENT mtime — those are
     * stale builds over rewritten data. Siblings at the SAME mtime are

@@ -99,7 +99,8 @@ object IvfPq {
             // constant-cost instead of assigning the whole corpus twice.
             // (Pq.fit re-draws the same ordering over the same rows, so
             // the fitted codebook is unchanged.)
-            val sample = df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(20000)
+            val sample = df.orderBy(xxhash64(col(idCol)), col(idCol))
+              .limit(Pq.DefaultFitSampleSize)
             Pq.fit(IvfIndex.assignClusters(sample, centroids, vecCol, 1, metric)
                 .withColumn("__res", residualCol(vecCol, centroids)),
               idCol, "__res", m, kCent)

@@ -101,6 +101,12 @@ object Pq {
     z ^ (z >>> 31)
   }
 
+  /** Default codebook-fit sample size. Shared with callers that pre-draw
+    * the identical sample (IvfPq's residual fit) — one constant, so the
+    * "pre-drawn sample ≡ fit's own draw" invariant can't silently break
+    * if the bound changes. */
+  val DefaultFitSampleSize: Int = 20000
+
   /** Fit per-subspace codebooks with plain Lloyd over a deterministic
     * sample. Constant work regardless of corpus size: `sampleSize` vectors
     * ordered by (xxhash64(id), id) — a content-independent, rerun-stable
@@ -108,7 +114,7 @@ object Pq {
   def fit(
       df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 256,
-      sampleSize: Int = 20000, iters: Int = 10, seed: Long = 42L): PqModel = {
+      sampleSize: Int = DefaultFitSampleSize, iters: Int = 10, seed: Long = 42L): PqModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val sample = df

@@ -40,6 +40,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(agg == Seq(4.0, 6.0))
   }
 
+  test("chunk_text splitter argument: NULL and non-literal refused loudly") {
+    val spark = TestSpark.session
+    graft.functions.VecFunctions.registerAll(spark)
+    val nullErr = intercept[Exception] {
+      spark.sql("SELECT chunk_text('a b c', 10, 2, NULL)").head()
+    }
+    assert(nullErr.getMessage.contains("must not be NULL"))
+    val colErr = intercept[Exception] {
+      spark.sql("SELECT chunk_text('a b c', 10, 2, s) FROM VALUES ('markdown') t(s)").head()
+    }
+    assert(colErr.getMessage.contains("must be a literal"))
+    // a proper literal still routes to the named splitter
+    assert(spark.sql("SELECT size(chunk_text('x\n## y\nz', 4, 0, 'markdown'))")
+      .head().getInt(0) >= 2)
+  }
+
   test("tune + generate + decompose registry surfaces") {
     val spark = TestSpark.session
     import spark.implicits._

@@ -127,6 +127,24 @@ class PropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ChunkKernel.setIdFor("semantic"))
   }
 
+  test("markdown splitter keeps heading markers across chunk boundaries (keep_separator)") {
+    // every section after the first starts a new chunk — under LangChain's
+    // keep_separator=True the '## ' marker rides at the chunk's head
+    // instead of being consumed by the split
+    val md = "## alpha\nintro text here\n## beta\nmore text here\n## gamma\nfinal text"
+    val chunks = ChunkKernel.chunk(md, 30, 0, ChunkKernel.setIdFor("markdown"))
+    Seq("beta", "gamma").foreach { h =>
+      val chunk = chunks.find(_.contains(h)).get
+      assert(chunk.contains(s"## $h"),
+        s"section '$h' lost its heading marker: '$chunk'")
+    }
+    // with no overlap the chunks concatenate back to the original text
+    // verbatim — separators are neither lost nor doubled
+    val mid = ChunkKernel.chunk(md, 50, 0, ChunkKernel.setIdFor("markdown"))
+    assert(mid.length > 1 && mid.mkString("") == md,
+      s"lossless reconstruction failed: ${mid.toSeq}")
+  }
+
   test("simhash is permutation-invariant (vote sum over tokens)") {
     samples(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd")), 100).foreach { toks =>
       val rnd = new scala.util.Random(toks.hashCode)
