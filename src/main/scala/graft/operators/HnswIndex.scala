@@ -450,9 +450,11 @@ object HnswIndex {
     * data means more graphs, never bigger ones. */
   val DefaultPartitionBudget = 100000
 
-  // session cache of served indexes (keyed by resolved persisted home) and
-  // executor-local cache of deserialized graphs (keyed by (home, pid))
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, HnswIndex]
+  // session cache of served indexes (keyed by resolved persisted home,
+  // shared serve/prune layer) and executor-local cache of deserialized
+  // graphs (keyed by (home, pid))
+  private val family =
+    new IndexStore.Family[HnswIndex]("hnsw", FormatVersion)(_.graphs.unpersist())
   private val graphCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), HnswGraph]
 
@@ -665,9 +667,7 @@ object HnswIndex {
     metricCode(metric)
     if (existsAt(spark, path)) {
       val loaded = load(spark, path)
-      require(loaded.metric == metric,
-        s"HNSW home $path was built with metric '${loaded.metric}' but " +
-          s"'$metric' was requested — delete the home or query with its metric")
+      IndexStore.requireServedMetric("HNSW", path, loaded.metric, metric)
       if (loaded.m == m && loaded.efConstruction == efConstruction) return loaded
       delete(spark, path)
     }
@@ -694,37 +694,32 @@ object HnswIndex {
       metric: String = MetricCosine): HnswIndex = {
     val home = indexPathFor(spark, sourcePath, m, efConstruction, numPartitions,
       metric)
-    cache.getOrElseUpdate(home, {
-      val idx = loadOrBuild(spark, home, df, vecCol, idCol, m, efConstruction,
-        numPartitions, metric)
-      IndexStore.publishManifestAndPrune(spark, home, sourcePath)
-      idx
-    })
+    family.serve(spark, home, sourcePath)(
+      loadOrBuild(spark, home, df, vecCol, idCol, m, efConstruction,
+        numPartitions, metric))
   }
 
-  /** Where the persisted forest for a source table lives: under
-    * GRAFT_INDEX_DIR/hnsw (default java.io.tmpdir/graft-hnsw), keyed by
-    * source path + mtime + build params (metric included — each ops class
-    * is its own index, as in pgvector) + format version. */
+  /** The family's on-disk root (spec introspection). */
+  def indexRoot: String = family.root
+
+  /** Where the persisted forest for a source table lives — keyed by build
+    * params too (metric included — each ops class is its own index, as in
+    * pgvector). */
   def indexPathFor(spark: SparkSession, sourcePath: String,
       m: Int = 16, efConstruction: Int = 64, numPartitions: Int = 0,
-      metric: String = MetricCosine): String = {
-    val mtime = IndexStore.mtimeOf(spark, sourcePath)
-    val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/hnsw")
-      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-hnsw")
-    val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@m=$m@efc=$efConstruction@p=$numPartitions@mt=$metric@v$FormatVersion"))
-    s"$root/$key"
-  }
+      metric: String = MetricCosine): String =
+    family.homeFor(spark, sourcePath,
+      s"m=$m@efc=$efConstruction@p=$numPartitions@mt=$metric")
 
-  /** Drop cached state for a home (writers call this on source rewrite). */
+  /** Drop cached state for a home (writers call this on source rewrite) —
+    * the served index AND the executor-local deserialized graphs. */
   def invalidate(home: String): Unit = {
-    cache.remove(home).foreach(_.graphs.unpersist())
+    family.invalidate(home)
     graphCache.keys.filter(_._1 == home).foreach(graphCache.remove)
   }
 
   def invalidateAll(): Unit = {
-    cache.keys.foreach(invalidate)
+    family.invalidateAll()
     graphCache.clear()
   }
 }

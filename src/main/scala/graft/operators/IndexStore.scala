@@ -12,6 +12,85 @@ private[operators] object IndexStore {
 
   val SourceManifest = "source.path"
 
+  /** One instance per index family (IVF, HNSW, PQ, binary-signature,
+    * IVF-PQ): owns the family's on-disk root (`GRAFT_INDEX_DIR/<name>`,
+    * default `java.io.tmpdir/graft-<name>`), resolves mtime-keyed homes,
+    * runs the session cache with serve-time manifest publish/prune, and
+    * releases cached executor state on invalidation. The five families
+    * previously hand-rolled copies of exactly this layer — and both
+    * round-10 latent bugs (the cross-param sibling prune and the
+    * unknown-metric fallthrough) lived in those duplicated copies, so the
+    * resolution/prune/cache contract now exists ONCE.
+    *
+    * `release` runs when a cached entry is dropped (unpersist cached
+    * frames so a rewritten source never serves evicted blocks against
+    * swapped parquet). */
+  final class Family[T](name: String, formatVersion: Int)(
+      release: T => Unit) {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, T]
+
+    def root: String = sys.env.get("GRAFT_INDEX_DIR").map(_ + s"/$name")
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-$name")
+
+    /** Where the persisted home for (source, params) lives: keyed by the
+      * source path, its latest mtime, the build params, and the family's
+      * format version — regenerated source data or changed build params
+      * resolve to a fresh home, so a stale or differently-built index is
+      * never served. */
+    def homeFor(spark: SparkSession, sourcePath: String, params: String): String = {
+      val mtime = mtimeOf(spark, sourcePath)
+      val p = if (params.isEmpty) "" else s"@$params"
+      val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
+        s"$sourcePath@$mtime$p@v$formatVersion"))
+      s"$root/$key"
+    }
+
+    /** The serve shape every family shares: session-cache hit on the
+      * resolved home, else `loadOrBuild` + manifest publish (which prunes
+      * stale-mtime sibling homes of the same source). The cache key IS the
+      * resolved home, so a mid-session source rewrite resolves to a new
+      * home and therefore a fresh entry — never stale data. */
+    def serve(spark: SparkSession, home: String, sourcePath: String)(
+        loadOrBuild: => T): T =
+      cache.getOrElseUpdate(home, {
+        val t = loadOrBuild
+        publishManifestAndPrune(spark, home, sourcePath)
+        t
+      })
+
+    def invalidate(home: String): Unit = cache.remove(home).foreach(release)
+    def invalidateAll(): Unit = cache.keys.foreach(invalidate)
+  }
+
+  /** Build-if-absent under the atomic-publish protocol: `sidecarName`'s
+    * presence under `home` marks a completed build; absent → run `stage`
+    * into a hidden temp sibling and rename-publish (a loser of a
+    * concurrent build race discards its staging dir and reads the
+    * winner's output). Returns the home's filesystem for follow-up
+    * sidecar reads. */
+  def ensureBuilt(spark: SparkSession, home: String, sidecarName: String)(
+      stage: (FileSystem, Path) => Unit): FileSystem = {
+    val fs = fsFor(spark, home)
+    val target = fs.makeQualified(new Path(home))
+    if (!fs.exists(new Path(target, sidecarName)))
+      publishAtomic(fs, target)(tmp => stage(fs, tmp))
+    fs
+  }
+
+  /** Read a home's sidecar (post-[[ensureBuilt]] — the build marker is the
+    * sidecar itself, so this never races a partial publish). */
+  def readSidecar(fs: FileSystem, home: String, sidecarName: String): String =
+    readString(fs, new Path(fs.makeQualified(new Path(home)), sidecarName))
+
+  /** The loud mismatched-metric refusal every metric-parameterized family
+    * owes its callers (pgvector will not serve a vector_l2_ops plan from a
+    * vector_cosine_ops index either). */
+  def requireServedMetric(
+      family: String, home: String, stored: String, requested: String): Unit =
+    require(stored == requested,
+      s"$family home at $home was built with metric '$stored', " +
+        s"refusing to serve '$requested' — delete the home or query with its metric")
+
   def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 

@@ -114,17 +114,12 @@ object IvfIndex {
       metric: String, vec: org.apache.spark.sql.Column,
       centroid: Array[Float]): org.apache.spark.sql.Column =
     scoreExpr(metric, vec, centroid)
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
+  // home resolution / session cache / manifest prune — shared layer
+  private val family =
+    new IndexStore.Family[IvfIndex]("ivf", FormatVersion)(_.data.unpersist())
 
-  /** Build-once-per-session cache (in-memory only — no persistence). `key`
-    * should identify the underlying table (e.g. its path). */
-  def buildOrGet(
-      key: String,
-      spark: SparkSession,
-      df: => DataFrame,
-      vecCol: String,
-      nlist: Int = 0): IvfIndex =
-    cache.getOrElseUpdate(key, build(spark, df, vecCol, nlist))
+  /** The family's on-disk root (spec introspection). */
+  def indexRoot: String = family.root
 
   /** The session-cached PERSISTED path: serve the index for `sourcePath`
     * from the session cache; on miss, load it from its on-disk home (keyed
@@ -140,40 +135,22 @@ object IvfIndex {
       vecCol: String,
       nlist: Int = 0,
       metric: String = MetricCosine): IvfIndex = {
-    // the session-cache key IS the resolved on-disk home (source path +
-    // mtime + build params): a mid-session rewrite of the source resolves
-    // to a new home and therefore a fresh cache entry — never stale
     val home = indexPathFor(spark, sourcePath, nlist, metric = metric)
-    cache.getOrElseUpdate(home, {
-      val idx = loadOrBuild(spark, home, df, vecCol, nlist, metric)
-      IndexStore.publishManifestAndPrune(spark, home, sourcePath)
-      idx
-    })
+    family.serve(spark, home, sourcePath)(
+      loadOrBuild(spark, home, df, vecCol, nlist, metric))
   }
 
-  /** Where the persisted index for a source table lives: under
-    * GRAFT_INDEX_DIR (default java.io.tmpdir/graft-ivf), keyed by the
-    * source path, its latest modification time, AND the build parameters /
-    * format version — regenerated source data or changed build params yield
-    * a new home, so a stale or differently-built index is never served.
-    */
   def indexPathFor(spark: SparkSession, sourcePath: String, nlist: Int = 0,
-      nassign: Int = 3, metric: String = MetricCosine): String = {
-    val mtime = IndexStore.mtimeOf(spark, sourcePath)
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft-ivf")
-    val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@nlist=$nlist@nassign=$nassign@mt=$metric@v$FormatVersion"))
-    s"$root/$key"
-  }
+      nassign: Int = 3, metric: String = MetricCosine): String =
+    family.homeFor(spark, sourcePath,
+      s"nlist=$nlist@nassign=$nassign@mt=$metric")
 
   /** Drop a cached index after its underlying table is rewritten —
     * writers (Collection.writeSnapshot) call this so queries never serve a
     * stale index or recompute evicted blocks against swapped parquet. */
-  def invalidate(key: String): Unit =
-    cache.remove(key).foreach(_.data.unpersist())
+  def invalidate(key: String): Unit = family.invalidate(key)
 
-  def invalidateAll(): Unit = { cache.keys.foreach(invalidate); () }
+  def invalidateAll(): Unit = family.invalidateAll()
 
   /** Remove a persisted index (e.g. before a re-sync rebuilds it). */
   def delete(spark: SparkSession, path: String): Unit = {
@@ -321,11 +298,8 @@ object IvfIndex {
     checkMetric(metric)
     if (existsAt(spark, path)) {
       val loaded = load(spark, path, vecCol)
-      // metric mismatch is a caller bug — refuse loudly (pgvector will not
-      // serve a vector_l2_ops plan from a vector_cosine_ops index either)
-      require(loaded.metric == metric,
-        s"IVF home $path was built with metric '${loaded.metric}' but " +
-          s"'$metric' was requested — delete the home or query with its metric")
+      // metric mismatch is a caller bug — refuse loudly
+      IndexStore.requireServedMetric("IVF", path, loaded.metric, metric)
       if (nlist <= 0 || loaded.centroids.length == nlist) return loaded
       delete(spark, path)
     }

@@ -42,19 +42,17 @@ object IvfPq {
       byResidual: Boolean,
       codes: DataFrame)
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, Home]
+  // codes frames are served uncached (partition pruning is the point), so
+  // invalidation has no executor state to release
+  private val family =
+    new IndexStore.Family[Home]("ivfpq", FormatVersion)(_ => ())
 
   def indexPathFor(spark: SparkSession, sourcePath: String,
       nlist: Int, m: Int, kCent: Int, nassign: Int = 3,
       metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
-      variant: String = ""): String = {
-    val mtime = IndexStore.mtimeOf(spark, sourcePath)
-    val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/ivfpq")
-      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-ivfpq")
-    val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@nlist=$nlist@m=$m@k=$kCent@na=$nassign@mt=$metric@res=$byResidual@var=$variant@v$FormatVersion"))
-    s"$root/$key"
-  }
+      variant: String = ""): String =
+    family.homeFor(spark, sourcePath,
+      s"nlist=$nlist@m=$m@k=$kCent@na=$nassign@mt=$metric@res=$byResidual@var=$variant")
 
   /** Per-element residual v − centroid(cluster_id), in FLOAT32 (single
     * float rounding — what the SQL replay reproduces with FLOAT
@@ -80,11 +78,8 @@ object IvfPq {
     IvfIndex.checkMetric(metric)
     val home = indexPathFor(spark, sourcePath, nlist, m, kCent, nassign,
       metric, byResidual, variant)
-    cache.getOrElseUpdate(home, {
-      val fs = IndexStore.fsFor(spark, home)
-      val target = fs.makeQualified(new Path(home))
-      val sidecar = new Path(target, Sidecar)
-      if (!fs.exists(sidecar)) {
+    family.serve(spark, home, sourcePath) {
+      val fs = IndexStore.ensureBuilt(spark, home, Sidecar) { (fs, tmp) =>
         val centroids = IvfIndex.fitCentroids(spark, df, vecCol, nlist)
         // by_residual (the FAISS default): codebooks fit on PRIMARY-
         // assignment residuals and each spill copy encodes v − c(copy) —
@@ -105,33 +100,29 @@ object IvfPq {
                 .withColumn("__res", residualCol(vecCol, centroids)),
               idCol, "__res", m, kCent)
           } else Pq.fit(df, idCol, vecCol, m, kCent)
-        IndexStore.publishAtomic(fs, target) { tmp =>
-          val assigned =
-            IvfIndex.assignClusters(df, centroids, vecCol, nassign, metric)
-          val encoded =
-            if (byResidual)
-              Pq.encodeFrame(
-                assigned.withColumn("__res", residualCol(vecCol, centroids)),
-                "__res", model)
-            else Pq.encodeFrame(assigned, vecCol, model)
-          encoded
-            .select(col(idCol).as("id"), col("pq"), col("cluster_id"))
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy("cluster_id")
-            .parquet(new Path(tmp, "data").toString)
-          val cents = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-          IndexStore.writeString(fs, new Path(tmp, Sidecar),
-            s"""{"metric":"$metric","nassign":$nassign,"byResidual":$byResidual,""" +
-              s""""centroids":$cents,"pq":${Pq.modelToJson(model)}}""")
-        }
-        IndexStore.publishManifestAndPrune(spark, home, sourcePath)
+        val assigned =
+          IvfIndex.assignClusters(df, centroids, vecCol, nassign, metric)
+        val encoded =
+          if (byResidual)
+            Pq.encodeFrame(
+              assigned.withColumn("__res", residualCol(vecCol, centroids)),
+              "__res", model)
+          else Pq.encodeFrame(assigned, vecCol, model)
+        encoded
+          .select(col(idCol).as("id"), col("pq"), col("cluster_id"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cluster_id")
+          .parquet(new Path(tmp, "data").toString)
+        val cents = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+        IndexStore.writeString(fs, new Path(tmp, Sidecar),
+          s"""{"metric":"$metric","nassign":$nassign,"byResidual":$byResidual,""" +
+            s""""centroids":$cents,"pq":${Pq.modelToJson(model)}}""")
       }
-      val json = IndexStore.readString(fs, sidecar)
+      val json = IndexStore.readSidecar(fs, home, Sidecar)
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       val j = org.json4s.jackson.JsonMethods.parse(json)
       val storedMetric = (j \ "metric").extract[String]
-      require(storedMetric == metric,
-        s"IVF-PQ home at $home was built with metric '$storedMetric', refusing to serve '$metric'")
+      IndexStore.requireServedMetric("IVF-PQ", home, storedMetric, metric)
       val cents = (j \ "centroids").extract[Seq[Seq[Float]]].map(_.toArray).toArray
       val model = Pq.modelFromJson(
         org.json4s.jackson.JsonMethods.compact(j \ "pq"))
@@ -140,10 +131,10 @@ object IvfPq {
       Home(cents, model, storedMetric, (j \ "nassign").extract[Int],
         (j \ "byResidual").extractOpt[Boolean].getOrElse(false),
         spark.read.parquet(s"$home/data"))
-    })
+    }
   }
 
-  def invalidate(home: String): Unit = { cache.remove(home); () }
+  def invalidate(home: String): Unit = family.invalidate(home)
 
   /** The candidate stage on its own: driver-side probe selection → a
     * partition-pruned ADC scan of the probed clusters' codes → top-`r`

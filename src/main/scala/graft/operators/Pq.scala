@@ -263,8 +263,9 @@ object Pq {
 
   private val FormatVersion = 1
   private val Sidecar = "meta.json"
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, (PqModel, DataFrame)]
+  private val family =
+    new IndexStore.Family[(PqModel, DataFrame)]("pq", FormatVersion)(
+      _._2.unpersist())
 
   /** Where the persisted codes for a source live, keyed by source path +
     * mtime + build params + format version. `variant` distinguishes homes
@@ -272,14 +273,8 @@ object Pq {
     * callers passing a transformed `df` must tag it or the cache would
     * serve the untransformed build. */
   def indexPathFor(spark: org.apache.spark.sql.SparkSession, sourcePath: String,
-      m: Int = 8, k: Int = 256, variant: String = ""): String = {
-    val mtime = IndexStore.mtimeOf(spark, sourcePath)
-    val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/pq")
-      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-pq")
-    val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@m=$m@k=$k@var=$variant@v$FormatVersion"))
-    s"$root/$key"
-  }
+      m: Int = 8, k: Int = 256, variant: String = ""): String =
+    family.homeFor(spark, sourcePath, s"m=$m@k=$k@var=$variant")
 
   private[operators] def modelToJson(model: PqModel): String = {
     val bb = java.nio.ByteBuffer.allocate(model.codebook.length * 4)
@@ -307,33 +302,26 @@ object Pq {
       df: => DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 256, variant: String = ""): (PqModel, DataFrame) = {
     val home = indexPathFor(spark, sourcePath, m, k, variant)
-    cache.getOrElseUpdate(home, {
-      val fs = IndexStore.fsFor(spark, home)
-      val target = fs.makeQualified(new org.apache.hadoop.fs.Path(home))
-      val sidecar = new org.apache.hadoop.fs.Path(target, Sidecar)
-      if (!fs.exists(sidecar)) {
+    family.serve(spark, home, sourcePath) {
+      val fs = IndexStore.ensureBuilt(spark, home, Sidecar) { (fs, tmp) =>
         val model = fit(df, idCol, vecCol, m, k)
-        IndexStore.publishAtomic(fs, target) { tmp =>
-          encodeFrame(df, vecCol, model)
-            .select(col(idCol).as("id"), col("pq"))
-            .orderBy("id")
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
-          IndexStore.writeString(fs, new org.apache.hadoop.fs.Path(tmp, Sidecar),
-            modelToJson(model))
-        }
-        IndexStore.publishManifestAndPrune(spark, home, sourcePath)
+        encodeFrame(df, vecCol, model)
+          .select(col(idCol).as("id"), col("pq"))
+          .orderBy("id")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
+        IndexStore.writeString(fs, new org.apache.hadoop.fs.Path(tmp, Sidecar),
+          modelToJson(model))
       }
-      val model = modelFromJson(IndexStore.readString(fs, sidecar))
+      val model = modelFromJson(IndexStore.readSidecar(fs, home, Sidecar))
       (model, spark.read.parquet(s"$home/data").cache())
-    })
+    }
   }
 
   /** Drop cached state (writers call this after rewriting a source). */
-  def invalidate(home: String): Unit =
-    cache.remove(home).foreach(_._2.unpersist())
+  def invalidate(home: String): Unit = family.invalidate(home)
 
-  def invalidateAll(): Unit = cache.keys.foreach(invalidate)
+  def invalidateAll(): Unit = family.invalidateAll()
 
   /** Serving-shape KNN: ADC shortlist from the persisted codes table,
     * exact cosine re-rank of the R full vectors fetched through the shared

@@ -107,21 +107,15 @@ object Quantized {
 
   private val FormatVersion = 1
   private val Sidecar = "meta.json"
-  // session cache of served skinny tables, keyed by resolved home
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // session cache of served skinny tables — shared serve/prune layer
+  private val family =
+    new IndexStore.Family[DataFrame]("binsig", FormatVersion)(_.unpersist())
 
-  /** Where the signature index for a source lives: GRAFT_INDEX_DIR/binsig
-    * (default java.io.tmpdir/graft-binsig), keyed by source path + mtime +
-    * format version — a source rewrite resolves to a fresh home. */
+  /** Where the signature index for a source lives — a source rewrite
+    * resolves to a fresh home. */
   def indexPathFor(spark: SparkSession, sourcePath: String,
-      variant: String = ""): String = {
-    val mtime = IndexStore.mtimeOf(spark, sourcePath)
-    val root = sys.env.get("GRAFT_INDEX_DIR").map(_ + "/binsig")
-      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-binsig")
-    val key = java.lang.Long.toHexString(graft.functions.TextKernels.fnv1a64(
-      s"$sourcePath@$mtime@var=$variant@v$FormatVersion"))
-    s"$root/$key"
-  }
+      variant: String = ""): String =
+    family.homeFor(spark, sourcePath, s"var=$variant")
 
   /** Serve the (id, sig) table for a source from the session cache; on
     * miss, load the persisted home or build-and-publish it (id-sorted so
@@ -131,28 +125,22 @@ object Quantized {
       spark: SparkSession, sourcePath: String, df: => DataFrame,
       idCol: String, vecCol: String, variant: String = ""): DataFrame = {
     val home = indexPathFor(spark, sourcePath, variant)
-    cache.getOrElseUpdate(home, {
-      val fs = IndexStore.fsFor(spark, home)
-      val target = fs.makeQualified(new Path(home))
-      if (!fs.exists(new Path(target, Sidecar))) {
-        IndexStore.publishAtomic(fs, target) { tmp =>
-          df.select(col(idCol).as("id"), vecSignPack(col(vecCol)).as("sig"))
-            .orderBy("id")
-            .write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "data").toString)
-          IndexStore.writeString(fs, new Path(tmp, Sidecar),
-            s"""{"format":$FormatVersion}""")
-        }
-        IndexStore.publishManifestAndPrune(spark, home, sourcePath)
+    family.serve(spark, home, sourcePath) {
+      IndexStore.ensureBuilt(spark, home, Sidecar) { (fs, tmp) =>
+        df.select(col(idCol).as("id"), vecSignPack(col(vecCol)).as("sig"))
+          .orderBy("id")
+          .write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "data").toString)
+        IndexStore.writeString(fs, new Path(tmp, Sidecar),
+          s"""{"format":$FormatVersion}""")
       }
       spark.read.parquet(s"$home/data").cache()
-    })
+    }
   }
 
   /** Drop cached state (writers call this after rewriting a source). */
-  def invalidate(home: String): Unit =
-    cache.remove(home).foreach(_.unpersist())
+  def invalidate(home: String): Unit = family.invalidate(home)
 
-  def invalidateAll(): Unit = cache.keys.foreach(invalidate)
+  def invalidateAll(): Unit = family.invalidateAll()
 
   // ---- SQ8 scalar quantization ----
 

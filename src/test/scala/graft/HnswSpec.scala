@@ -201,8 +201,7 @@ class HnswSpec extends AnyFunSuite {
     val src = java.nio.file.Files.createTempDirectory("graft_hnsw_src_").toString + "/emb"
     emb.limit(300).write.parquet(src)
     def homesForSource(): Seq[String] = {
-      val root = new java.io.File(sys.env.get("GRAFT_INDEX_DIR").map(_ + "/hnsw")
-        .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-hnsw"))
+      val root = new java.io.File(HnswIndex.indexRoot)
       Option(root.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).flatMap { d =>
         val m = new java.io.File(d, "source.path")
         // manifest = "<sourcePath>\n<mtime>" — match on the path line

@@ -152,8 +152,7 @@ class IvfSpec extends AnyFunSuite {
     // serveOrBuild uses the shared default root: count only homes whose
     // manifest matches THIS source, so parallel suites don't interfere
     def homesForSource(): Seq[String] = {
-      val r = new java.io.File(sys.env.getOrElse("GRAFT_INDEX_DIR",
-        s"${sys.props("java.io.tmpdir")}/graft-ivf"))
+      val r = new java.io.File(IvfIndex.indexRoot)
       Option(r.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).flatMap { d =>
         val m = new java.io.File(d, "source.path")
         // manifest = "<sourcePath>\n<mtime>" — match on the path line
