@@ -94,6 +94,27 @@ case class TokenFnvBuckets(child: Expression, dim: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-position hashed char-n-gram buckets
+  * ([[TextKernels.charNgramFnvBuckets]]) — the fastText-shape featurizer
+  * behind trained language identification. */
+case class CharNgramFnvBuckets(child: Expression, n: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngram_fnv_buckets"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0 && dim > 0 && (dim & (dim - 1)) == 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, n>0, and a power-of-two dim, got n=$n dim=$dim")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charNgramFnvBuckets(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.charNgramFnvBuckets($a, $n, $dim)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -120,6 +141,8 @@ object TextFunctions {
   def langId(text: Column): Column = c(LangId(e(text)))
   def mix64(x: Column, seed: Long): Column = c(Mix64(e(x), seed))
   def tokenFnvBuckets(text: Column, dim: Int): Column = c(TokenFnvBuckets(e(text), dim))
+  def charNgramFnvBuckets(text: Column, n: Int, dim: Int): Column =
+    c(CharNgramFnvBuckets(e(text), n, dim))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))

@@ -192,4 +192,27 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-position hashed CHARACTER-n-gram buckets (in position order):
+    * FNV-1a-64 of each length-`n` character window of the lowercased text,
+    * folded to `dim` buckets (power of two — same signed/unsigned contract
+    * as [[tokenFnvBuckets]]). The fastText-shape featurizer for trained
+    * language identification: char n-grams capture orthography (äöü, qu-,
+    * -ción, CJK codepoints) without any tokenizer, so the one kernel
+    * covers space-delimited and unsegmented scripts alike. Windows are
+    * UTF-16-unit-based (= codepoint-based off the astral plane), matching
+    * a SQL replay's per-character split for all BMP text.
+    */
+  def charNgramFnvBuckets(text: UTF8String, n: Int, dim: Int): ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val count = s.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyIntArray)
+    val out = new Array[Int](count)
+    var i = 0
+    while (i < count) {
+      out(i) = (fnv1a64(s.substring(i, i + n)) & (dim - 1)).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -977,6 +977,29 @@ object QueryCatalog {
     None,
     oracleGen = Some((s, dir) => C7OracleSql.sql(s, dir)))
 
+  /** Trained language identification (t12): a real MLlib multinomial
+    * LogisticRegression over hashed char-bigram tf features (the fastText
+    * lid shape, Joulin et al. 2016), fit on the deterministic
+    * multi-language fixture corpus and serving every document fully
+    * map-side (weights as plan literals). Generated oracle: the fitted
+    * per-class coefficients inline as exact double literals and the whole
+    * serving pipeline — char-window FNV bucketing, per-class left-assoc
+    * folds, struct-sort argmax, label-order softmax — replays in DuckDB
+    * behind round(4) on the confidence.
+    */
+  val t12LangIdTrained: GraftQuery = GraftQuery(
+    "t12_lang_id_trained",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = T12OracleSql.fitted(s)
+      graft.operators.LangIdClassifier.predictions(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("lang"),
+          round(col("confidence"), 4).as("confidence"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    oracleGen = Some((s, dir) => T12OracleSql.sql(s, dir)))
+
   /** Exact-substring span dedup (Lee et al. 2022): every non-canonical
     * occurrence of a duplicated 4-token window is cut out of the text,
     * canonical = lowest (doc, pos). ORACLED end to end: the DuckDB replay
@@ -2461,7 +2484,7 @@ object QueryCatalog {
     v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2, v24KnnIvfPq, v25KnnIvfPqResidual,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
-    t10DedupSpans, t11GopherRules,
+    t10DedupSpans, t11GopherRules, t12LangIdTrained,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
