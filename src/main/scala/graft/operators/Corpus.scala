@@ -163,6 +163,125 @@ object Corpus {
       Seq(idCol), "left_semi")
   }
 
+  /** Per-position n-gram lookup rows for [[ngramLmStats]]: one row per
+    * (document, position, gram order k ≤ min(pos, order)) carrying the
+    * k-gram ENDING at the position (`g`) and its length-(k−1) history
+    * (`h`, empty string at k=1). The same generator tokenizes the
+    * reference corpus (count side) and the scored documents (query side),
+    * so gram strings cannot drift between the two. */
+  private def ngramRows(
+      df: DataFrame, textCol: String, keep: Seq[Column], order: Int): DataFrame = {
+    val toked = df
+      .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
+      .withColumn("__n", size(col("__toks")))
+    toked.select(keep :+ explode(
+        // guard: sequence(1, 0) would DESCEND ([1,0]) for an empty doc
+        when(col("__n") >= 1, flatten(
+          transform(sequence(lit(1), col("__n")), i =>
+            transform(sequence(lit(1), least(i, lit(order))), k =>
+              struct(i.as("pos"), k.as("k"),
+                array_join(slice(col("__toks"), i - k + 1, k), " ").as("g"),
+                array_join(slice(col("__toks"), i - k + 1, k - 1), " ").as("h"))))))
+          .otherwise(array().cast(
+            "array<struct<pos:int,k:int,g:string,h:string>>"))).as("__r"): _*)
+      .select(keep ++ Seq(col("__r.pos"), col("__r.k"), col("__r.g"), col("__r.h")): _*)
+  }
+
+  /** Backoff 5-gram LM perplexity — the order CCNet's actual filter runs
+    * at (Wenzek et al. 2020 score with a KenLM 5-gram; [[perplexityStats]]
+    * remains the add-α bigram fallback for corpora too small to populate
+    * higher orders). Smoothing is Stupid Backoff (Brants et al., "Large
+    * Language Models in Machine Translation", EMNLP 2007 — the published
+    * LARGE-SCALE choice precisely because it needs only raw counts, no
+    * discount statistics): S(w|h) = c(h,w)/c(h) when the full gram was
+    * seen, else λ·S(w|backoff(h)) with λ = 0.4, grounding at an add-α
+    * unigram so OOV tokens score finitely. Scores are not normalized
+    * probabilities (Brants' point); exp(−Σ ln S / N) is the same
+    * reference-likeness ranking CCNet thresholds on.
+    *
+    * Spark-first shape, extending the bigram design: ALL orders' counts
+    * live in ONE (k, gram, count) frame (built by the same position
+    * generator that scores documents), each document position joins that
+    * frame twice (gram hit + history count — the history is a contiguous
+    * subgram, so a gram hit implies its history hit), the longest
+    * matching order wins via struct-max, and the per-document sum folds
+    * LEFT-ASSOCIATIVELY over position-sorted ln-scores — run-stable,
+    * SQL-replayable (the c9 oracle gates the ppl values). The count
+    * frame is reference-corpus-sized: CCNet's reference is
+    * Wikipedia-scale, so at 100 TB the two joins broadcast the LM (KenLM
+    * ships the same counts to every node as a binary blob) and the corpus
+    * itself never shuffles for scoring — only the per-document fold
+    * exchanges fixed-width (pos, lnS) rows.
+    *
+    * Output: (idCol, n_tokens, ppl) — every document with ≥1 token
+    * scores (the unigram ground covers length-1 docs; the bigram op
+    * nulls those).
+    */
+  def ngramLmStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame, lmTextCol: String,
+      order: Int = 5, lambda: Double = 0.4, alpha: Double = 0.1): DataFrame = {
+    require(order >= 2, s"order must be >=2, got $order")
+    require(lambda > 0 && lambda <= 1, s"backoff lambda must be in (0,1], got $lambda")
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val counts = ngramRows(lmCorpus, lmTextCol, Nil, order)
+      .groupBy(col("k"), col("g")).agg(count(lit(1)).as("__c"))
+    val cg = counts.select(col("k"), col("g"), col("__c").as("__cg"))
+    val chist = counts.select((col("k") + 1).as("k"), col("g").as("h"),
+      col("__c").as("__ch"))
+    val rows = ngramRows(docs, textCol, Seq(col(idCol)), order)
+    val looked = rows
+      .join(cg, Seq("k", "g"), "left")
+      .join(chist, Seq("k", "h"), "left")
+    // the add-α unigram ground: (c(w)+α) / (T+αV), T and V computed in
+    // the SAME arithmetic order the SQL replay uses (T + α·V)
+    val unigrams = counts.where(col("k") === 1)
+      .agg(sum(col("__c")).cast("long"), count(lit(1))).head()
+    val t = unigrams.getLong(0)
+    val v = unigrams.getLong(1)
+    require(v > 0, "ngramLmStats: the reference corpus is empty")
+    val candidate = when(col("k") === 1,
+        struct(lit(1).as("k"),
+          log((coalesce(col("__cg"), lit(0L)) + lit(alpha)) /
+            (lit(t) + lit(alpha) * lit(v))).as("lnp")))
+      .otherwise(when(col("__cg").isNotNull,
+        struct(col("k").as("k"), log(col("__cg") / col("__ch")).as("lnp"))))
+    val perPos = looked
+      .groupBy(col(idCol), col("pos"))
+      // struct-max: the longest matched order wins (k=1 never null)
+      .agg(max(candidate).as("__best"))
+      .withColumn("__lnS",
+        // ln λ rides as a JVM-computed literal (not log(lit(λ))) so a SQL
+        // replay can inline the identical double instead of trusting the
+        // two engines' ln to agree on one more argument
+        (least(col("pos"), lit(order)) - col("__best.k")) * lit(math.log(lambda)) +
+          col("__best.lnp"))
+    val perDoc = perPos.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("__lnS")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__lnS")).as("__s"))
+      .withColumn("ppl", exp(-col("__s") / col("n_tokens")))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("ppl"))
+  }
+
+  /** [[ngramLmStats]] as a gate: keep documents at or under `maxPpl`
+    * (unscoreable empty docs pass — length gates own that case). */
+  def ngramLmFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame, lmTextCol: String, maxPpl: Double,
+      order: Int = 5, lambda: Double = 0.4, alpha: Double = 0.1): DataFrame = {
+    val stats = ngramLmStats(docs, idCol, textCol, lmCorpus, lmTextCol,
+      order, lambda, alpha)
+    docs.join(
+      stats.where(col("ppl").isNull || col("ppl") <= maxPpl).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Exact-substring span deduplication (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022): remove every
     * NON-CANONICAL occurrence of any duplicated `n`-token window across

@@ -904,6 +904,59 @@ object QueryCatalog {
             FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
             ORDER BY tk.doc_id"""))
 
+  /** Backoff 5-gram LM perplexity (c9): the CCNet gate at its ACTUAL
+    * model order — Stupid Backoff (Brants et al. 2007) over orders 5→1
+    * with an add-α unigram ground, LM fit on the doc_id % 7 = 0 reference
+    * slice, every document scored. One (k, gram, count) frame serves all
+    * orders; the longest matched order wins via struct/arg max; per-doc
+    * ln-score sums fold left-associatively in position order on both
+    * engines — ppl replays behind round(4). ln λ is inlined as the same
+    * JVM double literal on both sides.
+    */
+  val c9NgramLm: GraftQuery = GraftQuery(
+    "c9_ngram_lm",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.ngramLmStats(
+          docs, "doc_id", "text",
+          docs.where(col("doc_id") % 7 === 0), "text",
+          order = 5, lambda = 0.4, alpha = 0.1)
+        .select(col("doc_id"), col("n_tokens"), round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+            pos1 AS (SELECT doc_id, t, CAST(i AS INT) AS i
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)),
+            rws AS (SELECT doc_id, i AS pos, CAST(k AS INT) AS k,
+                array_to_string(t[i - CAST(k AS INT) + 1 : i], ' ') AS g,
+                array_to_string(t[i - CAST(k AS INT) + 1 : i - 1], ' ') AS h
+              FROM (SELECT doc_id, t, i, unnest(range(1, least(i, 5) + 1)) AS k
+                FROM pos1)),
+            cnt AS (SELECT k, g, count(*) AS c FROM rws
+              WHERE doc_id % 7 = 0 GROUP BY k, g),
+            uni AS (SELECT sum(c) AS t_total, count(*) AS v FROM cnt WHERE k = 1),
+            cand AS (SELECT r.doc_id, r.pos, r.k,
+                CASE WHEN r.k = 1
+                  THEN ln((coalesce(cg.c, 0) + 0.1) / (uni.t_total + 0.1 * uni.v))
+                  WHEN cg.c IS NOT NULL THEN ln(cg.c / ch.c) END AS lnp
+              FROM rws r
+              LEFT JOIN cnt cg ON r.k = cg.k AND r.g = cg.g
+              LEFT JOIN cnt ch ON r.k = ch.k + 1 AND r.h = ch.g, uni),
+            best AS (SELECT doc_id, pos, max(k) AS kstar, arg_max(lnp, k) AS lnp
+              FROM cand WHERE lnp IS NOT NULL GROUP BY doc_id, pos),
+            sc AS (SELECT doc_id, pos,
+                (least(pos, 5) - kstar) * (${math.log(0.4).toString}) + lnp AS lns
+              FROM best),
+            agg AS (SELECT doc_id, count(*) AS n_tokens,
+                list_reduce(list(lns ORDER BY pos), (x, y) -> x + y) AS s
+              FROM sc GROUP BY doc_id)
+            SELECT tk.doc_id,
+              CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+              round(exp(-agg.s / agg.n_tokens), 4) AS ppl
+            FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+            ORDER BY tk.doc_id"""))
+
   /** C4 line/page cleaning (c8): the published Raffel et al. 2020 §2.2
     * heuristics over a deterministically synthesized multi-line corpus
     * (the driver corpus has no newlines or punctuation, so the query
@@ -2486,7 +2539,7 @@ object QueryCatalog {
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans, t11GopherRules, t12LangIdTrained,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
-    c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean,
+    c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
     d6DedupAgainst,
     e1EmbeddingPairs, e2SemDedup,

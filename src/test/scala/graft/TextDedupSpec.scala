@@ -384,4 +384,61 @@ class TextDedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 4L))
   }
+
+  // ---- Backoff 5-gram LM (Corpus.ngramLmStats) ----
+
+  test("ngramLmStats matches hand-computed stupid-backoff values") {
+    // reference: two copies of 'a b c d e' → T=10, V=5, every k-gram
+    // inside a copy has count 2 ('e a ...' cross-boundary grams count 1)
+    val lm = Seq((100L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c d e"), (2L, "a b x c d"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .ngramLmStats(docs, "doc_id", "text", lm, "text",
+        order = 5, lambda = 0.4, alpha = 0.1)
+      .orderBy("doc_id").collect()
+    def lnU(c: Double) = math.log((c + 0.1) / (10 + 0.1 * 5))
+    val lnL = math.log(0.4)
+    // doc1: pos1 = smoothed unigram; pos2..5 all match their full order
+    // with S = c_k/c_{k-1} = 2/2 = 1 → ln 1 = 0, no backoff penalty
+    assert(out(0).getLong(1) == 5L)
+    assert(math.abs(out(0).getDouble(2) - math.exp(-lnU(2) / 5)) < 1e-12)
+    // doc2: pos3 'x' backs off 3→1 (2 λ-penalties, unseen unigram),
+    // pos4 'c' backs off 4→1, pos5 'd' backs off 5→2 ('c d' seen)
+    val s2 = lnU(2) + 0.0 + (2 * lnL + lnU(0)) + (3 * lnL + lnU(2)) + (3 * lnL + 0.0)
+    assert(out(1).getLong(1) == 5L)
+    assert(math.abs(out(1).getDouble(2) - math.exp(-s2 / 5)) < 1e-12)
+    // doc3: a single OOV token still scores — the unigram ground covers
+    // what the bigram operator nulls
+    assert(out(2).getLong(1) == 1L)
+    assert(math.abs(out(2).getDouble(2) - math.exp(-lnU(0))) < 1e-12)
+  }
+
+  test("ngramLmFilter separates planted gibberish from reference-like prose") {
+    val sentences = Seq(
+      "the cat sat on the mat and the dog ran in the park",
+      "a bird flew over the house and the cat sat on the wall",
+      "the dog ran to the park and a bird sat on the mat")
+    val lm = sentences.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val docs = (Seq(
+      (1L, "the cat sat on the wall"),
+      (2L, "the dog ran in the park"),
+      (3L, "a bird flew over the mat")) ++ Seq(
+      (11L, "zq wv xk jp qg zz kv bn"),
+      (12L, "mat park zq the wv dog xk"),
+      (13L, "kv qg jp bn zz xk wv zq"))).toDF("doc_id", "text")
+    val ppl = graft.operators.Corpus
+      .ngramLmStats(docs, "doc_id", "text", lm, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val proseMax = Seq(1L, 2L, 3L).map(ppl).max
+    val gibberishMin = Seq(11L, 12L, 13L).map(ppl).min
+    assert(gibberishMin > proseMax * 5,
+      s"no separation: prose max $proseMax vs gibberish min $gibberishMin")
+    val kept = graft.operators.Corpus
+      .ngramLmFilter(docs, "doc_id", "text", lm, "text",
+        maxPpl = proseMax * 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"gate kept $kept")
+  }
 }
