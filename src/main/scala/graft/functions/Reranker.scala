@@ -46,3 +46,99 @@ final case class BiEncoderReranker(embedder: Embedder) extends Reranker {
       embedder.embedCol(chunk),
       floatVec(embedder.embedOne(query).toIndexedSeq))
 }
+
+/** Cross-encoder-SHAPED reranker: a trained linear model over
+  * (query, document) INTERACTION features rather than two independent
+  * encodings — what architecturally separates a cross-encoder from a
+  * bi-encoder (the pair is scored jointly; pgml's rank task serves
+  * cross-encoder models the same way, api.rs:612-625). A transformer
+  * cross-attention stack is out of sandbox scope; the interaction
+  * features here (overlap, coverage, tf product, bigram overlap, length
+  * ratio, plus the bi-encoder cosine as one input among equals) are the
+  * classic learning-to-rank matching features (RankNet/LambdaMART
+  * lineage), and the weights are a genuinely FIT MLlib
+  * LogisticRegression.
+  *
+  * All features are pure Column expressions over the pair, so rerank
+  * scoring runs inside the shortlist's plan — map-side, no driver loop,
+  * no join (the query side folds to literals at serve time).
+  */
+final case class CrossEncoderReranker(model: CrossEncoderReranker.Model)
+    extends Reranker {
+  override def name: String = "cross-encoder-interaction"
+  override def scoreCol(query: String, chunk: Column): Column =
+    model.score(lit(query), chunk)
+}
+
+object CrossEncoderReranker {
+
+  /** Tokenized views shared by fit and serve. */
+  private def toks(c: Column): Column =
+    filter(split(trim(lower(c)), "\\s+"), t => t =!= "")
+  private def bigrams(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The interaction features of one (query, chunk) pair, in fixed order.
+    * Both sides are Columns so the same expressions serve fit (per-row
+    * queries) and serving (a literal query). */
+  def features(query: Column, chunk: Column, embedder: Embedder): Seq[Column] = {
+    val q = toks(query); val c = toks(chunk)
+    val qd = array_distinct(q); val cd = array_distinct(c)
+    val inter = size(array_intersect(cd, qd)).cast("double")
+    val nq = greatest(size(qd), lit(1)).cast("double")
+    val nc = greatest(size(cd), lit(1)).cast("double")
+    val jaccard = inter / size(array_union(cd, qd)).cast("double")
+    val coverage = inter / nq
+    // Σ_w tf_q(w)·tf_c(w): per chunk token, its count in the query —
+    // normalized by both lengths
+    val tfprod = aggregate(c, lit(0.0),
+      (acc, w) => acc + size(filter(q, t => t === w)).cast("double")) /
+      (greatest(size(q), lit(1)) * greatest(size(c), lit(1))).cast("double")
+    val bq = array_distinct(bigrams(q)); val bc = array_distinct(bigrams(c))
+    val bigramCov = size(array_intersect(bc, bq)).cast("double") /
+      greatest(size(bq), lit(1)).cast("double")
+    val lenRatio = least(nq / nc, nc / nq)
+    val biCos = cosineSimilarity(embedder.embedCol(chunk), embedder.embedCol(query))
+      .cast("double")
+    Seq(jaccard, coverage, tfprod, bigramCov, lenRatio, biCos)
+  }
+
+  val FeatureNames: Seq[String] =
+    Seq("jaccard", "coverage", "tf_product", "bigram_coverage", "len_ratio", "bi_cosine")
+
+  /** A fitted pair scorer: sigmoid(intercept + w·features). */
+  final case class Model(
+      weights: Array[Double], intercept: Double, embedder: Embedder) {
+    require(weights.length == FeatureNames.length,
+      s"expected ${FeatureNames.length} weights, got ${weights.length}")
+    def score(query: Column, chunk: Column): Column = {
+      val dot = features(query, chunk, embedder).zip(weights.toIndexedSeq)
+        .map { case (f, w) => f * lit(w) }.reduceLeft(_ + _)
+      lit(1.0) / (lit(1.0) + exp(-(lit(intercept) + dot)))
+    }
+  }
+
+  /** Fit on labeled pairs (queryCol, chunkCol, label ∈ {0,1}) — the
+    * cross-encoder training contract (relevant/irrelevant pairs). */
+  def fit(
+      pairs: org.apache.spark.sql.DataFrame,
+      queryCol: String, chunkCol: String, labelCol: String,
+      embedder: Embedder,
+      maxIter: Int = 100, regParam: Double = 1e-4): Model = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    val featCols = features(col(queryCol), col(chunkCol), embedder)
+    val toVec = org.apache.spark.sql.functions.udf(
+      (xs: scala.collection.Seq[Double]) => Vectors.dense(xs.toArray))
+    val ds = pairs.select(col(labelCol).cast("double").as("label"),
+      toVec(array(featCols: _*)).as("features"))
+    val m = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).setFamily("binomial").fit(ds)
+    require(java.lang.Double.isFinite(m.intercept),
+      s"cross-encoder fit diverged: intercept ${m.intercept}")
+    Model(m.coefficients.toArray, m.intercept, embedder)
+  }
+}

@@ -213,6 +213,24 @@ class Registry(spark: SparkSession, dir: String) {
       .clusterCenters.map(_.toArray)
   }
 
+  /** Principal components of a stored PCA model, [k][numFeatures] (row c
+    * = component c) — the introspection surface that lets the m6 oracle
+    * replay the projection with the components as SQL literals (same role
+    * as [[clusterCenters]] for m3). */
+  def pcaComponents(modelId: Long): Array[Array[Double]] = {
+    val (_, model) = cachedModel(modelId)
+    val pc = model.asInstanceOf[org.apache.spark.ml.feature.PCAModel].pc
+    Array.tabulate(pc.numCols, pc.numRows)((c, j) => pc(j, c))
+  }
+
+  /** (coefficients, intercept) of a stored linear model — the m7 oracle's
+    * literal source. */
+  def linearParams(modelId: Long): (Array[Double], Double) = {
+    val (_, model) = cachedModel(modelId)
+    val m = model.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    (m.coefficients.toArray, m.intercept)
+  }
+
   def predictWithModel(modelId: Long, df: DataFrame): DataFrame = {
     val (meta, model) = cachedModel(modelId)
     val fitted = meta.fitted.map(j => FittedColumn(

@@ -2270,6 +2270,234 @@ object QueryCatalog {
             SELECT p.id AS vec_id, coalesce(l.cluster, -1) AS cluster
             FROM pts p LEFT JOIN lab l ON p.id = l.id ORDER BY vec_id"""))
 
+  /** Shared m5 harness: three regressions of l_extendedprice on different
+    * single features — quantity (strong r2), discount and tax (near-zero)
+    * — into a FRESH registry (ids deterministically 1, 2, 3), then a
+    * deployment chain [1 (auto, first), 3 (specific), 1 (best_score)].
+    * Rerun-deterministic, so the query and the oracle generator each
+    * replay it independently. */
+  private def m5Setup(s: SparkSession, dir: String): graft.ml.Trainer = {
+    val li = t(s, dir, "lineitem")
+    val reg = java.nio.file.Files.createTempDirectory("graft_q_dep_").toString
+    val tr = new graft.ml.Trainer(s, reg)
+    Seq("l_quantity", "l_discount", "l_tax").foreach { f =>
+      tr.train("q_dep", "regression",
+        li.select(col(f), col("l_extendedprice")), Some("l_extendedprice"),
+        "linear", testSize = 0.0)
+    }
+    tr.registry.deploy("q_dep", 3L, "specific")
+    tr.registry.resolveStrategy("q_dep", "best_score")
+      .foreach(id => tr.registry.deploy("q_dep", id, "best_score"))
+    tr
+  }
+
+  /** Deploy strategies (m5): best_score / most_recent / rollback
+    * resolution plus the current-deployment pointer (orm/strategy.rs,
+    * api.rs:332-437). The oracle generator independently replays the
+    * train+deploy sequence, inlines each model's r2 and the deployment
+    * order as VALUES, and re-derives every strategy in SQL — the metric
+    * ordering, the recency ordering, and rollback's
+    * latest-deployment-per-model-desc-offset-1 are what the hash gate
+    * verifies.
+    */
+  val m5DeployStrategies: GraftQuery = GraftQuery(
+    "m5_deploy_strategies",
+    (s, dir) => {
+      import s.implicits._
+      val tr = m5Setup(s, dir)
+      val r = tr.registry
+      Seq(
+        ("best_score", r.resolveStrategy("q_dep", "best_score").get),
+        ("current", r.currentDeployment("q_dep").get.model_id),
+        ("most_recent", r.resolveStrategy("q_dep", "most_recent").get),
+        ("rollback", r.resolveStrategy("q_dep", "rollback").get)
+      ).toDF("strategy", "model_id").orderBy("strategy")
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val tr = m5Setup(s, dir)
+      val mdl = (1L to 3L).map(id =>
+        s"($id, ${tr.registry.modelMetrics(id)("r2").toString})").mkString(", ")
+      val dep = tr.registry.deployments
+        .orderBy(col("seq")).select("model_id").collect()
+        .zipWithIndex.map { case (r0, i) => s"(${i + 1}, ${r0.getLong(0)})" }
+        .mkString(", ")
+      s"""WITH mdl(model_id, r2) AS (VALUES $mdl),
+          dep(ord, model_id) AS (VALUES $dep)
+          SELECT 'best_score' AS strategy,
+            (SELECT model_id FROM mdl ORDER BY r2 DESC LIMIT 1) AS model_id
+          UNION ALL SELECT 'current',
+            (SELECT model_id FROM dep ORDER BY ord DESC LIMIT 1)
+          UNION ALL SELECT 'most_recent',
+            (SELECT model_id FROM mdl ORDER BY model_id DESC LIMIT 1)
+          UNION ALL SELECT 'rollback',
+            (SELECT model_id FROM (SELECT model_id, max(ord) AS mo FROM dep
+               GROUP BY model_id) ORDER BY mo DESC OFFSET 1 LIMIT 1)
+          ORDER BY strategy"""
+    })
+
+  private def m6Train(s: SparkSession, dir: String): (graft.ml.Trainer, Long) = {
+    val feats = t(s, dir, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+    val reg = java.nio.file.Files.createTempDirectory("graft_q_pca_").toString
+    val tr = new graft.ml.Trainer(s, reg)
+    val res = tr.train("q_pca", "decomposition", feats, None, "pca",
+      hyperparams = Map("n_components" -> 2))
+    (tr, res.modelId)
+  }
+
+  /** pgml.decompose (m6): train a PCA decomposition, apply the deployed
+    * model (api.rs:487-492). MLlib's eigendecomposition is not
+    * SQL-expressible, but the PROJECTION is: the generated oracle refits
+    * the (deterministic) model, inlines the principal components as
+    * literals, and replays pca_c = Σ_j x_j·pc(j,c) as the same
+    * ascending-j left-associative sum BLAS computes (f2j gemv; zero seed
+    * folds away exactly).
+    */
+  val m6Decompose: GraftQuery = GraftQuery(
+    "m6_decompose",
+    (s, dir) => {
+      val (tr, _) = m6Train(s, dir)
+      // deterministic subset by FILTER, not LIMIT: (l_orderkey,
+      // l_linenumber) is not unique in the synthetic data, so an ordered
+      // limit could cut tied boundary rows differently per engine
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      tr.registry.decompose("q_pca", li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(element_at(col("pca_arr"), 1), 4).as("pc1"),
+          round(element_at(col("pca_arr"), 2), 4).as("pc2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = m6Train(s, dir)
+      val pc = tr.registry.pcaComponents(modelId)
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def proj(c: Int): String = feats.zipWithIndex
+        .map { case (f, j) => s"$f * (${dlit(pc(c)(j))})" }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber,
+            round(${proj(0)}, 4) AS pc1,
+            round(${proj(1)}, 4) AS pc2
+          FROM lineitem WHERE l_orderkey % 97 = 0
+          ORDER BY l_orderkey, l_linenumber"""
+    })
+
+  /** Double literal for generated SQL, forced to parse as DOUBLE: DuckDB
+    * reads a long plain-decimal literal as DECIMAL and can overflow its
+    * cast (a 17-significant-digit coefficient breaks DECIMAL(18,15)); an
+    * exponent suffix makes it a DOUBLE literal with the exact same
+    * nearest-double value. */
+  private def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  private def m7Train(s: SparkSession, dir: String): (graft.ml.Trainer, Long) = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val reg = java.nio.file.Files.createTempDirectory("graft_q_row_").toString
+    val tr = new graft.ml.Trainer(s, reg)
+    val res = tr.train("q_row", "regression", li, Some("l_extendedprice"), "linear",
+      preprocess = Map(
+        "l_returnflag" -> graft.ml.ColumnPlan("l_returnflag", encode = "one_hot",
+          impute = "zero"),
+        "l_quantity" -> graft.ml.ColumnPlan("l_quantity", impute = "mean",
+          scale = "standard")),
+      testSize = 0.0)
+    (tr, res.modelId)
+  }
+
+  /** pgml.predict(project, row(...)) (m7): the heterogeneous tuple entry
+    * (api.rs:494-497, model.rs:972-1143) — six constructed rows cover a
+    * known category, a NULL category (→ __NULL__ indicator), an UNSEEN
+    * category (→ all-zero one-hot, like the dropped last category), and a
+    * missing numeric (→ NULL → fitted-mean impute → scaled exactly 0).
+    * The oracle re-derives the one-hot layout (NULL first, k−1 kept) and
+    * the impute/scale stats FROM lineitem ITSELF in SQL; only the linear
+    * coefficients ride as generated literals.
+    */
+  val m7PredictRow: GraftQuery = GraftQuery(
+    "m7_predict_row",
+    (s, dir) => {
+      import s.implicits._
+      val (tr, _) = m7Train(s, dir)
+      val cases: Seq[(Int, Map[String, Any])] = Seq(
+        1 -> Map("l_returnflag" -> "A", "l_quantity" -> 10.0),
+        2 -> Map("l_returnflag" -> "N", "l_quantity" -> 25.0),
+        3 -> Map("l_returnflag" -> "R", "l_quantity" -> 41.0),
+        4 -> Map("l_quantity" -> 17.0),
+        5 -> Map("l_returnflag" -> "A"),
+        6 -> Map("l_returnflag" -> "Z", "l_quantity" -> 10.0))
+      cases.map { case (id, row) =>
+        (id, tr.registry.predictRow("q_row", row))
+      }.toDF("case_id", "pred")
+        .select(col("case_id"), round(col("pred"), 3).as("pred"))
+        .orderBy("case_id")
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = m7Train(s, dir)
+      val (coefs, intercept) = tr.registry.linearParams(modelId)
+      // featNames order: [l_returnflag____NULL__, l_returnflag__A,
+      // l_returnflag__N, l_quantity__f] (NULL first, sorted cats, last
+      // dropped — p1's fitted layout)
+      s"""WITH st AS (SELECT avg(l_quantity) AS m, stddev_pop(l_quantity) AS sd
+              FROM lineitem),
+          cases(case_id, rf, q) AS (VALUES
+            (1, 'A', 10.0), (2, 'N', 25.0), (3, 'R', 41.0),
+            (4, NULL, 17.0), (5, 'A', NULL), (6, 'Z', 10.0)),
+          f AS (SELECT case_id,
+            CASE WHEN rf IS NULL THEN 1.0 ELSE 0.0 END AS f0,
+            CASE WHEN rf = 'A' THEN 1.0 ELSE 0.0 END AS f1,
+            CASE WHEN rf = 'N' THEN 1.0 ELSE 0.0 END AS f2,
+            (coalesce(q, m) - m) / sd AS f3
+            FROM cases, st)
+          SELECT case_id,
+            round(f0 * (${dlit(coefs(0))}) + f1 * (${dlit(coefs(1))})
+              + f2 * (${dlit(coefs(2))}) + f3 * (${dlit(coefs(3))})
+              + (${dlit(intercept)}), 3) AS pred
+          FROM f ORDER BY case_id"""
+    })
+
+  /** pgml.train_joint / joint predict (m8): one model per target
+    * registered as `<project>:<y>` sub-projects (api.rs:136-162), both
+    * served back and joined. Each is a single-feature OLS, so the oracle
+    * is DuckDB's closed form (regr_slope/intercept) twice — the m1
+    * pattern across the joint surface.
+    */
+  val m8TrainJoint: GraftQuery = GraftQuery(
+    "m8_train_joint",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val rel = li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_joint_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      tr.trainJoint("q_joint", "regression", rel,
+        Seq("l_extendedprice", "l_discount"), "linear", testSize = 0.0)
+      // serve over the DISTINCT feature values — a unique join key (the
+      // synthetic (l_orderkey, l_linenumber) is not unique, and joining
+      // the two sub-project predictions on a duplicated key would fan out)
+      val keys = li.select(col("l_quantity")).distinct()
+      val p1 = tr.registry.predict("q_joint:l_extendedprice", keys)
+        .select(col("l_quantity"), round(col("prediction"), 3).as("pred_price"))
+      val p2 = tr.registry.predict("q_joint:l_discount", keys)
+        .select(col("l_quantity"), round(col("prediction"), 6).as("pred_disc"))
+      p1.join(p2, Seq("l_quantity"))
+        .orderBy(col("l_quantity"))
+    },
+    Some("""WITH f1 AS (SELECT regr_slope(l_extendedprice, l_quantity) AS m,
+                regr_intercept(l_extendedprice, l_quantity) AS b FROM lineitem),
+            f2 AS (SELECT regr_slope(l_discount, l_quantity) AS m,
+                regr_intercept(l_discount, l_quantity) AS b FROM lineitem)
+            SELECT DISTINCT l_quantity,
+              round(f1.b + f1.m * l_quantity, 3) AS pred_price,
+              round(f2.b + f2.m * l_quantity, 6) AS pred_disc
+            FROM lineitem, f1, f2
+            ORDER BY l_quantity"""))
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -2545,7 +2773,8 @@ object QueryCatalog {
     e1EmbeddingPairs, e2SemDedup,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag,
-    m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan, p1Preprocess,
+    m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
+    m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,

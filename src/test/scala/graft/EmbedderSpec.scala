@@ -185,6 +185,82 @@ class EmbedderSpec extends AnyFunSuite {
     c.awaitMaintenance()
   }
 
+  // ---- cross-encoder-shaped reranker (trained interaction model) ----
+
+  // fixture: each doc = 4 unique key tokens + its THEME token repeated 8×
+  // + shared fillers; the query carries the target's keys plus a WRONG
+  // theme token. A bi-encoder's bag similarity is pulled toward the
+  // wrong-theme docs (8× repetition dominates the vector); the
+  // interaction features (coverage of the query's distinct tokens) are
+  // not — exactly the failure mode cross-encoders exist to fix.
+  private def ceDoc(d: Int): String =
+    ((0 until 4).map(j => s"key${d}x$j") ++ Seq.fill(8)(s"theme${d % 5}") ++
+      (0 until 8).map(i => s"common$i")).mkString(" ")
+  private def ceQuery(d: Int): String =
+    ((0 until 4).map(j => s"key${d}x$j") ++ Seq.fill(2)(s"theme${(d + 1) % 5}"))
+      .mkString(" ")
+
+  test("trained cross-encoder (interaction features) beats the bi-encoder on held-out relevance") {
+    import graft.functions.{BiEncoderReranker, CrossEncoderReranker}
+    val emb = HashEmbedder(64)
+    // fit on docs 0..19; evaluate on UNSEEN docs 20..29. (d+6)%20 is the
+    // HARD negative: its theme ≡ (d+1)%5 matches the query's wrong-theme
+    // token — without it the fit never sees the distractor pattern and
+    // learns repeated-token tf as relevance (the bi-encoder's own failure)
+    val trainPairs = (0 until 20).flatMap { d =>
+      Seq((ceQuery(d), ceDoc(d), 1.0),
+        (ceQuery(d), ceDoc((d + 6) % 20), 0.0),
+        (ceQuery(d), ceDoc((d + 7) % 20), 0.0))
+    }.toDF("q", "c", "label")
+    val model = CrossEncoderReranker.fit(trainPairs, "q", "c", "label", emb)
+    val cross = CrossEncoderReranker(model)
+    val bi = BiEncoderReranker(emb)
+    val heldDocs = (20 until 30).map(d => (d.toLong, ceDoc(d))).toDF("doc_id", "chunk")
+    def top1(rr: graft.functions.Reranker, d: Int): Long =
+      heldDocs.select(col("doc_id"), rr.scoreCol(ceQuery(d), col("chunk")).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).head().getLong(0)
+    val crossAcc = (20 until 30).count(d => top1(cross, d) == d.toLong) / 10.0
+    val biAcc = (20 until 30).count(d => top1(bi, d) == d.toLong) / 10.0
+    assert(crossAcc >= 0.9, s"cross-encoder held-out accuracy $crossAcc < 0.9")
+    assert(crossAcc > biAcc,
+      s"cross-encoder ($crossAcc) must beat the bi-encoder ($biAcc) on the distractor fixture")
+    // scoring is pure map-side column work — no join, no shuffle in the plan
+    val plan = heldDocs.select(cross.scoreCol("probe", col("chunk")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cross-encoder scoring shuffled:\n$plan")
+  }
+
+  test("cross-encoder serves through the rank seam with the corpus_id contract unchanged") {
+    import graft.functions.CrossEncoderReranker
+    val emb = HashEmbedder(64)
+    val trainPairs = (0 until 20).flatMap { d =>
+      Seq((ceQuery(d), ceDoc(d), 1.0),
+        (ceQuery(d), ceDoc((d + 6) % 20), 0.0),
+        (ceQuery(d), ceDoc((d + 7) % 20), 0.0))
+    }.toDF("q", "c", "label")
+    val cross = CrossEncoderReranker(
+      CrossEncoderReranker.fit(trainPairs, "q", "c", "label", emb))
+
+    val wh = Files.createTempDirectory("graft_ce_wh_").toString
+    val docs = (0 until 25).map(i => s"""{"id": $i, "body": "${ceDoc(i)}"}""")
+    val c = new Collection(spark, "ce", wh)
+    c.upsertDocuments(docs.toDF("document"))
+    val p = Pipeline("p", Seq(PipelineField("body", splitter = Some((100000, 0)),
+      semanticSearch = Some(emb))))
+    c.syncPipeline(p)
+    val probe = ceQuery(3)
+    val ranked = c.vectorSearch(p, Seq(VectorSearchField("body", probe)),
+      limit = 5, rerank = Some(15), reranker = cross)
+    val rows = ranked.select(
+      get_json_object(col("document"), "$.id").cast("int").as("id"),
+      col("rerank_score")).collect()
+    assert(rows.head.getInt(0) == 3,
+      s"expected doc 3 for its own query, got ${rows.head.getInt(0)}")
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, "rerank_score ordering broken")
+    c.awaitMaintenance()
+  }
+
   test("Word2Vec weights behind the remote batch protocol match the in-process embedder") {
     import graft.functions.{Word2VecBackedClient, Word2VecEmbedder}
     val corpus = (0 until 30).map(i => s"training sentence $i about spark vectors")
