@@ -42,13 +42,13 @@ object Bench {
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "t7_pack_sequences",
       "t8_repetition_stats", "t10_dedup_spans", "t11_gopher_rules",
-      "c3_sample_mixture",
-      "c6_perplexity", "c7_quality_classifier", "c8_c4_clean",
+      "t12_lang_id_trained", "c3_sample_mixture",
+      "c6_perplexity", "c7_quality_classifier", "c8_c4_clean", "c9_ngram_lm",
       "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "d5_decontaminate",
       "d6_dedup_against",
       "s1_chunk", "s3_fulltext_rank",
-      "s4_ingest", "s4_sync_delta", "s4_vector_search_e2e",
+      "s4_ingest", "s4_sync_delta", "s4_sync_steady", "s4_vector_search_e2e",
       "s6_vector_search_chunked", "s7_hybrid_search",
       "x1_transform_sentiment", "x2_sessions", "c1_corpus_curate",
       "m1_linear_regression").filter(n => only.forall(_.contains(n)))
@@ -131,9 +131,40 @@ object Bench {
             org.apache.spark.sql.functions.md5(
               org.apache.spark.sql.functions.lit("1")))
       }
+    // s4_sync_steady: STEADY-STATE ingest — 8 micro-batches per pass with
+    // the merge policy tightened (mergeEvery = 4) so a background
+    // compaction fires MID-RUN. The per-batch wall times go to stderr as
+    // their own JSON line: the contract under test is that batch latency
+    // stays O(batch) while the O(corpus) merge runs on its thread
+    // (BackgroundMergeSpec pins the semantics; this measures the
+    // throughput claim). Own warehouse (chunk config 99998) so the other
+    // s4 legs keep their corpus and merge cadence.
+    val steadyCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    val syncSteady: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        import s.implicits._
+        val (c, p) = graft.queries.QueryCatalog.e2eCollection(s, dir, 99998, 0)
+        c.mergeEvery = 4
+        val batchTimes = (1 to 8).map { _ =>
+          val rev = steadyCounter.incrementAndGet()
+          val t0 = System.nanoTime()
+          c.upsertDocuments(Seq(
+            s"""{"id": 2, "text": "steady ingest probe revision $rev of document two"}""")
+            .toDF("document"))
+          c.syncPipelineIncremental(p)
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(batchTimes.map(t => f"$t%.3f")
+          .mkString("""{"steady_batch_sec":[""", ",", "]}"))
+        c.chunks(p, "text").where(
+          org.apache.spark.sql.functions.col("document_id") ===
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.lit("2")))
+      }
     val queries = SparkEntry.queries +
       ("s4_ingest" -> ingest) + ("v9b_hnsw_batch" -> hnswBatch) +
-      ("v9c_hnsw_local" -> hnswLocal) + ("s4_sync_delta" -> syncDelta)
+      ("v9c_hnsw_local" -> hnswLocal) + ("s4_sync_delta" -> syncDelta) +
+      ("s4_sync_steady" -> syncSteady)
     // Warm every headline query once, untimed (JIT + classload + index/
     // warehouse builds — indexes are built at ingest, not per query; the
     // reference's HNSW numbers likewise exclude the 2h51m index build),
@@ -154,6 +185,41 @@ object Bench {
       catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
     val hostCpus = Runtime.getRuntime.availableProcessors()
 
+    // loadavg failed exactly when needed in r10: a co-tenant cgroup or
+    // thermal throttle steals CPU without raising THIS host's loadavg.
+    // Capture signals that can't miss it: the JVM's own process CPU time
+    // (a pass whose wall doubles with flat CPU time was starved, not
+    // regressed), /proc/self/schedstat field 2 (ns runnable-but-waiting —
+    // direct runqueue contention), and nonvoluntary context switches.
+    def processCpuNs(): Long =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
+      catch { case _: Throwable => -1L }
+    // schedstat/status are PER-THREAD under /proc/self — the main thread
+    // sleeps while executor threads do the work, so sum over
+    // /proc/self/task/*. Exited threads drop out of the sum (executor
+    // pools are stable across a bench run, so deltas stay meaningful).
+    def taskDirs(): Seq[java.io.File] =
+      Option(new java.io.File("/proc/self/task").listFiles()).map(_.toSeq)
+        .getOrElse(Nil)
+    def schedstatWaitNs(): Long =
+      try taskDirs().map { d =>
+        try scala.io.Source.fromFile(new java.io.File(d, "schedstat")).mkString
+          .trim.split("\\s+")(1).toLong
+        catch { case _: Throwable => 0L }
+      }.sum
+      catch { case _: Throwable => -1L }
+    def involCtxt(): Long =
+      try taskDirs().map { d =>
+        try scala.io.Source.fromFile(new java.io.File(d, "status")).getLines()
+          .find(_.startsWith("nonvoluntary_ctxt_switches"))
+          .map(_.split("\\s+")(1).toLong).getOrElse(0L)
+        catch { case _: Throwable => 0L }
+      }.sum
+      catch { case _: Throwable => -1L }
+    final case class Steal(cpuNs: Long, waitNs: Long, ctxt: Long)
+    def stealNow(): Steal = Steal(processCpuNs(), schedstatWaitNs(), involCtxt())
+
     // A query that throws must NOT contribute its (near-zero) failure time —
     // that would silently IMPROVE the headline. Record it as -1 and leave it
     // out of the total so a broken query is visible in the JSON.
@@ -162,7 +228,9 @@ object Bench {
     // spike degrades one PASS, not one query's entire sample.
     val nPasses = 3
     val passLoads = scala.collection.mutable.ArrayBuffer[Seq[Double]](loadavg())
+    val passSteals = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
     val perPass: Seq[Seq[(String, Double)]] = (1 to nPasses).map { _ =>
+      val s0 = stealNow()
       val pass = headline.flatMap { name =>
         queries.get(name).map { fn =>
           val t0 = System.nanoTime()
@@ -173,6 +241,9 @@ object Bench {
         }
       }
       passLoads += loadavg()
+      val s1 = stealNow()
+      passSteals += (((s1.cpuNs - s0.cpuNs) / 1e9,
+        (s1.waitNs - s0.waitNs) / 1e9, s1.ctxt - s0.ctxt))
       pass
     }
     val results = headline.flatMap { name =>
@@ -193,8 +264,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries failed; excluded from total")
+    val cpuJson = passSteals.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
+    val waitJson = passSteals.map(s => f"${s._2}%.1f").mkString("[", ",", "]")
+    val ctxtJson = passSteals.map(_._3.toString).mkString("[", ",", "]")
     println(
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"host_cpus":$hostCpus,"sf":"$sfDir"}""")
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"host_cpus":$hostCpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,57 +3,81 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scale-factor headroom generator: synthesizes `documents` and
-  * `embeddings` tables with the SAME marginal structure as the driver's
-  * testdata (measured empirically off /root/testdata/sf0.1) at an
-  * arbitrary row count, so the bench's corpus-proportional legs can be
-  * run one scale factor up (sf1 = 10× sf0.1) without touching the
-  * read-only driver data.
+  * `embeddings` tables at an arbitrary row count, so the bench's
+  * corpus-proportional legs can be run one scale factor up (sf1 = 10×
+  * sf0.1) without touching the read-only driver data.
   *
-  * Measured structure reproduced here:
-  *  - documents: text = `ntok ~ U(10,100)` draws, uniform over a shared
-  *    31-word vocabulary; lang ∈ {en 41%, de/es/fr/zh ~14.75%};
-  *    source ∈ src0..src19 uniform; n_chars = length(text);
-  *    doc_id = 0..n−1 (bigint). Near-dup density is EMERGENT exactly as
-  *    in the driver corpus: with a 31-word vocab and ~54 tokens, random
-  *    docs already collide at Jaccard ≥ 0.9 at ~7% of pairs, so the dup
-  *    graph densifies quadratically with corpus size by construction.
-  *  - embeddings: 64-dim float32, i.i.d. gaussian L2-normalized (label
-  *    centroid norms at sf0.1 match the pure-noise expectation
-  *    1/√n — there is no planted cluster structure); label ~ U(0,9);
-  *    vec_id = 0..n−1.
+  *  - documents: text = `ntok ~ U(10,100)` draws over a 5,000-word
+  *    Zipf-distributed vocabulary (log-uniform rank draw ≈ zipf(1) —
+  *    the published token-frequency shape), with PLANTED near-duplicates
+  *    at a fixed per-document rate: every id ≡ 3 (mod 7) re-emits the
+  *    token stream of its group leader (id − 3), verbatim for short
+  *    leaders and with two token flips for leaders of ≥ 40 tokens (a
+  *    borderline ~0.9-Jaccard pair — the case an LSH verify stage has to
+  *    adjudicate). True-pair count therefore grows LINEARLY in n —
+  *    realistic web-corpus dup density. The r10 generator drew uniformly
+  *    from a 31-word vocab, where random 54-token docs already collide
+  *    at Jaccard ≥ 0.9 for ~7% of ALL pairs: its d1/d3 numbers measured
+  *    a quadratic-by-construction output, not the operator. With 5,000
+  *    Zipf words the random-collision mass is negligible — the output IS
+  *    the planted set.
+  *  - lang ∈ {en 41%, de/es/fr/zh ~14.75%}; source ∈ src0..src19;
+  *    n_chars = length(text); doc_id = 0..n−1 (bigint).
+  *  - embeddings: 64-dim float32, i.i.d. gaussian L2-normalized;
+  *    label ~ U(0,9); vec_id = 0..n−1.
   *
   * Determinism: every row is generated from a SplittableRandom seeded by
-  * (seed, row id) — independent of partitioning, repeatable across runs.
+  * (seed, row id) — independent of partitioning, repeatable across runs;
+  * a planted dup re-derives its LEADER's stream from the leader's seed,
+  * so the pair structure is also partition-independent.
   *
   * Usage: runMain graft.GenData <outDir> <nDocs> <nVecs> [seed]
   */
 object GenData {
-  private val Vocab: Array[String] = Array(
-    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
-    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
-    "order", "part", "query", "row", "scan", "slow", "small", "sort",
-    "spark", "stream", "table", "the", "value", "vector", "window")
+  private val VocabSize = 5000
   private val Langs = Array("en", "de", "es", "fr", "zh")
   // en ≈ 41%, the rest split the remainder evenly (empirical sf0.1 mix)
   private val LangCum = Array(0.41, 0.5575, 0.705, 0.8525, 1.0)
+
+  /** Zipf(1)-ish rank draw: log-uniform over [0, VocabSize). */
+  private def zipfWord(r: java.util.SplittableRandom): String =
+    "w" + math.min(VocabSize - 1,
+      math.exp(r.nextDouble() * math.log(VocabSize.toDouble)).toInt - 1).max(0)
+
+  private def rngFor(seed: Long, id: Long) =
+    new java.util.SplittableRandom(seed ^ (id * 0x9E3779B97F4A7C15L))
+
+  /** The base token stream of document `id` (leaders and non-dups). */
+  private def baseTokens(seed: Long, id: Long): Array[String] = {
+    val r = rngFor(seed, id)
+    val ntok = 10 + r.nextInt(91)
+    Array.fill(ntok)(zipfWord(r))
+  }
 
   def documents(spark: SparkSession, n: Long, seed: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).mapPartitions { it =>
       it.map { id =>
-        val r = new java.util.SplittableRandom(seed ^ (id * 0x9E3779B97F4A7C15L))
-        val ntok = 10 + r.nextInt(91)
-        val sb = new StringBuilder
-        var i = 0
-        while (i < ntok) {
-          if (i > 0) sb.append(' ')
-          sb.append(Vocab(r.nextInt(Vocab.length)))
-          i += 1
-        }
+        val isDup = id % 7 == 3 && id >= 3
+        val toks =
+          if (!isDup) baseTokens(seed, id)
+          else {
+            val t = baseTokens(seed, id - 3)
+            if (t.length >= 40) {
+              // two token flips → a borderline ≥0.9-Jaccard near-dup
+              val rd = rngFor(seed ^ 0x5eedL, id)
+              t(rd.nextInt(t.length)) = zipfWord(rd)
+              t(rd.nextInt(t.length)) = zipfWord(rd)
+            }
+            t
+          }
+        // lang/source draws come AFTER the text stream so a dup's
+        // metadata varies while its text matches the leader's
+        val r = rngFor(seed ^ 0x1a2b3cL, id)
         val u = r.nextDouble()
         var li = 0
         while (LangCum(li) < u) li += 1
-        val text = sb.toString
+        val text = toks.mkString(" ")
         (id, text, Langs(li), "src" + r.nextInt(20), text.length)
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
