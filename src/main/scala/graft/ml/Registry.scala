@@ -231,6 +231,14 @@ class Registry(spark: SparkSession, dir: String) {
     (m.coefficients.toArray, m.intercept)
   }
 
+  /** (coefficients, intercept) of a stored BINARY logistic model — the m9
+    * oracle's literal source. */
+  def logisticParams(modelId: Long): (Array[Double], Double) = {
+    val (_, model) = cachedModel(modelId)
+    val m = model.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    (m.coefficients.toArray, m.intercept)
+  }
+
   def predictWithModel(modelId: Long, df: DataFrame): DataFrame = {
     val (meta, model) = cachedModel(modelId)
     val fitted = meta.fitted.map(j => FittedColumn(

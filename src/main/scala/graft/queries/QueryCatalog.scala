@@ -2498,6 +2498,53 @@ object QueryCatalog {
             FROM lineitem, f1, f2
             ORDER BY l_quantity"""))
 
+  private def m9Train(s: SparkSession, dir: String): (graft.ml.Trainer, Long) = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_quantity"), col("l_discount"),
+        (col("l_returnflag") === "R").cast("double").as("is_return"))
+    val reg = java.nio.file.Files.createTempDirectory("graft_q_proba_").toString
+    val tr = new graft.ml.Trainer(s, reg)
+    val res = tr.train("q_proba", "classification", li, Some("is_return"),
+      "linear", testSize = 0.0)
+    (tr, res.modelId)
+  }
+
+  /** pgml.predict_proba (m9): binary logistic classification through the
+    * deployed-model registry path, class-probability array appended
+    * (api.rs:469-472). Served over the DISTINCT feature pairs (a unique
+    * key — see m8). Oracle: fitted coefficients as literals; p1 =
+    * sigmoid(intercept + c·x), p0 = 1 − p1 (MLlib's binomial
+    * raw2probability), prediction = threshold at margin 0 — all behind
+    * round(6).
+    */
+  val m9PredictProba: GraftQuery = GraftQuery(
+    "m9_predict_proba",
+    (s, dir) => {
+      val (tr, _) = m9Train(s, dir)
+      val feats = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount")).distinct()
+      tr.registry.predictProba("q_proba", feats)
+        .select(col("l_quantity"), col("l_discount"),
+          round(element_at(col("proba"), 1), 6).as("p0"),
+          round(element_at(col("proba"), 2), 6).as("p1"),
+          col("prediction"))
+        .orderBy(col("l_quantity"), col("l_discount"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = m9Train(s, dir)
+      val (c, b) = tr.registry.logisticParams(modelId)
+      val margin =
+        s"l_quantity * (${dlit(c(0))}) + l_discount * (${dlit(c(1))}) + (${dlit(b)})"
+      s"""WITH f AS (SELECT DISTINCT l_quantity, l_discount FROM lineitem),
+          p AS (SELECT l_quantity, l_discount, $margin AS m FROM f)
+          SELECT l_quantity, l_discount,
+            round(1.0 - 1.0 / (1.0 + exp(-m)), 6) AS p0,
+            round(1.0 / (1.0 + exp(-m)), 6) AS p1,
+            CASE WHEN m > 0.0 THEN 1.0 ELSE 0.0 END AS prediction
+          FROM p ORDER BY l_quantity, l_discount"""
+    })
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -2774,7 +2821,8 @@ object QueryCatalog {
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
-    m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint, p1Preprocess,
+    m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
+    m9PredictProba, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
