@@ -179,8 +179,14 @@ object Bench {
     // adjudicate. Capture /proc/loadavg around every pass plus the host
     // cpu count so the JSON itself shows whether a slow number was the
     // code or the machine.
+    // Files.readString, not Source.fromFile: these samplers run per pass
+    // over every JVM thread's proc files, and an unclosed Source leaks a
+    // file descriptor per read until finalization
+    def readProc(p: java.io.File): String =
+      new String(java.nio.file.Files.readAllBytes(p.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
     def loadavg(): Seq[Double] =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
+      try readProc(new java.io.File("/proc/loadavg"))
         .split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
     val hostCpus = Runtime.getRuntime.availableProcessors()
@@ -204,14 +210,13 @@ object Bench {
         .getOrElse(Nil)
     def schedstatWaitNs(): Long =
       try taskDirs().map { d =>
-        try scala.io.Source.fromFile(new java.io.File(d, "schedstat")).mkString
-          .trim.split("\\s+")(1).toLong
+        try readProc(new java.io.File(d, "schedstat")).trim.split("\\s+")(1).toLong
         catch { case _: Throwable => 0L }
       }.sum
       catch { case _: Throwable => -1L }
     def involCtxt(): Long =
       try taskDirs().map { d =>
-        try scala.io.Source.fromFile(new java.io.File(d, "status")).getLines()
+        try readProc(new java.io.File(d, "status")).linesIterator
           .find(_.startsWith("nonvoluntary_ctxt_switches"))
           .map(_.split("\\s+")(1).toLong).getOrElse(0L)
         catch { case _: Throwable => 0L }

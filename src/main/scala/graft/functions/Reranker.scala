@@ -67,7 +67,11 @@ final case class CrossEncoderReranker(model: CrossEncoderReranker.Model)
     extends Reranker {
   override def name: String = "cross-encoder-interaction"
   override def scoreCol(query: String, chunk: Column): Column =
-    model.score(lit(query), chunk)
+    // the query embeds ONCE driver-side and rides as a literal (the
+    // BiEncoderReranker move) — a UDF-backed embedder would otherwise
+    // re-embed (or re-call its remote endpoint) per scored row
+    model.score(lit(query), chunk,
+      Some(floatVec(model.embedder.embedOne(query).toIndexedSeq)))
 }
 
 object CrossEncoderReranker {
@@ -83,14 +87,21 @@ object CrossEncoderReranker {
 
   /** The interaction features of one (query, chunk) pair, in fixed order.
     * Both sides are Columns so the same expressions serve fit (per-row
-    * queries) and serving (a literal query). */
-  def features(query: Column, chunk: Column, embedder: Embedder): Seq[Column] = {
+    * queries) and serving (a literal query). `queryVec` overrides the
+    * query-side embedding with a prebuilt (literal) vector: a UDF-backed
+    * embedder (Word2Vec, the remote batch client) is never
+    * constant-folded, so without it a literal query would re-embed — or
+    * re-call the remote endpoint — once per scored row. */
+  def features(query: Column, chunk: Column, embedder: Embedder,
+      queryVec: Option[Column] = None): Seq[Column] = {
     val q = toks(query); val c = toks(chunk)
     val qd = array_distinct(q); val cd = array_distinct(c)
     val inter = size(array_intersect(cd, qd)).cast("double")
     val nq = greatest(size(qd), lit(1)).cast("double")
     val nc = greatest(size(cd), lit(1)).cast("double")
-    val jaccard = inter / size(array_union(cd, qd)).cast("double")
+    // union-size guard: both sides empty → 0/0 would be NaN, and NaN
+    // sorts ABOVE every real score in a descending rerank
+    val jaccard = inter / greatest(size(array_union(cd, qd)), lit(1)).cast("double")
     val coverage = inter / nq
     // Σ_w tf_q(w)·tf_c(w): per chunk token, its count in the query —
     // normalized by both lengths
@@ -101,8 +112,8 @@ object CrossEncoderReranker {
     val bigramCov = size(array_intersect(bc, bq)).cast("double") /
       greatest(size(bq), lit(1)).cast("double")
     val lenRatio = least(nq / nc, nc / nq)
-    val biCos = cosineSimilarity(embedder.embedCol(chunk), embedder.embedCol(query))
-      .cast("double")
+    val biCos = cosineSimilarity(embedder.embedCol(chunk),
+      queryVec.getOrElse(embedder.embedCol(query))).cast("double")
     Seq(jaccard, coverage, tfprod, bigramCov, lenRatio, biCos)
   }
 
@@ -114,8 +125,10 @@ object CrossEncoderReranker {
       weights: Array[Double], intercept: Double, embedder: Embedder) {
     require(weights.length == FeatureNames.length,
       s"expected ${FeatureNames.length} weights, got ${weights.length}")
-    def score(query: Column, chunk: Column): Column = {
-      val dot = features(query, chunk, embedder).zip(weights.toIndexedSeq)
+    def score(query: Column, chunk: Column,
+        queryVec: Option[Column] = None): Column = {
+      val dot = features(query, chunk, embedder, queryVec)
+        .zip(weights.toIndexedSeq)
         .map { case (f, w) => f * lit(w) }.reduceLeft(_ + _)
       lit(1.0) / (lit(1.0) + exp(-(lit(intercept) + dot)))
     }

@@ -171,8 +171,13 @@ object Corpus {
     * so gram strings cannot drift between the two. */
   private def ngramRows(
       df: DataFrame, textCol: String, keep: Seq[Column], order: Int): DataFrame = {
+    // empty tokens are FILTERED (split of a whitespace-only string yields
+    // [""]): an empty document must produce zero positions — n_tokens 0,
+    // ppl null, gate passes — not a single ""-token scored at the OOV
+    // floor
     val toked = df
-      .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
+      .withColumn("__toks",
+        filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= ""))
       .withColumn("__n", size(col("__toks")))
     toked.select(keep :+ explode(
         // guard: sequence(1, 0) would DESCEND ([1,0]) for an empty doc
@@ -224,8 +229,13 @@ object Corpus {
     require(order >= 2, s"order must be >=2, got $order")
     require(lambda > 0 && lambda <= 1, s"backoff lambda must be in (0,1], got $lambda")
     require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    // localCheckpoint (eager): THREE consumers — the driver-side unigram
+    // totals plus the two join sides — would each re-run the full
+    // reference explode+aggregate otherwise (the reference is
+    // Wikipedia-scale in the CCNet deployment this models)
     val counts = ngramRows(lmCorpus, lmTextCol, Nil, order)
       .groupBy(col("k"), col("g")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val cg = counts.select(col("k"), col("g"), col("__c").as("__cg"))
     val chist = counts.select((col("k") + 1).as("k"), col("g").as("h"),
       col("__c").as("__ch"))
@@ -234,12 +244,15 @@ object Corpus {
       .join(cg, Seq("k", "g"), "left")
       .join(chist, Seq("k", "h"), "left")
     // the add-α unigram ground: (c(w)+α) / (T+αV), T and V computed in
-    // the SAME arithmetic order the SQL replay uses (T + α·V)
+    // the SAME arithmetic order the SQL replay uses (T + α·V). Count is
+    // read (and gated on) BEFORE the sum: an empty reference yields a
+    // NULL sum and getLong would throw an opaque NPE ahead of the
+    // diagnostic.
     val unigrams = counts.where(col("k") === 1)
-      .agg(sum(col("__c")).cast("long"), count(lit(1))).head()
-    val t = unigrams.getLong(0)
-    val v = unigrams.getLong(1)
+      .agg(count(lit(1)), sum(col("__c")).cast("long")).head()
+    val v = unigrams.getLong(0)
     require(v > 0, "ngramLmStats: the reference corpus is empty")
+    val t = unigrams.getLong(1)
     val candidate = when(col("k") === 1,
         struct(lit(1).as("k"),
           log((coalesce(col("__cg"), lit(0L)) + lit(alpha)) /

@@ -136,9 +136,33 @@ object IvfIndex {
       nlist: Int = 0,
       metric: String = MetricCosine): IvfIndex = {
     val home = indexPathFor(spark, sourcePath, nlist, metric = metric)
-    family.serve(spark, home, sourcePath)(
-      loadOrBuild(spark, home, df, vecCol, nlist, metric))
+    family.serve(spark, home, sourcePath) {
+      pruneLegacyRootHomes(spark, sourcePath)
+      loadOrBuild(spark, home, df, vecCol, nlist, metric)
+    }
   }
+
+  /** One-time migration sweep: pre-consolidation IVF homes lived at the
+    * BARE `GRAFT_INDEX_DIR` root (every other family always used a
+    * subdir); the Family layer resolves `GRAFT_INDEX_DIR/ivf` now, so
+    * old-layout homes of this source would neither serve nor prune —
+    * full index copies leaking forever. Delete root-level dirs whose
+    * manifest names this source (family subdirs carry no manifest of
+    * their own and are untouched). Runs on the serve cache-miss path —
+    * once per session per source. */
+  private def pruneLegacyRootHomes(spark: SparkSession, sourcePath: String): Unit =
+    sys.env.get("GRAFT_INDEX_DIR").foreach { root =>
+      val fs = IndexStore.fsFor(spark, root)
+      val p = new Path(root)
+      if (fs.exists(p)) fs.listStatus(p).foreach { sib =>
+        if (sib.isDirectory) {
+          val m = new Path(sib.getPath, IndexStore.SourceManifest)
+          if (fs.exists(m) && IndexStore.readString(fs, m)
+              .linesIterator.nextOption().contains(sourcePath))
+            fs.delete(sib.getPath, true)
+        }
+      }
+    }
 
   def indexPathFor(spark: SparkSession, sourcePath: String, nlist: Int = 0,
       nassign: Int = 3, metric: String = MetricCosine): String =

@@ -925,7 +925,8 @@ object QueryCatalog {
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH tk AS (SELECT doc_id,
-              string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+              list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> x <> '') AS t FROM documents),
             pos1 AS (SELECT doc_id, t, CAST(i AS INT) AS i
               FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)),
             rws AS (SELECT doc_id, i AS pos, CAST(k AS INT) AS k,

@@ -461,16 +461,40 @@ object DeltaTable {
     * failure the batch number is burned so consumers don't wait out the
     * grace period for it. The on-disk layout is identical to what
     * `partitionBy("batch")` wrote — files carry the data columns only,
-    * `batch` comes from the dir name via partition discovery. */
-  private[graft] def publishLogBatch(df: DataFrame, path: String, batch: Long): Unit = {
+    * `batch` comes from the dir name via partition discovery.
+    *
+    * SLOW-BUT-ALIVE writer guard: a publish whose Spark write outlives
+    * half of [[logAllocGraceMs]] must NOT land under its original number
+    * — a consumer past the full grace window has presumed that number
+    * dead and advanced its watermark over it, so the late batch would sit
+    * below every watermark forever (silently lost rows). The staging
+    * write is the slow part; once it finishes, the writer checks its own
+    * alloc marker's age and, past the half-grace margin, burns the stale
+    * number and renames the already-staged data under a FRESH allocation
+    * (whose marker is seconds old — no consumer can have advanced past
+    * it). The half-grace margin is what makes the race-free argument:
+    * consumers skip only after the FULL grace, writers re-alloc at half,
+    * and the remaining check-to-rename window is a local syscall, not a
+    * Spark job. Returns the batch number the data actually landed under. */
+  private[graft] def publishLogBatch(df: DataFrame, path: String, batch: Long): Long = {
     requireLocalWrites(path, "publishLogBatch")
     try {
       val stage = s"$path/_stage-batch$batch"
       df.write.mode(SaveMode.Overwrite).parquet(stage)
+      val alloc = new java.io.File(commitsPath(path), s"alloc-$batch")
+      val staleAlloc = !alloc.exists() ||
+        System.currentTimeMillis() - alloc.lastModified() > logAllocGraceMs / 2
+      val target =
+        if (!staleAlloc) batch
+        else {
+          new java.io.File(commitsPath(path), s"burn-$batch").createNewFile()
+          allocLogBatch(path)
+        }
       new java.io.File(ioPath(path)).mkdirs()
       if (!new java.io.File(ioPath(stage)).renameTo(
-          new java.io.File(s"${ioPath(path)}/batch=$batch")))
-        throw new java.io.IOException(s"could not publish log batch $batch under $path")
+          new java.io.File(s"${ioPath(path)}/batch=$target")))
+        throw new java.io.IOException(s"could not publish log batch $target under $path")
+      target
     } catch {
       case e: Throwable =>
         new java.io.File(commitsPath(path), s"burn-$batch").createNewFile()

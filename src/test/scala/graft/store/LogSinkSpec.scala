@@ -115,6 +115,30 @@ class LogSinkSpec extends AnyFunSuite {
     } finally DeltaTable.logAllocGraceMs = saved
   }
 
+  test("a slow-but-alive publish re-allocs past the grace window instead of losing its rows") {
+    val p = tmp("slow") + "/log"
+    val b0 = DeltaTable.allocLogBatch(p)
+    DeltaTable.publishLogBatch(Seq(("x", 0)).toDF("a", "b"), p, b0)
+    val slow = DeltaTable.allocLogBatch(p)
+    val saved = DeltaTable.logAllocGraceMs
+    try {
+      DeltaTable.logAllocGraceMs = 10L
+      Thread.sleep(30) // marker ages past the FULL grace window:
+      // consumers have presumed the writer dead and advanced over it
+      assert(DeltaTable.settledLogBatch(p) == slow,
+        "precondition: consumers advanced over the in-flight batch")
+      // the slow writer's publish completes AFTER that — under the stale
+      // number its rows would sit below every watermark forever
+      val landed = DeltaTable.publishLogBatch(
+        Seq(("late", 1)).toDF("a", "b"), p, slow)
+      assert(landed > slow, s"late batch landed under its stale number $landed")
+      assert(DeltaTable.settledLogBatch(p) >= landed)
+      val out = spark.read.parquet(p)
+      assert(out.where(col("a") === "late").count() == 1)
+      assert(out.count() == 2)
+    } finally DeltaTable.logAllocGraceMs = saved
+  }
+
   test("concurrent appendLogFiles lose no rows (searches-table shape)") {
     val p = tmp("files") + "/searches"
     inParallel(4) { i =>
