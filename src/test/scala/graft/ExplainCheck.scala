@@ -115,6 +115,21 @@ object ExplainCheck {
     check("t10_dedup_spans", "no cartesian/nested-loop in the span-dedup plan")(
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
 
+    // trained langid serves MAP-SIDE like c7: per-class weights are plan
+    // literals, the per-doc folds run over the shared bucket array — no
+    // join, no aggregation, the corpus streams once through the scan
+    check("t12_lang_id_trained", "literal-weight multiclass scoring is scan-fused (no join/agg)")(
+      p => !p.contains("Join") && !p.contains("HashAggregate"))
+    // the 5-gram LM joins its (k, gram, count) frame twice; like c6 the
+    // LM side must broadcast — the corpus streams once, no cartesian
+    check("c9_ngram_lm", "order-5 LM count frame broadcasts into both lookups")(
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    // registry probability serving is model.transform over a literal-free
+    // plan — no shuffle beyond the output sort, never a cartesian
+    check("m9_predict_proba", "predict_proba plan is shuffle-lean, no cartesian")(
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition
     {
