@@ -317,6 +317,12 @@ class Registry(spark: SparkSession, dir: String) {
     responsesCache.put(modelId, Some(responses))
   }
 
+  /** The per-cluster generation table of a conversation-tuned model
+    * (responses.json sidecar; empty when none is attached) — the
+    * introspection surface the x6 oracle replays generate() against. */
+  def storedResponses(modelId: Long): Map[Int, String] =
+    responsesOf(modelId).getOrElse(Map.empty)
+
   private def responsesOf(modelId: Long): Option[Map[Int, String]] =
     responsesCache.getOrElseUpdate(modelId, {
       val p = java.nio.file.Paths.get(s"${modelDir(modelId)}/responses.json")

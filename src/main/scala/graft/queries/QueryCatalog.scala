@@ -1873,9 +1873,25 @@ object QueryCatalog {
     * callers append their own SELECT (s4's top-k, s8's RAG composition).
     */
   private[queries] def s4ScoredCtes(queryText: String): String =
+    s"""${hashEmbedCtes(s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL SELECT -1, '$queryText'""")},
+            scored AS (SELECT dv.doc_id,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * q.v[i]), (x, y) -> x + y) AS dt,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * dv.v[i]), (x, y) -> x + y) AS na,
+                list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y) AS nb,
+                CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                     ELSE dt / (sqrt(na) * sqrt(nb)) END AS raw
+              FROM vecs dv, (SELECT v FROM vecs WHERE doc_id = -1) q
+              WHERE dv.doc_id >= 0)"""
+
+  /** The hash-embed replay alone (FNV-1a token hash → splitmix64 per-dim
+    * sign → L2-normalized float32, as HUGEINT limb SQL) over any
+    * `inp(doc_id, text)` body — ends at CTE `vecs(doc_id, v)` with `v` a
+    * 64-double list in dim order. Shared by the s4/s7/s8 scoring replays
+    * and the x6 generate replay. */
+  private[queries] def hashEmbedCtes(inpBody: String): String =
     s"""inp AS (
-              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
-              UNION ALL SELECT -1, '$queryText'),
+              $inpBody),
             tok AS (SELECT doc_id,
               unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                 t -> t <> '')) AS t FROM inp),
@@ -1909,15 +1925,7 @@ object QueryCatalog {
             fvec AS (SELECT acc.doc_id, acc.d, CAST(acc.a * (1.0 / nrm.nr) AS REAL) AS f
               FROM acc JOIN nrm ON acc.doc_id = nrm.doc_id),
             vecs AS (SELECT doc_id, list(CAST(f AS DOUBLE) ORDER BY d) AS v
-              FROM fvec GROUP BY doc_id),
-            scored AS (SELECT dv.doc_id,
-                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * q.v[i]), (x, y) -> x + y) AS dt,
-                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * dv.v[i]), (x, y) -> x + y) AS na,
-                list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y) AS nb,
-                CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
-                     ELSE dt / (sqrt(na) * sqrt(nb)) END AS raw
-              FROM vecs dv, (SELECT v FROM vecs WHERE doc_id = -1) q
-              WHERE dv.doc_id >= 0)"""
+              FROM fvec GROUP BY doc_id)"""
 
   val s4VectorSearchE2e: GraftQuery = GraftQuery(
     "s4_vector_search_e2e",
@@ -2546,6 +2554,71 @@ object QueryCatalog {
           FROM p ORDER BY l_quantity, l_discount"""
     })
 
+  // one tuned registry shared by the x6 query and its oracle generator
+  // (the refit is deterministic — KMeans seed 42, seeded split — but
+  // sharing halves the tune cost per Verify run)
+  private val x6Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
+  private def x6Tune(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    x6Cache.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      // conversation fixture derived from the corpus (orm/dataset.rs:137
+      // column contract): reply text is a deterministic function of the
+      // row, so the per-cluster generation table is rerun-stable
+      val rel = docs.select(lit("you are helpful").as("system"),
+        col("text").as("user"),
+        concat_ws(" ", lit("reply"), col("lang"), col("source")).as("assistant"))
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_gen_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      val res = tr.tune("q_gen", "conversation", rel, "user", "assistant", "conv-model")
+      (tr, res.modelId)
+    })
+
+  /** pgml.tune + pgml.generate envelope (x6): a conversation-tuned
+    * deployment serves generate_batch — embed the input, assign the
+    * nearest KMeans centroid driver-side, return the stored cluster
+    * reply (api.rs:826-995). The oracle replays the WHOLE serving path
+    * in DuckDB: the hash-embed HUGEINT machinery (shared with s4) over
+    * the input texts, the sqdist argmin against the converged centroids
+    * as literals (m3's fixed-point pattern, ties to the lowest cluster),
+    * and the generation-table lookup as VALUES.
+    */
+  val x6Generate: GraftQuery = GraftQuery(
+    "x6_generate",
+    (s, dir) => {
+      import s.implicits._
+      val (tr, _) = x6Tune(s, dir)
+      val inputs = t(s, dir, "documents").where(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      val replies = tr.registry.generateBatch("q_gen", inputs.map(_._2))
+      inputs.map(_._1).zip(replies).toDF("doc_id", "reply").orderBy("doc_id")
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = x6Tune(s, dir)
+      val centRows = tr.registry.clusterCenters(modelId).zipWithIndex
+        .map { case (c, i) => s"($i, [${c.map(dlit).mkString(",")}])" }
+        .mkString(", ")
+      val respRows = tr.registry.storedResponses(modelId).toSeq.sorted
+        .map { case (c, r) => s"($c, '$r')" }.mkString(", ")
+      s"""WITH ${hashEmbedCtes(
+          "SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0")},
+          cent(c, cv) AS (VALUES $centRows),
+          resp(c, reply) AS (VALUES $respRows),
+          d AS (SELECT vecs.doc_id, cent.c,
+              (SELECT sum((vecs.v[CAST(i AS INT)] - cent.cv[CAST(i AS INT)])
+                        * (vecs.v[CAST(i AS INT)] - cent.cv[CAST(i AS INT)]))
+                 FROM range(1, 65) t(i)) AS dsq
+            FROM vecs, cent),
+          a AS (SELECT doc_id, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY dsq, c) AS rn
+            FROM d)
+          SELECT a.doc_id, coalesce(r.reply, '') AS reply
+          FROM a LEFT JOIN resp r ON a.c = r.c
+          WHERE a.rn = 1 ORDER BY a.doc_id"""
+    })
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -2825,7 +2898,7 @@ object QueryCatalog {
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
-    x5TransformTrained,
+    x5TransformTrained, x6Generate,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }
