@@ -39,10 +39,22 @@ object GenData {
   // en ≈ 41%, the rest split the remainder evenly (empirical sf0.1 mix)
   private val LangCum = Array(0.41, 0.5575, 0.705, 0.8525, 1.0)
 
+  /** The Zipf HEAD is real high-frequency English (ranks 0..39): a corpus
+    * whose most common tokens are synthetic "w0 w1 …" fails every
+    * stopword-based gate at once (curate keeps nothing → the c7
+    * distillation has no positive set), which is corpus-realism breakage,
+    * not operator signal. Tail ranks stay synthetic `w<k>`. */
+  private val HeadWords: Array[String] =
+    ("the and of to in is it that for on with as was at by from have not " +
+      "this but are or an be they which you all we more can said there use " +
+      "each how their if will up other about out many then them these so").split(' ')
+
   /** Zipf(1)-ish rank draw: log-uniform over [0, VocabSize). */
-  private def zipfWord(r: java.util.SplittableRandom): String =
-    "w" + math.min(VocabSize - 1,
-      math.exp(r.nextDouble() * math.log(VocabSize.toDouble)).toInt - 1).max(0)
+  private def zipfWord(r: java.util.SplittableRandom): String = {
+    val k = math.max(0, math.min(VocabSize - 1,
+      math.exp(r.nextDouble() * math.log(VocabSize.toDouble)).toInt - 1))
+    if (k < HeadWords.length) HeadWords(k) else "w" + k
+  }
 
   private def rngFor(seed: Long, id: Long) =
     new java.util.SplittableRandom(seed ^ (id * 0x9E3779B97F4A7C15L))
