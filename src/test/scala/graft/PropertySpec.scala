@@ -145,6 +145,60 @@ class PropertySpec extends AnyFunSuite {
       s"lossless reconstruction failed: ${mid.toSeq}")
   }
 
+  test("char-ngram buckets: window count, bucket range, case/lowering invariants") {
+    val textGen = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaChar, Gen.oneOf(' ', 'ü', 'é', '的'))).map(_.mkString)
+    samples(textGen, 200).foreach { t =>
+      val u = UTF8String.fromString(t)
+      val out = TextKernels.charNgramFnvBuckets(u, 2, 1024).toIntArray()
+      // one window per adjacent char pair of the lowered text
+      assert(out.length == math.max(0, t.toLowerCase(java.util.Locale.ROOT).length - 1))
+      assert(out.forall(b => b >= 0 && b < 1024), s"bucket out of range for '$t'")
+      // lowering happens INSIDE the kernel: pre-lowered input is identical
+      val low = TextKernels.charNgramFnvBuckets(
+        UTF8String.fromString(t.toLowerCase(java.util.Locale.ROOT)), 2, 1024).toIntArray()
+      assert(out.sameElements(low), s"case-sensitivity leaked for '$t'")
+    }
+    // shorter than n → no windows
+    assert(TextKernels.charNgramFnvBuckets(UTF8String.fromString("a"), 2, 64)
+      .numElements() == 0)
+    assert(TextKernels.charNgramFnvBuckets(UTF8String.fromString(""), 2, 64)
+      .numElements() == 0)
+  }
+
+  test("GenData plants linear-density near-duplicates deterministically") {
+    val spark = TestSpark.session
+    val docs = GenData.documents(spark, 700, seed = 42L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // regeneration is bitwise-stable
+    val again = GenData.documents(spark, 700, seed = 42L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs == again)
+    // every id ≡ 3 (mod 7) matches its leader verbatim or in all but ≤2
+    // token positions (same length) — and its Jaccard stays ≥ ~0.9
+    val dupIds = (3L until 700L by 7L)
+    assert(dupIds.nonEmpty)
+    dupIds.foreach { id =>
+      val dup = docs(id).split(' '); val lead = docs(id - 3).split(' ')
+      assert(dup.length == lead.length, s"dup $id length differs from leader")
+      val diffs = dup.zip(lead).count { case (a, b) => a != b }
+      assert(diffs <= 2, s"dup $id differs in $diffs positions")
+      if (lead.length < 40) assert(diffs == 0, s"short leader ${id - 3} not copied verbatim")
+    }
+    // non-planted pairs collide at a rate FAR below the planted density
+    // (short head-word-only docs can coincide — real corpora have those
+    // too; the old 31-word generator collided at ~7% of ALL pairs)
+    val bases = (0L until 700L).filterNot(i => i % 7 == 3).take(80)
+    val basePairsHigh = bases.combinations(2).take(1000).count { case Seq(a, b) =>
+      val ta = docs(a).split(' ').toSet; val tb = docs(b).split(' ').toSet
+      ta.intersect(tb).size.toDouble / ta.union(tb).size >= 0.9
+    }
+    assert(basePairsHigh <= 5,
+      s"$basePairsHigh/1000 random base pairs collide at J>=0.9 — quadratic mass is back")
+  }
+
   test("simhash is permutation-invariant (vote sum over tokens)") {
     samples(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd")), 100).foreach { toks =>
       val rnd = new scala.util.Random(toks.hashCode)
