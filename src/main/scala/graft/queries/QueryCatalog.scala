@@ -1941,6 +1941,53 @@ object QueryCatalog {
             FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
             ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
 
+  /** Search logging (s9): `searchAndLog` writes every search into the
+    * collection's searches/search_results tables inside the query call
+    * (the reference logs via data-modifying CTEs in the same statement,
+    * search_query_builder.rs:476-518). The logged CONTENT is
+    * deterministic — per-rank document ids and scores — while search_id
+    * is a timestamp; the query keys each logged search by its query JSON
+    * (latest id per query, stable under re-runs) and the oracle replays
+    * both searches' top-10 from the s4 hash-embed machinery with
+    * per-query rank windows. What the gate verifies: the logging path
+    * records exactly the rows the search returned, at the right ranks.
+    */
+  val s9SearchLog: GraftQuery = GraftQuery(
+    "s9_search_log",
+    (s, dir) => {
+      val (c, p) = e2eCollection(s, dir, 100000, 0)
+      val qs = Seq("spark query table join", "vector search batch")
+      qs.foreach(q => c.searchAndLog(p,
+        semantic = Seq(graft.store.VectorSearchField("text", q, boost = 1.0)),
+        limit = 10))
+      val latest = c.searches.groupBy(col("query"))
+        .agg(max(col("search_id")).as("search_id"))
+      latest.join(c.searchResults, Seq("search_id"))
+        .select(
+          when(col("query").contains("spark query"), lit(1)).otherwise(lit(2)).as("q"),
+          col("rank"), col("document_id").as("doc_id"),
+          round(col("score"), 5).as("score"))
+        .orderBy(col("q"), col("rank"))
+    },
+    Some(s"""WITH ${hashEmbedCtes(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL SELECT -1, 'spark query table join'
+              UNION ALL SELECT -2, 'vector search batch'""")},
+            sc AS (SELECT -q.doc_id AS q, dv.doc_id,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * q.v[i]), (x, y) -> x + y) AS dt,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * dv.v[i]), (x, y) -> x + y) AS na,
+                list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y) AS nb,
+                CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                     ELSE dt / (sqrt(na) * sqrt(nb)) END AS raw
+              FROM vecs dv, (SELECT doc_id, v FROM vecs WHERE doc_id < 0) q
+              WHERE dv.doc_id >= 0),
+            rk AS (SELECT q, doc_id, raw, row_number() OVER (
+                PARTITION BY q ORDER BY raw DESC, md5(CAST(doc_id AS VARCHAR)))
+                AS rank FROM sc)
+            SELECT CAST(q AS INT) AS q, CAST(rank AS INT) AS rank,
+              md5(CAST(doc_id AS VARCHAR)) AS doc_id, round(raw, 5) AS score
+            FROM rk WHERE rank <= 10 ORDER BY q, rank"""))
+
   /** Chunked variant of the e2e flow (the recursive splitter in the loop,
     * 200/20). ORACLED: S6OracleSql composes the s1 chunk-fold replay with
     * the s4 per-chunk embedding + cosine + top-k replay — the whole
@@ -2893,7 +2940,7 @@ object QueryCatalog {
     d6DedupAgainst,
     e1EmbeddingPairs, e2SemDedup,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
-    s6VectorSearchChunked, s7HybridSearch, s8Rag,
+    s6VectorSearchChunked, s7HybridSearch, s8Rag, s9SearchLog,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, p1Preprocess,
