@@ -2687,6 +2687,35 @@ object QueryCatalog {
                    THEN 'POSITIVE' ELSE 'NEGATIVE' END AS label
             FROM tk ORDER BY doc_id"""))
 
+  /** pgml.transform over an UNBOUNDED STREAM (x7): the SAME Transform
+    * operator applied to readStream of the documents table, drained
+    * through a real streaming query (micro-batch outputs, the
+    * transform_stream serving shape) into a memory sink — then gated
+    * against x1's BATCH oracle. What the hash gate verifies: the
+    * streaming path emits byte-identical classifications to batch (the
+    * c4 stream-equals-batch pattern, for the transform family).
+    */
+  private val x7Counter = new java.util.concurrent.atomic.AtomicLong(0)
+  val x7TransformStream: GraftQuery = GraftQuery(
+    "x7_transform_stream",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sink = s"x7_out_${x7Counter.incrementAndGet()}"
+      // documents.parquet is a single FILE in the driver layout; the
+      // streaming file source wants a directory, so point it at the sf
+      // dir with a glob pinned to that one file
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = graft.operators.Transform(stream, "text-classification", "text")
+        .selectExpr("doc_id", "get_json_object(output, '$[0].label') AS label")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy(col("doc_id"))
+    },
+    // the batch oracle IS the contract: streaming must match it
+    x1TransformSentiment.oracle)
+
   /** pgml.transform with a TRAINED model through the dispatch registry
     * (x5): MLlib logistic sentiment (weak labels distilled from the
     * lexicon stand-in) served as `args(model := trained-sentiment:...)`.
@@ -2945,7 +2974,7 @@ object QueryCatalog {
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
-    x5TransformTrained, x6Generate,
+    x5TransformTrained, x6Generate, x7TransformStream,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }
