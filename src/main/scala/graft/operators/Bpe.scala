@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** A genuinely FIT byte-pair-encoding tokenizer (Sennrich, Haddow & Birch
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units") —
+  * the trained sibling of the regex "BPE-ish" counter (t4). The fit is
+  * the published algorithm exactly: learn `numMerges` merge rules from a
+  * word-frequency dictionary by repeatedly merging the most frequent
+  * adjacent symbol pair.
+  *
+  * Spark-first scale shape:
+  *
+  *  - FIT: one distributed pass builds the word-frequency dictionary
+  *    (pre-tokens via the same GPT-2-shape regex t4 counts with, then a
+  *    vocabulary-sized groupBy); the merge loop runs on the DRIVER over
+  *    that dictionary — which is how the reference implementation
+  *    (subword-nmt) fits too, and why fit cost is independent of corpus
+  *    size once the dictionary is aggregated. A bounded deterministic
+  *    sample caps even the dictionary pass (the PQ/centroid-fit pattern).
+  *  - SERVE: encoding is PLAN-PURE — no UDF, no driver loop. The merge
+  *    ranks ride the plan as a map literal; each BPE step (find the
+  *    lowest-rank adjacent pair, merge ALL its occurrences left-to-right)
+  *    is a pure Column fold over the word's token string, and steps chain
+  *    as successive projections over the DISTINCT-pretoken frame
+  *    (vocabulary-sized — constant work per distinct word, not per
+  *    occurrence). Documents then take one broadcast join from pretoken
+  *    to token count and a map-side sum: the corpus streams once and
+  *    never shuffles for encoding.
+  *  - The whole serving computation — pair candidates, rank argmin, the
+  *    left-to-right merge fold — is SQL-replayable, so the t13 oracle
+  *    simulates the SAME steps in DuckDB from the merge table alone.
+  *
+  * Token strings are chr(31)-joined (the unit separator never occurs in
+  * the pre-tokens: the regex admits word chars and single punctuation
+  * marks only).
+  */
+object Bpe {
+
+  private[operators] val Sep = "\u001f"
+
+  /** Fitted model: ordered merge rules; rank = position. */
+  final case class Model(merges: IndexedSeq[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    /** Driver-local single-word encoding — the same greedy
+      * lowest-rank-first merge loop the distributed path folds, so the
+      * two agree exactly. */
+    def encodeWord(word: String): Seq[String] = {
+      var toks = word.map(_.toString).toIndexedSeq
+      var continue = toks.length > 1
+      while (continue) {
+        val pairs = toks.zip(toks.tail)
+        val best = pairs.flatMap(p => ranks.get(p).map(r => (r, p))).sortBy(_._1).headOption
+        best match {
+          case None => continue = false
+          case Some((_, (a, b))) =>
+            // merge ALL occurrences left-to-right, non-overlapping
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += toks(i); i += 1 }
+            }
+            toks = out.toIndexedSeq
+            continue = toks.length > 1
+        }
+      }
+      toks
+    }
+
+    def tokenCount(text: String): Int =
+      TextFunctions.bpeishPattern.r.findAllIn(text).map(encodeWord(_).length).sum
+  }
+
+  /** Learn `numMerges` rules from the corpus: dictionary pass (bounded
+    * deterministic sample, pre-tokens via [[TextFunctions.bpeishPattern]])
+    * then the Sennrich driver loop. Ties on pair frequency break to the
+    * lexicographically smallest pair — run-stable across JVMs. */
+  def fit(
+      docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int = 200, sampleSize: Int = 20000): Model = {
+    val sample = docs.orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
+    val dict: Map[Seq[String], Long] = sample
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(TextFunctions.bpeishPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString): Seq[String]) -> r.getLong(1))
+      .toMap
+    var words = dict
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, n) <- words; i <- 0 until toks.length - 1)
+        pairCounts.updateWith(toks(i) -> toks(i + 1))(c => Some(c.getOrElse(0L) + n))
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val (best, _) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += best
+        val (a, b) = best
+        words = words.map { case (toks, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          (out.toSeq, n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        m += 1
+      }
+    }
+    Model(merges.toIndexedSeq)
+  }
+
+  /** One BPE step over a chr(31)-joined token string column: find the
+    * lowest-rank adjacent pair present in the plan-literal rank map and
+    * merge every occurrence left-to-right (merging appends the b-token to
+    * the accumulator WITHOUT a separator — the tail token is the a-token,
+    * so concatenation IS the merge). A word with no mergeable pair passes
+    * through unchanged, so extra steps are the identity. */
+  private def step(rankLit: Column, acc: Column): Column = {
+    val toks = split(acc, Sep)
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(
+          coalesce(element_at(rankLit,
+            concat(element_at(toks, i), lit(Sep), element_at(toks, i + 1))),
+            lit(Int.MaxValue)).as("r"),
+          element_at(toks, i).as("a"),
+          element_at(toks, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<r:int,a:string,b:string>>"))
+    val best = array_min(pairs)
+    val a = best.getField("a"); val b = best.getField("b")
+    val merged = aggregate(toks, lit(""), (s, t) =>
+      when(s === lit(""), t)
+        .when((s === a || s.endsWith(concat(lit(Sep), a))) && t === b,
+          concat(s, t))
+        .otherwise(concat(s, lit(Sep), t)))
+    when(best.isNull || best.getField("r") === Int.MaxValue, acc)
+      .otherwise(merged)
+  }
+
+  /** Per-document BPE token counts: (idCol, n_pretokens, n_bpe_tokens).
+    * `maxSteps` bounds the per-word merge iterations (a word of up to
+    * `maxSteps + 1` characters encodes exactly; longer words may stop
+    * early and over-count — the corpus bound is what to size it to). */
+  def tokenCounts(
+      docs: DataFrame, idCol: String, textCol: String, model: Model,
+      maxSteps: Int = 24): DataFrame = {
+    val rankLit = typedLit(model.merges.zipWithIndex
+      .map { case ((a, b), r) => s"$a$Sep$b" -> r }.toMap)
+    val pretoks = docs.select(col(idCol),
+      regexp_extract_all(col(textCol), lit(TextFunctions.bpeishPattern), lit(0))
+        .as("__pt"))
+    // the merge steps run over the DISTINCT pretokens (vocabulary-sized),
+    // chained as successive projections so each step's expression is
+    // evaluated once
+    var words = pretoks.select(explode(col("__pt")).as("w")).distinct()
+      .withColumn("__s", regexp_replace(col("w"), "(?<=.)(?=.)", Sep))
+    (1 to maxSteps).foreach { _ =>
+      words = words.withColumn("__s", step(rankLit, col("__s")))
+    }
+    val counts = words.select(col("w"), size(split(col("__s"), Sep)).as("__c"))
+    pretoks.select(col(idCol), size(col("__pt")).as("n_pretokens"),
+        explode_outer(col("__pt")).as("w"))
+      .join(broadcast(counts), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(first(col("n_pretokens")).as("n_pretokens"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_bpe_tokens"))
+  }
+}

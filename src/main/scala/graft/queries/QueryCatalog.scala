@@ -2601,6 +2601,23 @@ object QueryCatalog {
           FROM p ORDER BY l_quantity, l_discount"""
     })
 
+  /** Fit BPE tokenization (t13): a genuinely FIT byte-pair encoder
+    * (Sennrich et al. 2016 — the t4 regex counter's trained sibling)
+    * serving plan-pure token counts; the generated oracle receives ONLY
+    * the merge table and re-runs the whole encoder in DuckDB (recursive
+    * lowest-rank merge steps with the same left-to-right fold).
+    */
+  val t13BpeTokens: GraftQuery = GraftQuery(
+    "t13_bpe_tokens",
+    (s, dir) => {
+      val model = T13OracleSql.fitted(s, dir)
+      graft.operators.Bpe.tokenCounts(
+          t(s, dir, "documents"), "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+    None,
+    oracleGen = Some((s, dir) => T13OracleSql.sql(s, dir)))
+
   // one tuned registry shared by the x6 query and its oracle generator
   // (the refit is deterministic — KMeans seed 42, seeded split — but
   // sharing halves the tune cost per Verify run)
@@ -2962,7 +2979,7 @@ object QueryCatalog {
     v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2, v24KnnIvfPq, v25KnnIvfPqResidual,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
-    t10DedupSpans, t11GopherRules, t12LangIdTrained,
+    t10DedupSpans, t11GopherRules, t12LangIdTrained, t13BpeTokens,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
     d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("fit learns the classic Sennrich merges on the textbook corpus") {
+    // the worked example from the paper family: low/lower/newest/widest
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val m = Bpe.fit(docs, "id", "text", numMerges = 4)
+    // pair frequencies: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, (w,e)=8 …
+    // ties break lexicographically: (e,s) before (s,t)
+    assert(m.merges.take(2) == Seq("e" -> "s", "es" -> "t"),
+      s"unexpected first merges: ${m.merges}")
+    assert(m.encodeWord("newest").contains("est"))
+    // unseen word still encodes (down to chars where no merges apply)
+    assert(m.encodeWord("zzz") == Seq("z", "z", "z"))
+  }
+
+  test("distributed tokenCounts agree exactly with the driver encoder") {
+    val docs = Seq(
+      (1L, "the lowest lower low"),
+      (2L, "newest widest wide west"),
+      (3L, "punctuation, too! and 42 numbers"),
+      (4L, ""),
+      (5L, "zzz qqq low")).toDF("id", "text")
+    val m = Bpe.fit(docs, "id", "text", numMerges = 30)
+    val got = Bpe.tokenCounts(docs, "id", "text", m)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = docs.as[(Long, String)].collect().sortBy(_._1).map { case (id, t) =>
+      val pts = graft.functions.TextFunctions.bpeishPattern.r.findAllIn(t).toSeq
+      (id, pts.length, pts.map(m.encodeWord(_).length.toLong).sum)
+    }
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("fit on the corpus compresses: BPE tokens strictly between pretokens and chars") {
+    // 40 merges: partial coverage of the corpus's 31-word vocabulary (at
+    // ~90 the dictionary exhausts — every word one token)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val m = Bpe.fit(docs, "doc_id", "text", numMerges = 40)
+    assert(m.merges.length == 40)
+    val agg = Bpe.tokenCounts(docs, "doc_id", "text", m)
+      .agg(sum("n_pretokens"), sum("n_bpe_tokens")).head()
+    val (pre, bpe) = (agg.getLong(0), agg.getLong(1))
+    val chars = docs.agg(sum(length(regexp_replace(col("text"), "\\s+", ""))))
+      .head().getLong(0)
+    assert(bpe > pre, s"bpe tokens $bpe must exceed word count $pre")
+    assert(bpe < chars, s"bpe tokens $bpe must compress below char count $chars")
+    // multi-character learned tokens actually fire on corpus words
+    val sample = docs.select("text").as[String].head()
+    val toks = graft.functions.TextFunctions.bpeishPattern.r.findAllIn(sample)
+      .toSeq.flatMap(m.encodeWord)
+    assert(toks.exists(_.length >= 2), s"no learned merge fired in $toks")
+  }
+}
