@@ -50,6 +50,8 @@ object SqlRegistrations {
       MinHashSignature(es.head, intArg(es, 1, 128), intArg(es, 2, 1))),
     "winnow_fingerprint" -> (es =>
       WinnowFingerprint(es.head, intArg(es, 1, 8), intArg(es, 2, 4))),
+    "char_ngram_fnv_buckets" -> (es =>
+      CharNgramFnvBuckets(es.head, intArg(es, 1, 2), intArg(es, 2, 1024))),
     "chunk_text" -> (es => ChunkText(es.head, intArg(es, 1, 1500), intArg(es, 2, 40),
       if (es.length > 3) ChunkKernel.setIdFor(literalArg(es, 3, "chunk_text"))
       else 0)),

@@ -129,6 +129,12 @@ object ExplainCheck {
     // plan — no shuffle beyond the output sort, never a cartesian
     check("m9_predict_proba", "predict_proba plan is shuffle-lean, no cartesian")(
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // BPE serving: the merge steps run over the vocabulary-sized distinct-
+    // pretoken frame and the per-occurrence lookup BROADCASTS it — the
+    // corpus never sort-merge shuffles for encoding
+    check("t13_bpe_tokens", "BPE count lookup broadcasts the vocab side")(
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct"))
 
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition
