@@ -264,6 +264,31 @@ object Probe {
         .collect()
       println(s"GIF frames sampled: ${gifFrames.length} (want 16), bytes " +
         gifFrames.take(2).map(_.frame_bytes.length).mkString(" "))
+      // round-11 families: trained langid, backoff LM, fit BPE, cross-encoder
+      val lid = graft.queries.T12OracleSql.fitted(spark)
+      val lidPreds = graft.operators.LangIdClassifier
+        .predictions(docs, "doc_id", "text", lid)
+        .groupBy("lang").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"LANGID-TRAINED corpus mix: $lidPreds")
+      val lmStats = graft.operators.Corpus.ngramLmStats(
+          docs, "doc_id", "text", docs.where($"doc_id" % 7 === 0), "text")
+        .agg(min($"ppl"), max($"ppl")).head()
+      println(f"NGRAM-LM ppl range: ${lmStats.getDouble(0)}%.1f .. ${lmStats.getDouble(1)}%.1f")
+      val bpe = graft.operators.Bpe.fit(docs, "doc_id", "text", numMerges = 40)
+      val bpeAgg = graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", bpe)
+        .agg(sum($"n_pretokens"), sum($"n_bpe_tokens")).head()
+      println(s"BPE fit 40 merges: ${bpeAgg.getLong(0)} pretokens -> " +
+        s"${bpeAgg.getLong(1)} bpe tokens " +
+        s"(driver check: ${bpe.tokenCount(docs.select("text").as[String].head())})")
+      val cePairs = docs.limit(40).select($"text".as("q"), $"text".as("c"))
+        .withColumn("label", lit(1.0))
+        .unionByName(docs.limit(40).select($"text".as("q"),
+          reverse($"text").as("c")).withColumn("label", lit(0.0)))
+      val ce = graft.functions.CrossEncoderReranker.fit(
+        cePairs, "q", "c", "label", graft.functions.HashEmbedder(64))
+      println(s"CROSS-ENCODER weights: " +
+        ce.weights.map(w => f"$w%.2f").mkString(" ") + f" b=${ce.intercept}%.2f")
       spark.stop()
 
     case "ivf-recall" :: rest =>
