@@ -39,7 +39,8 @@ object GenData {
   // en ≈ 41%, the rest split the remainder evenly (empirical sf0.1 mix)
   private val LangCum = Array(0.41, 0.5575, 0.705, 0.8525, 1.0)
 
-  /** The Zipf HEAD is real high-frequency English (ranks 0..39): a corpus
+  /** The Zipf HEAD is real high-frequency English (ranks 0 until
+    * HeadWords.length — 48 words): a corpus
     * whose most common tokens are synthetic "w0 w1 …" fails every
     * stopword-based gate at once (curate keeps nothing → the c7
     * distillation has no positive set), which is corpus-realism breakage,

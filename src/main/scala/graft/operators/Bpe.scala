@@ -34,13 +34,19 @@ import graft.functions.TextFunctions
   *    left-to-right merge fold — is SQL-replayable, so the t13 oracle
   *    simulates the SAME steps in DuckDB from the merge table alone.
   *
-  * Token strings are chr(31)-joined (the unit separator never occurs in
-  * the pre-tokens: the regex admits word chars and single punctuation
-  * marks only).
+  * Token strings are chr(31)-joined; U+001F itself is RESERVED — a
+  * pre-token equal to the unit separator (the only way the regex can
+  * emit one: letter/digit runs cannot contain it, so it would surface
+  * as a single-char punctuation token) is dropped by fit and both
+  * serving paths alike, keeping the joined encoding unambiguous.
   */
 object Bpe {
 
   private[operators] val Sep = "\u001f"
+
+  /** Per-word merge-step bound shared by [[tokenCounts]] and the t13
+    * oracle's recursion — the two paths must truncate identically. */
+  val DefaultMaxSteps = 24
 
   /** Fitted model: ordered merge rules; rank = position. */
   final case class Model(merges: IndexedSeq[(String, String)]) {
@@ -75,7 +81,8 @@ object Bpe {
     }
 
     def tokenCount(text: String): Int =
-      TextFunctions.bpeishPattern.r.findAllIn(text).map(encodeWord(_).length).sum
+      TextFunctions.bpeishPattern.r.findAllIn(text)
+        .filter(_ != Sep).map(encodeWord(_).length).sum
   }
 
   /** Learn `numMerges` rules from the corpus: dictionary pass (bounded
@@ -89,6 +96,7 @@ object Bpe {
     val dict: Map[Seq[String], Long] = sample
       .select(explode(regexp_extract_all(col(textCol),
         lit(TextFunctions.bpeishPattern), lit(0))).as("w"))
+      .where(col("w") =!= Sep)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getString(0).map(_.toString): Seq[String]) -> r.getLong(1))
@@ -156,12 +164,13 @@ object Bpe {
     * early and over-count — the corpus bound is what to size it to). */
   def tokenCounts(
       docs: DataFrame, idCol: String, textCol: String, model: Model,
-      maxSteps: Int = 24): DataFrame = {
+      maxSteps: Int = DefaultMaxSteps): DataFrame = {
     val rankLit = typedLit(model.merges.zipWithIndex
       .map { case ((a, b), r) => s"$a$Sep$b" -> r }.toMap)
     val pretoks = docs.select(col(idCol),
-      regexp_extract_all(col(textCol), lit(TextFunctions.bpeishPattern), lit(0))
-        .as("__pt"))
+      filter(
+        regexp_extract_all(col(textCol), lit(TextFunctions.bpeishPattern), lit(0)),
+        t => t =!= Sep).as("__pt"))
     // the merge steps run over the DISTINCT pretokens (vocabulary-sized),
     // chained as successive projections so each step's expression is
     // evaluated once

@@ -2620,11 +2620,13 @@ object QueryCatalog {
 
   // one tuned registry shared by the x6 query and its oracle generator
   // (the refit is deterministic — KMeans seed 42, seeded split — but
-  // sharing halves the tune cost per Verify run)
+  // sharing halves the tune cost per Verify run). Keyed by SESSION + dir:
+  // a Trainer holds its SparkSession, and serving one cached against a
+  // stopped session (the manual-drive stop/restart pattern) would throw
   private val x6Cache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
   private def x6Tune(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
-    x6Cache.getOrElseUpdate(dir, {
+    x6Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
       val docs = t(s, dir, "documents")
       // conversation fixture derived from the corpus (orm/dataset.rs:137
       // column contract): reply text is a deterministic function of the
@@ -2665,7 +2667,7 @@ object QueryCatalog {
         .map { case (c, i) => s"($i, [${c.map(dlit).mkString(",")}])" }
         .mkString(", ")
       val respRows = tr.registry.storedResponses(modelId).toSeq.sorted
-        .map { case (c, r) => s"($c, '$r')" }.mkString(", ")
+        .map { case (c, r) => s"($c, '${r.replace("'", "''")}')" }.mkString(", ")
       s"""WITH ${hashEmbedCtes(
           "SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0")},
           cent(c, cv) AS (VALUES $centRows),
@@ -2728,7 +2730,11 @@ object QueryCatalog {
         .selectExpr("doc_id", "get_json_object(output, '$[0].label') AS label")
         .writeStream.outputMode("append").format("memory").queryName(sink).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).orderBy(col("doc_id"))
+      // materialize, then DROP the memory sink — each invocation would
+      // otherwise pin a full corpus copy in the driver for the session
+      val out = s.table(sink).orderBy(col("doc_id")).localCheckpoint()
+      s.catalog.dropTempView(sink)
+      out
     },
     // the batch oracle IS the contract: streaming must match it
     x1TransformSentiment.oracle)

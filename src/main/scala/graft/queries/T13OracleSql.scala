@@ -36,9 +36,13 @@ object T13OracleSql {
     val mk = m.merges
       .map { case (a, b) => s"'${esc(a)}' || chr(31) || '${esc(b)}'" }
       .mkString("[", ", ", "]")
-    val pattern = """[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""
+    // RE2's \\s excludes the vertical tab Java's includes — spell the
+    // whitespace class out so both engines pre-tokenize identically; and
+    // drop the reserved U+001F pre-token exactly like the Spark path
+    val pattern = """[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\v\f\r]"""
     s"""WITH RECURSIVE
-        d0 AS (SELECT doc_id, regexp_extract_all(text, '$pattern') AS pt
+        d0 AS (SELECT doc_id, list_filter(
+            regexp_extract_all(text, '$pattern'), x -> x <> chr(31)) AS pt
           FROM documents),
         wds AS (SELECT DISTINCT unnest(pt) AS w FROM d0),
         st(w, s, i) AS (
@@ -62,7 +66,8 @@ object T13OracleSql {
                   j -> tk[CAST(j AS INT)] || chr(31) || tk[CAST(j AS INT) + 1]),
                 p -> list_position($mk, p)), x -> x IS NOT NULL AND x > 0))
                 AS best
-            FROM (SELECT w, s, i, string_split(s, chr(31)) AS tk FROM st) t0
+            FROM (SELECT w, s, i, string_split(s, chr(31)) AS tk FROM st
+              WHERE i < ${Bpe.DefaultMaxSteps}) t0
           ) t1
           WHERE best IS NOT NULL),
         fin AS (SELECT w, arg_max(s, i) AS s FROM st GROUP BY w),
