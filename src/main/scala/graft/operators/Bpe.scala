@@ -158,28 +158,56 @@ object Bpe {
       .otherwise(merged)
   }
 
+  /** Merge tables at or under this ride the stepped-projection plan as a
+    * MAP LITERAL (plan-pure, codegen, SQL-replayable — what the t13
+    * oracle simulates). The literal is embedded once per step, so a
+    * realistic 32k-merge vocabulary would bloat the plan by
+    * steps × table; above the gate the per-word encoding runs as
+    * mapPartitions with the BROADCAST model instead — still over the
+    * vocabulary-sized distinct-pretoken frame only, the corpus-side
+    * plumbing identical. Volatile so tests can pin a regime. */
+  @volatile var literalMaxMerges: Int = 2048
+
   /** Per-document BPE token counts: (idCol, n_pretokens, n_bpe_tokens).
-    * `maxSteps` bounds the per-word merge iterations (a word of up to
-    * `maxSteps + 1` characters encodes exactly; longer words may stop
-    * early and over-count — the corpus bound is what to size it to). */
+    * `maxSteps` bounds the per-word merge iterations of the
+    * literal-plan regime (a word of up to `maxSteps + 1` characters
+    * encodes exactly; longer words may stop early and over-count — the
+    * corpus bound is what to size it to). */
   def tokenCounts(
       docs: DataFrame, idCol: String, textCol: String, model: Model,
       maxSteps: Int = DefaultMaxSteps): DataFrame = {
-    val rankLit = typedLit(model.merges.zipWithIndex
-      .map { case ((a, b), r) => s"$a$Sep$b" -> r }.toMap)
     val pretoks = docs.select(col(idCol),
       filter(
         regexp_extract_all(col(textCol), lit(TextFunctions.bpeishPattern), lit(0)),
         t => t =!= Sep).as("__pt"))
-    // the merge steps run over the DISTINCT pretokens (vocabulary-sized),
-    // chained as successive projections so each step's expression is
-    // evaluated once
-    var words = pretoks.select(explode(col("__pt")).as("w")).distinct()
-      .withColumn("__s", regexp_replace(col("w"), "(?<=.)(?=.)", Sep))
-    (1 to maxSteps).foreach { _ =>
-      words = words.withColumn("__s", step(rankLit, col("__s")))
-    }
-    val counts = words.select(col("w"), size(split(col("__s"), Sep)).as("__c"))
+    val distinctWords = pretoks.select(explode(col("__pt")).as("w")).distinct()
+    val counts =
+      if (model.merges.length <= literalMaxMerges) {
+        val rankLit = typedLit(model.merges.zipWithIndex
+          .map { case ((a, b), r) => s"$a$Sep$b" -> r }.toMap)
+        // the merge steps run over the DISTINCT pretokens
+        // (vocabulary-sized), chained as successive projections so each
+        // step's expression is evaluated once
+        var words = distinctWords
+          .withColumn("__s", regexp_replace(col("w"), "(?<=.)(?=.)", Sep))
+        (1 to maxSteps).foreach { _ =>
+          words = words.withColumn("__s", step(rankLit, col("__s")))
+        }
+        words.select(col("w"), size(split(col("__s"), Sep)).as("__c"))
+      } else {
+        // big-model regime: broadcast the model, encode each distinct
+        // word executor-side with the driver encoder (no step bound —
+        // the loop runs to exhaustion, like the fit)
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(model)
+        distinctWords.as[String]
+          .mapPartitions { it =>
+            val m = bc.value
+            it.map(w => (w, m.encodeWord(w).length))
+          }
+          .toDF("w", "__c")
+      }
     pretoks.select(col(idCol), size(col("__pt")).as("n_pretokens"),
         explode_outer(col("__pt")).as("w"))
       .join(broadcast(counts), Seq("w"), "left")

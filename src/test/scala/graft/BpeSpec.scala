@@ -44,6 +44,24 @@ class BpeSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
   }
 
+  test("broadcast-model regime counts identically to the literal-plan regime") {
+    val docs = Seq(
+      (1L, "the lowest lower low"),
+      (2L, "newest widest wide west"),
+      (3L, "mixed 42 tokens, here!")).toDF("id", "text")
+    val m = Bpe.fit(docs, "id", "text", numMerges = 25)
+    def run(): Seq[(Long, Int, Long)] = Bpe.tokenCounts(docs, "id", "text", m)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val saved = Bpe.literalMaxMerges
+    val viaLiteral = try { Bpe.literalMaxMerges = 2048; run() }
+      finally Bpe.literalMaxMerges = saved
+    val viaBroadcast = try { Bpe.literalMaxMerges = 1; run() }
+      finally Bpe.literalMaxMerges = saved
+    assert(viaLiteral == viaBroadcast,
+      s"regimes disagree: $viaLiteral vs $viaBroadcast")
+  }
+
   test("fit on the corpus compresses: BPE tokens strictly between pretokens and chars") {
     // 40 merges: partial coverage of the corpus's 31-word vocabulary (at
     // ~90 the dictionary exhausts — every word one token)
