@@ -1988,6 +1988,32 @@ object QueryCatalog {
               md5(CAST(doc_id AS VARCHAR)) AS doc_id, round(raw, 5) AS score
             FROM rk WHERE rank <= 10 ORDER BY q, rank"""))
 
+  /** METADATA-FILTERED vector search (s10): the filtered-ANN serving
+    * shape — `vectorSearch` with a compiled JSON metadata filter
+    * (vector_search with `filter`, search_query_builder.rs:214-260; the
+    * pgvector filtered-search problem). The index path over-fetches and
+    * refills so the post-filter top-k is exact; the oracle replays the
+    * s4 hash-embed cosine machinery WHERE-gated by the same predicate —
+    * the filter-then-rank composition is what the hash gate verifies.
+    */
+  val s10FilteredSearch: GraftQuery = GraftQuery(
+    "s10_filtered_search",
+    (s, dir) => {
+      val (c, p) = e2eCollection(s, dir, 100000, 0)
+      c.vectorSearch(p,
+          Seq(graft.store.VectorSearchField("text", "spark query table join")),
+          limit = 10,
+          filterJson = Some(
+            """{"$and": [{"lang": {"$in": ["en", "de"]}}, {"n_chars": {"$gt": 300}}]}"""))
+        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          round(col("score"), 5).as("score"))
+    },
+    Some(s"""WITH ${s4ScoredCtes("spark query table join")}
+            SELECT sc.doc_id, round(sc.raw, 5) AS score
+            FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+            WHERE d.lang IN ('en', 'de') AND d.n_chars > 300
+            ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
+
   /** Chunked variant of the e2e flow (the recursive splitter in the loop,
     * 200/20). ORACLED: S6OracleSql composes the s1 chunk-fold replay with
     * the s4 per-chunk embedding + cosine + top-k replay — the whole
@@ -2993,6 +3019,7 @@ object QueryCatalog {
     e1EmbeddingPairs, e2SemDedup,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag, s9SearchLog,
+    s10FilteredSearch,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, p1Preprocess,
