@@ -62,6 +62,27 @@ class BpeSpec extends AnyFunSuite {
       s"regimes disagree: $viaLiteral vs $viaBroadcast")
   }
 
+  test("property: the plan-pure fold equals the driver encoder on random words and merge tables") {
+    // the fold's trickiest cases — self-pairs (a,a), chain-creating
+    // merges, multi-char tokens — drawn at random over a tiny alphabet so
+    // collisions are dense
+    val rnd = new scala.util.Random(42)
+    def randWord(): String =
+      (0 until (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (0 until 15).foreach { trial =>
+      val corpus = (0 until 12).map(_ => randWord())
+      val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+      val m = Bpe.fit(df, "id", "text", numMerges = 1 + rnd.nextInt(8))
+      val got = Bpe.tokenCounts(df, "id", "text", m)
+        .orderBy("id").collect().map(r => r.getLong(2))
+      corpus.zipWithIndex.foreach { case (w, i) =>
+        val want = m.encodeWord(w).length.toLong
+        assert(got(i) == want,
+          s"trial $trial word '$w' merges=${m.merges}: fold ${got(i)} != driver $want")
+      }
+    }
+  }
+
   test("fit on the corpus compresses: BPE tokens strictly between pretokens and chars") {
     // 40 merges: partial coverage of the corpus's 31-word vocabulary (at
     // ~90 the dictionary exhausts — every word one token)
