@@ -96,9 +96,15 @@ object Corpus {
     * scoring join streams the corpus's (id, pos, w1, w2) rows against
     * them (the LM side is vocabulary-sized — Catalyst broadcasts it), and
     * the per-document sum folds LEFT-ASSOCIATIVELY over the
-    * position-sorted ln-probabilities (sort_array + aggregate), so the
-    * float math is run-stable and replays IEEE-identically in SQL — the
-    * c6 oracle gates the ppl values themselves.
+    * position-sorted ln-probabilities, so the float math is run-stable
+    * and replays IEEE-identically in SQL — the c6 oracle gates the ppl
+    * values themselves.
+    *
+    * Scale hardening: the LM frames carry an explicit broadcast() hint
+    * (KenLM ships the model to every node — same architecture), the
+    * lookup keys are 64-bit xxhash64 fingerprints so the stream side is
+    * fixed-width, and the per-document fold is BLOCKED ([[blockedLnSum]])
+    * so agg state stays bounded on million-token documents.
     *
     * Output: (idCol, n_bigrams, ppl), ppl null for docs under 2 tokens.
     */
@@ -123,6 +129,14 @@ object Corpus {
     // c(h) = Σ_w c(h,w): derived from the vocabulary-sized c2 aggregate,
     // not a second corpus scan
     val c1 = c2.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
+    // 64-bit join fingerprints (codegen xxhash64): counts stay STRING-
+    // keyed (exact), but the lookup joins carry only fixed-width hashes —
+    // if the broadcast below ever fell back to an exchange it would ship
+    // 8-byte keys, never word strings. Exactness modulo 64-bit collisions
+    // (≈n²/2⁶⁵ expected merges — KenLM's own hashed probing accepts the
+    // same class of risk).
+    val c2h = c2.select(xxhash64(col("w1"), col("w2")).as("__j2"), col("__c2"))
+    val c1h = c1.select(xxhash64(col("w1")).as("__j1"), col("__c1"))
     // V = reference-corpus vocabulary over ALL positions (a single-token
     // reference doc contributes to V though it yields no bigram). This is
     // an eager driver value — the smoothing term is a plan literal.
@@ -132,24 +146,59 @@ object Corpus {
     require(v > 0,
       "perplexityStats: the reference corpus is empty — an LM with V = 0 " +
         "has a zero smoothing denominator and cannot score anything")
+    // the word strings are projected away BEFORE the joins: the stream
+    // side carries (id, pos, j2, j1) fixed-width rows only. The LM frames
+    // carry an EXPLICIT broadcast hint — the reference deployment (CCNet/
+    // KenLM) ships the full model to every node, so the hint is the
+    // honest contract, not the optimizer's 10 MB good mood (ExplainCheck
+    // re-asserts the plan with autoBroadcastJoinThreshold disabled).
     val scored = bigrams(docs, textCol, Seq(col(idCol)))
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
+      .select(col(idCol), col("pos"),
+        xxhash64(col("w1"), col("w2")).as("__j2"),
+        xxhash64(col("w1")).as("__j1"))
+      .join(broadcast(c2h), Seq("__j2"), "left")
+      .join(broadcast(c1h), Seq("__j1"), "left")
       .withColumn("__lnp", log(
         (coalesce(col("__c2"), lit(0L)) + lit(alpha)) /
           (coalesce(col("__c1"), lit(0L)) + lit(alpha * v))))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        aggregate(
-          sort_array(collect_list(struct(col("pos"), col("__lnp")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("__lnp")).as("__s"))
+      .transform(blockedLnSum(idCol, "__lnp", "n_bigrams"))
       .withColumn("ppl", exp(-col("__s") / col("n_bigrams")))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("ppl"))
   }
+
+  /** Fold-block width for [[blockedLnSum]] — positions per level-1 block. */
+  private[graft] val FoldBlockSize = 1024
+
+  /** Per-document left-associative ln-score sum with BOUNDED aggregation
+    * state: positions fold inside fixed-size blocks of [[FoldBlockSize]]
+    * (each level-1 agg row buffers ≤ 1024 (pos, ln) structs), then the
+    * block sums fold in block order (≤ ⌈maxPos/1024⌉ structs) — a
+    * million-token document peaks at ~32 KB of agg state instead of the
+    * ~16 MB a flat collect_list would buffer (the bounded-memory contract
+    * c7's scan-fused fold already meets). Both levels seed 0.0 and add in
+    * sorted order, so the result is deterministic and SQL-replayable; the
+    * two-level grouping is PART of the float contract — the c6/c9 oracles
+    * run the identical blocked fold ((b₁+b₂)+b₃ over block sums, not a
+    * flat positional fold). Expects (idCol, pos, lnCol) rows; emits
+    * (idCol, nCol, __s). */
+  private def blockedLnSum(idCol: String, lnCol: String, nCol: String)(
+      df: DataFrame): DataFrame =
+    df.groupBy(col(idCol),
+        floor((col("pos") - 1) / FoldBlockSize).cast("int").as("__blk"))
+      .agg(count(lit(1)).as("__nb"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col(lnCol)))),
+          lit(0.0),
+          (acc, x) => acc + x.getField(lnCol)).as("__sb"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__nb")).as(nCol),
+        aggregate(
+          sort_array(collect_list(struct(col("__blk"), col("__sb")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__sb")).as("__s"))
 
   /** [[perplexityStats]] as a gate: keep documents at or under `maxPpl`
     * (docs too short to score pass — length gates own that case). */
@@ -209,9 +258,10 @@ object Corpus {
     * generator that scores documents), each document position joins that
     * frame twice (gram hit + history count — the history is a contiguous
     * subgram, so a gram hit implies its history hit), the longest
-    * matching order wins via struct-max, and the per-document sum folds
-    * LEFT-ASSOCIATIVELY over position-sorted ln-scores — run-stable,
-    * SQL-replayable (the c9 oracle gates the ppl values). The count
+    * matching order wins via struct-max, and the per-document sum is the
+    * BLOCKED left-associative fold of [[blockedLnSum]] — run-stable,
+    * bounded agg state, SQL-replayable (the c9 oracle replays the
+    * identical two-level fold and gates the ppl values). The count
     * frame is reference-corpus-sized: CCNet's reference is
     * Wikipedia-scale, so at 100 TB the two joins broadcast the LM (KenLM
     * ships the same counts to every node as a binary blob) and the corpus
@@ -236,13 +286,29 @@ object Corpus {
     val counts = ngramRows(lmCorpus, lmTextCol, Nil, order)
       .groupBy(col("k"), col("g")).agg(count(lit(1)).as("__c"))
       .localCheckpoint()
-    val cg = counts.select(col("k"), col("g"), col("__c").as("__cg"))
-    val chist = counts.select((col("k") + 1).as("k"), col("g").as("h"),
-      col("__c").as("__ch"))
+    // 64-bit gram fingerprints (codegen xxhash64): the count frame stays
+    // STRING-keyed through the fit aggregate (exact counts; the fit
+    // exchange is LM-corpus-sized, a one-time cost KenLM pays too), but
+    // the SCORING side carries only fixed-width (id, pos, k, gid, hid)
+    // rows — gram/history strings are projected away before the joins, so
+    // even a broadcast fallback could never ship up-to-5-token strings
+    // per position. Exactness modulo 64-bit collisions (~n²/2⁶⁵ expected
+    // spurious matches; negligible at Wikipedia-scale vocabularies, the
+    // same risk class KenLM's hashed probing tables accept).
+    val cg = counts.select(col("k"), xxhash64(col("g")).as("__gid"),
+      col("__c").as("__cg"))
+    val chist = counts.select((col("k") + 1).as("k"),
+      xxhash64(col("g")).as("__hid"), col("__c").as("__ch"))
     val rows = ngramRows(docs, textCol, Seq(col(idCol)), order)
+      .select(col(idCol), col("pos"), col("k"),
+        xxhash64(col("g")).as("__gid"), xxhash64(col("h")).as("__hid"))
+    // EXPLICIT broadcast: CCNet's production filter ships the full KenLM
+    // model to every node — the hint is the published architecture, not
+    // an optimizer-threshold accident (ExplainCheck re-asserts the plan
+    // with autoBroadcastJoinThreshold disabled)
     val looked = rows
-      .join(cg, Seq("k", "g"), "left")
-      .join(chist, Seq("k", "h"), "left")
+      .join(broadcast(cg), Seq("k", "__gid"), "left")
+      .join(broadcast(chist), Seq("k", "__hid"), "left")
     // the add-α unigram ground: (c(w)+α) / (T+αV), T and V computed in
     // the SAME arithmetic order the SQL replay uses (T + α·V). Count is
     // read (and gated on) BEFORE the sum: an empty reference yields a
@@ -269,12 +335,8 @@ object Corpus {
         // two engines' ln to agree on one more argument
         (least(col("pos"), lit(order)) - col("__best.k")) * lit(math.log(lambda)) +
           col("__best.lnp"))
-    val perDoc = perPos.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        aggregate(
-          sort_array(collect_list(struct(col("pos"), col("__lnS")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("__lnS")).as("__s"))
+    val perDoc = perPos
+      .transform(blockedLnSum(idCol, "__lnS", "n_tokens"))
       .withColumn("ppl", exp(-col("__s") / col("n_tokens")))
     docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")

@@ -865,9 +865,10 @@ object QueryCatalog {
 
   /** CCNet-style perplexity scoring (c6): add-α bigram LM fit on the
     * doc_id % 7 = 0 reference slice, every document scored. The per-doc
-    * sum folds left-associatively over position-sorted ln-probabilities
-    * on BOTH engines (0.0 + x = x exactly, so Spark's 0-seeded fold and
-    * DuckDB's seedless list_reduce agree), making the ppl values
+    * sum is the BLOCKED left-associative fold (1024-position blocks,
+    * then block sums in block order — bounded agg state) on BOTH engines
+    * (0.0 + x = x exactly, so Spark's 0-seeded fold and DuckDB's
+    * seedless list_reduce agree at each level), making the ppl values
     * IEEE-replayable behind round(4). */
   val c6Perplexity: GraftQuery = GraftQuery(
     "c6_perplexity",
@@ -896,9 +897,13 @@ object QueryCatalog {
                 ln((coalesce(c2.c2, 0) + 0.1) / (coalesce(c1.c1, 0) + 0.1 * vv.v)) AS lnp
               FROM bg LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
                       LEFT JOIN c1 ON bg.w1 = c1.w1, vv),
-            agg AS (SELECT doc_id, count(*) AS n_bigrams,
-                list_reduce(list(lnp ORDER BY pos), (x, y) -> x + y) AS s
-              FROM sc GROUP BY doc_id)
+            agg1 AS (SELECT doc_id, (pos - 1) // 1024 AS blk,
+                count(*) AS n_b,
+                list_reduce(list(lnp ORDER BY pos), (x, y) -> x + y) AS s_b
+              FROM sc GROUP BY doc_id, blk),
+            agg AS (SELECT doc_id, sum(n_b) AS n_bigrams,
+                list_reduce(list(s_b ORDER BY blk), (x, y) -> x + y) AS s
+              FROM agg1 GROUP BY doc_id)
             SELECT tk.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
               round(exp(-agg.s / agg.n_bigrams), 4) AS ppl
             FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
@@ -909,9 +914,10 @@ object QueryCatalog {
     * with an add-α unigram ground, LM fit on the doc_id % 7 = 0 reference
     * slice, every document scored. One (k, gram, count) frame serves all
     * orders; the longest matched order wins via struct/arg max; per-doc
-    * ln-score sums fold left-associatively in position order on both
-    * engines — ppl replays behind round(4). ln λ is inlined as the same
-    * JVM double literal on both sides.
+    * ln-score sums run the BLOCKED left-associative fold (1024-position
+    * blocks, then block sums in block order) on both engines — ppl
+    * replays behind round(4). ln λ is inlined as the same JVM double
+    * literal on both sides.
     */
   val c9NgramLm: GraftQuery = GraftQuery(
     "c9_ngram_lm",
@@ -949,9 +955,13 @@ object QueryCatalog {
             sc AS (SELECT doc_id, pos,
                 (least(pos, 5) - kstar) * (${math.log(0.4).toString}) + lnp AS lns
               FROM best),
-            agg AS (SELECT doc_id, count(*) AS n_tokens,
-                list_reduce(list(lns ORDER BY pos), (x, y) -> x + y) AS s
-              FROM sc GROUP BY doc_id)
+            agg1 AS (SELECT doc_id, (pos - 1) // 1024 AS blk,
+                count(*) AS n_b,
+                list_reduce(list(lns ORDER BY pos), (x, y) -> x + y) AS s_b
+              FROM sc GROUP BY doc_id, blk),
+            agg AS (SELECT doc_id, sum(n_b) AS n_tokens,
+                list_reduce(list(s_b ORDER BY blk), (x, y) -> x + y) AS s
+              FROM agg1 GROUP BY doc_id)
             SELECT tk.doc_id,
               CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
               round(exp(-agg.s / agg.n_tokens), 4) AS ppl

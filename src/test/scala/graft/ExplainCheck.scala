@@ -100,6 +100,26 @@ object ExplainCheck {
     // never shuffles for the lookup
     check("c6_perplexity", "LM count frames broadcast into the scoring join")(
       p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // …and the broadcast must be carried by the EXPLICIT hint, not the
+    // optimizer's 10 MB auto-threshold: with auto-broadcast disabled the
+    // LM lookups stay BroadcastHashJoin and no SortMergeJoin ever touches
+    // the fingerprint keys (a real Wikipedia-scale count frame blows the
+    // auto threshold — the hint is the 100 TB contract)
+    def checkNoAutoBroadcast(name: String, what: String)(ok: String => Boolean): Unit = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        check(name, what)(ok)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    checkNoAutoBroadcast("c6_perplexity",
+      "LM lookups broadcast via hint with auto-broadcast DISABLED")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !"SortMergeJoin [^\n]*__j[12]".r.findFirstIn(p).isDefined)
+    checkNoAutoBroadcast("c9_ngram_lm",
+      "order-5 LM lookups broadcast via hint with auto-broadcast DISABLED")(p =>
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 &&
+        !"SortMergeJoin [^\n]*__[gh]id".r.findFirstIn(p).isDefined)
     // incremental dedup: the corpus folds to a broadcast sketch; the only
     // joins are the exact verify semi-join over bloom-positives and the
     // small confirmed-flag join — never a corpus-wide exchange

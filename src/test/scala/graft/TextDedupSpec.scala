@@ -414,6 +414,47 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(out(2).getDouble(2) - math.exp(-lnU(0))) < 1e-12)
   }
 
+  test("million-token documents score with the blocked fold (bounded agg state)") {
+    // the r11 verdict's memory scale-killer: a flat collect_list fold
+    // buffers ~16 MB of (pos, lnS) structs for a 1M-token document; the
+    // blocked fold caps level-1 state at 1024 structs and level-2 at
+    // ⌈n/1024⌉ block sums. This scores a genuine 10⁶-token document and
+    // checks the ppl against the closed form of its alternating bigrams —
+    // the blocked regrouping must not change the alternating-sum math
+    // beyond float regrouping noise (identical on the oracle side, which
+    // replays the same two-level fold).
+    val n = 1000000
+    val text = Array.fill(n / 2)("a b").mkString(" ") // 1M tokens a b a b …
+    val lm = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .perplexityStats(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", lm, "text", alpha = 0.1)
+      .collect()(0)
+    assert(out.getLong(1) == (n - 1).toLong)
+    val lnAb = math.log(2.1 / 2.2)       // c2(a,b)=2, c1(a)=2, V=2
+    val lnBa = math.log(1.1 / 1.2)       // c2(b,a)=1, c1(b)=1
+    val expected = math.exp(-((n / 2) * lnAb + (n / 2 - 1) * lnBa) / (n - 1))
+    assert(math.abs(out.getDouble(2) - expected) / expected < 1e-9,
+      s"ppl ${out.getDouble(2)} vs closed-form $expected")
+    // the 5-gram op under the same fold: 200k tokens × 5 orders = 1M
+    // lookup rows. Closed form for the cycling doc against the two-copy
+    // LM: pos 1 is the smoothed unigram ln(2.1/10.5); every later
+    // position matches its full order with S = 1 (ln 0) EXCEPT the 'a'
+    // that opens each repeat, whose 5-gram "b c d e a" has count 1 over
+    // history count 2 → ln(1/2), once per cycle after the first.
+    val m = 200000
+    val text5 = Array.fill(m / 5)("a b c d e").mkString(" ")
+    val out5 = graft.operators.Corpus
+      .ngramLmStats(Seq((1L, text5)).toDF("doc_id", "text"), "doc_id", "text",
+        Seq((100L, "a b c d e a b c d e")).toDF("doc_id", "text"), "text")
+      .collect()(0)
+    assert(out5.getLong(1) == m.toLong)
+    val expected5 = math.exp(
+      -(math.log(2.1 / 10.5) + (m / 5 - 1) * math.log(0.5)) / m)
+    assert(math.abs(out5.getDouble(2) - expected5) / expected5 < 1e-9,
+      s"ppl ${out5.getDouble(2)} vs closed-form $expected5")
+  }
+
   test("ngramLmFilter separates planted gibberish from reference-like prose") {
     val sentences = Seq(
       "the cat sat on the mat and the dog ran in the park",
