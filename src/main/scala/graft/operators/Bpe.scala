@@ -48,6 +48,23 @@ object Bpe {
     * oracle's recursion — the two paths must truncate identically. */
   val DefaultMaxSteps = 24
 
+  /** Split per Unicode CODE POINT (not UTF-16 unit): the literal-plan
+    * regime's lookaround split and the DuckDB oracle's string_split both
+    * treat a supplementary character (e.g. an emoji matched by the
+    * punctuation branch of bpeishPattern) as ONE symbol, so fit and the
+    * driver/broadcast encoders must too — otherwise merges learned over
+    * surrogate halves could never fire in the plan. */
+  private[operators] def codePoints(s: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** Fitted model: ordered merge rules; rank = position. */
   final case class Model(merges: IndexedSeq[(String, String)]) {
     @transient lazy val ranks: Map[(String, String), Int] =
@@ -55,10 +72,13 @@ object Bpe {
 
     /** Driver-local single-word encoding — the same greedy
       * lowest-rank-first merge loop the distributed path folds, so the
-      * two agree exactly. */
-    def encodeWord(word: String): Seq[String] = {
-      var toks = word.map(_.toString).toIndexedSeq
-      var continue = toks.length > 1
+      * two agree exactly. `maxSteps` mirrors the literal regime's step
+      * bound (one step = merge all occurrences of the best pair), so
+      * every serving regime and the oracle truncate identically. */
+    def encodeWord(word: String, maxSteps: Int = Int.MaxValue): Seq[String] = {
+      var toks: IndexedSeq[String] = codePoints(word)
+      var steps = 0
+      var continue = toks.length > 1 && steps < maxSteps
       while (continue) {
         val pairs = toks.zip(toks.tail)
         val best = pairs.flatMap(p => ranks.get(p).map(r => (r, p))).sortBy(_._1).headOption
@@ -74,7 +94,8 @@ object Bpe {
               } else { out += toks(i); i += 1 }
             }
             toks = out.toIndexedSeq
-            continue = toks.length > 1
+            steps += 1
+            continue = toks.length > 1 && steps < maxSteps
         }
       }
       toks
@@ -99,7 +120,7 @@ object Bpe {
       .where(col("w") =!= Sep)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getString(0).map(_.toString): Seq[String]) -> r.getLong(1))
+      .map(r => (codePoints(r.getString(0)): Seq[String]) -> r.getLong(1))
       .toMap
     var words = dict
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -196,15 +217,17 @@ object Bpe {
         words.select(col("w"), size(split(col("__s"), Sep)).as("__c"))
       } else {
         // big-model regime: broadcast the model, encode each distinct
-        // word executor-side with the driver encoder (no step bound —
-        // the loop runs to exhaustion, like the fit)
+        // word executor-side with the driver encoder under the SAME
+        // maxSteps bound as the literal plan — the two regimes (and the
+        // t13 oracle's bounded recursion) truncate identically, so
+        // crossing literalMaxMerges can never change tokenCounts output
         val spark = docs.sparkSession
         import spark.implicits._
         val bc = spark.sparkContext.broadcast(model)
         distinctWords.as[String]
           .mapPartitions { it =>
             val m = bc.value
-            it.map(w => (w, m.encodeWord(w).length))
+            it.map(w => (w, m.encodeWord(w, maxSteps).length))
           }
           .toDF("w", "__c")
       }

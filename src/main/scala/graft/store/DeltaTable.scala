@@ -478,18 +478,23 @@ object DeltaTable {
     * Spark job. Returns the batch number the data actually landed under. */
   private[graft] def publishLogBatch(df: DataFrame, path: String, batch: Long): Long = {
     requireLocalWrites(path, "publishLogBatch")
+    val stage = s"$path/_stage-batch$batch"
+    // tracks the number the data is currently HEADED FOR: after a
+    // slow-writer re-allocation this is the FRESH number, whose pending
+    // alloc marker would otherwise hold settledLogBatch (and every
+    // consumer watermark) back for the full grace window if the final
+    // rename failed — the catch must burn the current target, not just
+    // the original batch
+    var target = batch
     try {
-      val stage = s"$path/_stage-batch$batch"
       df.write.mode(SaveMode.Overwrite).parquet(stage)
       val alloc = new java.io.File(commitsPath(path), s"alloc-$batch")
       val staleAlloc = !alloc.exists() ||
         System.currentTimeMillis() - alloc.lastModified() > logAllocGraceMs / 2
-      val target =
-        if (!staleAlloc) batch
-        else {
-          new java.io.File(commitsPath(path), s"burn-$batch").createNewFile()
-          allocLogBatch(path)
-        }
+      if (staleAlloc) {
+        new java.io.File(commitsPath(path), s"burn-$batch").createNewFile()
+        target = allocLogBatch(path)
+      }
       new java.io.File(ioPath(path)).mkdirs()
       if (!new java.io.File(ioPath(stage)).renameTo(
           new java.io.File(s"${ioPath(path)}/batch=$target")))
@@ -497,7 +502,10 @@ object DeltaTable {
       target
     } catch {
       case e: Throwable =>
-        new java.io.File(commitsPath(path), s"burn-$batch").createNewFile()
+        new java.io.File(commitsPath(path), s"burn-$target").createNewFile()
+        if (target != batch)
+          new java.io.File(commitsPath(path), s"burn-$batch").createNewFile()
+        deleteRec(new java.io.File(ioPath(stage)))
         throw e
     }
   }
@@ -524,7 +532,11 @@ object DeltaTable {
 
   /** Drop a log's bookkeeping markers for pruned batches (numbers at or
     * below `upTo`); numbering stays monotonic off the surviving markers
-    * and dirs. */
+    * and dirs. Also sweeps `_stage-*` dirs a crashed writer orphaned,
+    * once they age past [[logAllocGraceMs]] — a LIVE writer's stage dir
+    * mtime refreshes as part files land, and once the write finishes the
+    * rename-away is a local syscall, so a stage still present a full
+    * grace window after its last write belongs to a dead writer. */
   private[graft] def pruneLogMarkers(path: String, upTo: Long): Unit = {
     val d = new java.io.File(commitsPath(path))
     Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
@@ -535,6 +547,13 @@ object DeltaTable {
       }
       if (num <= upTo) f.delete()
     }
+    val now = System.currentTimeMillis()
+    Option(new java.io.File(ioPath(path)).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("_stage-") &&
+            now - f.lastModified() > logAllocGraceMs)
+          deleteRec(f)
+      }
   }
 
   /** Concurrency-safe append for an UNPARTITIONED log table (searches /
@@ -547,18 +566,24 @@ object DeltaTable {
   private[graft] def appendLogFiles(df: DataFrame, path: String): Unit = {
     requireLocalWrites(path, "appendLogFiles")
     val stage = s"$path/_stage-${java.util.UUID.randomUUID()}"
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-    val staged = Option(new java.io.File(ioPath(stage)).listFiles())
-      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
-    if (staged.isEmpty)
-      throw new java.io.IOException(s"no staged log files under $stage")
-    val dir = new java.io.File(ioPath(path))
-    dir.mkdirs()
-    staged.foreach { f =>
-      if (!f.renameTo(new java.io.File(dir, f.getName)))
-        throw new java.io.IOException(s"could not publish log file ${f.getName} under $path")
-    }
-    deleteRec(new java.io.File(ioPath(stage)))
+    // finally, not success-only: a failed rename (or write) must not leave
+    // the _stage dir as permanent litter — readers ignore underscore
+    // dirs, but the garbage would otherwise grow unboundedly across
+    // sessions (a crash can still orphan one; pruneLogMarkers sweeps
+    // those past the grace window)
+    try {
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val staged = Option(new java.io.File(ioPath(stage)).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      if (staged.isEmpty)
+        throw new java.io.IOException(s"no staged log files under $stage")
+      val dir = new java.io.File(ioPath(path))
+      dir.mkdirs()
+      staged.foreach { f =>
+        if (!f.renameTo(new java.io.File(dir, f.getName)))
+          throw new java.io.IOException(s"could not publish log file ${f.getName} under $path")
+      }
+    } finally deleteRec(new java.io.File(ioPath(stage)))
   }
 
   // ---------------------------------------------------------------------

@@ -139,6 +139,52 @@ class LogSinkSpec extends AnyFunSuite {
     } finally DeltaTable.logAllocGraceMs = saved
   }
 
+  test("a publish failing AFTER slow-writer re-allocation burns the fresh number too") {
+    // the r11 advice find: the catch burned only the ORIGINAL batch, so a
+    // rename failure after re-allocation left the fresh alloc marker
+    // pending — holding settledLogBatch (and every consumer watermark)
+    // back for the full grace window — and leaked the stage dir
+    val p = tmp("lateburn") + "/log"
+    val b0 = DeltaTable.allocLogBatch(p)
+    DeltaTable.publishLogBatch(Seq(("x", 0)).toDF("a", "b"), p, b0)
+    val slow = DeltaTable.allocLogBatch(p)
+    val saved = DeltaTable.logAllocGraceMs
+    try {
+      DeltaTable.logAllocGraceMs = 10L
+      Thread.sleep(30) // marker goes stale → publish will re-alloc
+      // sabotage the fresh number's landing spot: a plain FILE named
+      // batch=<slow+1> makes the final rename fail (ENOTDIR)
+      new java.io.File(p, s"batch=${slow + 1}").createNewFile()
+      intercept[java.io.IOException] {
+        DeltaTable.publishLogBatch(Seq(("late", 1)).toDF("a", "b"), p, slow)
+      }
+      // BOTH numbers burned: nothing pending, consumers settle past them
+      assert(DeltaTable.settledLogBatch(p) == slow + 1,
+        "a pending fresh alloc is stalling consumers after the failed publish")
+      // and the staged data is not litter
+      val stages = Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_stage-"))
+      assert(stages.isEmpty, s"stage litter left behind: ${stages.toSeq}")
+    } finally DeltaTable.logAllocGraceMs = saved
+  }
+
+  test("pruneLogMarkers sweeps orphaned stage dirs past the grace window") {
+    val p = tmp("sweep") + "/log"
+    val b0 = DeltaTable.allocLogBatch(p)
+    DeltaTable.publishLogBatch(Seq(("x", 0)).toDF("a", "b"), p, b0)
+    val dead = new java.io.File(p, "_stage-deadbeef")
+    dead.mkdirs()
+    new java.io.File(dead, "part-0.parquet").createNewFile()
+    dead.setLastModified(
+      System.currentTimeMillis() - DeltaTable.logAllocGraceMs - 60000)
+    val live = new java.io.File(p, "_stage-live")
+    live.mkdirs()
+    DeltaTable.pruneLogMarkers(p, -1L)
+    assert(!dead.exists(), "orphaned stage dir past the grace window survived")
+    assert(live.exists(), "a live writer's fresh stage dir was swept")
+    assert(spark.read.parquet(p).count() == 1)
+  }
+
   test("concurrent appendLogFiles lose no rows (searches-table shape)") {
     val p = tmp("files") + "/searches"
     inParallel(4) { i =>
