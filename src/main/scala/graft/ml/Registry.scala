@@ -231,24 +231,57 @@ class Registry(spark: SparkSession, dir: String) {
     (m.coefficients.toArray, m.intercept)
   }
 
-  /** (coefficients, intercept) of a stored BINARY logistic model — the m9
-    * oracle's literal source. */
-  def logisticParams(modelId: Long): (Array[Double], Double) = {
-    val (_, model) = cachedModel(modelId)
-    val m = model.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
-    (m.coefficients.toArray, m.intercept)
+  /** (coefficients, intercept) of a stored BINARY logistic model — the
+    * m9/x8 oracles' literal source. Serves both the MLlib estimator and
+    * the warm-start head. */
+  def logisticParams(modelId: Long): (Array[Double], Double) =
+    cachedModel(modelId)._2 match {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel =>
+        (m.coefficients.toArray, m.intercept)
+      case m: GdLogisticModel => (m.coefficients.clone(), m.intercept)
+      case other => throw new IllegalArgumentException(
+        s"model $modelId is not a binary logistic family: ${other.getClass.getName}")
+    }
+
+  /** Binary-logistic parameters of the project's DEPLOYED model, with its
+    * id — the warm-start seed for continued tuning (api.rs:846-995 tunes
+    * the deployed checkpoint). None when the project has no deployment or
+    * the deployment is not a binary logistic family (multinomial heads
+    * and other estimators fall back to a cold fit). */
+  def deployedLogisticParams(project: String): Option[(Long, Array[Double], Double)] =
+    currentDeployment(project).flatMap { dep =>
+      cachedModel(dep.model_id)._2 match {
+        case m: org.apache.spark.ml.classification.LogisticRegressionModel
+            if m.numClasses == 2 =>
+          Some((dep.model_id, m.coefficients.toArray, m.intercept))
+        case m: GdLogisticModel =>
+          Some((dep.model_id, m.coefficients.clone(), m.intercept))
+        case _ => None
+      }
+    }
+
+  /** Stored preprocessing + feature layout of a model, rehydrated. */
+  private[ml] def fittedOf(modelId: Long): (Seq[FittedColumn], Seq[String]) = {
+    val meta = cachedModel(modelId)._1
+    (meta.fitted.map(j => FittedColumn(
+      ColumnPlan(j.name, j.encode, j.ordinalValues, j.impute, j.scale),
+      j.categorical, j.categories, j.imputeValue, j.scaleOffset, j.scaleDiv, j.oneHotCats)),
+      meta.featNames)
   }
 
-  def predictWithModel(modelId: Long, df: DataFrame): DataFrame = {
-    val (meta, model) = cachedModel(modelId)
-    val fitted = meta.fitted.map(j => FittedColumn(
-      ColumnPlan(j.name, j.encode, j.ordinalValues, j.impute, j.scale),
-      j.categorical, j.categories, j.imputeValue, j.scaleOffset, j.scaleDiv, j.oneHotCats))
-    val prepped = new VectorAssembler()
-      .setInputCols(meta.featNames.toArray).setOutputCol("features")
+  /** Apply a stored model's preprocessing + feature assembly WITHOUT its
+    * estimator — the frame a warm-start fit trains on (the tune relation
+    * must pass through the SAME per-column transform the seed
+    * coefficients were fit over, or the parameter space would not align). */
+  def prepFeatures(modelId: Long, df: DataFrame): DataFrame = {
+    val (fitted, featNames) = fittedOf(modelId)
+    new VectorAssembler()
+      .setInputCols(featNames.toArray).setOutputCol("features")
       .transform(Preprocessor.transform(df, fitted))
-    model.transform(prepped)
   }
+
+  def predictWithModel(modelId: Long, df: DataFrame): DataFrame =
+    cachedModel(modelId)._2.transform(prepFeatures(modelId, df))
 
   /** Persist hyperparameter-search results beside the model
     * (search_results JSON, model.rs:794-940). */

@@ -237,9 +237,21 @@ class Trainer(spark: SparkSession, registryDir: String) {
         val feat = relation.select(
           (0 until dim).map(i => element_at(emb, i + 1).cast("double").as(s"e$i")) :+
             col(yCol): _*)
-        train(projectName, "classification", feat, Some(yCol), "linear",
-          hyperparams = tuneHp, testSize = testSize, testSampling = testSampling,
-          recordTaskAs = Some(task))
+        // CONTINUED training when the project already has a deployed
+        // binary-logistic head (api.rs:846-995 tunes the deployed
+        // checkpoint): seed from its coefficients, gradient-descend on
+        // the tune relation, register + auto-deploy on improvement.
+        // First tune of a project (or a non-logistic deployment) cold-fits
+        // through the standard lifecycle as before.
+        registry.deployedLogisticParams(projectName) match {
+          case Some((seedId, w0, b0)) if w0.length == dim =>
+            tuneWarmStart(projectName, task, feat, yCol, seedId, w0, b0,
+              tuneHp, testSize, testSampling)
+          case _ =>
+            train(projectName, "classification", feat, Some(yCol), "linear",
+              hyperparams = tuneHp, testSize = testSize, testSampling = testSampling,
+              recordTaskAs = Some(task))
+        }
 
       case "text_pair_classification" =>
         // pair features: per-dim |u−v| and u⊙v of the two text embeddings —
@@ -274,6 +286,40 @@ class Trainer(spark: SparkSession, registryDir: String) {
       case other => throw new IllegalArgumentException(
         s"tune supports text_classification | text_pair_classification | conversation; got $other")
     }
+  }
+
+  /** Warm-start continuation for text_classification tuning: REAL
+    * gradient updates from the deployed model's coefficients
+    * ([[WarmStart.continueLogisticBinary]] — full-batch distributed GD,
+    * the model.rs:161-330 continued-training lifecycle over the MLlib
+    * family). The tune relation passes through the SEED model's stored
+    * preprocessing so the parameter space aligns; the updated head
+    * registers through the standard lifecycle and deploys only on metric
+    * improvement. */
+  private def tuneWarmStart(
+      projectName: String, task: String, feat: DataFrame, yCol: String,
+      seedId: Long, w0: Array[Double], b0: Double, tuneHp: Map[String, Any],
+      testSize: Double, testSampling: String): TrainResult = {
+    val (trainDf, testDf) =
+      if (testSize <= 0.0) (feat, feat)
+      else Sampling.split(feat, testSize, testSampling, yCol)
+    val trainPrep = registry.prepFeatures(seedId, trainDf).cache()
+    val (w, b) = WarmStart.continueLogisticBinary(w0, b0, trainPrep, "features", yCol)
+    val model = new GdLogisticModel(w, b)
+    val pred = model.transform(registry.prepFeatures(seedId, testDf))
+    val base = Metrics.classification(pred, yCol, "prediction")
+    val extra = if (pred.select(col(yCol)).distinct().count() == 2) {
+      val withP1 = pred.withColumn("p1", VectorOps.element(col("probability"), 1))
+      Map("roc_auc" -> Metrics.rocAuc(withP1, yCol, "p1"),
+        "log_loss" -> Metrics.logLoss(withP1, yCol, "p1"))
+    } else Map.empty[String, Double]
+    val metrics = base ++ extra
+    val (fitted, featNames) = registry.fittedOf(seedId)
+    val modelId = registry.saveModel(projectName, task, "linear",
+      tuneHp + ("warm_start_from" -> seedId.toString), metrics, model, fitted, featNames)
+    val deployed = registry.maybeDeploy(projectName, task, modelId, metrics)
+    trainPrep.unpersist()
+    TrainResult(projectName, task, "linear", modelId, deployed, metrics)
   }
 
   /** Conversation tuning (api.rs:846-995 with ConversationDataset,

@@ -1,0 +1,146 @@
+package graft.ml
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Continued (warm-start) training for `pgml.tune` — the reference's tune
+  * does real gradient updates on the deployed checkpoint
+  * (pgml-extension/src/api.rs:846-995, orm/model.rs:161-330); this is the
+  * same lifecycle over the MLlib-family text head: seed from the DEPLOYED
+  * model's coefficients, run full-batch gradient descent on the tune
+  * relation, register the updated model, auto-deploy on metric
+  * improvement.
+  *
+  * Scale shape: each epoch is ONE distributed pass — the coefficient
+  * vector broadcasts (64 doubles here; a real text head is still KBs),
+  * executors fold per-partition gradient partials, and treeAggregate
+  * merges them back (MLlib's own optimizer loop shape, map-side combine
+  * by construction). No per-row driver work, no collect of the data.
+  * Epoch cost is O(rows/partitions) per executor regardless of corpus
+  * size; the driver holds only the d+1 parameters.
+  */
+object WarmStart {
+
+  /** Full-batch binary-logistic gradient descent from an initial
+    * (coefficients, intercept). `data` must carry `featuresCol: Vector`
+    * and a 0/1 `labelCol`. Deterministic given the data (the final
+    * parameters are what the serving oracle inlines as literals; the
+    * treeAggregate partial-sum order does not need cross-engine replay).
+    */
+  def continueLogisticBinary(
+      init: Array[Double], initIntercept: Double,
+      data: DataFrame, featuresCol: String, labelCol: String,
+      epochs: Int = 60, learningRate: Double = 2.0, l2: Double = 0.0): (Array[Double], Double) = {
+    val d = init.length
+    val sc = data.sparkSession.sparkContext
+    val rows = data.select(col(featuresCol), col(labelCol).cast("double"))
+      .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
+      .cache() // epochs passes over the same frame
+    val n = rows.count().toDouble
+    require(n > 0, "warm-start tune needs at least one training row")
+    var w = init.clone()
+    var b = initIntercept
+    for (_ <- 0 until epochs) {
+      val wB = sc.broadcast(w)
+      val bNow = b
+      val (gw, gb) = rows.treeAggregate((new Array[Double](d), 0.0))(
+        seqOp = { case ((gwAcc, gbAcc), (x, y)) =>
+          val ww = wB.value
+          var dot = 0.0
+          var i = 0
+          while (i < d) { dot += ww(i) * x(i); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-(bNow + dot)))
+          val e = p - y
+          i = 0
+          while (i < d) { gwAcc(i) += e * x(i); i += 1 }
+          (gwAcc, gbAcc + e)
+        },
+        combOp = { case ((g1, b1), (g2, b2)) =>
+          var i = 0
+          while (i < d) { g1(i) += g2(i); i += 1 }
+          (g1, b1 + b2)
+        })
+      var i = 0
+      while (i < d) { w(i) -= learningRate * (gw(i) / n + l2 * w(i)); i += 1 }
+      b -= learningRate * gb / n
+      wB.destroy()
+    }
+    rows.unpersist()
+    (w, b)
+  }
+}
+
+/** Binary logistic serving head with explicit parameters — what a
+  * warm-start tune registers. Output contract matches MLlib's binary
+  * LogisticRegressionModel (`probability` = [1−p, p], `prediction` = 1
+  * iff p > 0.5), so every registry surface (predict / predict_proba /
+  * predict_row / metrics) serves it unchanged. The margin is computed
+  * b + (left-associative Σ wᵢ·vᵢ in index order) so the served
+  * probability replays IEEE-identically in SQL with the parameters as
+  * literals (the x8 oracle's contract; same float discipline as c7).
+  */
+class GdLogisticModel(
+    override val uid: String,
+    val coefficients: Array[Double],
+    val intercept: Double) extends Transformer with MLWritable {
+
+  def this(coefficients: Array[Double], intercept: Double) =
+    this(Identifiable.randomUID("gdLogistic"), coefficients, intercept)
+
+  private def prob(v: Vector): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < coefficients.length) { dot += coefficients(i) * v(i); i += 1 }
+    1.0 / (1.0 + math.exp(-(intercept + dot)))
+  }
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val probUdf = udf((v: Vector) => Vectors.dense(1.0 - prob(v), prob(v)))
+    val predUdf = udf((v: Vector) => if (prob(v) > 0.5) 1.0 else 0.0)
+    df.withColumn("probability", probUdf(col("features")))
+      .withColumn("prediction", predUdf(col("features")))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      StructField("probability",
+        org.apache.spark.ml.linalg.SQLDataTypes.VectorType, nullable = false),
+      StructField("prediction", DoubleType, nullable = false)))
+
+  override def copy(extra: ParamMap): GdLogisticModel =
+    new GdLogisticModel(uid, coefficients.clone(), intercept)
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      implicit val fmts: Formats = DefaultFormats
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/gd_logistic.json"),
+        Serialization.write(Map(
+          "uid" -> uid,
+          "coefficients" -> coefficients.toSeq,
+          "intercept" -> intercept)))
+    }
+  }
+}
+
+object GdLogisticModel extends MLReadable[GdLogisticModel] {
+  override def read: MLReader[GdLogisticModel] = new MLReader[GdLogisticModel] {
+    override def load(path: String): GdLogisticModel = {
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$path/gd_logistic.json")))
+      new GdLogisticModel(
+        (j \ "uid").extract[String],
+        (j \ "coefficients").extract[Seq[Double]].toArray,
+        (j \ "intercept").extract[Double])
+    }
+  }
+}

