@@ -284,11 +284,14 @@ class Registry(spark: SparkSession, dir: String) {
     cachedModel(modelId)._2.transform(prepFeatures(modelId, df))
 
   /** Persist hyperparameter-search results beside the model
-    * (search_results JSON, model.rs:794-940). */
+    * (search_results JSON, model.rs:794-940): per-combo params,
+    * mean/std test score, AND the per-split scores (sklearn's
+    * `split{k}_test_score` content the reference records). */
   def attachSearchResults(modelId: Long,
-      results: Seq[(Map[String, String], Double, Double)]): Unit = {
-    val json = Serialization.write(results.map { case (params, mean, std) =>
-      Map("params" -> params, "mean_test_score" -> mean, "std_test_score" -> std)
+      results: Seq[(Map[String, String], Double, Double, Seq[Double])]): Unit = {
+    val json = Serialization.write(results.map { case (params, mean, std, folds) =>
+      Map("params" -> params, "mean_test_score" -> mean, "std_test_score" -> std,
+        "split_test_scores" -> folds)
     })
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${modelDir(modelId)}/search_results.json"), json)
@@ -298,6 +301,10 @@ class Registry(spark: SparkSession, dir: String) {
     val p = java.nio.file.Paths.get(s"${modelDir(modelId)}/search_results.json")
     if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else "[]"
   }
+
+  /** Typed view of [[searchResults]] — the m10 oracle's literal source. */
+  def searchResultRows(modelId: Long): Seq[SearchResultRow] =
+    JsonMethods.parse(searchResults(modelId)).extract[Seq[SearchResultRow]]
 
   /** `pgml.predict_proba`: class-probability array column appended
     * (api.rs:469-472). */
@@ -468,6 +475,8 @@ final case class DeploymentRow(project: String, model_id: Long, strategy: String
     created_at: String, seq: Long)
 final case class RegistryMeta(modelClass: String, featNames: Seq[String],
     fitted: Seq[FittedColumnJson])
+final case class SearchResultRow(params: Map[String, String],
+    mean_test_score: Double, std_test_score: Double, split_test_scores: Seq[Double])
 final case class FittedColumnJson(name: String, encode: String,
     ordinalValues: Seq[String], impute: String, scale: String,
     categorical: Boolean, categories: Map[String, Double], imputeValue: Double,

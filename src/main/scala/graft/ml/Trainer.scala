@@ -185,15 +185,15 @@ class Trainer(spark: SparkSession, registryDir: String) {
       }
       val mean = foldScores.sum / cv
       val std = math.sqrt(foldScores.map(s => (s - mean) * (s - mean)).sum / cv)
-      (combo, mean, std)
+      (combo, mean, std, foldScores)
     }
     val best = searchResults.maxBy(_._2)._1
 
     // refit best combo through the standard lifecycle (records + deploys)
     val result = train(projectName, task, relation, yCol, algorithm,
       hyperparams ++ best, Map.empty, testSize, testSampling)
-    registry.attachSearchResults(result.modelId, searchResults.map { case (c, m, s) =>
-      (c.map { case (k, v) => k -> v.toString }, m, s)
+    registry.attachSearchResults(result.modelId, searchResults.map { case (c, m, s, fs) =>
+      (c.map { case (k, v) => k -> v.toString }, m, s, fs)
     })
     trainPrep.unpersist()
     result

@@ -2721,6 +2721,73 @@ object QueryCatalog {
           WHERE a.rn = 1 ORDER BY a.doc_id"""
     })
 
+  private val m10Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
+  private def m10Search(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    m10Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+          col("l_extendedprice"))
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_gs_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      val res = tr.trainWithSearch("q_gs", "regression", li,
+        Some("l_extendedprice"), "ridge",
+        searchParams = Map("alpha" -> Seq(0.01, 1.0, 100.0)), cv = 3,
+        testSampling = "last")
+      (tr, res.modelId)
+    })
+
+  /** Hyperparameter search envelope (m10): `trainWithSearch` records
+    * per-combo search_results — params, per-split scores, mean/std —
+    * and refits the best combo (model.rs:560-610, 794-940). The query
+    * reads the ARTIFACT (search_results.json + the refit model's
+    * hyperparams row); the oracle re-derives mean/std from VALUES of the
+    * recorded per-split scores with the identical left-associative
+    * arithmetic (sum fold, population variance, sqrt — IEEE-replayable,
+    * no rounding) and re-runs best-combo selection as a window argmax.
+    * What the gate verifies: the recorded aggregate stats follow from
+    * the recorded splits, and the combo that actually got refit IS the
+    * argmax of the recorded means.
+    */
+  val m10SearchResults: GraftQuery = GraftQuery(
+    "m10_search_results",
+    (s, dir) => {
+      import s.implicits._
+      val (tr, modelId) = m10Search(s, dir)
+      val rows = tr.registry.searchResultRows(modelId)
+      val bestAlpha = tr.registry.models.where(col("model_id") === modelId)
+        .select(get_json_object(col("hyperparams"), "$.alpha")).as[String].head()
+      rows.zipWithIndex.map { case (r, i) =>
+        (i, r.params("alpha").toDouble, r.mean_test_score, r.std_test_score,
+          r.params("alpha") == bestAlpha)
+      }.toDF("cidx", "alpha", "mean_test_score", "std_test_score", "selected")
+        .orderBy(col("cidx"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = m10Search(s, dir)
+      val rows = tr.registry.searchResultRows(modelId)
+      val values = rows.zipWithIndex.map { case (r, i) =>
+        s"($i, ${dlit(r.params("alpha").toDouble)}, " +
+          r.split_test_scores.map(dlit).mkString(", ") + ")"
+      }.mkString(", ")
+      s"""WITH sr(cidx, alpha, s0, s1, s2) AS (VALUES $values),
+          m AS (SELECT cidx, alpha, s0, s1, s2,
+              ((s0 + s1) + s2) / 3.0 AS mean_test_score FROM sr),
+          agg AS (SELECT cidx, alpha, mean_test_score,
+              sqrt((((s0 - mean_test_score) * (s0 - mean_test_score)
+                + (s1 - mean_test_score) * (s1 - mean_test_score))
+                + (s2 - mean_test_score) * (s2 - mean_test_score)) / 3.0)
+                AS std_test_score
+            FROM m),
+          sel AS (SELECT cidx, alpha, mean_test_score, std_test_score,
+              row_number() OVER (ORDER BY mean_test_score DESC, cidx) AS rk
+            FROM agg)
+          SELECT cidx, alpha, mean_test_score, std_test_score,
+            (rk = 1) AS selected
+          FROM sel ORDER BY cidx"""
+    })
+
   // one warm-start-tuned registry shared by the x8 query and its oracle
   // generator (the oracle inlines the SAME fitted head's parameters, so
   // the pair must come from one tune; session+dir keying as x6Cache)
@@ -3105,7 +3172,7 @@ object QueryCatalog {
     s10FilteredSearch,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
-    m9PredictProba, p1Preprocess,
+    m9PredictProba, m10SearchResults, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
