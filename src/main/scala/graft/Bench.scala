@@ -161,8 +161,25 @@ object Bench {
             org.apache.spark.sql.functions.md5(
               org.apache.spark.sql.functions.lit("2")))
       }
+    // v9: the catalog entry now AUDITS recall against a brute-force pass
+    // (its correctness role — the driver row carries a checked recall
+    // bound); the bench leg keeps the PURE pruned-serving shape so the
+    // latency number stays comparable across rounds
+    val hnswServe: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 13).select("embedding")
+          .as[Array[Float]].head()
+        val idx = graft.operators.HnswIndex.serveOrBuild(
+          s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
+          m = 16, efConstruction = 64, numPartitions = 8)
+        idx.search(q, 10, ef = 64, idName = "vec_id")
+      }
     val queries = SparkEntry.queries +
-      ("s4_ingest" -> ingest) + ("v9b_hnsw_batch" -> hnswBatch) +
+      ("s4_ingest" -> ingest) + ("v9_knn_hnsw" -> hnswServe) +
+      ("v9b_hnsw_batch" -> hnswBatch) +
       ("v9c_hnsw_local" -> hnswLocal) + ("s4_sync_delta" -> syncDelta) +
       ("s4_sync_steady" -> syncSteady)
     // Warm every headline query once, untimed (JIT + classload + index/

@@ -103,9 +103,10 @@ class HnswSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.length
     // uniform random vectors are ANN's worst case (no cluster structure);
-    // the gate floors the measured number with margin
-    assert(mean >= 0.85, f"mean recall@10 $mean%.3f below gate")
-    assert(recalls.min >= 0.5, f"min recall@10 ${recalls.min}%.2f below gate")
+    // the gate floors the measured number with margin. ≥0.95 at serving
+    // ef is also the per-query bound the v9 CORRECTNESS row enforces.
+    assert(mean >= 0.95, f"mean recall@10 $mean%.3f below gate")
+    assert(recalls.min >= 0.7, f"min recall@10 ${recalls.min}%.2f below gate")
     idx.graphs.unpersist()
   }
 
