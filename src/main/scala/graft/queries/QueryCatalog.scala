@@ -2902,6 +2902,102 @@ object QueryCatalog {
           FROM p ORDER BY doc_id"""
     })
 
+  // fitted NER model shared by the x9 query and its oracle generator
+  private val x9Cache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.NerClassifier.Model]
+  private def x9ModelName(dir: String): String = s"trained-ner:$dir"
+  /** Entity-bearing synthesis over the corpus (the documents have no
+    * capitalization or triggers of their own — same move as c8's planted
+    * lines): `Mr <Cap1> visited <Cap2> in <w3> <text>`, entities at
+    * token positions 2, 4, 6. SQL-replayable capitalization
+    * (upper-first-char, no initcap dependence). */
+  private def x9Synth(toks: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def tok(k: Int) = coalesce(element_at(toks, k), lit("pad"))
+    def capTok(k: Int) =
+      concat(upper(substring(tok(k), 1, 1)), substring(tok(k), 2, 1000000))
+    concat_ws(" ", lit("Mr"), capTok(1), lit("visited"), capTok(2),
+      lit("in"), tok(3), text)
+  }
+  private def x9Fit(s: SparkSession, dir: String): graft.operators.NerClassifier.Model = {
+    val m = x9Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = t(s, dir, "documents")
+      val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
+      val labeled = docs.where(col("doc_id") % 3 === 0)
+        .select(x9Synth(toks, col("text")).as("text9"),
+          typedLit(Seq(2, 4, 6)).as("ents"))
+      graft.operators.NerClassifier.fit(labeled, "text9", "ents")
+    })
+    graft.operators.Transform.registerModel(
+      x9ModelName(dir), graft.operators.TrainedNerModel(m))
+    m
+  }
+
+  /** Trained token-classification through the transform dispatch (x9):
+    * a per-token MLlib logistic over window features (NerClassifier)
+    * served as `args(model := trained-ner:...)` — closes the one
+    * transform task family that had only the regex stand-in. The
+    * generated oracle replays the WHOLE serving path in DuckDB: the
+    * planted-entity synthesis, whitespace tokenization, all six window
+    * features, the sigmoid with the fitted weights as literals
+    * (left-associative margin — IEEE-replayable behind round(4)), and
+    * the p ≥ 0.5 entity cut.
+    */
+  val x9TransformNer: GraftQuery = GraftQuery(
+    "x9_transform_ner",
+    (s, dir) => {
+      x9Fit(s, dir)
+      val docs = t(s, dir, "documents")
+      val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
+      val synth = docs.select(col("doc_id"), x9Synth(toks, col("text")).as("text9"))
+      graft.operators.Transform(synth, "token-classification", "text9",
+          args = Map("model" -> x9ModelName(dir)))
+        .select(col("doc_id"), explode(from_json(col("output"),
+          org.apache.spark.sql.types.DataType.fromDDL(
+            "array<struct<word:string,entity:string,score:double,index:int>>"))).as("e"))
+        .select(col("doc_id"), col("e.index").as("idx"), col("e.word"),
+          col("e.entity"), round(col("e.score"), 4).as("score"))
+        .orderBy(col("doc_id"), col("idx"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val m = x9Fit(s, dir)
+      val w = m.weights
+      val trig = graft.operators.NerClassifier.Triggers
+        .map(t => s"'$t'").mkString(", ")
+      val margin = s"${dlit(m.intercept)} + (${dlit(w(0))} * f0 + ${dlit(w(1))} * f1" +
+        s" + ${dlit(w(2))} * f2 + ${dlit(w(3))} * f3 + ${dlit(w(4))} * f4" +
+        s" + ${dlit(w(5))} * f5)"
+      s"""WITH tdoc AS (SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk,
+              text FROM documents),
+          s AS (SELECT doc_id,
+              'Mr ' || upper(substr(coalesce(tk[1], 'pad'), 1, 1))
+                || substr(coalesce(tk[1], 'pad'), 2)
+                || ' visited ' || upper(substr(coalesce(tk[2], 'pad'), 1, 1))
+                || substr(coalesce(tk[2], 'pad'), 2)
+                || ' in ' || coalesce(tk[3], 'pad') || ' ' || text AS text9
+            FROM tdoc),
+          tok AS (SELECT doc_id,
+              list_filter(string_split_regex(text9, '\\s+'), x -> x <> '') AS tk
+            FROM s),
+          pos AS (SELECT doc_id, tk, CAST(i AS INT) AS i
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tok)),
+          f AS (SELECT doc_id, i, tk[i] AS w,
+              CASE WHEN substr(tk[i], 1, 1) BETWEEN 'A' AND 'Z' THEN 1.0 ELSE 0.0 END AS f0,
+              CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS f1,
+              CASE WHEN i > 1 AND lower(tk[i - 1]) IN ($trig) THEN 1.0 ELSE 0.0 END AS f2,
+              CASE WHEN i > 1 AND substr(tk[i - 1], 1, 1) BETWEEN 'A' AND 'Z' THEN 1.0 ELSE 0.0 END AS f3,
+              least(len(tk[i]), 12) / 12.0 AS f4,
+              CASE WHEN regexp_matches(tk[i], '[0-9]') THEN 1.0 ELSE 0.0 END AS f5
+            FROM pos),
+          p AS (SELECT doc_id, i, w,
+              1.0 / (1.0 + exp(-($margin))) AS p
+            FROM f)
+          SELECT doc_id, i AS idx, w AS word, 'ENT' AS entity,
+            round(p, 4) AS score
+          FROM p WHERE p >= 0.5 ORDER BY doc_id, idx"""
+    })
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -3216,6 +3312,7 @@ object QueryCatalog {
     m9PredictProba, m10SearchResults, p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
+    x9TransformNer,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }
