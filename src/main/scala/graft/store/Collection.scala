@@ -111,10 +111,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   /** Changelog entry sourced from a documents segment already on disk —
     * an O(batch) file scan with no plan replay. An empty upsert batch
     * writes no segment directory; there is nothing to log then. */
-  private def appendChangelogFromSeg(seg: Int): Unit = {
+  private def appendChangelogFromSeg(seg: Int, sess: SparkSession = spark): Unit = {
     val dir = new java.io.File(s"$docsPath/seg=$seg")
     if (dir.isDirectory) appendChangelog(
-      DeltaTable.readParquetCached(spark, dir.getPath, s"$docsPath#segdir"))
+      DeltaTable.readParquetCached(sess, dir.getPath, s"$docsPath#segdir"))
   }
 
   private def appendChangelog(batchDocs: DataFrame): Unit = {
@@ -169,21 +169,126 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // dev-only section tracing for the micro-batch latency work: set
+  // SPARK_GRAFT_TRACE=1 to print per-section walls (no cost when unset)
+  private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  private def traced[A](label: String)(body: => A): A =
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"    [trace] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+  /** Driver-side fast path for [[upsertDocuments]] — see the call site.
+    * Returns false when any precondition fails (the caller then runs the
+    * distributed path). Semantics are IDENTICAL by construction: the
+    * same uuid derivation (md5 over get_json_object's unquoted id
+    * rendering — only string/integer ids qualify, anything else bails),
+    * the same last-occurrence-wins batch dedup, the same created_at
+    * retention, and the same segment/manifest/changelog protocol
+    * (shared appendDelta/appendChangelog entry points). */
+  private def upsertLocalFast(docJsons: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types._
+    if (!new java.io.File(docsPath).exists() || !DeltaTable.exists(docsPath))
+      return false
+    val docs: Seq[String] = docJsons.queryExecution.optimizedPlan match {
+      case lr: LocalRelation if lr.data.size <= DeltaTable.InPushdownMaxIds =>
+        val idx = lr.output.indexWhere(_.name == "document")
+        if (idx < 0 || lr.output(idx).dataType != StringType) return false
+        if (lr.data.exists(_.isNullAt(idx))) return false
+        lr.data.map(_.getUTF8String(idx).toString)
+      case _ => return false
+    }
+    val parsed: Seq[(String, String)] = docs.map { doc =>
+      val j = try org.json4s.jackson.JsonMethods.parse(doc)
+        catch { case _: Throwable => return false }
+      (j \ "id") match {
+        case org.json4s.JString(s) => (s, doc)
+        case org.json4s.JInt(n) => (n.toString, doc)
+        case _ => return false
+      }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    // last occurrence of a uuid wins (statement order, like the window)
+    val lastByUuid = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    parsed.foreach { case (id, doc) => lastByUuid.put(md5hex(id), doc) }
+    val uuids = lastByUuid.keys.toSeq
+    val sess = microSpark(1)
+    // the ONE corpus-touching action: In-pruned two-column read of the
+    // touched documents' stored created_at (row-group stats prune on the
+    // uuid-sorted segments, untouched documents never read)
+    val oldCreated = traced("up:old-created")(
+      DeltaTable.read(sess, docsPath, "source_uuid")
+        .where(col("source_uuid").isin(uuids: _*))
+        .select("source_uuid", "created_at")
+        .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap)
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val outSchema = StructType(Seq(
+      StructField("row_id", LongType, nullable = false),
+      StructField("source_uuid", StringType, nullable = true),
+      StructField("document", StringType, nullable = true),
+      StructField("created_at", TimestampType, nullable = true)))
+    val outRows: Seq[org.apache.spark.sql.Row] = uuids.map { u =>
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(u), StringType, 42L),
+        u, lastByUuid(u), oldCreated.getOrElse(u, now))
+    }
+    import scala.jdk.CollectionConverters._
+    val local = sess.createDataFrame(outRows.asJava, outSchema)
+    traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, local,
+      local.select("source_uuid"), docCol = "source_uuid",
+      sortCols = Seq("source_uuid"), coalesceTo = 1, knownIds = Some(uuids)))
+    traced("up:changelog")(appendChangelog(
+      local.select(col("source_uuid"), col("document"))))
+    traced("up:compact-check")(DeltaTable.compactIfNeeded(spark, docsPath,
+      "source_uuid", maxSegments = 16, sortCols = Seq("source_uuid")))
+    true
+  }
+
   /** Upsert a batch of JSON documents (each must contain an "id" key).
     * `merge=true` shallow-merges new keys over the previous document
     * (`document || EXCLUDED.document`, queries.rs:146-169).
     */
   def upsertDocuments(docJsons: DataFrame, merge: Boolean = false): Unit = {
+    // FAST PATH — event-sized upserts (the continuous-ingest shape): a
+    // LocalRelation of at most In-pushdown-cap rows with merge=false
+    // computes its dedup and post-merge rows DRIVER-SIDE (the driver
+    // already holds the data — a window + merge-join lineage over it is
+    // pure scheduling overhead), so the batch's only corpus-touching
+    // Spark action is the In-pruned two-column read of the old rows'
+    // created_at. Every other shape — bulk backfills, scans, shallow
+    // merge — takes the distributed path below unchanged.
+    if (!merge && upsertLocalFast(docJsons)) { traced("up:prune-changelog")(pruneChangelog()); return }
     // Stamp batch order BEFORE any shuffle: the reference's ON CONFLICT
     // upsert is statement-ordered, and an id expression evaluated after the
     // window exchange would make "which duplicate wins" nondeterministic.
     // monotonically_increasing_id is order-consistent with batch (partition)
     // order when evaluated pre-shuffle; the EAGER localCheckpoint freezes
     // the stamped values so no later re-execution can reassign them.
-    val stamped = docJsons
+    // micro-batch upserts run on the AQE-off session clone, like the delta
+    // sync path: adaptive execution materializes every shuffle stage of
+    // the dedup window + merge join as its OWN Spark job, which on a
+    // one-document frame is pure scheduling overhead (~7 extra jobs per
+    // event-sized upsert). Batch size is judged driver-side from the
+    // UNEXECUTED plan's stats — a LocalRelation (the per-event shape) or
+    // a small scan sizes exactly; corpus-sized backfills (and any plan
+    // whose size is unknown → Long.MaxValue) keep the main session + AQE.
+    val sess =
+      if (docJsons.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 20))
+        microSpark(1)
+      else spark
+    val stamped0 = traced("up:stamp-checkpoint")(docJsons
       .select(col("document").cast("string").as("document"))
       .withColumn("_seq", monotonically_increasing_id())
-      .localCheckpoint()
+      .localCheckpoint())
+    val stamped = sess.createDataFrame(stamped0.rdd, stamped0.schema)
     val incoming = stamped
       .withColumn("source_uuid", md5(get_json_object(col("document"), "$.id")))
       .withColumn("created_at", current_timestamp())
@@ -210,15 +315,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       if (!DeltaTable.exists(docsPath))
         DeltaTable.writeBase(spark.read.parquet(docsPath), docsPath,
           sortCols = Seq("source_uuid"))
-      val current = DeltaTable.read(spark, docsPath, "source_uuid")
+      val current = traced("up:current-read")(
+        DeltaTable.read(sess, docsPath, "source_uuid"))
       // ONE action both sizes the batch and captures a small batch's ids
       // (collect up to the pushdown cap + 1; overflow = big batch, count
       // instead). Small batches get the literal-In pushdown — a
       // thousands-wide In costs planning time without pruning more, and
       // collecting a bulk backfill's ids would sit on the driver — and the
       // collected ids are reused for the job-free manifest write below.
-      val probe = incoming.select("source_uuid")
-        .limit(DeltaTable.InPushdownMaxIds + 1).as[String].collect().toSeq
+      val probe = traced("up:probe-collect")(incoming.select("source_uuid")
+        .limit(DeltaTable.InPushdownMaxIds + 1).as[String].collect().toSeq)
       val idsLocal =
         if (probe.size <= DeltaTable.InPushdownMaxIds) Some(probe) else None
       val batchN = idsLocal.map(_.size.toLong).getOrElse(incoming.count())
@@ -239,24 +345,45 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           coalesce(col("old_created"), col("created_at")).as("created_at"))
         .withColumn("row_id", xxhash64(col("source_uuid")))
         .select("row_id", "source_uuid", "document", "created_at")
-      val seg = DeltaTable.appendDelta(spark, docsPath, upserted,
-        incoming.select("source_uuid"), docCol = "source_uuid",
-        sortCols = Seq("source_uuid"),
-        coalesceTo =
-          if (batchN <= DeltaTable.CoalesceBatchMax)
-            math.max(1, (batchN / DeltaTable.RowsPerDeltaFile).toInt)
-          else 0,
-        knownIds = idsLocal)
-      // record the batch's FINAL (post-merge) documents for incremental
-      // sync by reading back the segment just written — an O(batch) file
-      // scan; re-evaluating `upserted` here would replay the whole merge
-      // join (a second corpus-sized pass on bulk re-ingest)
-      appendChangelogFromSeg(seg)
-      DeltaTable.compactIfNeeded(spark, docsPath, "source_uuid",
-        maxSegments = 16, sortCols = Seq("source_uuid"))
+      idsLocal match {
+        case Some(_) =>
+          // small batch: ONE action materializes the post-merge rows on
+          // the driver, and the segment write, its manifest, AND the
+          // changelog batch all derive from the local rows — the segment
+          // and changelog writes become trivial LocalRelation jobs, and
+          // the old read-back of the just-written segment (a listing +
+          // scan per batch) disappears entirely
+          val rows = traced("up:merge-collect")(upserted.collect().toSeq)
+          import scala.jdk.CollectionConverters._
+          val local = sess.createDataFrame(rows.asJava, upserted.schema)
+          traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, local,
+            incoming.select("source_uuid"), docCol = "source_uuid",
+            sortCols = Seq("source_uuid"),
+            coalesceTo = math.max(1, rows.size / DeltaTable.RowsPerDeltaFile),
+            knownIds = idsLocal))
+          traced("up:changelog")(appendChangelog(
+            local.select(col("source_uuid"), col("document"))))
+        case None =>
+          val seg = traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, upserted,
+            incoming.select("source_uuid"), docCol = "source_uuid",
+            sortCols = Seq("source_uuid"),
+            coalesceTo =
+              if (batchN <= DeltaTable.CoalesceBatchMax)
+                math.max(1, (batchN / DeltaTable.RowsPerDeltaFile).toInt)
+              else 0,
+            knownIds = idsLocal))
+          // record the batch's FINAL (post-merge) documents for
+          // incremental sync by reading back the segment just written —
+          // an O(batch) file scan; re-evaluating `upserted` here would
+          // replay the whole merge join (a second corpus-sized pass on
+          // bulk re-ingest)
+          traced("up:changelog")(appendChangelogFromSeg(seg, sess))
+      }
+      traced("up:compact-check")(DeltaTable.compactIfNeeded(spark, docsPath, "source_uuid",
+        maxSegments = 16, sortCols = Seq("source_uuid")))
       ()
     }
-    pruneChangelog() // keep upsert-only collections bounded too
+    traced("up:prune-changelog")(pruneChangelog()) // keep upsert-only collections bounded too
   }
 
   /** Filtered / ordered / keyset-paginated document scan
@@ -442,12 +569,24 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // pre-hid embeddings tables (older warehouses keyed HNSW node ids on
     // the owning segment) migrate via a full field rebuild before any
     // delta can append mixed ids — exclusive, like any full rewrite
-    val legacy = p.fields.filter { f =>
-      f.semanticSearch.nonEmpty &&
-        DeltaTable.exists(tablePath(p.name, f.name, "embeddings")) &&
-        !DeltaTable.read(spark, tablePath(p.name, f.name, "embeddings"))
-          .columns.contains("hid")
-    }
+    // the verdict is cached once NON-legacy: a table that has the hid
+    // column keeps it forever (only a full rewrite could drop it, and
+    // that rewrite IS the migration), so the schema resolve — a ~0.3 s
+    // manifest-fingerprint + parquet-footer path — must not sit on every
+    // micro-batch
+    val legacy = traced("sync:legacy-probe")(p.fields.filter { f =>
+      f.semanticSearch.nonEmpty && {
+        val key = s"${pipelineKey(p.name)}#${f.name}"
+        !Collection.nonLegacyEmb.contains(key) && {
+          val isLegacy =
+            DeltaTable.exists(tablePath(p.name, f.name, "embeddings")) &&
+              !DeltaTable.read(spark, tablePath(p.name, f.name, "embeddings"))
+                .columns.contains("hid")
+          if (!isLegacy) Collection.nonLegacyEmb.put(key, true)
+          isLegacy
+        }
+      }
+    })
     if (legacy.nonEmpty) withExclusiveLock(p.name) {
       Collection.generationOf(pipelineKey(p.name)).incrementAndGet()
       legacy.foreach(syncFieldFull(p, _))
@@ -455,8 +594,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     withSyncLock(p.name) {
       syncIncrementalLocked(p, legacy.map(_.name).toSet)
     }
-    mergeIfDue(p) // schedules background work only — never blocks the batch
-    pruneChangelog()
+    traced("sync:merge-if-due")(mergeIfDue(p)) // schedules background work only — never blocks the batch
+    traced("sync:prune-changelog")(pruneChangelog())
   }
 
   /** Session clone for the micro-batch delta path: AQE OFF (adaptive
@@ -469,17 +608,22 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * both off, every sync action runs as ONE job over all its stages.
     * Corpus-sized work (full syncs, backfills' explicit broadcast hints,
     * merges) stays on the main session. */
-  private def microSpark(shufflePartitions: Long): SparkSession = {
+  private def microSpark(shufflePartitions: Long): SparkSession =
     // newSession: same SparkContext/CacheManager/warehouse, fresh SQLConf
-    // seeded from the builder conf (timezone carries over). A session PER
-    // SYNC (cheap — one SQLConf clone) so the batch-sized reduce width
-    // below can never race a concurrent sync of another pipeline.
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.adaptive.enabled", "false")
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
-    s2
-  }
+    // seeded from the builder conf (timezone carries over). Cached BY
+    // REDUCE WIDTH and reused across batches — a cached session's conf
+    // never changes after creation, so concurrent syncs of different
+    // pipelines can share one without racing the width (the property the
+    // old session-per-sync form bought, minus its per-batch SQLConf
+    // clone + SessionState init on the critical path).
+    Collection.microSessions.getOrElseUpdate(
+      s"${System.identityHashCode(spark.sparkContext)}#$shufflePartitions", {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        s2
+      })
 
   private def syncIncrementalLocked(p: Pipeline, alreadyRebuilt: Set[String]): Unit = {
     val state = readState(p.name)
@@ -517,7 +661,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
       .map(_.length()).sum
     val ms = microSpark(
-      math.max(2L, math.min(32L, 1L + newBatchBytes / (32L << 20))))
+      // floor 1, not 2: a one-document batch gains nothing from a second
+      // reduce task per exchange — every sort/join stage then runs as a
+      // single task, halving the scheduling on the critical path
+      math.max(1L, math.min(32L, 1L + newBatchBytes / (32L << 20))))
     // latest post-merge document per uuid among the new batches; checkpoint
     // so later re-executions can never observe a shifted changelog. LAZY:
     // the full-frame collect on the next line materializes every partition
@@ -533,7 +680,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .select(col("source_uuid"), col("document"))
       .localCheckpoint(eager = false)
     val changedIds = changedDocs.select(col("source_uuid").as("document_id"))
-    val idSeq = changedDocs.select("source_uuid").as[String].collect().toSeq
+    val idSeq = traced("sync:changed-collect")(
+      changedDocs.select("source_uuid").as[String].collect().toSeq)
 
     // Reads of the changed documents' OLD rows push an In(document_id…)
     // literal to the parquet scan — segments are written document_id-sorted,
@@ -580,9 +728,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       implicit val ec: scala.concurrent.ExecutionContext = Collection.maintenanceEc
 
       val chunksF = Future {
-        DeltaTable.appendDelta(ms, chunksP, newChunks, changedIds,
-          sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch,
-          knownIds = localIds)
+        traced("chain:chunks-append")(
+          DeltaTable.appendDelta(ms, chunksP, newChunks, changedIds,
+            sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch,
+            knownIds = localIds))
         ()
       }
       val embF: Future[Option[Long]] = Future {
@@ -590,11 +739,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         val embP = tablePath(p.name, f.name, "embeddings")
         // LAZY checkpoint: the count() below materializes it, so freezing
         // the frame and measuring the stale slack share ONE Spark job
-        val oldEmb = changedOnly(DeltaTable.read(ms, embP))
-          .localCheckpoint(eager = false)
+        val oldEmb = traced("chain:oldemb-frame")(changedOnly(DeltaTable.read(ms, embP))
+          .localCheckpoint(eager = false))
         // old index rows these documents are about to supersede (exact
         // over-fetch slack for stale ANN nodes until the next merge)
-        val nStale = oldEmb.count()
+        val nStale = traced("chain:oldemb-count")(oldEmb.count())
         val newEmb = emb.embedFrame(changed, col("chunk"), "embedding")
           .select(col("document_id"), col("chunk_index"),
             contentHid.as("hid"), col("embedding"))
@@ -603,13 +752,14 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         val reused = oldEmb
           .join(newChunks.join(changed, keyCols, "left_anti")
             .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
-        val delta = reused.unionByName(newEmb).localCheckpoint()
+        val delta = traced("chain:delta-checkpoint")(
+          reused.unionByName(newEmb).localCheckpoint())
         // the content-keyed hid rides IN the segment (new rows stamped it
         // above, reused rows carry their stored one), so the HNSW append
         // below and every later read agree on node ids with no derivation
-        DeltaTable.appendDelta(ms, embP, delta, changedIds,
+        traced("chain:emb-append")(DeltaTable.appendDelta(ms, embP, delta, changedIds,
           sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch,
-          knownIds = localIds)
+          knownIds = localIds))
 
         // index delta segments over ONLY the new segment's vectors
         f.vectorIndex.foreach { nlist =>
@@ -649,9 +799,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         if (f.fullTextSearch) {
           val newTs = newChunks.select(col("document_id"), col("chunk_index"),
             TsRank.tsVector(col("chunk")).as("terms"))
-          DeltaTable.appendDelta(ms, tablePath(p.name, f.name, "tsvectors"),
-            newTs, changedIds, sortCols = Seq("document_id", "chunk_index"),
-            coalesceTo = smallBatch, knownIds = localIds)
+          traced("chain:ts-append")(
+            DeltaTable.appendDelta(ms, tablePath(p.name, f.name, "tsvectors"),
+              newTs, changedIds, sortCols = Seq("document_id", "chunk_index"),
+              coalesceTo = smallBatch, knownIds = localIds))
           ()
         }
       }
@@ -660,9 +811,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       // orphan writer on the same table (allocSeg hands them distinct
       // segment numbers, but the orphan's segment would still commit
       // unsupervised after "failure")
-      val chunksR = scala.util.Try(Await.result(chunksF, Duration.Inf))
-      val embR = scala.util.Try(Await.result(embF, Duration.Inf))
-      val tsR = scala.util.Try(Await.result(tsF, Duration.Inf))
+      val (chunksR, embR, tsR) = traced("sync:chains-await")((
+        scala.util.Try(Await.result(chunksF, Duration.Inf)),
+        scala.util.Try(Await.result(embF, Duration.Inf)),
+        scala.util.Try(Await.result(tsF, Duration.Inf))))
       chunksR.get
       tsR.get
       embR.get.foreach(n => staleDelta += f.name -> n)
@@ -1561,6 +1713,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
 }
 
 object Collection {
+  /** AQE-off session clones for the micro-batch paths, keyed by
+    * (SparkContext, reduce width) — see [[Collection.microSpark]]. */
+  private[store] val microSessions =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.SparkSession]
+
+  /** Embeddings tables confirmed to carry the content-keyed `hid` column
+    * — the once-true-always-true legacy-migration verdict, cached so the
+    * per-batch sync path never re-resolves the schema. */
+  private[store] val nonLegacyEmb =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   /** Fixed daemon pool for the concurrent maintenance chains of a sync
     * micro-batch (three independent table appends per field). Small on
     * purpose: these threads only SUBMIT Spark jobs and wait — the

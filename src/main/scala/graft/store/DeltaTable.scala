@@ -198,13 +198,59 @@ object DeltaTable {
     else if (!new java.io.File(ioPath(stage)).renameTo(
         new java.io.File(s"${ioPath(path)}/seg=$seg")))
       throw new java.io.IOException(s"could not publish segment $seg under $path")
-    knownIds match {
-      case Some(ids) if ids.nonEmpty => appendManifestLocal(path, ids, docCol, seg)
-      case _ => appendManifest(path, docIds, docCol, seg)
+    // manifest publish + commit + cache advance under a per-path mutex:
+    // the cached doc→latest-seg literal map can then move FORWARD with
+    // the append instead of being invalidated by it — without this,
+    // every table an append touches pays a full manifest re-collect
+    // (a ~0.3 s driver job) on its next read, once per micro-batch.
+    // Cross-process appenders can't touch this JVM's cache; their files
+    // change the fingerprint, which lands on the re-collect path.
+    manifestLock(path).synchronized {
+      val preFp = manifestFingerprint(path)
+      knownIds match {
+        case Some(ids) if ids.nonEmpty => appendManifestLocal(path, ids, docCol, seg)
+        case _ => appendManifest(path, docIds, docCol, seg)
+      }
+      commitSeg(path, seg)
+      knownIds match {
+        case Some(ids) if ids.nonEmpty =>
+          manifestCacheApply(path, preFp, ids, docCol, seg)
+        case _ =>
+          manifestCache.remove(path)
+          ()
+      }
     }
-    commitSeg(path, seg)
     seg
   }
+
+  private val manifestLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def manifestLock(path: String): Object =
+    manifestLocks.getOrElseUpdate(path, new Object)
+
+  /** Advance the cached literal map for a committed local append. Applied
+    * only when the cached fingerprint equals the pre-append state (the
+    * caller holds [[manifestLock]], so no same-JVM appender can slip a
+    * manifest change between the capture and this update); on mismatch
+    * the entry is dropped so the next read re-collects — never wrong,
+    * just slower. */
+  private def manifestCacheApply(
+      path: String, preFp: String, ids: Seq[String], docCol: String, seg: Int): Unit =
+    manifestCache.get(path) match {
+      case Some((`preFp`, m)) =>
+        val m2 = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](m)
+        ids.distinct.foreach { id =>
+          val k = org.apache.spark.unsafe.types.UTF8String.fromString(id)
+          val prev = m2.get(k)
+          if (prev == null || prev.intValue() < seg) m2.put(k, Integer.valueOf(seg))
+        }
+        manifestCache.put(path, (manifestFingerprint(path), m2))
+        ()
+      case Some(_) =>
+        manifestCache.remove(path)
+        ()
+      case None =>
+    }
 
   /** Driver-side manifest append for a batch whose ids are already on the
     * driver: one parquet file written via parquet-hadoop directly — no
@@ -739,6 +785,8 @@ object DeltaTable {
     schemaCache.get(key) match {
       case Some(sc) => spark.read.schema(sc).parquet(path)
       case None =>
+        if (sys.env.get("SPARK_GRAFT_TRACE").contains("1"))
+          println(s"    [trace] schema-infer $path")
         val df = spark.read.parquet(path)
         if (schemaCache.size >= SchemaCacheMaxPaths)
           schemaCache.keys.headOption.foreach(schemaCache.remove)
@@ -874,6 +922,8 @@ object DeltaTable {
     manifestCache.get(path) match {
       case Some((`fp`, m)) => m
       case _ =>
+        if (sys.env.get("SPARK_GRAFT_TRACE").contains("1"))
+          println(s"    [trace] manifest-recollect $path")
         val rows = committedManifest(spark, path)
           .groupBy(col(docCol)).agg(max(col("seg")).as("__latest"))
           .select(col(docCol).cast("string"), col("__latest").cast("int"))
