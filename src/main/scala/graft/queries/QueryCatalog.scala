@@ -1280,6 +1280,45 @@ object QueryCatalog {
             FROM embeddings, range(1, 65) t(i)
             ORDER BY vec_id, pos"""))
 
+  /** Vector normalize family (v26): normalize_l1/l2/max as codegen
+    * kernels (vectors.rs:176-236 — v / norm with the norm computed ONCE
+    * in double, each element scaled by the reciprocal and narrowed back
+    * to float32). The oracle replays the exact float discipline: double
+    * left-assoc norm folds, 1/norm reciprocal, per-element double
+    * multiply, CAST to REAL — behind round(5).
+    */
+  val v26VecNormalize: GraftQuery = GraftQuery(
+    "v26_vec_normalize",
+    (s, dir) => {
+      import graft.functions.VecFunctions._
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          vecNormalizeL1(col("embedding")).as("a1"),
+          vecNormalizeL2(col("embedding")).as("a2"),
+          vecNormalizeMax(col("embedding")).as("am"))
+      emb.select(col("vec_id"),
+          posexplode(arrays_zip(col("a1"), col("a2"), col("am"))).as(Seq("pos", "z")))
+        .select(col("vec_id"), col("pos"),
+          round(col("z.a1").cast("double"), 5).as("v_l1"),
+          round(col("z.a2").cast("double"), 5).as("v_l2"),
+          round(col("z.am").cast("double"), 5).as("v_max"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+    Some("""WITH n AS (SELECT vec_id, embedding,
+              list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                (a, b) -> a + b) AS n1,
+              sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS n2,
+              list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                'max') AS nm
+            FROM embeddings)
+            SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / n1) AS REAL) AS DOUBLE), 5) AS v_l1,
+              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / n2) AS REAL) AS DOUBLE), 5) AS v_l2,
+              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / nm) AS REAL) AS DOUBLE), 5) AS v_max
+            FROM n, range(1, 65) t(i)
+            ORDER BY vec_id, pos"""))
+
   /** HNSW-forest ANN (the reference's actual index type — pgvector HNSW,
     * pipeline.rs:526-543): per-partition graph search + a (partitions×k)-row
     * global merge, served from a persisted forest. Approximate by design
@@ -2064,6 +2103,103 @@ object QueryCatalog {
             FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
             WHERE d.lang IN ('en', 'de') AND d.n_chars > 300
             ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
+
+  // delete-cascade warehouse: its OWN ingest (the shared e2e warehouse
+  // must keep every document for the other s-queries), deleted once per
+  // session+dir
+  private val s11Done =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def s11Collection(s: SparkSession, dir: String)
+      : (graft.store.Collection, graft.store.Pipeline) = {
+    val key = s"s11#${System.identityHashCode(s)}#$dir"
+    val wh = e2eWh.getOrElseUpdate(key,
+      java.nio.file.Files.createTempDirectory("graft_s11_wh_").toString)
+    val c = new graft.store.Collection(s, "docs", wh)
+    val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+      "text", splitter = Some((100000, 0)),
+      semanticSearch = Some(graft.functions.HashEmbedder(64)),
+      fullTextSearch = false)))
+    if (!s11Done.contains(key)) {
+      c.upsertDocuments(
+        t(s, dir, "documents").select(
+          to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("document")))
+      c.syncPipeline(p)
+      c.deleteDocuments("""{"source": {"$in": ["src0", "src1", "src2"]}}""")
+      s11Done.put(key, true)
+    }
+    (c, p)
+  }
+
+  /** Document delete with FK-style cascade (s11): `deleteDocuments` with
+    * a compiled JSON filter tombstones the documents AND every pipeline's
+    * derived rows (chunks/embeddings — queries.rs:49-66's ON DELETE
+    * CASCADE at delta-table cost), so a vector search after the delete
+    * serves only survivors — no orphaned chunks can rank. The oracle
+    * replays the s4 scoring machinery over the documents the filter
+    * KEEPS, plus the surviving document count as a per-row gate column:
+    * a resurrected document (the changelog-marker hazard the delete path
+    * guards) or a leaked chunk breaks either the top-10 or the count.
+    */
+  val s11DeleteCascade: GraftQuery = GraftQuery(
+    "s11_delete_cascade",
+    (s, dir) => {
+      val (c, p) = s11Collection(s, dir)
+      val nDocs = c.documents.count()
+      c.vectorSearch(p,
+          Seq(graft.store.VectorSearchField("text", "spark query table join")),
+          limit = 10)
+        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          round(col("score"), 5).as("score"), lit(nDocs).as("n_docs"))
+    },
+    Some(s"""WITH ${hashEmbedCtes(
+          """SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              WHERE source NOT IN ('src0', 'src1', 'src2')
+              UNION ALL SELECT -1, 'spark query table join'""")},
+            scored AS (SELECT dv.doc_id,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * q.v[i]), (x, y) -> x + y) AS dt,
+                list_reduce(list_transform(range(1, 65), i -> dv.v[i] * dv.v[i]), (x, y) -> x + y) AS na,
+                list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y) AS nb,
+                CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                     ELSE dt / (sqrt(na) * sqrt(nb)) END AS raw
+              FROM vecs dv, (SELECT v FROM vecs WHERE doc_id = -1) q
+              WHERE dv.doc_id >= 0),
+            nd AS (SELECT count(*) AS n_docs FROM documents
+              WHERE source NOT IN ('src0', 'src1', 'src2'))
+            SELECT sc.doc_id, round(sc.raw, 5) AS score, nd.n_docs
+            FROM scored sc, nd
+            ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
+
+  /** Filesystem ingestion (s12): `upsert_directory` (collection.rs:1413,
+    * 1662) — every file under a directory becomes a document
+    * {"id": path, "text": contents}. The query materializes a corpus
+    * slice as files, ingests the directory, and reads the documents
+    * back; the oracle rebuilds (file name, contents) from the documents
+    * table — ingestion must round-trip file contents byte-exactly and
+    * key each document by its path.
+    */
+  val s12UpsertDirectory: GraftQuery = GraftQuery(
+    "s12_upsert_directory",
+    (s, dir) => {
+      import s.implicits._
+      val files = java.nio.file.Files.createTempDirectory("graft_s12_files_")
+      t(s, dir, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().foreach { case (id, text) =>
+          java.nio.file.Files.writeString(files.resolve(f"doc_$id%03d.txt"), text)
+        }
+      val wh = java.nio.file.Files.createTempDirectory("graft_s12_wh_").toString
+      val c = new graft.store.Collection(s, "docs", wh)
+      c.upsertDirectory(files.toString)
+      c.documents
+        .select(
+          regexp_extract(get_json_object(col("document"), "$.id"),
+            "doc_\\d+\\.txt$", 0).as("fname"),
+          get_json_object(col("document"), "$.text").as("text"))
+        .orderBy(col("fname"))
+    },
+    Some("""SELECT printf('doc_%03d.txt', doc_id) AS fname, text
+            FROM documents WHERE doc_id < 20 ORDER BY fname"""))
 
   /** Chunked variant of the e2e flow (the recursive splitter in the loop,
     * 200/20). ORACLED: S6OracleSql composes the s1 chunk-fold replay with
@@ -3296,6 +3432,7 @@ object QueryCatalog {
     v11KnnBinary, v12KnnSq8, v13KnnL2, v14KnnIp, v15KnnHnswBatch, v16KnnPq,
     v17KnnHnswL2, v18KnnHnswIp, v19KnnIvfL2, v20KnnIvfIp,
     v21KnnSq8L2, v22KnnPqL2, v23KnnBinaryL2, v24KnnIvfPq, v25KnnIvfPqResidual,
+    v26VecNormalize,
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans, t11GopherRules, t12LangIdTrained, t13BpeTokens,
@@ -3306,7 +3443,7 @@ object QueryCatalog {
     e1EmbeddingPairs, e2SemDedup,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag, s9SearchLog,
-    s10FilteredSearch,
+    s10FilteredSearch, s11DeleteCascade, s12UpsertDirectory,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, m10SearchResults, p1Preprocess,
