@@ -243,6 +243,25 @@ class Registry(spark: SparkSession, dir: String) {
         s"model $modelId is not a binary logistic family: ${other.getClass.getName}")
     }
 
+  /** The (RFF frequencies, offsets, input dim, linear-head coefficients,
+    * intercept) of a stored kernel-approximation pipeline (svm/nu_svm) —
+    * the m12 oracle's literal source. */
+  def kernelApproxParams(modelId: Long)
+      : (Array[Double], Array[Double], Int, Array[Double], Double) = {
+    val pm = cachedModel(modelId)._2.asInstanceOf[org.apache.spark.ml.PipelineModel]
+    val rff = pm.stages(0).asInstanceOf[RffTransformer]
+    val (c, b) = pm.stages(1) match {
+      case m: org.apache.spark.ml.classification.LinearSVCModel =>
+        (m.coefficients.toArray, m.intercept)
+      case m: org.apache.spark.ml.regression.LinearRegressionModel =>
+        (m.coefficients.toArray, m.intercept)
+      case other => throw new IllegalArgumentException(
+        s"model $modelId head is not a linear family: ${other.getClass.getName}")
+    }
+    (rff.getOrDefault(rff.weights), rff.getOrDefault(rff.offsets),
+      rff.getOrDefault(rff.inDim), c, b)
+  }
+
   /** Binary-logistic parameters of the project's DEPLOYED model, with its
     * id — the warm-start seed for continued tuning (api.rs:846-995 tunes
     * the deployed checkpoint). None when the project has no deployment or

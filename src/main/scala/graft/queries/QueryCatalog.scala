@@ -2965,6 +2965,124 @@ object QueryCatalog {
           FROM sel ORDER BY cidx"""
     })
 
+  /** Confusion-matrix metrics (m11): the exact metrics.rs port semantics
+    * — per-class precision/recall/f1 over OBSERVED classes with the
+    * 0-when-undefined convention, macro = unweighted mean, micro =
+    * accuracy — computed by Metrics.classification over the m9 logistic
+    * model's own training relation. The oracle replays the predictions
+    * from the fitted coefficients (the m9 sigmoid literals) over every
+    * lineitem row and re-derives all five metrics in SQL from the
+    * confusion counts, behind round(6).
+    */
+  val m11ConfusionMetrics: GraftQuery = GraftQuery(
+    "m11_confusion_metrics",
+    (s, dir) => {
+      import s.implicits._
+      val (tr, modelId) = m9Train(s, dir)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount"),
+          (col("l_returnflag") === "R").cast("double").as("is_return"))
+      val m = graft.ml.Metrics.classification(
+        tr.registry.predictWithModel(modelId, li), "is_return", "prediction")
+      Seq((m("accuracy"), m("precision"), m("recall"), m("f1"), m("f1_micro")))
+        .toDF("accuracy", "precision", "recall", "f1", "f1_micro")
+        .select(Seq("accuracy", "precision", "recall", "f1", "f1_micro")
+          .map(c => round(col(c), 6).as(c)): _*)
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = m9Train(s, dir)
+      val (c, b) = tr.registry.logisticParams(modelId)
+      val margin =
+        s"l_quantity * (${dlit(c(0))}) + l_discount * (${dlit(c(1))}) + (${dlit(b)})"
+      s"""WITH p AS (SELECT
+              CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+              CASE WHEN $margin > 0.0 THEN 1.0 ELSE 0.0 END AS pred
+            FROM lineitem),
+          cnt AS (SELECT y, pred, count(*) AS n FROM p GROUP BY y, pred),
+          tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+              CAST(coalesce(sum(n) FILTER (WHERE y = pred), 0) AS DOUBLE) AS correct
+            FROM cnt),
+          cls AS (SELECT DISTINCT c FROM
+            (SELECT y AS c FROM cnt UNION ALL SELECT pred FROM cnt)),
+          per AS (SELECT c,
+              CAST(coalesce((SELECT sum(n) FROM cnt WHERE y = c AND pred = c), 0) AS DOUBLE) AS tp,
+              CAST(coalesce((SELECT sum(n) FROM cnt WHERE y <> c AND pred = c), 0) AS DOUBLE) AS fp,
+              CAST(coalesce((SELECT sum(n) FROM cnt WHERE y = c AND pred <> c), 0) AS DOUBLE) AS fn
+            FROM cls),
+          pr AS (SELECT c,
+              CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS p,
+              CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS r
+            FROM per),
+          f AS (SELECT c, p, r,
+              CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f1
+            FROM pr)
+          SELECT round(tot.correct / tot.total, 6) AS accuracy,
+            round((SELECT sum(p) FROM f) / (SELECT count(*) FROM f), 6) AS precision,
+            round((SELECT sum(r) FROM f) / (SELECT count(*) FROM f), 6) AS recall,
+            round((SELECT sum(f1) FROM f) / (SELECT count(*) FROM f), 6) AS f1,
+            round(tot.correct / tot.total, 6) AS f1_micro
+          FROM tot"""
+    })
+
+  private val m12Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
+  private def m12Train(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    m12Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+          (col("l_returnflag") === "R").cast("double").as("is_return"))
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_svm_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      val res = tr.train("q_svm", "classification", li, Some("is_return"),
+        "svm", hyperparams = Map("n_components" -> 25), testSize = 0.0)
+      (tr, res.modelId)
+    })
+
+  /** Kernel-SVM serving (m12): the reference's `svm`/`nu_svm` algorithms
+    * (sklearn SVC, RBF kernel — algorithm.rs:6-52) served via the random
+    * Fourier feature approximation + LinearSVC (sklearn's own documented
+    * large-scale path; Rahimi & Recht 2007). The oracle replays the
+    * ENTIRE serving function in SQL: zᵢ = √(2/D)·cos(bᵢ + wᵢᵀx) per
+    * drawn frequency (the fitted transformer's weights as literals),
+    * margin = (Σ cᵢzᵢ) + b left-associatively, prediction = margin > 0 —
+    * behind round(4).
+    */
+  val m12KernelSvm: GraftQuery = GraftQuery(
+    "m12_kernel_svm",
+    (s, dir) => {
+      val (tr, modelId) = m12Train(s, dir)
+      val feats = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount"), col("l_tax")).distinct()
+      tr.registry.predictWithModel(modelId, feats)
+        .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+          round(graft.ml.VectorOps.element(col("rawPrediction"), 1), 4).as("margin"),
+          col("prediction"))
+        .orderBy(col("l_quantity"), col("l_discount"), col("l_tax"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = m12Train(s, dir)
+      val (w, off, d, c, b) = tr.registry.kernelApproxParams(modelId)
+      val scale = math.sqrt(2.0 / off.length)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      require(d == feats.length, s"unexpected RFF input dim $d")
+      val zs = off.indices.map { i =>
+        val lin = feats.zipWithIndex
+          .map { case (f, j) => s"(${dlit(w(i * d + j))}) * $f" }
+          .mkString(" + ")
+        s"(${dlit(scale)} * cos((${dlit(off(i))}) + $lin))"
+      }
+      val margin = zs.zipWithIndex
+        .map { case (z, i) => s"(${dlit(c(i))}) * $z" }
+        .mkString(" + ") + s" + (${dlit(b)})"
+      s"""WITH f AS (SELECT DISTINCT l_quantity, l_discount, l_tax FROM lineitem),
+          m AS (SELECT l_quantity, l_discount, l_tax, $margin AS mg FROM f)
+          SELECT l_quantity, l_discount, l_tax, round(mg, 4) AS margin,
+            CASE WHEN mg > 0.0 THEN 1.0 ELSE 0.0 END AS prediction
+          FROM m ORDER BY l_quantity, l_discount, l_tax"""
+    })
+
   // one warm-start-tuned registry shared by the x8 query and its oracle
   // generator (the oracle inlines the SAME fitted head's parameters, so
   // the pair must come from one tune; session+dir keying as x6Cache)
@@ -3446,7 +3564,8 @@ object QueryCatalog {
     s10FilteredSearch, s11DeleteCascade, s12UpsertDirectory,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
-    m9PredictProba, m10SearchResults, p1Preprocess,
+    m9PredictProba, m10SearchResults, m11ConfusionMetrics, m12KernelSvm,
+    p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
     x9TransformNer,
