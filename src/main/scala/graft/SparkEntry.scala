@@ -19,8 +19,14 @@ object SparkEntry {
 
   /** [[oracleSql]] plus the data-dependent oracles (fitted-model replays
     * whose literals must be generated against the scale factor under
-    * test) — what Verify dumps to oracle_sql.json. */
-  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
-    QueryCatalog.all.flatMap(q =>
-      q.oracle.orElse(q.oracleGen.map(_(spark, sfDir))).map(q.name -> _)).toMap
+    * test) — what Verify dumps to oracle_sql.json. `only` restricts
+    * BEFORE the generators run: an unfiltered flatMap would train every
+    * oracle model and build every index even for a one-query dev
+    * pre-check. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]] = None): Map[String, String] =
+    QueryCatalog.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .flatMap(q =>
+        q.oracle.orElse(q.oracleGen.map(_(spark, sfDir))).map(q.name -> _)).toMap
 }

@@ -102,10 +102,15 @@ class GdLogisticModel(
   }
 
   override def transform(df: Dataset[_]): DataFrame = {
-    val probUdf = udf((v: Vector) => Vectors.dense(1.0 - prob(v), prob(v)))
-    val predUdf = udf((v: Vector) => if (prob(v) > 0.5) 1.0 else 0.0)
+    // ONE dot product per row: probability computed once, prediction
+    // derived from it (p > 0.5 ⇔ margin > 0, MLlib's binary threshold)
+    val probUdf = udf { (v: Vector) =>
+      val p = prob(v)
+      Vectors.dense(1.0 - p, p)
+    }
     df.withColumn("probability", probUdf(col("features")))
-      .withColumn("prediction", predUdf(col("features")))
+      .withColumn("prediction",
+        when(VectorOps.element(col("probability"), 1) > 0.5, 1.0).otherwise(0.0))
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -96,8 +96,18 @@ object NerClassifier {
 final case class TrainedNerModel(model: NerClassifier.Model) extends TaskModel {
   override def task: String = "token-classification"
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+  // full JSON string escaping — every control char below 0x20 must be
+  // escaped or the envelope is invalid JSON and from_json nulls the
+  // whole entity array for the document
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   override def runBatch(texts: Seq[String], args: Map[String, String]): Seq[String] =
     texts.map { t =>

@@ -154,8 +154,18 @@ object TaskModels {
   val positive = Set("good", "great", "love", "excellent", "best", "fast", "happy", "like")
   val negative = Set("bad", "terrible", "hate", "worst", "slow", "awful", "sad", "broken")
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+  // full JSON string escaping: every control char below 0x20 (not just
+  // \n) — a raw control char makes the envelope invalid JSON and any
+  // downstream from_json silently nulls the whole output
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** One "model call" over a whole batch — a real backend pads/stacks the
     * batch and runs it on-device in one pass; the stand-in maps. */

@@ -205,9 +205,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val parsed: Seq[(String, String)] = docs.map { doc =>
       val j = try org.json4s.jackson.JsonMethods.parse(doc)
         catch { case _: Throwable => return false }
-      (j \ "id") match {
-        case org.json4s.JString(s) => (s, doc)
-        case org.json4s.JInt(n) => (n.toString, doc)
+      // OBJECT roots only: json4s `\` would descend into an array root
+      // and find nested ids where get_json_object('$.id') returns NULL —
+      // any non-object document must key identically to the distributed
+      // path, so it takes that path
+      j match {
+        case o: org.json4s.JObject => (o \ "id") match {
+          case org.json4s.JString(s) => (s, doc)
+          case org.json4s.JInt(n) => (n.toString, doc)
+          case _ => return false
+        }
         case _ => return false
       }
     }
@@ -219,6 +226,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val lastByUuid = scala.collection.mutable.LinkedHashMap.empty[String, String]
     parsed.foreach { case (id, doc) => lastByUuid.put(md5hex(id), doc) }
     val uuids = lastByUuid.keys.toSeq
+    // an empty batch publishes NOTHING — no segment, no manifest, and no
+    // changelog batch (an empty changelog batch would make every synced
+    // pipeline run its whole delta machinery for nothing on next sync)
+    if (uuids.isEmpty) return true
     val sess = microSpark(1)
     // the ONE corpus-touching action: In-pruned two-column read of the
     // touched documents' stored created_at (row-group stats prune on the
@@ -352,17 +363,21 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           // changelog batch all derive from the local rows — the segment
           // and changelog writes become trivial LocalRelation jobs, and
           // the old read-back of the just-written segment (a listing +
-          // scan per batch) disappears entirely
+          // scan per batch) disappears entirely. A 0-row batch publishes
+          // nothing (no segment, no changelog batch — the pre-fast-path
+          // behavior appendChangelogFromSeg's dir guard provided).
           val rows = traced("up:merge-collect")(upserted.collect().toSeq)
-          import scala.jdk.CollectionConverters._
-          val local = sess.createDataFrame(rows.asJava, upserted.schema)
-          traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, local,
-            incoming.select("source_uuid"), docCol = "source_uuid",
-            sortCols = Seq("source_uuid"),
-            coalesceTo = math.max(1, rows.size / DeltaTable.RowsPerDeltaFile),
-            knownIds = idsLocal))
-          traced("up:changelog")(appendChangelog(
-            local.select(col("source_uuid"), col("document"))))
+          if (rows.nonEmpty) {
+            import scala.jdk.CollectionConverters._
+            val local = sess.createDataFrame(rows.asJava, upserted.schema)
+            traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, local,
+              incoming.select("source_uuid"), docCol = "source_uuid",
+              sortCols = Seq("source_uuid"),
+              coalesceTo = math.max(1, rows.size / DeltaTable.RowsPerDeltaFile),
+              knownIds = idsLocal))
+            traced("up:changelog")(appendChangelog(
+              local.select(col("source_uuid"), col("document"))))
+          }
         case None =>
           val seg = traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, upserted,
             incoming.select("source_uuid"), docCol = "source_uuid",
@@ -616,8 +631,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // pipelines can share one without racing the width (the property the
     // old session-per-sync form bought, minus its per-batch SQLConf
     // clone + SessionState init on the critical path).
+    // applicationId, not identityHashCode: unique per context (a hash
+    // collision could hand back a session bound to a STOPPED context)
     Collection.microSessions.getOrElseUpdate(
-      s"${System.identityHashCode(spark.sparkContext)}#$shufflePartitions", {
+      s"${spark.sparkContext.applicationId}#$shufflePartitions", {
         val s2 = spark.newSession()
         s2.conf.set("spark.sql.adaptive.enabled", "false")
         s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -207,14 +207,17 @@ object DeltaTable {
     // change the fingerprint, which lands on the re-collect path.
     manifestLock(path).synchronized {
       val preFp = manifestFingerprint(path)
-      knownIds match {
-        case Some(ids) if ids.nonEmpty => appendManifestLocal(path, ids, docCol, seg)
-        case _ => appendManifest(path, docIds, docCol, seg)
+      val written = knownIds match {
+        case Some(ids) if ids.nonEmpty =>
+          Some(appendManifestLocal(path, ids, docCol, seg))
+        case _ =>
+          appendManifest(path, docIds, docCol, seg)
+          None
       }
       commitSeg(path, seg)
-      knownIds match {
-        case Some(ids) if ids.nonEmpty =>
-          manifestCacheApply(path, preFp, ids, docCol, seg)
+      (knownIds, written) match {
+        case (Some(ids), Some(file)) if ids.nonEmpty =>
+          manifestCacheApply(path, preFp, file, ids, seg)
         case _ =>
           manifestCache.remove(path)
           ()
@@ -231,20 +234,32 @@ object DeltaTable {
   /** Advance the cached literal map for a committed local append. Applied
     * only when the cached fingerprint equals the pre-append state (the
     * caller holds [[manifestLock]], so no same-JVM appender can slip a
-    * manifest change between the capture and this update); on mismatch
-    * the entry is dropped so the next read re-collects — never wrong,
-    * just slower. */
+    * manifest change between the capture and this update) AND the
+    * post-append fingerprint differs from the pre state by EXACTLY this
+    * append's manifest file and commit marker — a cross-process append
+    * (or prune) landing in the commit→fingerprint window would otherwise
+    * be absorbed into the stored fingerprint while the map lacks its
+    * entries, serving that process's documents from their old segments.
+    * Any unexplained delta drops the entry so the next read re-collects
+    * — never wrong, just slower. */
   private def manifestCacheApply(
-      path: String, preFp: String, ids: Seq[String], docCol: String, seg: Int): Unit =
+      path: String, preFp: String, ownFile: String, ids: Seq[String], seg: Int): Unit =
     manifestCache.get(path) match {
       case Some((`preFp`, m)) =>
-        val m2 = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](m)
-        ids.distinct.foreach { id =>
-          val k = org.apache.spark.unsafe.types.UTF8String.fromString(id)
-          val prev = m2.get(k)
-          if (prev == null || prev.intValue() < seg) m2.put(k, Integer.valueOf(seg))
-        }
-        manifestCache.put(path, (manifestFingerprint(path), m2))
+        val postFp = manifestFingerprint(path)
+        // reconstruct what the post fingerprint SHOULD be if this append
+        // was the only change: preFp with our file spliced into the
+        // sorted name order and our seg added to the committed set
+        val expected = expectedPostFingerprint(path, preFp, ownFile, seg)
+        if (expected.contains(postFp)) {
+          val m2 = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](m)
+          ids.distinct.foreach { id =>
+            val k = org.apache.spark.unsafe.types.UTF8String.fromString(id)
+            val prev = m2.get(k)
+            if (prev == null || prev.intValue() < seg) m2.put(k, Integer.valueOf(seg))
+          }
+          manifestCache.put(path, (postFp, m2))
+        } else manifestCache.remove(path)
         ()
       case Some(_) =>
         manifestCache.remove(path)
@@ -252,13 +267,37 @@ object DeltaTable {
       case None =>
     }
 
+  /** The fingerprint this JVM's append alone would produce from `preFp`:
+    * the own manifest file's entry inserted in sorted-name order and the
+    * new seg in the committed list. None when the file is unlistable
+    * (caller then invalidates). */
+  private def expectedPostFingerprint(
+      path: String, preFp: String, ownFile: String, seg: Int): Option[String] = {
+    val f = new java.io.File(manifestPath(path), ownFile)
+    if (!f.isFile) return None
+    val entry = s"$ownFile:${f.length}:${f.lastModified}"
+    val Array(filesPart, committedPart) = {
+      val i = preFp.lastIndexOf('#')
+      Array(preFp.substring(0, i), preFp.substring(i + 1))
+    }
+    val files = (if (filesPart.isEmpty) Seq(entry)
+      else (filesPart.split("\\|").toSeq :+ entry).sortBy(_.takeWhile(_ != ':')))
+      .mkString("|")
+    val committed =
+      if (committedPart == "ALL") "ALL" // pre-marker layout: commitSeg created the dir…
+      else (committedPart.split(",").filter(_.nonEmpty).map(_.toInt).toSeq :+ seg)
+        .distinct.sorted.mkString(",")
+    Some(files + "#" + committed)
+  }
+
   /** Driver-side manifest append for a batch whose ids are already on the
     * driver: one parquet file written via parquet-hadoop directly — no
     * Spark job — staged as a hidden sibling and renamed in, same publish
     * contract as [[appendManifest]]. Readers cannot tell the two writers
-    * apart (same (docCol UTF8, seg int32) schema). */
+    * apart (same (docCol UTF8, seg int32) schema). Returns the published
+    * file name (the cache-advance check keys on it). */
   private def appendManifestLocal(
-      path: String, ids: Seq[String], docCol: String, seg: Int): Unit = {
+      path: String, ids: Seq[String], docCol: String, seg: Int): String = {
     val mdir = new java.io.File(manifestPath(path))
     mdir.mkdirs()
     val name = s"part-local-$seg-${java.util.UUID.randomUUID()}.parquet"
@@ -281,6 +320,7 @@ object DeltaTable {
     if (!stage.renameTo(new java.io.File(mdir, name)))
       throw new java.io.IOException(
         s"could not publish manifest rows for segment $seg under $path")
+    name
   }
 
   /** Writers need java.io-visible homes (plain local or file: paths): the
@@ -579,10 +619,13 @@ object DeltaTable {
   /** Drop a log's bookkeeping markers for pruned batches (numbers at or
     * below `upTo`); numbering stays monotonic off the surviving markers
     * and dirs. Also sweeps `_stage-*` dirs a crashed writer orphaned,
-    * once they age past [[logAllocGraceMs]] — a LIVE writer's stage dir
-    * mtime refreshes as part files land, and once the write finishes the
-    * rename-away is a local syscall, so a stage still present a full
-    * grace window after its last write belongs to a dead writer. */
+    * once the NEWEST mtime in the whole subtree ages past
+    * [[logAllocGraceMs]] — the top dir's own mtime does NOT refresh
+    * while Spark lands part files under `_temporary/...`, so judging age
+    * from it alone could delete a live bulk writer's stage mid-write. A
+    * live writer's deepest files are always younger than the window
+    * (once the write finishes, the rename-away is a local syscall), so
+    * a subtree quiet for the full window belongs to a dead writer. */
   private[graft] def pruneLogMarkers(path: String, upTo: Long): Unit = {
     val d = new java.io.File(commitsPath(path))
     Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
@@ -594,10 +637,15 @@ object DeltaTable {
       if (num <= upTo) f.delete()
     }
     val now = System.currentTimeMillis()
+    def newestMtime(f: java.io.File): Long = {
+      val own = f.lastModified()
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(own)((m, c) => math.max(m, newestMtime(c)))
+    }
     Option(new java.io.File(ioPath(path)).listFiles()).getOrElse(Array.empty)
       .foreach { f =>
         if (f.isDirectory && f.getName.startsWith("_stage-") &&
-            now - f.lastModified() > logAllocGraceMs)
+            now - newestMtime(f) > logAllocGraceMs)
           deleteRec(f)
       }
   }

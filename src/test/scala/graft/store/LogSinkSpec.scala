@@ -174,14 +174,24 @@ class LogSinkSpec extends AnyFunSuite {
     DeltaTable.publishLogBatch(Seq(("x", 0)).toDF("a", "b"), p, b0)
     val dead = new java.io.File(p, "_stage-deadbeef")
     dead.mkdirs()
-    new java.io.File(dead, "part-0.parquet").createNewFile()
-    dead.setLastModified(
-      System.currentTimeMillis() - DeltaTable.logAllocGraceMs - 60000)
-    val live = new java.io.File(p, "_stage-live")
+    val deadPart = new java.io.File(dead, "part-0.parquet")
+    deadPart.createNewFile()
+    // age the WHOLE subtree: the sweep judges by the newest mtime under
+    // the stage (the top dir's mtime doesn't refresh while Spark lands
+    // part files in _temporary subdirs, so it alone proves nothing)
+    val old = System.currentTimeMillis() - DeltaTable.logAllocGraceMs - 60000
+    deadPart.setLastModified(old)
+    dead.setLastModified(old)
+    // a live writer mid-write: stale TOP dir but a FRESH deep part file —
+    // must NOT be swept (the bulk-backfill-in-progress shape)
+    val live = new java.io.File(p, "_stage-live/_temporary/0")
     live.mkdirs()
+    new java.io.File(live, "part-1.parquet").createNewFile()
+    new java.io.File(p, "_stage-live").setLastModified(old)
     DeltaTable.pruneLogMarkers(p, -1L)
     assert(!dead.exists(), "orphaned stage dir past the grace window survived")
-    assert(live.exists(), "a live writer's fresh stage dir was swept")
+    assert(new java.io.File(p, "_stage-live").exists(),
+      "a live writer's mid-write stage (fresh deep file, stale top dir) was swept")
     assert(spark.read.parquet(p).count() == 1)
   }
 
