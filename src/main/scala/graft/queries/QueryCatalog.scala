@@ -3252,6 +3252,58 @@ object QueryCatalog {
           FROM p WHERE p >= 0.5 ORDER BY doc_id, idx"""
     })
 
+  /** OpenSourceAI chat completions (x10): the OpenAI-compatible façade
+    * (open_source_ai.rs:140-420) routed through the conversational
+    * transform task, one envelope per document. The oracle replays the
+    * WHOLE envelope from first principles in DuckDB: the reply rule
+    * (first max_tokens tokens of the user turn), the deterministic
+    * request id (FNV-1a-64 over the exact messages JSON — corpus text
+    * needs no escaping, so the byte stream is constructible in SQL —
+    * rendered as unsigned lowercase hex via to_hex), and the
+    * system_fingerprint (FNV over model+max_tokens, computed in SQL,
+    * not echoed).
+    */
+  val x10ChatCompletion: GraftQuery = GraftQuery(
+    "x10_chat_completion",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      docs.map { case (id, text) =>
+          (id, graft.store.OpenSourceAI.chatCompletionsCreate(
+            "test-model", Seq("system" -> "be brief", "user" -> text),
+            maxTokens = 12))
+        }.toDF("doc_id", "env")
+        .select(col("doc_id"),
+          get_json_object(col("env"), "$.id").as("chat_id"),
+          get_json_object(col("env"), "$.model").as("model"),
+          get_json_object(col("env"), "$.system_fingerprint").as("fingerprint"),
+          get_json_object(col("env"), "$.choices[0].message.content").as("content"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+            m AS (SELECT doc_id, text,
+              '[{"role": "system", "content": "be brief"}, {"role": "user", "content": "'
+                || text || '"}]' AS msg FROM d),
+            h AS (SELECT doc_id, text, list_reduce(
+                list_concat([14695981039346656037::HUGEINT],
+                  list_transform(string_split(msg, ''), ch -> unicode(ch)::HUGEINT)),
+                (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                  % 18446744073709551616::HUGEINT) AS hid FROM m),
+            f AS (SELECT list_reduce(
+                list_concat([14695981039346656037::HUGEINT],
+                  list_transform(string_split('test-model12', ''), ch -> unicode(ch)::HUGEINT)),
+                (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                  % 18446744073709551616::HUGEINT) AS fp)
+            SELECT h.doc_id,
+              lower(to_hex(CAST(h.hid AS UBIGINT))) AS chat_id,
+              'test-model' AS model,
+              lower(to_hex(CAST(f.fp AS UBIGINT))) AS fingerprint,
+              array_to_string(list_slice(
+                string_split_regex(trim(lower(text)), '\s+'), 1, 12), ' ') AS content
+            FROM h, f ORDER BY h.doc_id"""))
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -3568,7 +3620,7 @@ object QueryCatalog {
     p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
-    x9TransformNer,
+    x9TransformNer, x10ChatCompletion,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }

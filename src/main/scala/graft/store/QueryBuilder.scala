@@ -36,8 +36,17 @@ class QueryBuilder(collection: Collection) {
   */
 object OpenSourceAI {
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+  // full JSON string escaping (all control chars) — same discipline as
+  // Transform's envelopes
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   private def messagesJson(messages: Seq[(String, String)]): String =
     messages.map { case (role, content) =>
