@@ -336,6 +336,14 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       // collected ids are reused for the job-free manifest write below.
       val probe = traced("up:probe-collect")(incoming.select("source_uuid")
         .limit(DeltaTable.InPushdownMaxIds + 1).as[String].collect().toSeq)
+      // a document without an extractable "id" (get_json_object NULL —
+      // missing key, array root) has no upsert identity: the old code
+      // stored it under a NULL uuid that no manifest entry, changelog
+      // consumer, or delete filter could ever address again. Fail loudly
+      // (the documented contract: each document must contain an id key).
+      require(!probe.contains(null),
+        "upsertDocuments: every document must carry a JSON object root " +
+          "with an \"id\" key (get_json_object('$.id') returned NULL)")
       val idsLocal =
         if (probe.size <= DeltaTable.InPushdownMaxIds) Some(probe) else None
       val batchN = idsLocal.map(_.size.toLong).getOrElse(incoming.count())

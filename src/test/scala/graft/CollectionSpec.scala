@@ -141,6 +141,75 @@ class CollectionSpec extends AnyFunSuite {
     assert(ordered.toSeq == ordered.sorted(Ordering[Int].reverse).toSeq)
   }
 
+  test("property: driver-side fast-path upserts equal the distributed path row for row") {
+    // the fast path (LocalRelation + no merge) must be indistinguishable
+    // from the distributed window/merge-join lineage: same uuids (md5 of
+    // get_json_object's id rendering), same last-occurrence-wins dedup,
+    // same row_id, same created_at retention. Forcing the distributed
+    // path on the identical batch: .coalesce(1) roots the plan in a
+    // Repartition node (so the LocalRelation precondition fails) while
+    // PRESERVING row order — a shuffle would change the statement order
+    // the last-occurrence-wins rule is defined over.
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { trial =>
+      val fast = newCollection(s"fastpath_$trial")
+      val slow = newCollection(s"slowpath_$trial")
+      def batch(k: Int) = (0 until 6).map { i =>
+        // mixed id shapes (string + int), planted in-batch duplicates
+        val id = if (rnd.nextBoolean()) s""""doc-${rnd.nextInt(4)}"""" else s"${rnd.nextInt(4)}"
+        s"""{"id": $id, "text": "rev $k payload ${rnd.nextInt(100)}"}"""
+      }.toDF("document")
+      // same pseudo-random stream for both collections
+      val b1 = batch(1).cache(); b1.count()
+      val b2 = batch(2).cache(); b2.count()
+      // initial base write (both distributed), then incremental batches:
+      // fast path on one side, repartition-forced distributed on the other
+      fast.upsertDocuments(b1)
+      slow.upsertDocuments(b1.coalesce(1))
+      fast.upsertDocuments(b2)
+      slow.upsertDocuments(b2.coalesce(1))
+      def rows(c: graft.store.Collection) = c.documents
+        .select("row_id", "source_uuid", "document").as[(Long, String, String)]
+        .collect().sortBy(_._2).toSeq
+      assert(rows(fast) == rows(slow),
+        s"trial $trial: fast ${rows(fast)}\nslow ${rows(slow)}")
+      // created_at retention: rows updated in batch 2 keep their batch-1
+      // timestamp on BOTH paths (timestamps differ across collections —
+      // compare the retention STRUCTURE, not the values)
+      def retained(c: graft.store.Collection) = {
+        val ts = c.documents.select("source_uuid", "created_at")
+          .as[(String, java.sql.Timestamp)].collect().toMap
+        ts.keys.toSeq.sorted.map(k => ts(k) != null)
+      }
+      assert(retained(fast) == retained(slow))
+      b1.unpersist(); b2.unpersist()
+    }
+  }
+
+  test("fast-path bail shapes: array-rooted and empty batches") {
+    val wh = Files.createTempDirectory("graft_wh_fb_").toString
+    val c = new Collection(spark, "fastbail", wh)
+    c.upsertDocuments(Seq("""{"id": 1, "text": "base"}""").toDF("document"))
+    // array-rooted document: the fast path must NOT key it via json4s'
+    // descend-into-arrays lookup (which would silently merge it into the
+    // object doc with id 1); it bails to the distributed path, where the
+    // id-less shape now fails LOUDLY instead of storing an unaddressable
+    // NULL-uuid row (the NPE-in-manifest-writer bug this test found)
+    intercept[IllegalArgumentException] {
+      c.upsertDocuments(Seq("""[{"id": 1, "text": "array root"}]""").toDF("document"))
+    }
+    val uuids = c.documents.select("source_uuid").as[String].collect().toSeq
+    assert(uuids == Seq("c4ca4238a0b923820dcc509a6f75849b"),
+      s"array-rooted doc must not land or merge: $uuids")
+    // empty batch: publishes NOTHING — no new changelog batch
+    def batches() = Option(new java.io.File(s"$wh/fastbail/_changelog").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("batch="))
+    val before = batches()
+    c.upsertDocuments(Seq.empty[String].toDF("document"))
+    assert(batches() == before,
+      "an empty upsert published an empty changelog batch")
+  }
+
   test("deleteDocuments removes filtered docs only") {
     val c = newCollection("c4")
     c.upsertDocuments(dummyDocs(9))
