@@ -50,7 +50,8 @@ object Bench {
       "s1_chunk", "s3_fulltext_rank",
       "s4_ingest", "s4_sync_delta", "s4_sync_steady", "s4_vector_search_e2e",
       "s6_vector_search_chunked", "s7_hybrid_search", "s10_filtered_search",
-      "x1_transform_sentiment", "x2_sessions", "c1_corpus_curate",
+      "x1_transform_sentiment", "x2_sessions", "x9_transform_ner",
+      "c1_corpus_curate",
       "m1_linear_regression").filter(n => only.forall(_.contains(n)))
 
     // s4_ingest times the store's ingest leg (upsert → chunk → embed →

@@ -289,6 +289,32 @@ object Probe {
         cePairs, "q", "c", "label", graft.functions.HashEmbedder(64))
       println(s"CROSS-ENCODER weights: " +
         ce.weights.map(w => f"$w%.2f").mkString(" ") + f" b=${ce.intercept}%.2f")
+
+      // round-12 surfaces: warm-start tune, trained NER, chat façade
+      val wsReg = java.nio.file.Files.createTempDirectory("graft_drive_ws_").toString
+      val wsTr = new graft.ml.Trainer(spark, wsReg)
+      val wsRel = docs.limit(80)
+        .select($"text", ($"doc_id" % 2).cast("double").as("label"))
+      val base = wsTr.tune("drive_ws", "text_classification", wsRel,
+        "text", "label", "distilbert-stand-in")
+      val tuned = wsTr.tune("drive_ws", "text_classification", wsRel,
+        "text", "label", "distilbert-stand-in")
+      println(f"WARM-START TUNE: base f1 ${base.metrics("f1")}%.3f -> " +
+        f"tuned f1 ${tuned.metrics("f1")}%.3f (model ${tuned.modelId})")
+      val nerM = graft.operators.NerClassifier.fit(
+        Seq(("Mr Alto visited Basel in spring", Seq(2, 4))).toDF("text", "ents"),
+        "text", "ents")
+      graft.operators.Transform.registerModel(
+        "drive-ner", graft.operators.TrainedNerModel(nerM))
+      val nerOut = graft.operators.Transform(
+          docs.limit(20).select($"doc_id",
+            concat(lit("Mr Alto visited Basel in "), $"text").as("text")),
+          "token-classification", "text", args = Map("model" -> "drive-ner"))
+        .select(get_json_object($"output", "$[0].word")).as[String].collect()
+      println(s"TRAINED-NER first entities: ${nerOut.take(3).mkString(", ")}")
+      val chat = graft.store.OpenSourceAI.chatCompletionsCreate(
+        "test-model", Seq("system" -> "be brief", "user" -> "hello spark world"))
+      println(s"CHAT envelope: ${chat.take(120)}")
       spark.stop()
 
     case "ivf-recall" :: rest =>
