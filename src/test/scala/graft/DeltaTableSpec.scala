@@ -156,6 +156,71 @@ class DeltaTableSpec extends AnyFunSuite {
     assert(DeltaTable.segmentCount(p) == 1)
   }
 
+  test("a foreign (cross-process) append invalidates the cached manifest map") {
+    // the literal-map cache advances with THIS JVM's appends; files
+    // another process lands must force a re-collect, never be absorbed —
+    // a stale map would serve the foreign process's documents from their
+    // superseded segments
+    val p = tmp()
+    DeltaTable.writeBase(Seq(("a", 0, "x"), ("b", 0, "y"))
+      .toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.appendDelta(spark, p,
+      Seq(("a", 0, "x2")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"), knownIds = Some(Seq("a")))
+    // prime + advance the cache through a read and a second local append
+    assert(DeltaTable.read(spark, p).where(col("document_id") === "a")
+      .select("chunk").as[String].head() == "x2")
+    DeltaTable.appendDelta(spark, p,
+      Seq(("a", 0, "x3")).toDF("document_id", "chunk_index", "chunk"),
+      Seq("a").toDF("document_id"), knownIds = Some(Seq("a")))
+    assert(DeltaTable.read(spark, p).where(col("document_id") === "a")
+      .select("chunk").as[String].head() == "x3")
+    // simulate ANOTHER PROCESS appending seg 9 for doc b: data dir,
+    // manifest rows, and commit marker land on disk without this JVM's
+    // cache hearing about it
+    val stage = Files.createTempDirectory("graft_foreign_").toString
+    Seq(("b", 0, "FOREIGN")).toDF("document_id", "chunk_index", "chunk")
+      .coalesce(1).write.parquet(s"$stage/data")
+    Seq(("b", 9)).toDF("document_id", "seg")
+      .coalesce(1).write.parquet(s"$stage/manifest")
+    def onePart(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val segDir = new java.io.File(p, "seg=9"); segDir.mkdirs()
+    assert(onePart(s"$stage/data").renameTo(new java.io.File(segDir, "part-foreign.parquet")))
+    assert(onePart(s"$stage/manifest").renameTo(
+      new java.io.File(s"$p/_manifest", "part-foreign-9.parquet")))
+    new java.io.File(s"$p/_commits", "seg-9").createNewFile()
+    // the read MUST see the foreign supersession (stale cache would
+    // still serve doc b's base row "y")
+    assert(DeltaTable.read(spark, p).where(col("document_id") === "b")
+      .select("chunk").as[String].head() == "FOREIGN",
+      "stale manifest cache served a superseded foreign document")
+  }
+
+  test("concurrent knownIds appends to one table: cache advance under the lock stays correct") {
+    val p = tmp()
+    DeltaTable.writeBase(
+      (0 until 8).map(i => (s"d$i", 0, "base")).toDF("document_id", "chunk_index", "chunk"), p)
+    DeltaTable.read(spark, p).count() // prime the manifest cache path
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futs = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          DeltaTable.appendDelta(spark, p,
+            Seq((s"d$i", 0, s"new$i")).toDF("document_id", "chunk_index", "chunk"),
+            Seq(s"d$i").toDF("document_id"), knownIds = Some(Seq(s"d$i")))
+          ()
+        }
+      })
+    }
+    futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val out = DeltaTable.read(spark, p)
+      .select("document_id", "chunk").as[(String, String)].collect().toMap
+    assert(out == (0 until 8).map(i => s"d$i" -> s"new$i").toMap,
+      s"concurrent appends resolved wrong: $out")
+  }
+
   test("randomized op sequence matches an in-memory model (seeded)") {
     // model-based stress: 40 random append/tombstone/compact ops against a
     // Map[doc -> rows] model, read-equivalence checked after EVERY op —
