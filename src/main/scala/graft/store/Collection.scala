@@ -777,8 +777,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         val reused = oldEmb
           .join(newChunks.join(changed, keyCols, "left_anti")
             .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
-        val delta = traced("chain:delta-checkpoint")(
-          reused.unionByName(newEmb).localCheckpoint())
+        // eager checkpoint ONLY when the frame has multiple consumers
+        // (table append + index delta segments): with no index on the
+        // field, appendDelta is the sole consumer and the checkpoint is
+        // a pure extra materialization job (~0.4 s) on the critical path
+        // — the lineage is already recomputation-stable (checkpointed
+        // changedDocs + frozen oldEmb + pre-append file listings)
+        val delta0 = reused.unionByName(newEmb)
+        val delta =
+          if (f.vectorIndex.nonEmpty || f.hnswIndex.nonEmpty || f.binaryIndex)
+            traced("chain:delta-checkpoint")(delta0.localCheckpoint())
+          else delta0
         // the content-keyed hid rides IN the segment (new rows stamped it
         // above, reused rows carry their stored one), so the HNSW append
         // below and every later read agree on node ids with no derivation
