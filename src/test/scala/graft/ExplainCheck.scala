@@ -53,6 +53,10 @@ object ExplainCheck {
     // per batch), never a per-row UDF — the accelerator-backed-model shape
     check("x1_transform_sentiment", "transform runs as MapPartitions, no per-row UDF")(
       p => p.contains("MapPartitions") && !p.contains("ScalaUDF"))
+    // the trained NER serves through the same batched dispatch: model in
+    // the closure, one call per batch, never a per-row UDF
+    check("x9_transform_ner", "trained NER runs as MapPartitions, no per-row UDF")(
+      p => p.contains("MapPartitions") && !p.contains("ScalaUDF"))
     // deletes cascade to pipeline tables, so the unfiltered vector search
     // must NOT pay a pre-limit corpus-wide semi-join gate per query
     check("s4_vector_search_e2e", "no corpus-wide LeftSemi gate in unfiltered search")(
