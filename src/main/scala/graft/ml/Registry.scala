@@ -208,10 +208,28 @@ class Registry(spark: SparkSession, dir: String) {
     * introspection surface; also what lets the m3 oracle replay the
     * fixed-point assignment in SQL with the centers as literals). */
   def clusterCenters(modelId: Long): Array[Array[Double]] = {
-    val (_, model) = cachedModel(modelId)
-    model.asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
-      .clusterCenters.map(_.toArray)
+    cachedModel(modelId)._2 match {
+      case km: org.apache.spark.ml.clustering.KMeansModel =>
+        km.clusterCenters.map(_.toArray)
+      case cm: CentroidModel => cm.centers.map(_.clone())
+      case other => throw new IllegalArgumentException(
+        s"model $modelId has no cluster centers: ${other.getClass.getName}")
+    }
   }
+
+  /** Centroids of the project's DEPLOYED model, with its id — the
+    * warm-start seed for continued conversation tuning (the centroid
+    * analogue of [[deployedLogisticParams]]). None when the project has
+    * no deployment or the deployment is not a centroid family. */
+  def deployedCentroids(project: String): Option[(Long, Array[Array[Double]])] =
+    currentDeployment(project).flatMap { dep =>
+      cachedModel(dep.model_id)._2 match {
+        case km: org.apache.spark.ml.clustering.KMeansModel =>
+          Some((dep.model_id, km.clusterCenters.map(_.toArray)))
+        case cm: CentroidModel => Some((dep.model_id, cm.centers.map(_.clone())))
+        case _ => None
+      }
+    }
 
   /** Principal components of a stored PCA model, [k][numFeatures] (row c
     * = component c) — the introspection surface that lets the m6 oracle
@@ -413,15 +431,21 @@ class Registry(spark: SparkSession, dir: String) {
     responsesOf(dep.model_id) match {
       case Some(responses) =>
         val (meta, model) = cachedModel(dep.model_id)
-        val km = model.asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
+        // one assignment rule for both families: left-assoc squared
+        // distance, first-minimum tie-break (CentroidModel.assign — the
+        // warm-started head reuses the identical code path)
+        val assigner = model match {
+          case km: org.apache.spark.ml.clustering.KMeansModel =>
+            new CentroidModel(km.clusterCenters.map(_.toArray))
+          case cm: CentroidModel => cm
+          case other => throw new IllegalStateException(
+            s"deployed conversation model is not a centroid family: ${other.getClass.getName}")
+        }
         val dim = meta.featNames.length
         val emb = graft.functions.HashEmbedder(dim)
         inputs.map { input =>
-          val v = org.apache.spark.ml.linalg.Vectors.dense(
-            emb.embedOne(input).map(_.toDouble))
-          val cluster = km.clusterCenters.zipWithIndex
-            .minBy { case (c, i) =>
-              (org.apache.spark.ml.linalg.Vectors.sqdist(v, c), i) }._2
+          val cluster = assigner.assign(
+            emb.embedOne(input).map(_.toDouble).toIndexedSeq)
           responses.getOrElse(cluster, "")
         }
       case None =>

@@ -272,9 +272,18 @@ class Trainer(spark: SparkSession, registryDir: String) {
             val b = element_at(e2, i + 1).cast("double")
             Seq(abs(a - b).as(s"d$i"), (a * b).as(s"p$i"))
           } :+ col(yCol): _*)
-        train(projectName, "classification", feat, Some(yCol), "linear",
-          hyperparams = tuneHp, testSize = testSize, testSampling = testSampling,
-          recordTaskAs = Some(task))
+        // CONTINUED training, exactly the text_classification lifecycle:
+        // a deployed binary-logistic pair head (2·dim interaction
+        // features) seeds full-batch GD on the new tune relation.
+        registry.deployedLogisticParams(projectName) match {
+          case Some((seedId, w0, b0)) if w0.length == 2 * dim =>
+            tuneWarmStart(projectName, task, feat, yCol, seedId, w0, b0,
+              tuneHp, testSize, testSampling)
+          case _ =>
+            train(projectName, "classification", feat, Some(yCol), "linear",
+              hyperparams = tuneHp, testSize = testSize, testSampling = testSampling,
+              recordTaskAs = Some(task))
+        }
 
       case "conversation" =>
         // conversation datasets fix their columns (system/user/assistant);
@@ -355,26 +364,55 @@ class Trainer(spark: SparkSession, registryDir: String) {
       if (testSize <= 0.0) (feat, feat)
       else Sampling.split(feat, testSize, sampling, "assistant")
 
-    val featureCols = (0 until dim).map(i => s"e$i")
-    val plans = featureCols.map(c => ColumnPlan(c, impute = "zero"))
-    val fitted = Preprocessor.fit(trainDf, plans, "assistant")
-    val featNames = Preprocessor.featureNames(fitted)
-    val assembler = new VectorAssembler()
-      .setInputCols(featNames.toArray).setOutputCol("features")
-    def prep(df: DataFrame): DataFrame = assembler.transform(Preprocessor.transform(df, fitted))
+    // CONTINUED training when the project already has a deployed centroid
+    // head of the same width (api.rs:846-995 tunes the deployed
+    // checkpoint): the deployed centers keep moving on the NEW tune
+    // relation via distributed Lloyd iterations (WarmStart.continueKMeans)
+    // instead of a from-scratch random-seed refit; the tune relation
+    // passes through the SEED model's stored preprocessing so the feature
+    // space aligns. First tune of a project cold-fits MLlib KMeans.
+    val warmSeed = registry.deployedCentroids(projectName)
+      .filter { case (_, c0) => c0.nonEmpty && c0.head.length == dim }
+    val (fitted, featNames, prep) = warmSeed match {
+      case Some((seedId, _)) =>
+        val (f, names) = registry.fittedOf(seedId)
+        (f, names, (df: DataFrame) => registry.prepFeatures(seedId, df))
+      case None =>
+        val featureCols = (0 until dim).map(i => s"e$i")
+        val plans = featureCols.map(c => ColumnPlan(c, impute = "zero"))
+        val f = Preprocessor.fit(trainDf, plans, "assistant")
+        val names = Preprocessor.featureNames(f)
+        val assembler = new VectorAssembler()
+          .setInputCols(names.toArray).setOutputCol("features")
+        (f, names,
+          (df: DataFrame) => assembler.transform(Preprocessor.transform(df, f)))
+    }
     val trainPrep = prep(trainDf).cache()
     val nTrain = trainPrep.count()
     require(nTrain > 0, "conversation tuning needs at least one training row")
-    val k = math.max(1, math.min(8, nTrain.toInt))
-    val km = new KMeans().setK(k).setSeed(42).setFeaturesCol("features").fit(trainPrep)
+    // (estimator to register, its converged centers, assignment transform)
+    val fitRes: (Any, Array[Array[Double]], DataFrame => DataFrame) =
+      warmSeed match {
+        case Some((seedId, c0)) =>
+          val moved = WarmStart.continueKMeans(c0, trainPrep, "features")
+          val cm = new CentroidModel(moved)
+          (cm, moved, (df: DataFrame) => cm.transform(df))
+        case None =>
+          val k = math.max(1, math.min(8, nTrain.toInt))
+          val km = new KMeans().setK(k).setSeed(42).setFeaturesCol("features")
+            .fit(trainPrep)
+          (km, km.clusterCenters.map(_.toArray),
+            (df: DataFrame) => km.transform(df))
+      }
+    val (model, centers, assign) = fitRes
 
     // generation table: per cluster, the reply of the most-central training
     // context (ties broken on the reply string — deterministic)
-    val centers = km.clusterCenters
-    val distToCenter = udf((v: Vector, c: Int) => Vectors.sqdist(v, centers(c)))
+    val centerVecs = centers.map(Vectors.dense)
+    val distToCenter = udf((v: Vector, c: Int) => Vectors.sqdist(v, centerVecs(c)))
     val w = Window.partitionBy(col("prediction"))
       .orderBy(col("_dist"), col("assistant"))
-    val reps = km.transform(trainPrep)
+    val reps = assign(trainPrep)
       .withColumn("_dist", distToCenter(col("features"), col("prediction")))
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
       .select(col("prediction").cast("int").as("c"), col("assistant"))
@@ -388,14 +426,16 @@ class Trainer(spark: SparkSession, registryDir: String) {
       when(col("prediction") === c, lit(r)).otherwise(acc)
     }
     val bleuOf = udf((cand: String, ref: String) => Metrics.bleu1(cand, ref))
-    val bleu = km.transform(evalPrep)
+    val bleu = assign(evalPrep)
       .withColumn("_cand", repExpr)
       .agg(avg(bleuOf(col("_cand"), col("assistant")))).head().getDouble(0)
     val metrics = Map("bleu" -> bleu)
 
+    val hp = Map("model_name" -> modelName, "project_name" -> projectName,
+      "tuned" -> "true") ++
+      warmSeed.map { case (seedId, _) => "warm_start_from" -> seedId.toString }
     val modelId = registry.saveModel(projectName, "conversation", "transformers",
-      Map("model_name" -> modelName, "project_name" -> projectName, "tuned" -> "true"),
-      metrics, km, fitted, featNames)
+      hp, metrics, model, fitted, featNames)
     registry.attachResponses(modelId, reps)
     val deployed = registry.maybeDeploy(projectName, "conversation", modelId, metrics)
     trainPrep.unpersist()

@@ -75,6 +75,138 @@ object WarmStart {
     rows.unpersist()
     (w, b)
   }
+
+  /** Continued Lloyd iterations from an initial set of centroids — the
+    * conversation-tune warm start (the deployed retrieval-generator's
+    * centers keep moving on the new tune relation instead of being refit
+    * from a random seed). Same scale shape as the logistic loop: per
+    * epoch the centers broadcast, executors fold per-partition
+    * (sum, count) partials per cluster with an index-tie-broken argmin
+    * assignment, treeAggregate merges. A cluster that captures no rows
+    * keeps its previous center (the standard empty-cluster rule).
+    * Deterministic given data + init.
+    */
+  def continueKMeans(
+      initCenters: Array[Array[Double]], data: DataFrame,
+      featuresCol: String, epochs: Int = 10): Array[Array[Double]] = {
+    val k = initCenters.length
+    require(k > 0, "warm-start kmeans needs at least one initial center")
+    val d = initCenters.head.length
+    val sc = data.sparkSession.sparkContext
+    val rows = data.select(col(featuresCol))
+      .rdd.map(_.getAs[Vector](0)).cache()
+    require(rows.count() > 0, "warm-start kmeans needs at least one training row")
+    var centers = initCenters.map(_.clone())
+    for (_ <- 0 until epochs) {
+      val cB = sc.broadcast(centers)
+      val (sums, counts) = rows.treeAggregate(
+        (Array.fill(k)(new Array[Double](d)), new Array[Long](k)))(
+        seqOp = { case ((sAcc, nAcc), x) =>
+          val cs = cB.value
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var dist = 0.0
+            var i = 0
+            while (i < d) { val df = x(i) - cs(c)(i); dist += df * df; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c } // strict <: index tie-break
+            c += 1
+          }
+          var i = 0
+          while (i < d) { sAcc(best)(i) += x(i); i += 1 }
+          nAcc(best) += 1
+          (sAcc, nAcc)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < k) {
+            var i = 0
+            while (i < d) { s1(c)(i) += s2(c)(i); i += 1 }
+            n1(c) += n2(c)
+            c += 1
+          }
+          (s1, n1)
+        })
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else Array.tabulate(d)(i => sums(c)(i) / counts(c))
+      }
+      cB.destroy()
+    }
+    rows.unpersist()
+    centers
+  }
+}
+
+/** Centroid retrieval head with explicit centers — what a warm-started
+  * conversation tune registers (the KMeansModel's serving contract,
+  * `prediction` = index of the nearest center, without MLlib's
+  * no-warm-start fit). Distances fold left-associatively in index order
+  * and ties break on the LOWER index, so the assignment — and therefore
+  * the generated reply — replays exactly in SQL with the centers as
+  * literals (the x12 oracle's contract). */
+class CentroidModel(
+    override val uid: String,
+    val centers: Array[Array[Double]]) extends Transformer with MLWritable {
+
+  def this(centers: Array[Array[Double]]) =
+    this(Identifiable.randomUID("centroids"), centers)
+
+  /** Nearest-center index: left-assoc squared distance, strict-< argmin
+    * (first minimum wins). Shared by transform and the driver-side
+    * generate path so the two serving shapes cannot diverge. */
+  def assign(v: IndexedSeq[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var dist = 0.0
+      var i = 0
+      while (i < centers(c).length) {
+        val df = v(i) - centers(c)(i); dist += df * df; i += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val assignUdf = udf { (v: Vector) => assign(v.toArray).toDouble }
+    df.withColumn("prediction", assignUdf(col("features")))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("prediction", DoubleType, nullable = false))
+
+  override def copy(extra: ParamMap): CentroidModel =
+    new CentroidModel(uid, centers.map(_.clone()))
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      implicit val fmts: Formats = DefaultFormats
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/centroids.json"),
+        Serialization.write(Map(
+          "uid" -> uid,
+          "centers" -> centers.map(_.toSeq).toSeq)))
+    }
+  }
+}
+
+object CentroidModel extends MLReadable[CentroidModel] {
+  override def read: MLReader[CentroidModel] = new MLReader[CentroidModel] {
+    override def load(path: String): CentroidModel = {
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$path/centroids.json")))
+      new CentroidModel(
+        (j \ "uid").extract[String],
+        (j \ "centers").extract[Seq[Seq[Double]]].map(_.toArray).toArray)
+    }
+  }
 }
 
 /** Binary logistic serving head with explicit parameters — what a

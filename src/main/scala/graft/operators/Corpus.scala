@@ -125,7 +125,13 @@ object Corpus {
         .select(keep :+ col("__b.pos") :+ col("__b.w1") :+ col("__b.w2"): _*)
     }
     val lmBigrams = bigrams(lmCorpus, lmTextCol, Nil)
+    // localCheckpoint (eager): c2 feeds BOTH lookup frames (c2h directly,
+    // c1 by re-aggregation) — without it the corpus-sized count aggregate
+    // runs twice — and makes the broadcast-ceiling row count below a
+    // metadata-cheap job instead of a second scan.
     val c2 = lmBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+      .localCheckpoint()
+    val c2Rows = c2.count()
     // c(h) = Σ_w c(h,w): derived from the vocabulary-sized c2 aggregate,
     // not a second corpus scan
     val c1 = c2.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
@@ -156,8 +162,8 @@ object Corpus {
       .select(col(idCol), col("pos"),
         xxhash64(col("w1"), col("w2")).as("__j2"),
         xxhash64(col("w1")).as("__j1"))
-      .join(broadcast(c2h), Seq("__j2"), "left")
-      .join(broadcast(c1h), Seq("__j1"), "left")
+      .join(lmJoinSide(c2h, c2Rows), Seq("__j2"), "left")
+      .join(lmJoinSide(c1h, c2Rows), Seq("__j1"), "left")
       .withColumn("__lnp", log(
         (coalesce(col("__c2"), lit(0L)) + lit(alpha)) /
           (coalesce(col("__c1"), lit(0L)) + lit(alpha * v))))
@@ -171,6 +177,21 @@ object Corpus {
 
   /** Fold-block width for [[blockedLnSum]] — positions per level-1 block. */
   private[graft] val FoldBlockSize = 1024
+
+  /** Broadcast ceiling for the LM count frames, in rows. Spark HARD-FAILS
+    * broadcast relations past 8 GB, so an unconditional hint would turn a
+    * giant reference corpus into a job abort where a shuffle join merely
+    * degrades. These frames are fixed-width ((k,) 8-byte fingerprint,
+    * 8-byte count — ~80 bytes/row as a HashedRelation), so 50M rows ≈ 4 GB
+    * stays at half the hard limit with headroom for build overheads. */
+  private[graft] val LmBroadcastMaxRows = 50L * 1000 * 1000
+
+  /** The LM lookup side: broadcast (the KenLM ship-the-model architecture)
+    * while the frame fits under [[LmBroadcastMaxRows]]; above it, hand the
+    * frame to the optimizer un-hinted — the fallback exchange ships only
+    * the fixed-width fingerprint keys, never gram strings. */
+  private def lmJoinSide(frame: DataFrame, rows: Long): DataFrame =
+    if (rows <= LmBroadcastMaxRows) broadcast(frame) else frame
 
   /** Per-document left-associative ln-score sum with BOUNDED aggregation
     * state: positions fold inside fixed-size blocks of [[FoldBlockSize]]
@@ -302,23 +323,29 @@ object Corpus {
     val rows = ngramRows(docs, textCol, Seq(col(idCol)), order)
       .select(col(idCol), col("pos"), col("k"),
         xxhash64(col("g")).as("__gid"), xxhash64(col("h")).as("__hid"))
-    // EXPLICIT broadcast: CCNet's production filter ships the full KenLM
-    // model to every node — the hint is the published architecture, not
-    // an optimizer-threshold accident (ExplainCheck re-asserts the plan
-    // with autoBroadcastJoinThreshold disabled)
-    val looked = rows
-      .join(broadcast(cg), Seq("k", "__gid"), "left")
-      .join(broadcast(chist), Seq("k", "__hid"), "left")
     // the add-α unigram ground: (c(w)+α) / (T+αV), T and V computed in
     // the SAME arithmetic order the SQL replay uses (T + α·V). Count is
     // read (and gated on) BEFORE the sum: an empty reference yields a
     // NULL sum and getLong would throw an opaque NPE ahead of the
-    // diagnostic.
-    val unigrams = counts.where(col("k") === 1)
-      .agg(count(lit(1)), sum(col("__c")).cast("long")).head()
+    // diagnostic. The same (cheap, checkpointed-input) aggregate also
+    // sizes the whole count frame for the broadcast-ceiling gate below.
+    val unigrams = counts
+      .agg(count(when(col("k") === 1, 1)),
+        sum(when(col("k") === 1, col("__c"))).cast("long"),
+        count(lit(1))).head()
     val v = unigrams.getLong(0)
     require(v > 0, "ngramLmStats: the reference corpus is empty")
     val t = unigrams.getLong(1)
+    val frameRows = unigrams.getLong(2)
+    // EXPLICIT broadcast while the frame fits: CCNet's production filter
+    // ships the full KenLM model to every node — the hint is the published
+    // architecture, not an optimizer-threshold accident (ExplainCheck
+    // re-asserts the plan with autoBroadcastJoinThreshold disabled). Past
+    // [[LmBroadcastMaxRows]] (Spark's 8 GB broadcast hard limit would
+    // abort the job) the lookup degrades to a fingerprint-keyed exchange.
+    val looked = rows
+      .join(lmJoinSide(cg, frameRows), Seq("k", "__gid"), "left")
+      .join(lmJoinSide(chist, frameRows), Seq("k", "__hid"), "left")
     val candidate = when(col("k") === 1,
         struct(lit(1).as("k"),
           log((coalesce(col("__cg"), lit(0L)) + lit(alpha)) /

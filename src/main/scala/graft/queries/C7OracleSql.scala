@@ -83,7 +83,7 @@ object C7OracleSql {
     val m = fitted(spark, dir)
     s"""${scoringCtes(m)}
        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_toks,
-       |  round(1.0 / (1.0 + exp(-(${m.intercept.toString} + coalesce(agg.s, 0.0)))), 4) AS score
+       |  round(1.0 / (1.0 + exp(-(${m.intercept.toString} + coalesce(agg.s, 0.0)))), 4) + 0.0 AS score
        |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
        |ORDER BY tk.doc_id""".stripMargin
   }

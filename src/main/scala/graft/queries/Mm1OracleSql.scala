@@ -28,6 +28,6 @@ object Mm1OracleSql {
        |m3 AS (SELECT doc_id, xor(z, z >> 31) AS z FROM m2)
        |SELECT doc_id AS media_id,
        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       |  round(CAST(CAST((z & 65535) AS FLOAT) / 65535::FLOAT - 0.5::FLOAT AS DOUBLE), 5) AS f0
+       |  round(CAST(CAST((z & 65535) AS FLOAT) / 65535::FLOAT - 0.5::FLOAT AS DOUBLE), 5) + 0.0 AS f0
        |FROM m3 ORDER BY media_id""".stripMargin
 }

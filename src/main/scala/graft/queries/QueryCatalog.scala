@@ -171,11 +171,11 @@ object QueryCatalog {
     (s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), (round(sum("value"), 4) + lit(0.0)).as("sum_value"))
         .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type")),
     Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
-            count(*) AS n, round(sum(value),4) AS sum_value
+            count(*) AS n, round(sum(value),4) + 0.0 AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** JSON extraction from a string column (jsonb-style metadata access,
@@ -241,9 +241,11 @@ object QueryCatalog {
         .groupBy(col("label"))
         .agg(vecAvgAgg(col("embedding")).as("avg_vec"))
         .select(col("label"), posexplode(col("avg_vec")).as(Seq("pos", "v")))
-        .select(col("label"), col("pos"), round(col("v"), 5).as("val"))
+        // + 0.0 canonicalizes rounded -0.0 (see v26) — per-label element
+        // means cross zero by construction.
+        .select(col("label"), col("pos"), (round(col("v"), 5) + lit(0.0)).as("val"))
         .orderBy(col("label"), col("pos")),
-    Some("""SELECT label, CAST(i - 1 AS INT) AS pos, round(avg(embedding[CAST(i AS INT)]),5) AS val
+    Some("""SELECT label, CAST(i - 1 AS INT) AS pos, round(avg(embedding[CAST(i AS INT)]),5) + 0.0 AS val
             FROM embeddings, range(1, 65) t(i)
             GROUP BY label, i ORDER BY label, pos"""))
 
@@ -877,7 +879,7 @@ object QueryCatalog {
       graft.operators.Corpus.perplexityStats(
           docs, "doc_id", "text",
           docs.where(col("doc_id") % 7 === 0), "text", alpha = 0.1)
-        .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 4).as("ppl"))
+        .select(col("doc_id"), col("n_bigrams"), (round(col("ppl"), 4) + lit(0.0)).as("ppl"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH tk AS (SELECT doc_id,
@@ -905,7 +907,7 @@ object QueryCatalog {
                 list_reduce(list(s_b ORDER BY blk), (x, y) -> x + y) AS s
               FROM agg1 GROUP BY doc_id)
             SELECT tk.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-              round(exp(-agg.s / agg.n_bigrams), 4) AS ppl
+              round(exp(-agg.s / agg.n_bigrams), 4) + 0.0 AS ppl
             FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
             ORDER BY tk.doc_id"""))
 
@@ -927,7 +929,7 @@ object QueryCatalog {
           docs, "doc_id", "text",
           docs.where(col("doc_id") % 7 === 0), "text",
           order = 5, lambda = 0.4, alpha = 0.1)
-        .select(col("doc_id"), col("n_tokens"), round(col("ppl"), 4).as("ppl"))
+        .select(col("doc_id"), col("n_tokens"), (round(col("ppl"), 4) + lit(0.0)).as("ppl"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH tk AS (SELECT doc_id,
@@ -964,7 +966,7 @@ object QueryCatalog {
               FROM agg1 GROUP BY doc_id)
             SELECT tk.doc_id,
               CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
-              round(exp(-agg.s / agg.n_tokens), 4) AS ppl
+              round(exp(-agg.s / agg.n_tokens), 4) + 0.0 AS ppl
             FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
             ORDER BY tk.doc_id"""))
 
@@ -1035,7 +1037,7 @@ object QueryCatalog {
       val docs = t(s, dir, "documents")
       val model = C7OracleSql.fitted(s, dir)
       graft.operators.QualityClassifier.scores(docs, "doc_id", "text", model)
-        .select(col("doc_id"), col("n_toks"), round(col("score"), 4).as("score"))
+        .select(col("doc_id"), col("n_toks"), (round(col("score"), 4) + lit(0.0)).as("score"))
         .orderBy(col("doc_id"))
     },
     None,
@@ -1270,13 +1272,16 @@ object QueryCatalog {
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           posexplode(vecAdd(vecMulScalar(ad, lit(2.0)), vecMul(ad, ad))).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"), round(col("v"), 5).as("val"))
+        .select(col("vec_id"), col("pos"),
+          // + 0.0 canonicalizes rounded -0.0 (see v26) — 2a + a² is
+          // negative-and-tiny for a ∈ (-2.5e-6, 0).
+          (round(col("v"), 5) + lit(0.0)).as("val"))
         .orderBy(col("vec_id"), col("pos"))
     },
     Some("""SELECT vec_id, CAST(i - 1 AS INT) AS pos,
             round(2.0 * CAST(embedding[CAST(i AS INT)] AS DOUBLE)
                   + CAST(embedding[CAST(i AS INT)] AS DOUBLE)
-                    * CAST(embedding[CAST(i AS INT)] AS DOUBLE), 5) AS val
+                    * CAST(embedding[CAST(i AS INT)] AS DOUBLE), 5) + 0.0 AS val
             FROM embeddings, range(1, 65) t(i)
             ORDER BY vec_id, pos"""))
 
@@ -1296,12 +1301,17 @@ object QueryCatalog {
           vecNormalizeL1(col("embedding")).as("a1"),
           vecNormalizeL2(col("embedding")).as("a2"),
           vecNormalizeMax(col("embedding")).as("am"))
+      // `+ 0.0` after every round() canonicalizes the sign of zero on both
+      // engines (IEEE: -0.0 + 0.0 = +0.0). DuckDB's round() preserves -0.0
+      // for inputs in (-0.5e-5, 0) while Spark's BigDecimal-backed Round
+      // emits +0.0 — value-equal but hash-DIFFERENT in the driver's
+      // byte-level compare (the one red row of round 12).
       emb.select(col("vec_id"),
           posexplode(arrays_zip(col("a1"), col("a2"), col("am"))).as(Seq("pos", "z")))
         .select(col("vec_id"), col("pos"),
-          round(col("z.a1").cast("double"), 5).as("v_l1"),
-          round(col("z.a2").cast("double"), 5).as("v_l2"),
-          round(col("z.am").cast("double"), 5).as("v_max"))
+          (round(col("z.a1").cast("double"), 5) + lit(0.0)).as("v_l1"),
+          (round(col("z.a2").cast("double"), 5) + lit(0.0)).as("v_l2"),
+          (round(col("z.am").cast("double"), 5) + lit(0.0)).as("v_max"))
         .orderBy(col("vec_id"), col("pos"))
     },
     Some("""WITH n AS (SELECT vec_id, embedding,
@@ -1313,9 +1323,9 @@ object QueryCatalog {
                 'max') AS nm
             FROM embeddings)
             SELECT vec_id, CAST(i - 1 AS INT) AS pos,
-              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / n1) AS REAL) AS DOUBLE), 5) AS v_l1,
-              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / n2) AS REAL) AS DOUBLE), 5) AS v_l2,
-              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / nm) AS REAL) AS DOUBLE), 5) AS v_max
+              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / n1) AS REAL) AS DOUBLE), 5) + 0.0 AS v_l1,
+              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / n2) AS REAL) AS DOUBLE), 5) + 0.0 AS v_l2,
+              round(CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (1.0 / nm) AS REAL) AS DOUBLE), 5) + 0.0 AS v_max
             FROM n, range(1, 65) t(i)
             ORDER BY vec_id, pos"""))
 
@@ -2111,7 +2121,7 @@ object QueryCatalog {
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private def s11Collection(s: SparkSession, dir: String)
       : (graft.store.Collection, graft.store.Pipeline) = {
-    val key = s"s11#${System.identityHashCode(s)}#$dir"
+    val key = s"s11#${skey(s)}#$dir"
     val wh = e2eWh.getOrElseUpdate(key,
       java.nio.file.Files.createTempDirectory("graft_s11_wh_").toString)
     val c = new graft.store.Collection(s, "docs", wh)
@@ -2389,7 +2399,9 @@ object QueryCatalog {
       val fitted = graft.ml.Preprocessor.fit(c, plans, "c_custkey")
       graft.ml.Preprocessor.transform(c, fitted)
         .select(col("c_custkey"),
-          round(col("c_acctbal__f"), 5).as("acctbal_scaled"),
+          // + 0.0 canonicalizes rounded -0.0 (see v26) — standardized
+          // values cross zero by construction.
+          (round(col("c_acctbal__f"), 5) + lit(0.0)).as("acctbal_scaled"),
           col("c_mktsegment__AUTOMOBILE").as("seg_auto"),
           col("c_mktsegment__BUILDING").as("seg_build"),
           col("c_mktsegment__FURNITURE").as("seg_furn"),
@@ -2398,7 +2410,7 @@ object QueryCatalog {
     },
     Some("""WITH st AS (SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS sd FROM customer)
             SELECT c_custkey,
-              round((c_acctbal - m) / sd, 5) AS acctbal_scaled,
+              round((c_acctbal - m) / sd, 5) + 0.0 AS acctbal_scaled,
               CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END AS seg_auto,
               CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS seg_build,
               CASE WHEN c_mktsegment = 'FURNITURE' THEN 1.0 ELSE 0.0 END AS seg_furn,
@@ -2421,13 +2433,13 @@ object QueryCatalog {
         li.select(col("l_quantity"), col("l_extendedprice")), Some("l_extendedprice"),
         "linear", testSize = 0.0)
       tr.registry.predict("q_lin", li)
-        .select(col("l_orderkey"), col("l_linenumber"), round(col("prediction"), 3).as("pred"))
+        .select(col("l_orderkey"), col("l_linenumber"), (round(col("prediction"), 3) + lit(0.0)).as("pred"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100)
     },
     Some("""WITH fit AS (SELECT regr_slope(l_extendedprice, l_quantity) AS m,
                      regr_intercept(l_extendedprice, l_quantity) AS b FROM lineitem)
-            SELECT l_orderkey, l_linenumber, round(b + m * l_quantity, 3) AS pred
+            SELECT l_orderkey, l_linenumber, round(b + m * l_quantity, 3) + 0.0 AS pred
             FROM lineitem, fit ORDER BY l_orderkey, l_linenumber LIMIT 100"""))
 
   /** Snapshot column analysis (analyze stats, snapshot.rs:224-338). */
@@ -2435,7 +2447,7 @@ object QueryCatalog {
     "m2_column_stats",
     (s, dir) =>
       graft.ml.Snapshot.analyze(t(s, dir, "lineitem"), Seq("l_quantity", "l_discount"))
-        .select(col("column"), col("metric"), round(col("value"), 4).as("value"))
+        .select(col("column"), col("metric"), (round(col("value"), 4) + lit(0.0)).as("value"))
         .orderBy(col("column"), col("metric")),
     Some("""WITH s AS (
               SELECT 'l_quantity' AS "column", 'min' AS metric, min(l_quantity) AS value FROM lineitem
@@ -2454,7 +2466,7 @@ object QueryCatalog {
               UNION ALL SELECT 'l_discount', 'variance', var_pop(l_discount) FROM lineitem
               UNION ALL SELECT 'l_discount', 'missing', count(*) - count(l_discount) FROM lineitem
               UNION ALL SELECT 'l_discount', 'distinct', count(DISTINCT l_discount) FROM lineitem)
-            SELECT "column", metric, round(value, 4) AS value FROM s
+            SELECT "column", metric, round(value, 4) + 0.0 AS value FROM s
             ORDER BY "column", metric"""))
 
   /** KMeans clustering over leading embedding dims (deterministic seed;
@@ -2636,8 +2648,10 @@ object QueryCatalog {
           col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
       tr.registry.decompose("q_pca", li)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(element_at(col("pca_arr"), 1), 4).as("pc1"),
-          round(element_at(col("pca_arr"), 2), 4).as("pc2"))
+          // + 0.0 canonicalizes rounded -0.0 (see v26) — principal
+          // components cross zero by construction.
+          (round(element_at(col("pca_arr"), 1), 4) + lit(0.0)).as("pc1"),
+          (round(element_at(col("pca_arr"), 2), 4) + lit(0.0)).as("pc2"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
     None,
@@ -2648,8 +2662,8 @@ object QueryCatalog {
       def proj(c: Int): String = feats.zipWithIndex
         .map { case (f, j) => s"$f * (${dlit(pc(c)(j))})" }.mkString(" + ")
       s"""SELECT l_orderkey, l_linenumber,
-            round(${proj(0)}, 4) AS pc1,
-            round(${proj(1)}, 4) AS pc2
+            round(${proj(0)}, 4) + 0.0 AS pc1,
+            round(${proj(1)}, 4) + 0.0 AS pc2
           FROM lineitem WHERE l_orderkey % 97 = 0
           ORDER BY l_orderkey, l_linenumber"""
     })
@@ -2659,6 +2673,12 @@ object QueryCatalog {
     * cast (a 17-significant-digit coefficient breaks DECIMAL(18,15)); an
     * exponent suffix makes it a DOUBLE literal with the exact same
     * nearest-double value. */
+  /** Cache key for per-session fitted-model caches: applicationId is
+    * unique per SparkContext, where identityHashCode could be RECYCLED
+    * after a stopped session is GC'd and hand a later session a model
+    * bound to a dead context. */
+  private def skey(s: SparkSession): String = s.sparkContext.applicationId
+
   private def dlit(v: Double): String = {
     val s = v.toString
     if (s.contains("E") || s.contains("e")) s else s + "e0"
@@ -2703,7 +2723,7 @@ object QueryCatalog {
       cases.map { case (id, row) =>
         (id, tr.registry.predictRow("q_row", row))
       }.toDF("case_id", "pred")
-        .select(col("case_id"), round(col("pred"), 3).as("pred"))
+        .select(col("case_id"), (round(col("pred"), 3) + lit(0.0)).as("pred"))
         .orderBy("case_id")
     },
     None,
@@ -2727,7 +2747,7 @@ object QueryCatalog {
           SELECT case_id,
             round(f0 * (${dlit(coefs(0))}) + f1 * (${dlit(coefs(1))})
               + f2 * (${dlit(coefs(2))}) + f3 * (${dlit(coefs(3))})
-              + (${dlit(intercept)}), 3) AS pred
+              + (${dlit(intercept)}), 3) + 0.0 AS pred
           FROM f ORDER BY case_id"""
     })
 
@@ -2751,9 +2771,9 @@ object QueryCatalog {
       // the two sub-project predictions on a duplicated key would fan out)
       val keys = li.select(col("l_quantity")).distinct()
       val p1 = tr.registry.predict("q_joint:l_extendedprice", keys)
-        .select(col("l_quantity"), round(col("prediction"), 3).as("pred_price"))
+        .select(col("l_quantity"), (round(col("prediction"), 3) + lit(0.0)).as("pred_price"))
       val p2 = tr.registry.predict("q_joint:l_discount", keys)
-        .select(col("l_quantity"), round(col("prediction"), 6).as("pred_disc"))
+        .select(col("l_quantity"), (round(col("prediction"), 6) + lit(0.0)).as("pred_disc"))
       p1.join(p2, Seq("l_quantity"))
         .orderBy(col("l_quantity"))
     },
@@ -2762,8 +2782,8 @@ object QueryCatalog {
             f2 AS (SELECT regr_slope(l_discount, l_quantity) AS m,
                 regr_intercept(l_discount, l_quantity) AS b FROM lineitem)
             SELECT DISTINCT l_quantity,
-              round(f1.b + f1.m * l_quantity, 3) AS pred_price,
-              round(f2.b + f2.m * l_quantity, 6) AS pred_disc
+              round(f1.b + f1.m * l_quantity, 3) + 0.0 AS pred_price,
+              round(f2.b + f2.m * l_quantity, 6) + 0.0 AS pred_disc
             FROM lineitem, f1, f2
             ORDER BY l_quantity"""))
 
@@ -2794,8 +2814,8 @@ object QueryCatalog {
         .select(col("l_quantity"), col("l_discount")).distinct()
       tr.registry.predictProba("q_proba", feats)
         .select(col("l_quantity"), col("l_discount"),
-          round(element_at(col("proba"), 1), 6).as("p0"),
-          round(element_at(col("proba"), 2), 6).as("p1"),
+          (round(element_at(col("proba"), 1), 6) + lit(0.0)).as("p0"),
+          (round(element_at(col("proba"), 2), 6) + lit(0.0)).as("p1"),
           col("prediction"))
         .orderBy(col("l_quantity"), col("l_discount"))
     },
@@ -2808,8 +2828,8 @@ object QueryCatalog {
       s"""WITH f AS (SELECT DISTINCT l_quantity, l_discount FROM lineitem),
           p AS (SELECT l_quantity, l_discount, $margin AS m FROM f)
           SELECT l_quantity, l_discount,
-            round(1.0 - 1.0 / (1.0 + exp(-m)), 6) AS p0,
-            round(1.0 / (1.0 + exp(-m)), 6) AS p1,
+            round(1.0 - 1.0 / (1.0 + exp(-m)), 6) + 0.0 AS p0,
+            round(1.0 / (1.0 + exp(-m)), 6) + 0.0 AS p1,
             CASE WHEN m > 0.0 THEN 1.0 ELSE 0.0 END AS prediction
           FROM p ORDER BY l_quantity, l_discount"""
     })
@@ -2839,7 +2859,7 @@ object QueryCatalog {
   private val x6Cache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
   private def x6Tune(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
-    x6Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+    x6Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
       val docs = t(s, dir, "documents")
       // conversation fixture derived from the corpus (orm/dataset.rs:137
       // column contract): reply text is a deterministic function of the
@@ -2901,7 +2921,7 @@ object QueryCatalog {
   private val m10Cache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
   private def m10Search(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
-    m10Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+    m10Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
       val li = t(s, dir, "lineitem")
         .select(col("l_quantity"), col("l_discount"), col("l_tax"),
           col("l_extendedprice"))
@@ -3028,7 +3048,7 @@ object QueryCatalog {
   private val m12Cache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
   private def m12Train(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
-    m12Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+    m12Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
       val li = t(s, dir, "lineitem")
         .select(col("l_quantity"), col("l_discount"), col("l_tax"),
           (col("l_returnflag") === "R").cast("double").as("is_return"))
@@ -3056,7 +3076,9 @@ object QueryCatalog {
         .select(col("l_quantity"), col("l_discount"), col("l_tax")).distinct()
       tr.registry.predictWithModel(modelId, feats)
         .select(col("l_quantity"), col("l_discount"), col("l_tax"),
-          round(graft.ml.VectorOps.element(col("rawPrediction"), 1), 4).as("margin"),
+          // + 0.0 canonicalizes rounded -0.0 (see v26) — margins cross
+          // zero by construction.
+          (round(graft.ml.VectorOps.element(col("rawPrediction"), 1), 4) + lit(0.0)).as("margin"),
           col("prediction"))
         .orderBy(col("l_quantity"), col("l_discount"), col("l_tax"))
     },
@@ -3078,7 +3100,7 @@ object QueryCatalog {
         .mkString(" + ") + s" + (${dlit(b)})"
       s"""WITH f AS (SELECT DISTINCT l_quantity, l_discount, l_tax FROM lineitem),
           m AS (SELECT l_quantity, l_discount, l_tax, $margin AS mg FROM f)
-          SELECT l_quantity, l_discount, l_tax, round(mg, 4) AS margin,
+          SELECT l_quantity, l_discount, l_tax, round(mg, 4) + 0.0 AS margin,
             CASE WHEN mg > 0.0 THEN 1.0 ELSE 0.0 END AS prediction
           FROM m ORDER BY l_quantity, l_discount, l_tax"""
     })
@@ -3089,7 +3111,7 @@ object QueryCatalog {
   private val x8Cache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
   private def x8Tune(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
-    x8Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+    x8Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
       val docs = t(s, dir, "documents")
       // weak labels from the lexicon stand-in's own verdict (the x5
       // distillation move — corpus vocabulary intersects it on fast/slow)
@@ -3134,7 +3156,7 @@ object QueryCatalog {
         (0 until dim).map(i => element_at(e, i + 1).cast("double").as(s"e$i")): _*)
       tr.registry.predictProbaWithModel(modelId, feat)
         .select(col("doc_id"), col("prediction"),
-          round(element_at(col("proba"), 2), 4).as("score"))
+          (round(element_at(col("proba"), 2), 4) + lit(0.0)).as("score"))
         .orderBy(col("doc_id"))
     },
     None,
@@ -3152,7 +3174,7 @@ object QueryCatalog {
             FROM vecs, wv)
           SELECT doc_id,
             CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END AS prediction,
-            round(p, 4) AS score
+            round(p, 4) + 0.0 AS score
           FROM p ORDER BY doc_id"""
     })
 
@@ -3173,7 +3195,7 @@ object QueryCatalog {
       lit("in"), tok(3), text)
   }
   private def x9Fit(s: SparkSession, dir: String): graft.operators.NerClassifier.Model = {
-    val m = x9Cache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+    val m = x9Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
       val docs = t(s, dir, "documents")
       val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
       val labeled = docs.where(col("doc_id") % 3 === 0)
@@ -3270,6 +3292,18 @@ object QueryCatalog {
       val docs = t(s, dir, "documents").where(col("doc_id") % 11 === 0)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1).toSeq
+      // Oracle validity domain, enforced (not assumed): the DuckDB replay
+      // hashes the messages JSON per CODE POINT and concatenates the text
+      // into it UNESCAPED, while the JVM side hashes UTF-8 bytes of the
+      // esc()-escaped JSON. The two agree exactly on printable ASCII free
+      // of '"' and '\' — anything else must fail loudly here, not as an
+      // unexplained driver hash mismatch.
+      docs.foreach { case (id, text) =>
+        require(text.forall(ch => ch >= 0x20 && ch < 0x7f && ch != '"' && ch != '\\'),
+          s"x10 oracle precondition violated by doc $id: text must be " +
+            "printable ASCII without '\"' or '\\' for the per-code-point " +
+            "unescaped DuckDB FNV replay to match the JVM UTF-8 byte hash")
+      }
       docs.map { case (id, text) =>
           (id, graft.store.OpenSourceAI.chatCompletionsCreate(
             "test-model", Seq("system" -> "be brief", "user" -> text),
@@ -3427,7 +3461,7 @@ object QueryCatalog {
       import s.implicits._
       val ev = t(s, dir, "events").as[graft.streaming.EventRow]
       graft.streaming.EventStreams.sessionize(ev, gapMinutes = 30)
-        .select(col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .select(col("user_id"), col("n_events"), (round(col("sum_value"), 4) + lit(0.0)).as("sum_value"))
         .orderBy(col("user_id"), col("n_events"), col("sum_value"))
     },
     Some("""WITH e AS (SELECT user_id, ts, value,
@@ -3437,7 +3471,7 @@ object QueryCatalog {
               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS sid FROM e),
             agg AS (SELECT user_id, sid, count(*) AS n_events,
-              round(sum(value), 4) AS sum_value FROM s GROUP BY user_id, sid),
+              round(sum(value), 4) + 0.0 AS sum_value FROM s GROUP BY user_id, sid),
             mx AS (SELECT user_id, max(sid) AS max_sid FROM s GROUP BY user_id)
             SELECT a.user_id AS user_id, a.n_events AS n_events, a.sum_value AS sum_value
             FROM agg a JOIN mx ON a.user_id = mx.user_id
@@ -3457,7 +3491,9 @@ object QueryCatalog {
       graft.operators.Multimodal.extractFeatures(media, new graft.operators.Multimodal.StubCodec(16))
         .toDF()
         .select(col("media_id"), col("kind"),
-          round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
+          // + 0.0 canonicalizes rounded -0.0 (see v26) — the stub
+          // feature x/65535 − 0.5 crosses zero by construction.
+          (round(element_at(col("features"), 1).cast("double"), 5) + lit(0.0)).as("f0"))
         .orderBy(col("media_id"))
     },
     Some(Mm1OracleSql.sql))

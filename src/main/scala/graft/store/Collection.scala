@@ -346,7 +346,20 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           "with an \"id\" key (get_json_object('$.id') returned NULL)")
       val idsLocal =
         if (probe.size <= DeltaTable.InPushdownMaxIds) Some(probe) else None
-      val batchN = idsLocal.map(_.size.toLong).getOrElse(incoming.count())
+      // bulk path: the probe only saw the first cap+1 rows, so the
+      // null-id contract must be enforced over the WHOLE batch — the
+      // sizing count doubles as the audit (one aggregate, no extra job).
+      val batchN = idsLocal.map(_.size.toLong).getOrElse {
+        val sized = incoming.agg(
+          count(lit(1)).as("n"),
+          count(when(col("source_uuid").isNull, 1)).as("n_null"))
+          .head()
+        require(sized.getLong(1) == 0L,
+          s"upsertDocuments: ${sized.getLong(1)} document(s) in this batch " +
+            "carry no JSON object root with an \"id\" key " +
+            "(get_json_object('$.id') returned NULL)")
+        sized.getLong(0)
+      }
       val olds = (idsLocal match {
         case Some(ids) => current.where(col("source_uuid").isin(ids: _*))
         case None => current.join(broadcast(incoming.select("source_uuid")),
@@ -640,7 +653,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // old session-per-sync form bought, minus its per-batch SQLConf
     // clone + SessionState init on the critical path).
     // applicationId, not identityHashCode: unique per context (a hash
-    // collision could hand back a session bound to a STOPPED context)
+    // collision could hand back a session bound to a STOPPED context).
+    // Entries whose context has since stopped are swept here so the map
+    // doesn't accumulate dead sessions for the JVM lifetime.
+    {
+    Collection.microSessions.filterInPlace((_, s2) => !s2.sparkContext.isStopped)
     Collection.microSessions.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}#$shufflePartitions", {
         val s2 = spark.newSession()
@@ -649,6 +666,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
         s2
       })
+    }
 
   private def syncIncrementalLocked(p: Pipeline, alreadyRebuilt: Set[String]): Unit = {
     val state = readState(p.name)

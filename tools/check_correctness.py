@@ -36,9 +36,16 @@ for name, sql in sorted(oracle_sql.items()):
         for c in o.columns:
             for i, (a, b) in enumerate(zip(o[c], s[c])):
                 eq = (a == b) or (a is None and b is None)
+                # hash-faithful float compare: the driver hashes FORMATTED
+                # values, so -0.0 vs +0.0 (== under IEEE) must FAIL here
+                # too, exactly like NaN != NaN must PASS.
                 try:
-                    if not eq and isinstance(a, float) and isinstance(b, float):
-                        eq = (math.isnan(a) and math.isnan(b)) or a == b
+                    if isinstance(a, float) and isinstance(b, float):
+                        if math.isnan(a) or math.isnan(b):
+                            eq = math.isnan(a) and math.isnan(b)
+                        else:
+                            eq = (a == b) and (
+                                math.copysign(1.0, a) == math.copysign(1.0, b))
                 except Exception:
                     pass
                 if not eq:
