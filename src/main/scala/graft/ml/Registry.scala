@@ -112,10 +112,13 @@ class Registry(spark: SparkSession, dir: String) {
     id
   }
 
-  /** Deploy if first model for the project or strictly better on the task
-    * default metric (value_is_better, task.rs:83-89: r2 for regression, f1
-    * for classification — higher is better; silhouette/cev likewise).
-    */
+  /** Deploy UNLESS the deployed model is strictly better on the task
+    * default metric — the reference keeps the old model only when
+    * value_is_better(deployed, new) holds (api.rs deploy gating;
+    * task.rs:83-89: r2 for regression, f1 for classification — higher is
+    * better; silhouette/cev likewise), so a metric TIE deploys the new
+    * model. Consequential for warm-start chains, which read the deployed
+    * checkpoint as their seed. */
   def maybeDeploy(project: String, task: String, modelId: Long,
       metrics: Map[String, Double]): Boolean = {
     val metricName = defaultMetric(task)
@@ -124,7 +127,7 @@ class Registry(spark: SparkSession, dir: String) {
       case None => true
       case Some(dep) =>
         val prev = modelMetrics(dep.model_id).getOrElse(metricName, Double.NegativeInfinity)
-        metrics.getOrElse(metricName, Double.NegativeInfinity) > prev
+        metrics.getOrElse(metricName, Double.NegativeInfinity) >= prev
     }
     if (better) deploy(project, modelId, "new_score")
     better
@@ -296,6 +299,13 @@ class Registry(spark: SparkSession, dir: String) {
         case _ => None
       }
     }
+
+  /** Assembled feature order of a stored model — the coefficient layout
+    * of [[logisticParams]]/[[linearParams]] (the x11 oracle maps each
+    * name back to its source expression in THIS order, so the replayed
+    * margin folds over the same coefficient-feature pairing the served
+    * dot product uses). */
+  def featureNames(modelId: Long): Seq[String] = cachedModel(modelId)._1.featNames
 
   /** Stored preprocessing + feature layout of a model, rehydrated. */
   private[ml] def fittedOf(modelId: Long): (Seq[FittedColumn], Seq[String]) = {

@@ -395,8 +395,21 @@ class Trainer(spark: SparkSession, registryDir: String) {
       warmSeed match {
         case Some((seedId, c0)) =>
           val moved = WarmStart.continueKMeans(c0, trainPrep, "features")
-          val cm = new CentroidModel(moved)
-          (cm, moved, (df: DataFrame) => cm.transform(df))
+          // Final-assignment capture audit: a seed center that captures NO
+          // rows of the new tune relation would keep a stale position AND
+          // get no generation-table entry, so serve-time inputs nearest to
+          // it would generate "". Drop uncaptured centers (dense reindex) —
+          // this also covers nTrain < k, where at most nTrain centers can
+          // capture. Each training row's nearest center is captured by
+          // definition, so its assignment survives the drop (modulo index).
+          val captured = new CentroidModel(moved).transform(trainPrep)
+            .groupBy(col("prediction")).count()
+            .select("prediction").collect().map(_.getInt(0)).toSet
+          val kept = moved.zipWithIndex.collect {
+            case (ctr, i) if captured(i) => ctr
+          }
+          val cm = new CentroidModel(kept)
+          (cm, kept, (df: DataFrame) => cm.transform(df))
         case None =>
           val k = math.max(1, math.min(8, nTrain.toInt))
           val km = new KMeans().setK(k).setSeed(42).setFeaturesCol("features")

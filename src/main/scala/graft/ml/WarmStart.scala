@@ -6,7 +6,7 @@ import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
 
@@ -172,13 +172,34 @@ class CentroidModel(
     best
   }
 
+  /** Plan-pure assignment: the SAME left-associative squared distance in
+    * index order and strict-< first-minimum as [[assign]], expressed as
+    * codegen'd column arithmetic with the centers as literals (the m3
+    * oracle's projection shape — no per-row UDF). Per-center distances
+    * materialize as temp columns first so the argmin when-chain folds
+    * over cheap column refs, not re-inlined 64-term sums. Emits
+    * `prediction` as INT, matching KMeansModel's serving contract. */
   override def transform(df: Dataset[_]): DataFrame = {
-    val assignUdf = udf { (v: Vector) => assign(v.toArray).toDouble }
-    df.withColumn("prediction", assignUdf(col("features")))
+    import org.apache.spark.ml.functions.vector_to_array
+    val arr = vector_to_array(col("features"), dtype = "float64")
+    val dCol = (c: Int) => s"__graft_cdist_$c"
+    val withD = centers.zipWithIndex.foldLeft(df.toDF()) { case (acc, (ctr, c)) =>
+      acc.withColumn(dCol(c), ctr.indices.map { i =>
+        val d = element_at(arr, i + 1) - lit(ctr(i))
+        d * d
+      }.reduceLeft(_ + _))
+    }
+    val idx = (1 until centers.length).foldLeft((lit(0), col(dCol(0)))) {
+      case ((bi, bd), c) =>
+        (when(col(dCol(c)) < bd, lit(c)).otherwise(bi),
+          when(col(dCol(c)) < bd, col(dCol(c))).otherwise(bd))
+    }._1
+    withD.withColumn("prediction", idx.cast("int"))
+      .drop(centers.indices.map(dCol): _*)
   }
 
   override def transformSchema(schema: StructType): StructType =
-    StructType(schema.fields :+ StructField("prediction", DoubleType, nullable = false))
+    StructType(schema.fields :+ StructField("prediction", IntegerType, nullable = false))
 
   override def copy(extra: ParamMap): CentroidModel =
     new CentroidModel(uid, centers.map(_.clone()))

@@ -182,9 +182,12 @@ object Corpus {
     * broadcast relations past 8 GB, so an unconditional hint would turn a
     * giant reference corpus into a job abort where a shuffle join merely
     * degrades. These frames are fixed-width ((k,) 8-byte fingerprint,
-    * 8-byte count — ~80 bytes/row as a HashedRelation), so 50M rows ≈ 4 GB
-    * stays at half the hard limit with headroom for build overheads. */
-  private[graft] val LmBroadcastMaxRows = 50L * 1000 * 1000
+    * 8-byte count — ~80 bytes/row as a HashedRelation). The scoring plan
+    * holds TWO hinted frames live at once (c2h bigram + c1h unigram
+    * lookups, both gated on the same c2 row count), so the ceiling is
+    * sized for the PAIR: 25M rows ≈ 2 GB each, ≤ 4 GB summed — half the
+    * hard limit even with both resident plus build overheads. */
+  private[graft] val LmBroadcastMaxRows = 25L * 1000 * 1000
 
   /** The LM lookup side: broadcast (the KenLM ship-the-model architecture)
     * while the frame fits under [[LmBroadcastMaxRows]]; above it, hand the

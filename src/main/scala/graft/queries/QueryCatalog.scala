@@ -3338,6 +3338,233 @@ object QueryCatalog {
                 string_split_regex(trim(lower(text)), '\s+'), 1, 12), ' ') AS content
             FROM h, f ORDER BY h.doc_id"""))
 
+  // one warm-start-tuned PAIR registry shared by the x11 query and its
+  // oracle generator (the oracle inlines the SAME tuned head's 128
+  // parameters, so the pair must come from one tune; session+dir keying
+  // as x8Cache)
+  private val x11Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
+  /** Deterministic, SQL-replayable pair synthesis over the corpus: text2
+    * is a token slice of text1's own (trimmed, lowered) tokens — the
+    * first 8 for even doc_ids (a near-paraphrase bag), tokens 9..16 for
+    * odd (a disjoint segment) — plus a parity pad token so text2 always
+    * embeds to a nonzero vector. Bag-of-words hash embeddings are order
+    * invariant, so DIFFERENT token sets (not a reorder) are what separate
+    * the classes. */
+  private def x11Text2(): org.apache.spark.sql.Column = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    when(col("doc_id") % 2 === 0,
+      concat(concat_ws(" ", slice(toks, 1, 8)), lit(" seg")))
+      .otherwise(concat(concat_ws(" ", slice(toks, 9, 8)), lit(" alt")))
+  }
+  private def x11Tune(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    x11Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"),
+        col("text").as("text1"), x11Text2().as("text2"),
+        when(col("doc_id") % 2 === 0, lit(1.0)).otherwise(lit(0.0)).as("label"))
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_wsp_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      // base deployment: cold fit of the 2·dim-feature pair head on the
+      // doc_id % 3 = 0 slice
+      tr.tune("q_wsp", "text_pair_classification",
+        pairs.where(col("doc_id") % 3 === 0).select("text1", "text2", "label"),
+        "text1", "label", "cross-encoder-stand-in")
+      // CONTINUED training on the rest: warm-start gradient descent from
+      // the deployed pair head's coefficients (api.rs:846-995 lifecycle)
+      val res2 = tr.tune("q_wsp", "text_pair_classification",
+        pairs.where(col("doc_id") % 3 =!= 0).select("text1", "text2", "label"),
+        "text1", "label", "cross-encoder-stand-in")
+      // the second tune MUST have taken the warm branch — fail loudly
+      // here, not as an unexplained driver hash mismatch
+      val hp = tr.registry.models.where(col("model_id") === res2.modelId)
+        .select("hyperparams").head().getString(0)
+      require(hp.contains("warm_start_from"),
+        s"x11 second tune did not warm-start (hyperparams: $hp)")
+      (tr, res2.modelId)
+    })
+
+  /** pgml.tune of a text_pair project with REAL continued training (x11):
+    * the second tune warm-starts full-batch logistic GD over the 2·dim
+    * interaction features (|u−v|, u⊙v per dim) from the deployed pair
+    * head's coefficients, and the query serves its predict_proba over
+    * every synthesized pair. The oracle replays the ENTIRE serving path
+    * in DuckDB: both texts' hash embeddings via the s4 HUGEINT machinery
+    * (text2 keyed at doc_id + 10⁸), each fitted coefficient mapped back
+    * to its source expression IN THE MODEL'S OWN featNames ORDER, and
+    * p = σ(b + Σ wⱼfⱼ) with the tuned parameters as literals — the
+    * margin folds left-associatively exactly like GdLogisticModel.prob,
+    * so the probabilities replay behind round(4).
+    */
+  val x11TunePairWarmStart: GraftQuery = GraftQuery(
+    "x11_tune_pair_warm_start",
+    (s, dir) => {
+      val (tr, modelId) = x11Tune(s, dir)
+      val docs = t(s, dir, "documents")
+      val dim = 64
+      val emb = graft.functions.HashEmbedder(dim)
+      val e1 = emb.embedCol(col("text1"))
+      val e2 = emb.embedCol(col("text2"))
+      val pairs = docs.select(col("doc_id"),
+        col("text").as("text1"), x11Text2().as("text2"))
+      val feat = pairs.select(col("doc_id") +:
+        (0 until dim).flatMap { i =>
+          val a = element_at(e1, i + 1).cast("double")
+          val b = element_at(e2, i + 1).cast("double")
+          Seq(abs(a - b).as(s"d$i"), (a * b).as(s"p$i"))
+        }: _*)
+      tr.registry.predictProbaWithModel(modelId, feat)
+        .select(col("doc_id"), col("prediction"),
+          (round(element_at(col("proba"), 2), 4) + lit(0.0)).as("score"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = x11Tune(s, dir)
+      val (w, b) = tr.registry.logisticParams(modelId)
+      val names = tr.registry.featureNames(modelId)
+      require(names.length == w.length,
+        s"x11 featNames/coefficients width mismatch: ${names.length} vs ${w.length}")
+      // coefficient j pairs with featNames(j): map each name back to its
+      // source expression so the replayed margin uses the model's own
+      // assembled feature order, whatever the preprocessor chose
+      def fexpr(n: String): String = {
+        // assembled names are "<src>__f" for plain numeric columns
+        // (Preprocessor.featureNames) — strip the suffix, parse "d<i>"/"p<i>"
+        val src = n.stripSuffix("__f")
+        val i = src.drop(1).toInt + 1
+        if (src.startsWith("d")) s"abs(u.v[$i] - w2.v[$i])"
+        else s"(u.v[$i] * w2.v[$i])"
+      }
+      // flat list constructor + left-fold, not a 128-term `+` chain (which
+      // exceeds DuckDB's binder recursion depth); seedless list_reduce is
+      // the same left-associative fold as the 0.0-seeded serving loop
+      val chain = s"list_reduce([${names.zip(w)
+        .map { case (n, wi) => s"(${dlit(wi)}) * ${fexpr(n)}" }
+        .mkString(", ")}], (x, y) -> x + y)"
+      s"""WITH tdoc AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\\s+') AS tk, text
+            FROM documents),
+          pairs AS (SELECT doc_id, text AS t1,
+              CASE WHEN doc_id % 2 = 0
+                THEN array_to_string(list_slice(tk, 1, 8), ' ') || ' seg'
+                ELSE array_to_string(list_slice(tk, 9, 16), ' ') || ' alt'
+              END AS t2
+            FROM tdoc),
+          ${hashEmbedCtes(
+            """SELECT CAST(doc_id AS BIGINT) AS doc_id, t1 AS text FROM pairs
+              UNION ALL SELECT CAST(doc_id AS BIGINT) + 100000000, t2 FROM pairs""")},
+          p AS (SELECT u.doc_id,
+              1.0 / (1.0 + exp(-(${dlit(b)} + ($chain)))) AS p
+            FROM vecs u JOIN vecs w2 ON w2.doc_id = u.doc_id + 100000000
+            WHERE u.doc_id < 100000000)
+          SELECT doc_id,
+            CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END AS prediction,
+            round(p, 4) + 0.0 AS score
+          FROM p ORDER BY doc_id"""
+    })
+
+  // one warm-start-tuned CONVERSATION registry shared by the x12 query
+  // and its oracle generator (the oracle inlines the SAME tuned model's
+  // centers and generation table)
+  private val x12Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
+  private def x12Tune(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    x12Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
+      val docs = t(s, dir, "documents")
+      // synthesized conversations: user = the document text, assistant =
+      // its first 6 (trimmed, lowered) tokens. The replies never need a
+      // SQL replay — they inline as literals from the registered
+      // generation table — so only determinism matters here.
+      val conv = docs.select(col("doc_id"),
+        lit("be brief").as("system"), col("text").as("user"),
+        concat_ws(" ",
+          slice(split(trim(lower(col("text"))), "\\s+"), 1, 6)).as("assistant"))
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_wsc_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      // base deployment: cold KMeans retrieval-generator on the
+      // doc_id % 3 = 0 slice
+      tr.tune("q_wsc", "conversation",
+        conv.where(col("doc_id") % 3 === 0).select("system", "user", "assistant"),
+        "user", "assistant", "causal-lm-stand-in")
+      // CONTINUED training on the rest: the deployed centers keep moving
+      // via distributed Lloyd iterations (WarmStart.continueKMeans)
+      val res2 = tr.tune("q_wsc", "conversation",
+        conv.where(col("doc_id") % 3 =!= 0).select("system", "user", "assistant"),
+        "user", "assistant", "causal-lm-stand-in")
+      val hp = tr.registry.models.where(col("model_id") === res2.modelId)
+        .select("hyperparams").head().getString(0)
+      require(hp.contains("warm_start_from"),
+        s"x12 second tune did not warm-start (hyperparams: $hp)")
+      (tr, res2.modelId)
+    })
+
+  /** pgml.tune of a conversation project with REAL continued training
+    * (x12): the second tune warm-starts Lloyd iterations from the
+    * deployed centroids (CentroidModel), and the query serves the whole
+    * generate() path over every document — embed, nearest-center
+    * assignment, generation-table lookup. The oracle replays it all in
+    * DuckDB: the s4 hash-embed machinery, the m3-style literal-argmin
+    * (row_number over (dsq, c) == CentroidModel's strict-< first-minimum,
+    * both over the identical left-associative squared distance), and the
+    * generation table as VALUES. CentroidModel.transform is the
+    * plan-pure projection this replay pins down.
+    */
+  val x12TuneConversationWarmStart: GraftQuery = GraftQuery(
+    "x12_tune_conversation_warm_start",
+    (s, dir) => {
+      val (tr, modelId) = x12Tune(s, dir)
+      val docs = t(s, dir, "documents")
+      val dim = 64
+      val emb = graft.functions.HashEmbedder(dim)
+      val e = emb.embedCol(col("text"))
+      val feat = docs.select(col("doc_id") +:
+        (0 until dim).map(i => element_at(e, i + 1).cast("double").as(s"e$i")): _*)
+      val reps = tr.registry.storedResponses(modelId)
+      val repExpr = reps.toSeq.sortBy(_._1).foldLeft(lit("")) {
+        case (acc, (c, r)) => when(col("prediction") === c, lit(r)).otherwise(acc)
+      }
+      tr.registry.predictWithModel(modelId, feat)
+        .select(col("doc_id"), col("prediction").cast("int").as("cluster"),
+          repExpr.as("reply"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = x12Tune(s, dir)
+      val centers = tr.registry.clusterCenters(modelId)
+      val reps = tr.registry.storedResponses(modelId)
+      require(centers.indices.forall(reps.contains),
+        s"x12 generation table misses a center: ${reps.keySet} vs ${centers.length}")
+      // replies inline as SQL literals — enforce the validity domain
+      // loudly (x10 discipline); single quotes double-escape
+      reps.values.foreach { r =>
+        require(r.forall(ch => ch >= 0x20 && ch < 0x7f && ch != '\\'),
+          s"x12 oracle precondition violated: reply '$r' must be printable " +
+            "ASCII without backslashes to inline as a SQL literal")
+      }
+      val centerRows = centers.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(dlit).mkString(",")}])"
+      }.mkString(", ")
+      val repRows = reps.toSeq.sortBy(_._1).map { case (c, r) =>
+        s"($c, '${r.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""WITH ${hashEmbedCtes(
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents")},
+          cent(c, cv) AS (VALUES $centerRows),
+          rep(c, reply) AS (VALUES $repRows),
+          d AS (SELECT vecs.doc_id, cent.c,
+              (SELECT sum((vecs.v[CAST(i AS INT)] - cent.cv[CAST(i AS INT)])
+                        * (vecs.v[CAST(i AS INT)] - cent.cv[CAST(i AS INT)]))
+                 FROM range(1, 65) t(i)) AS dsq
+            FROM vecs, cent),
+          a AS (SELECT doc_id, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY dsq, c) AS rn
+            FROM d)
+          SELECT a.doc_id, a.c AS cluster, rep.reply
+          FROM a JOIN rep ON a.c = rep.c WHERE a.rn = 1 ORDER BY a.doc_id"""
+    })
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -3656,7 +3883,8 @@ object QueryCatalog {
     p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
-    x9TransformNer, x10ChatCompletion,
+    x9TransformNer, x10ChatCompletion, x11TunePairWarmStart,
+    x12TuneConversationWarmStart,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }

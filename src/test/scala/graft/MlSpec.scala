@@ -45,9 +45,10 @@ class MlSpec extends AnyFunSuite {
     assert(r1.metrics.contains("roc_auc") && r1.metrics("roc_auc") > 0.9)
     assert(r1.metrics.contains("log_loss"))
     val r2 = t.train("proj_clf", "classification", df, Some("label"), "random_forest")
-    // second deploys only if strictly better f1
+    // reference tie semantics (api.rs): the second model deploys UNLESS the
+    // deployed one is strictly better — a tie deploys the new model
     val dep = t.registry.currentDeployment("proj_clf").get
-    if (r2.metrics("f1") > r1.metrics("f1")) assert(dep.model_id == r2.modelId)
+    if (r2.metrics("f1") >= r1.metrics("f1")) assert(dep.model_id == r2.modelId)
     else assert(dep.model_id == r1.modelId && !r2.deployed)
   }
 

@@ -157,6 +157,173 @@ class TuneSpec extends AnyFunSuite {
     assert(before.toSeq == after.toSeq, "reloaded warm-start head diverged")
   }
 
+  test("second PAIR tune WARM-STARTS: gradient updates improve held-out f1 from the deployed pair head") {
+    // same lifecycle as the text_classification warm-start test, over the
+    // 2·dim interaction features: base deployment fit on a SMALL NOISY
+    // slice (label flips), tune relation large and clean
+    val subjects = Seq("market", "engine", "garden", "river", "museum")
+    def pair(i: Int, truth: Boolean): (String, String) = {
+      val s = subjects(i % subjects.length)
+      val t1 = s"the $s report arrived on day $s ${i % 7}"
+      if (truth) (t1, s"the $s report arrived late on day $s ${i % 7}")
+      else (t1, s"unrelated ${subjects((i + 2) % subjects.length)} memo entry ${i % 5}")
+    }
+    val base = (0 until 40).map { i =>
+      val truth = i % 2 == 0
+      val noisy = if (i % 6 == 0) !truth else truth // ~17% flipped labels
+      val (t1, t2) = pair(i, truth)
+      (t1, t2, if (noisy) 1.0 else 0.0)
+    }.toDF("text1", "text2", "label")
+    val tuneRel = (0 until 400).map { i =>
+      val truth = i % 2 == 0
+      val (t1, t2) = pair(i + 1000, truth)
+      (t1, t2, if (truth) 1.0 else 0.0)
+    }.toDF("text1", "text2", "label")
+    val heldOut = (0 until 200).map { i =>
+      val truth = i % 2 == 1
+      val (t1, t2) = pair(i + 5000, truth)
+      (t1, t2, if (truth) 1.0 else 0.0)
+    }.toDF("text1", "text2", "label")
+
+    val t = newTrainer()
+    val baseRes = t.tune("proj_wsp", "text_pair_classification", base,
+      textCol = "text1", yCol = "label", modelName = "cross-encoder-stand-in")
+    assert(baseRes.deployed)
+    val tuned = t.tune("proj_wsp", "text_pair_classification", tuneRel,
+      textCol = "text1", yCol = "label", modelName = "cross-encoder-stand-in")
+    val hp = t.registry.models.where(col("model_id") === tuned.modelId)
+      .select("hyperparams").as[String].head()
+    assert(hp.contains(s""""warm_start_from":"${baseRes.modelId}""""), hp)
+    assert(tuned.deployed, "improved pair tune did not auto-deploy")
+
+    // common held-out comparison over the SAME pair features
+    val dim = 64
+    val emb = graft.functions.HashEmbedder(dim)
+    val e1 = emb.embedCol(col("text1")); val e2 = emb.embedCol(col("text2"))
+    val evalFeat = heldOut.select(
+      (0 until dim).flatMap { i =>
+        val a = element_at(e1, i + 1).cast("double")
+        val b = element_at(e2, i + 1).cast("double")
+        Seq(abs(a - b).as(s"d$i"), (a * b).as(s"p$i"))
+      } :+ col("label"): _*)
+    def f1Of(modelId: Long): Double = Metrics.classification(
+      t.registry.predictWithModel(modelId, evalFeat), "label", "prediction")("f1")
+    val f1Base = f1Of(baseRes.modelId)
+    val f1Tuned = f1Of(tuned.modelId)
+    assert(f1Tuned > f1Base,
+      s"warm-start pair tune did not improve held-out f1: base $f1Base tuned $f1Tuned")
+  }
+
+  test("second CONVERSATION tune WARM-STARTS: continued Lloyd improves held-out bleu; reload round-trips") {
+    val intents = Seq(
+      ("what is the weather forecast sky sunshine", "it is sunny with clear skies"),
+      ("question about invoice payment billing account", "your invoice is ready in the billing portal"),
+      ("where is my parcel package delivery tracking", "your package arrives tomorrow by courier"),
+      ("help error crash bug software problem", "please restart the application and update"))
+    def conv(n: Int, pool: Seq[(String, String)], off: Int) = (0 until n).map { i =>
+      val (user, assistant) = pool(i % pool.length)
+      ("you are helpful", s"$user variant ${(i + off) % 5}", assistant)
+    }.toDF("system", "user", "assistant")
+    // base deployment sees ONE intent only, with NOISY replies (per-row
+    // suffixes) — its own held-out bleu lands below 1.0, so the clean
+    // 4-intent tune can strictly beat it and auto-deploy
+    val base = (0 until 40).map { i =>
+      val (user, assistant) = intents.head
+      // distinct variant per row: KMeans k=8 needs >= k distinct vectors
+      ("you are helpful", s"$user variant $i", s"$assistant code ${i % 7}")
+    }.toDF("system", "user", "assistant")
+    val tuneRel = conv(200, intents, 1)
+    val heldOut = conv(80, intents, 3)
+
+    val t = newTrainer()
+    val baseRes = t.tune("proj_wsc", "conversation", base,
+      textCol = "user", yCol = "assistant", modelName = "causal-lm-stand-in")
+    assert(baseRes.deployed)
+    val tuned = t.tune("proj_wsc", "conversation", tuneRel,
+      textCol = "user", yCol = "assistant", modelName = "causal-lm-stand-in")
+    val hp = t.registry.models.where(col("model_id") === tuned.modelId)
+      .select("hyperparams").as[String].head()
+    assert(hp.contains(s""""warm_start_from":"${baseRes.modelId}""""), hp)
+    assert(tuned.deployed, "improved conversation tune did not auto-deploy")
+
+    // common held-out BLEU: serve each model's full generate() path
+    // (assign + generation-table lookup) over the same frame
+    val dim = 64
+    val emb = graft.functions.HashEmbedder(dim)
+    val embC = emb.embedCol(col("user"))
+    val evalFeat = heldOut.select(
+      (0 until dim).map(i => element_at(embC, i + 1).cast("double").as(s"e$i")) :+
+        col("assistant"): _*)
+    def bleuOf(modelId: Long): Double = {
+      val reps = t.registry.storedResponses(modelId)
+      val repExpr = reps.toSeq.sortBy(_._1).foldLeft(lit("")) {
+        case (acc, (c, r)) => when(col("prediction") === c, lit(r)).otherwise(acc)
+      }
+      val bleu = udf((cand: String, ref: String) => Metrics.bleu1(cand, ref))
+      t.registry.predictWithModel(modelId, evalFeat)
+        .withColumn("_cand", repExpr)
+        .agg(avg(bleu(col("_cand"), col("assistant")))).head().getDouble(0)
+    }
+    val bleuBase = bleuOf(baseRes.modelId)
+    val bleuTuned = bleuOf(tuned.modelId)
+    assert(bleuTuned > bleuBase,
+      s"warm-start conversation tune did not improve held-out bleu: base $bleuBase tuned $bleuTuned")
+
+    // the warm-started CentroidModel must survive a cache clear: the
+    // reflective MLReadable reload serves the identical generate() path
+    val probes = Seq(
+      "what is the weather forecast sky sunshine today",
+      "question about my invoice payment billing")
+    val before = t.registry.generateBatch("proj_wsc", probes)
+    assert(before.forall(_.nonEmpty), s"empty generate() replies: $before")
+    t.registry.clearServingCaches()
+    val after = t.registry.generateBatch("proj_wsc", probes)
+    assert(before == after, s"reloaded CentroidModel diverged: $before vs $after")
+    // plan-pure assignment after reload matches too
+    val assignedBefore = t.registry.predictWithModel(tuned.modelId, evalFeat)
+      .select("prediction").collect().map(_.getInt(0)).toSeq
+    t.registry.clearServingCaches()
+    val assignedAfter = t.registry.predictWithModel(tuned.modelId, evalFeat)
+      .select("prediction").collect().map(_.getInt(0)).toSeq
+    assert(assignedBefore == assignedAfter)
+  }
+
+  test("conversation warm-start drops centers that capture no tune rows (covers nTrain < k)") {
+    val pool = Seq(
+      ("what is the weather forecast sky sunshine", "it is sunny with clear skies"),
+      ("question about invoice payment billing account", "your invoice is ready in the billing portal"),
+      ("where is my parcel package delivery tracking", "your package arrives tomorrow by courier"),
+      ("help error crash bug software problem", "please restart the application and update"))
+    val base = (0 until 40).map { i =>
+      val (u, a) = pool(i % pool.length)
+      ("sys", s"$u variant ${i % 5}", a)
+    }.toDF("system", "user", "assistant")
+    val t = newTrainer()
+    val baseRes = t.tune("proj_wsk", "conversation", base,
+      textCol = "user", yCol = "assistant", modelName = "m")
+    val baseK = t.registry.clusterCenters(baseRes.modelId).length
+    assert(baseK > 3, s"base model too small to exercise the drop: k=$baseK")
+    // second tune with THREE rows and testSize=0: at most 3 centers can
+    // capture — the rest must be dropped, and every kept center must have
+    // a generation-table entry (no empty-string serving)
+    val tiny = (0 until 3).map { i =>
+      val (u, a) = pool(i)
+      ("sys", s"$u variant $i", a)
+    }.toDF("system", "user", "assistant")
+    val tuned = t.tune("proj_wsk", "conversation", tiny,
+      textCol = "user", yCol = "assistant", modelName = "m", testSize = 0.0)
+    val centers = t.registry.clusterCenters(tuned.modelId)
+    assert(centers.length <= 3,
+      s"zero-capture centers not dropped: ${centers.length} kept from $baseK")
+    val reps = t.registry.storedResponses(tuned.modelId)
+    assert(centers.indices.forall(reps.contains),
+      s"kept center without a generation entry: ${reps.keySet}")
+    // any input generates a real (non-empty) reply from the tuned model
+    val replies = Seq("completely unrelated probe text", pool(1)._1)
+      .map(inp => t.registry.generate("proj_wsk", inp))
+    assert(replies.forall(_.nonEmpty), s"empty reply served: $replies")
+  }
+
   test("tune rejects unknown tasks") {
     val t = newTrainer()
     val df = Seq(("a", 0.0)).toDF("text", "label")

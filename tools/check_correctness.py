@@ -7,6 +7,7 @@ row-count + value compare). Usage:
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -38,13 +39,20 @@ for name, sql in sorted(oracle_sql.items()):
                 eq = (a == b) or (a is None and b is None)
                 # hash-faithful float compare: the driver hashes FORMATTED
                 # values, so -0.0 vs +0.0 (== under IEEE) must FAIL here
-                # too, exactly like NaN != NaN must PASS.
+                # too, exactly like NaN != NaN must PASS. Applies to ANY
+                # floating dtype (np.float32 is not a Python float), and an
+                # int-vs-float dtype pair formats differently on the driver
+                # ("1" vs "1.0") so it must FAIL here even when == holds.
                 try:
-                    if isinstance(a, float) and isinstance(b, float):
-                        if math.isnan(a) or math.isnan(b):
+                    a_f = isinstance(a, (float, np.floating))
+                    b_f = isinstance(b, (float, np.floating))
+                    if a_f or b_f:
+                        if not (a_f and b_f):
+                            eq = False  # mixed int/float formats differently
+                        elif math.isnan(a) or math.isnan(b):
                             eq = math.isnan(a) and math.isnan(b)
                         else:
-                            eq = (a == b) and (
+                            eq = (float(a) == float(b)) and (
                                 math.copysign(1.0, a) == math.copysign(1.0, b))
                 except Exception:
                     pass
