@@ -38,7 +38,8 @@ object Bench {
       "q4_window_topn", "q8_events_hourly", "q9_json_extract",
       "v1_knn_cosine", "v2_vec_avg_by_label", "v3_vec_norms",
       "v4_knn_batch", "v5_knn_ivf", "v9_knn_hnsw", "v9b_hnsw_batch",
-      "v9c_hnsw_local", "v11_knn_binary", "v12_knn_sq8", "v16_knn_pq", "v24_knn_ivfpq", "v25_knn_ivfpq_residual",
+      "v9c_hnsw_local", "v5c_ivf_local", "v24c_ivfpq_local",
+      "v11_knn_binary", "v12_knn_sq8", "v16_knn_pq", "v24_knn_ivfpq", "v25_knn_ivfpq_residual",
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "t7_pack_sequences",
       "t8_repetition_stats", "t10_dedup_spans", "t11_gopher_rules",
@@ -107,6 +108,52 @@ object Bench {
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
             idx.searchLocal(qv, 10, ef = 64).map { case (id, sc) => (qid, id, sc) }
+          }
+        hits.toDF("query_id", "vec_id", "score")
+      }
+
+    // v5c / v24c: the driver-local tier for the quantized families — the
+    // same 1000-probe shape as v9c (10 vectors × 100 repeats through
+    // searchLocal), so the three in-process tiers are directly comparable
+    // against the reference's 17.5 ms in-process probe. Results are
+    // spec-pinned identical to the distributed v5/v24 paths.
+    val ivfLocal: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val queries = localQueryCache.getOrElseUpdate(dir,
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+            .collect().toSeq.sortBy(_._1))
+        val idx = graft.operators.IvfIndex.serveOrBuild(
+          s, s"$dir/embeddings.parquet", emb, "embedding", nlist = 16)
+        var hits: Seq[(Long, Long, Double)] = Nil
+        for (_ <- 1 to 100)
+          hits = queries.flatMap { case (qid, qv) =>
+            idx.searchLocal(qv, 10, nprobe = 4, "vec_id")
+              .map { case (id, sc) => (qid, id, sc) }
+          }
+        hits.toDF("query_id", "vec_id", "score")
+      }
+    val ivfpqLocal: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val queries = localQueryCache.getOrElseUpdate(dir,
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+            .collect().toSeq.sortBy(_._1))
+        val V = graft.queries.V24OracleSql
+        var hits: Seq[(Long, Long, Double)] = Nil
+        for (_ <- 1 to 100)
+          hits = queries.flatMap { case (qid, qv) =>
+            graft.operators.IvfPq.searchLocal(
+              s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", qv, 10,
+              nprobe = V.Nprobe, rerank = V.Rerank, nlist = V.Nlist,
+              m = V.M, kCent = V.KCent, nassign = V.Nassign)
+              .map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }
@@ -181,7 +228,8 @@ object Bench {
     val queries = SparkEntry.queries +
       ("s4_ingest" -> ingest) + ("v9_knn_hnsw" -> hnswServe) +
       ("v9b_hnsw_batch" -> hnswBatch) +
-      ("v9c_hnsw_local" -> hnswLocal) + ("s4_sync_delta" -> syncDelta) +
+      ("v9c_hnsw_local" -> hnswLocal) + ("v5c_ivf_local" -> ivfLocal) +
+      ("v24c_ivfpq_local" -> ivfpqLocal) + ("s4_sync_delta" -> syncDelta) +
       ("s4_sync_steady" -> syncSteady)
     // Warm every headline query once, untimed (JIT + classload + index/
     // warehouse builds — indexes are built at ingest, not per query; the

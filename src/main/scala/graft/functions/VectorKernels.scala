@@ -16,6 +16,34 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object VectorKernels {
 
+  // ---- Array[Float] twins of the float kernels ----
+  // The driver-local serving tiers (IvfIndex.searchLocal /
+  // IvfPq.searchLocal) score with THESE, so an in-process probe is
+  // bit-identical to the codegen'd distributed scan: same loop, same
+  // float→double widening, same accumulation order.
+  def dotF(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, s"vector length mismatch: ${a.length} vs ${b.length}")
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+  def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, s"vector length mismatch: ${a.length} vs ${b.length}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+  def distL2F(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, "vector length mismatch")
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
   // ---- dot product (vectors.rs:276-292) ----
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

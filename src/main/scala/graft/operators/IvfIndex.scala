@@ -76,6 +76,53 @@ class IvfIndex private[operators] (
       .orderBy(col("score").desc, col(idCols.head))
       .limit(k)
   }
+
+  /** Driver-local serving tier (the IVF counterpart of
+    * [[HnswIndex.searchLocal]]): the cluster→postings map collects
+    * IN-PROCESS once, then every probe is pure driver compute — rank
+    * centroids, scan the nprobe posting lists with the
+    * [[graft.functions.VectorKernels]] Array[Float] twins of the codegen
+    * scan kernels, dedup spill copies, top-k. Zero Spark jobs after the
+    * first call, and results are identical to [[search]] (same probe
+    * selection, same scoring arithmetic, same (score desc, id asc)
+    * order — IvfSpec pins the equality). Residency: the postings hold
+    * the probed corpus's vectors in driver memory — the "fits one
+    * machine" tier, exactly like the HNSW graph cache; the distributed
+    * [[search]] path remains the scale tier. */
+  @transient private lazy val localPostingsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Array[(Long, Array[Float])]]]
+
+  def searchLocal(query: Array[Float], k: Int, nprobe: Int,
+      idCol: String): Seq[(Long, Double)] = {
+    val postings = localPostingsCache.getOrElseUpdate(idCol, {
+      val spark = data.sparkSession
+      import spark.implicits._
+      data.select(col(idCol).cast("long"), col(vecCol), col("cluster_id").cast("int"))
+        .as[(Long, Array[Float], Int)].collect()
+        .groupBy(_._3)
+        .map { case (c, rows) => c -> rows.map(r => (r._1, r._2)) }
+    })
+    val ranked = IvfIndex.rankCentroids(centroids, query, metric, nprobe)
+    val score: Array[Float] => Double = metric match {
+      case IvfIndex.MetricL2 => v => -graft.functions.VectorKernels.distL2F(v, query)
+      case IvfIndex.MetricIp => v => graft.functions.VectorKernels.dotF(v, query)
+      case _ => v => graft.functions.VectorKernels.cosineF(v, query)
+    }
+    // spill copies carry identical scores — first occurrence wins (exact)
+    val seen = new java.util.HashMap[Long, java.lang.Double]()
+    ranked.foreach { c =>
+      postings.getOrElse(c, Array.empty[(Long, Array[Float])]).foreach {
+        case (id, v) => if (!seen.containsKey(id)) seen.put(id, score(v))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    seen.entrySet().iterator().asScala
+      .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
+      .toArray
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+      .toSeq
+  }
 }
 
 object IvfIndex {

@@ -134,7 +134,11 @@ object IvfPq {
     }
   }
 
-  def invalidate(home: String): Unit = family.invalidate(home)
+  def invalidate(home: String): Unit = {
+    family.invalidate(home)
+    localCodesCache.remove(home)
+    localVecCache.remove(home)
+  }
 
   /** The candidate stage on its own: driver-side probe selection → a
     * partition-pruned ADC scan of the probed clusters' codes → top-`r`
@@ -192,6 +196,122 @@ object IvfPq {
         .limit(r)
         .select(col("id").as(idCol))
     }
+  }
+
+  // ---------------------------------------------------- driver-local tier
+
+  // cluster→codes postings and id→vector maps, collected IN-PROCESS once
+  // per served home (the quantized counterpart of HnswIndex's graph cache)
+  private val localCodesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Array[(Long, Array[Byte])]]]
+  private val localVecCache =
+    scala.collection.concurrent.TrieMap.empty[String, scala.collection.Map[Long, Array[Float]]]
+
+  /** The [[graft.functions.QuantKernels.pqAdcDot]] loop over a plain
+    * lut array — identical accumulation order, so local ADC scores are
+    * bit-identical to the codegen'd scan. */
+  private def adcLocal(codes: Array[Byte], lut: Array[Double]): Double = {
+    val m = codes.length
+    val k = lut.length / m
+    var s = 0.0
+    var g = 0
+    while (g < m) { s += lut(g * k + (codes(g) & 0xFF)); g += 1 }
+    s
+  }
+
+  /** Driver-local serving tier: probe selection → in-process ADC scan of
+    * the probed clusters' cached codes → top-r shortlist → exact re-rank
+    * against the cached vectors. Zero Spark jobs after the first call;
+    * every stage mirrors [[knnIndexed]] exactly — same probe ranking,
+    * same ADC arithmetic (raw and residual), same dedup/max-over-copies
+    * rule, same (score desc, id asc) tie order — so results are
+    * identical to the distributed path (IvfPqSpec pins the equality).
+    * Residency: codes are m bytes/vector (tiny); the exact-re-rank
+    * vector map is the same "fits one machine" class as the HNSW graph
+    * cache. */
+  def searchLocal(
+      spark: SparkSession, sourcePath: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nprobe: Int = 4, rerank: Int = 0,
+      nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
+      metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
+      variant: String = ""): Seq[(Long, Double)] = {
+    val h = serveOrBuild(spark, sourcePath, df, idCol, vecCol,
+      nlist, m, kCent, nassign, metric, byResidual, variant)
+    val home = indexPathFor(spark, sourcePath, nlist, m, kCent, nassign,
+      metric, byResidual, variant)
+    val codes = localCodesCache.getOrElseUpdate(home, {
+      import spark.implicits._
+      h.codes.select(col("id").cast("long"), col("pq"), col("cluster_id").cast("int"))
+        .as[(Long, Array[Byte], Int)].collect()
+        .groupBy(_._3)
+        .map { case (c, rows) => c -> rows.map(r => (r._1, r._2)) }
+    })
+    val vecs = localVecCache.getOrElseUpdate(home, {
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])].collect().toMap
+    })
+    val r = math.max(if (rerank > 0) rerank else 10 * k, k)
+    val probed = IvfIndex.rankCentroids(h.centroids, query, metric, nprobe)
+    // ADC shortlist: copies carry identical scores when codes encode raw
+    // vectors (first wins); residual copies quantize against different
+    // centroids (best copy wins — max, like the distributed groupBy max)
+    val best = new java.util.HashMap[Long, java.lang.Double]()
+    if (!h.byResidual) {
+      val lut = h.model.lutFor(query, metric)
+      probed.foreach { ci =>
+        codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
+          case (id, pq) =>
+            if (!best.containsKey(id)) best.put(id, adcLocal(pq, lut))
+        }
+      }
+    } else {
+      metric match {
+        case IvfIndex.MetricL2 =>
+          probed.foreach { ci =>
+            val qc = query.indices.map(d => query(d) - h.centroids(ci)(d)).toArray
+            val lutCi = h.model.lutFor(qc, metric)
+            codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
+              case (id, pq) =>
+                val s = adcLocal(pq, lutCi)
+                val prev = best.get(id)
+                if (prev == null || s > prev) best.put(id, s)
+            }
+          }
+        case _ =>
+          val lut = h.model.lut(query)
+          probed.foreach { ci =>
+            var qc = 0.0
+            var d = 0
+            while (d < query.length) { qc += query(d).toDouble * h.centroids(ci)(d); d += 1 }
+            codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
+              case (id, pq) =>
+                val s = qc + adcLocal(pq, lut)
+                val prev = best.get(id)
+                if (prev == null || s > prev) best.put(id, s)
+            }
+          }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val shortlist = best.entrySet().iterator().asScala
+      .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
+      .toArray
+      .sortBy { case (id, s) => (-s, id) }
+      .take(r)
+    // exact re-rank of the shortlist — VectorSearch.exactScoreCol's
+    // arithmetic via the Array[Float] kernel twins
+    val exact: Array[Float] => Double = metric match {
+      case IvfIndex.MetricL2 => v => -graft.functions.VectorKernels.distL2F(v, query)
+      case IvfIndex.MetricIp => v => graft.functions.VectorKernels.dotF(v, query)
+      case _ => v => graft.functions.VectorKernels.cosineF(v, query)
+    }
+    shortlist
+      .map { case (id, _) => (id, exact(vecs(id))) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+      .toSeq
   }
 
   /** Serving: driver-side probe selection → partition-pruned ADC scan of

@@ -134,4 +134,34 @@ class IvfPqSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSeq
     assert(got == exact, s"l2 residual serving diverged: $got vs $exact")
   }
+
+  test("searchLocal: the driver-local tier serves results identical to knnIndexed") {
+    // raw codes, residual codes, and residual-l2 — every serving branch
+    // of the local tier must match the distributed path row-for-row
+    // (same probe ranking, ADC arithmetic, dedup/max rule, tie order)
+    for (q <- Seq(queryVec(3), queryVec(9), queryVec(21)); resid <- Seq(false, true)) {
+      val dist = IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 10,
+          nprobe = 4, rerank = 100, nlist = 8, m = 8, kCent = 16, byResidual = resid)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val local = IvfPq.searchLocal(spark, src, emb, "vec_id", "embedding", q, 10,
+        nprobe = 4, rerank = 100, nlist = 8, m = 8, kCent = 16, byResidual = resid)
+      assert(local == dist, s"local tier diverged (byResidual=$resid)")
+    }
+    // residual-l2: per-cluster LUT branch over un-normalized vectors
+    val scaled = emb.select($"vec_id",
+      transform($"embedding", x => (x * (($"vec_id" % 7 + 1)).cast("float")).cast("float"))
+        .as("embedding"))
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_loc_").toString
+    scaled.write.parquet(s"$wh/scaled")
+    val sdf = spark.read.parquet(s"$wh/scaled")
+    val q = sdf.where($"vec_id" === 4).select("embedding").as[Array[Float]].head()
+    val dist = IvfPq.knnIndexed(spark, s"$wh/scaled", sdf, "vec_id", "embedding", q, 10,
+        nprobe = 4, rerank = 100, nlist = 8, m = 8, kCent = 16,
+        metric = IvfIndex.MetricL2, byResidual = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val local = IvfPq.searchLocal(spark, s"$wh/scaled", sdf, "vec_id", "embedding", q, 10,
+      nprobe = 4, rerank = 100, nlist = 8, m = 8, kCent = 16,
+      metric = IvfIndex.MetricL2, byResidual = true)
+    assert(local == dist, "local tier diverged under residual l2")
+  }
 }

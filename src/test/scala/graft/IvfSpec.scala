@@ -282,6 +282,35 @@ class IvfSpec extends AnyFunSuite {
     assert(docs2("doc300"), "retried append not served")
   }
 
+  test("searchLocal: the driver-local tier serves results identical to the distributed probe") {
+    val idx = IvfIndex.build(spark, emb, "embedding", nlist = 16)
+    // several query vectors, pruned AND full probes, under all metrics —
+    // the local tier must match the distributed path row-for-row
+    // (same probe selection, same kernel arithmetic, same tie order)
+    val queries = emb.where($"vec_id" % 97 === 3)
+      .select("embedding").as[Array[Float]].collect().take(5)
+    for (q <- queries; nprobe <- Seq(4, 16)) {
+      val dist = idx.search(q, 10, nprobe, Seq("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val local = idx.searchLocal(q, 10, nprobe, "vec_id")
+      assert(local == dist, s"local tier diverged at nprobe=$nprobe")
+    }
+    idx.data.unpersist()
+    // un-normalized metrics too (l2 / ip tie-break and scoring paths)
+    val raw = emb.select(col("vec_id"),
+      graft.functions.VecFunctions.vecMulScalar(col("embedding"),
+        (col("vec_id") % 5 + 1).cast("float")).as("embedding"))
+    for (metric <- Seq(IvfIndex.MetricL2, IvfIndex.MetricIp)) {
+      val mi = IvfIndex.build(spark, raw, "embedding", nlist = 8, metric = metric)
+      val q = raw.where($"vec_id" === 3).select("embedding").as[Array[Float]].head()
+      val dist = mi.search(q, 10, nprobe = 3, Seq("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val local = mi.searchLocal(q, 10, nprobe = 3, "vec_id")
+      assert(local == dist, s"local tier diverged under $metric")
+      mi.data.unpersist()
+    }
+  }
+
   test("0-row appendSegment publishes manifest only; load survives and drops the docs") {
     val home = freshIvfHome(0 until 10)
     val empty = docVecs(Nil).toDF("document_id", "embedding")
