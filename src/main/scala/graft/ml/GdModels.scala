@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Full-batch (sub)gradient descent for the robust linear-regression
+  * algorithms of the reference's enum (orm/algorithm.rs:27-28 —
+  * sklearn's HuberRegressor / QuantileRegressor): MLlib has neither
+  * loss, so the WarmStart treeAggregate machinery generalizes to them —
+  * per epoch the d+1 parameters broadcast, executors fold per-partition
+  * (sub)gradient partials, treeAggregate merges, the driver steps. Same
+  * scale contract as [[WarmStart.continueLogisticBinary]]: one
+  * distributed pass per epoch, O(d) driver state, no data collect.
+  *
+  * Losses (r = prediction − y):
+  *  - huber(δ):    ∂/∂pred = r for |r| ≤ δ, else δ·sign(r)
+  *  - quantile(τ): pinball subgradient — (1 − τ) for r > 0, else −τ
+  */
+object GdRegression {
+
+  def fit(
+      data: DataFrame, featuresCol: String, labelCol: String,
+      loss: String, lossParam: Double,
+      epochs: Int = 300, learningRate: Double = 0.1): (Array[Double], Double) = {
+    require(loss == "huber" || loss == "quantile", s"unknown GD loss $loss")
+    val sc = data.sparkSession.sparkContext
+    val rows = data.select(col(featuresCol), col(labelCol).cast("double"))
+      .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
+      .cache()
+    val n = rows.count().toDouble
+    require(n > 0, s"$loss regression needs at least one training row")
+    val d = rows.first()._1.size
+    var w = new Array[Double](d)
+    var b = 0.0
+    val isHuber = loss == "huber"
+    for (_ <- 0 until epochs) {
+      val wB = sc.broadcast(w)
+      val bNow = b
+      val (gw, gb) = rows.treeAggregate((new Array[Double](d), 0.0))(
+        seqOp = { case ((gwAcc, gbAcc), (x, y)) =>
+          val ww = wB.value
+          var pred = bNow
+          var i = 0
+          while (i < d) { pred += ww(i) * x(i); i += 1 }
+          val r = pred - y
+          val g =
+            if (isHuber) { if (math.abs(r) <= lossParam) r else lossParam * math.signum(r) }
+            else { if (r > 0) 1.0 - lossParam else -lossParam }
+          i = 0
+          while (i < d) { gwAcc(i) += g * x(i); i += 1 }
+          (gwAcc, gbAcc + g)
+        },
+        combOp = { case ((g1, b1), (g2, b2)) =>
+          var i = 0
+          while (i < d) { g1(i) += g2(i); i += 1 }
+          (g1, b1 + b2)
+        })
+      var i = 0
+      while (i < d) { w(i) -= learningRate * gw(i) / n; i += 1 }
+      b -= learningRate * gb / n
+      wB.destroy()
+    }
+    rows.unpersist()
+    (w, b)
+  }
+}
+
+/** Linear serving head with explicit parameters — what a huber/quantile
+  * GD fit registers. Output contract matches MLlib's
+  * LinearRegressionModel (`prediction` = b + ⟨w, v⟩); the dot product
+  * folds left-associatively in index order, so the served prediction
+  * replays in SQL with the parameters as literals (the m14/m15 oracles'
+  * contract — the x8/GdLogisticModel float discipline). */
+class GdLinearModel(
+    override val uid: String,
+    val coefficients: Array[Double],
+    val intercept: Double) extends Transformer with MLWritable {
+
+  def this(coefficients: Array[Double], intercept: Double) =
+    this(Identifiable.randomUID("gdLinear"), coefficients, intercept)
+
+  private def predictOne(v: Vector): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < coefficients.length) { dot += coefficients(i) * v(i); i += 1 }
+    intercept + dot
+  }
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val predUdf = udf { (v: Vector) => predictOne(v) }
+    df.withColumn("prediction", predUdf(col("features")))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("prediction", DoubleType, nullable = false))
+
+  override def copy(extra: ParamMap): GdLinearModel =
+    new GdLinearModel(uid, coefficients.clone(), intercept)
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      implicit val fmts: Formats = DefaultFormats
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/gd_linear.json"),
+        Serialization.write(Map(
+          "uid" -> uid,
+          "coefficients" -> coefficients.toSeq,
+          "intercept" -> intercept)))
+    }
+  }
+}
+
+object GdLinearModel extends MLReadable[GdLinearModel] {
+  override def read: MLReader[GdLinearModel] = new MLReader[GdLinearModel] {
+    override def load(path: String): GdLinearModel = {
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$path/gd_linear.json")))
+      new GdLinearModel(
+        (j \ "uid").extract[String],
+        (j \ "coefficients").extract[Seq[Double]].toArray,
+        (j \ "intercept").extract[Double])
+    }
+  }
+}

@@ -244,13 +244,45 @@ class Registry(spark: SparkSession, dir: String) {
     Array.tabulate(pc.numCols, pc.numRows)((c, j) => pc(j, c))
   }
 
-  /** (coefficients, intercept) of a stored linear model — the m7 oracle's
-    * literal source. */
-  def linearParams(modelId: Long): (Array[Double], Double) = {
-    val (_, model) = cachedModel(modelId)
-    val m = model.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
-    (m.coefficients.toArray, m.intercept)
-  }
+  /** (coefficients, intercept) of a stored linear model — the m7/m14/m15
+    * oracles' literal source. Serves both the MLlib estimator and the
+    * robust-GD head. */
+  def linearParams(modelId: Long): (Array[Double], Double) =
+    cachedModel(modelId)._2 match {
+      case m: org.apache.spark.ml.regression.LinearRegressionModel =>
+        (m.coefficients.toArray, m.intercept)
+      case m: GdLinearModel => (m.coefficients.clone(), m.intercept)
+      case other => throw new IllegalArgumentException(
+        s"model $modelId is not a linear family: ${other.getClass.getName}")
+    }
+
+  /** (points, labels, k, classification) of a stored k-NN model — the
+    * m13 oracle's literal source (the points in stored order ARE the
+    * neighbour tie-break). */
+  def knnParams(modelId: Long): (Array[Array[Double]], Array[Double], Int, Boolean) =
+    cachedModel(modelId)._2 match {
+      case m: KnnModel => (m.points.map(_.clone()), m.labels.clone(), m.k, m.classification)
+      case other => throw new IllegalArgumentException(
+        s"model $modelId is not a knn model: ${other.getClass.getName}")
+    }
+
+  /** (tree roots, per-tree weights, divisor) of a stored tree ensemble —
+    * the m16/m17 oracles' literal source. Prediction =
+    * (Σ weightᵢ · treeᵢ(x)) / divisor: a forest averages (weights 1,
+    * divisor n — the same sum-then-DIVIDE MLlib computes, which a
+    * (1/n)·sum literal would not replay exactly), GBT blends
+    * (treeWeights, divisor 1 — x/1.0 ≡ x under IEEE). */
+  def treeEnsemble(modelId: Long)
+      : (Array[org.apache.spark.ml.tree.Node], Array[Double], Double) =
+    cachedModel(modelId)._2 match {
+      case m: org.apache.spark.ml.regression.RandomForestRegressionModel =>
+        (m.trees.map(_.rootNode), Array.fill(m.trees.length)(1.0),
+          m.trees.length.toDouble)
+      case m: org.apache.spark.ml.regression.GBTRegressionModel =>
+        (m.trees.map(_.rootNode), m.treeWeights.clone(), 1.0)
+      case other => throw new IllegalArgumentException(
+        s"model $modelId is not a tree ensemble: ${other.getClass.getName}")
+    }
 
   /** (coefficients, intercept) of a stored BINARY logistic model — the
     * m9/x8 oracles' literal source. Serves both the MLlib estimator and

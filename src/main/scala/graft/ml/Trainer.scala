@@ -505,6 +505,30 @@ class Trainer(spark: SparkSession, registryDir: String) {
       hp.get("kernel").map(_.toString).getOrElse("rbf") != "linear"
 
     task match {
+      case "regression" if algorithm == "huber" || algorithm == "quantile" =>
+        // robust losses (algorithm.rs:27-28) — MLlib has neither, so the
+        // WarmStart treeAggregate GD machinery fits them (GdRegression);
+        // the registered GdLinearModel serves like any linear head and
+        // its parameters replay as the m14/m15 oracle literals.
+        // sklearn defaults: HuberRegressor epsilon=1.35, QuantileRegressor
+        // quantile=0.5
+        val y = yCol.get
+        val lossParam =
+          if (algorithm == "huber") d("epsilon", 1.35) else d("quantile", 0.5)
+        val (w, b) = GdRegression.fit(train, "features", y, algorithm, lossParam,
+          epochs = i("epochs", 300), learningRate = d("learning_rate", 0.1))
+        val m = new GdLinearModel(w, b)
+        (m, Metrics.regression(m.transform(test), y, "prediction"))
+
+      case "regression" if algorithm == "knn" =>
+        // sklearn KNeighborsRegressor (algorithm.rs:16): the training set
+        // IS the model; the stored-order tie contract makes serving
+        // SQL-replayable (m13)
+        val y = yCol.get
+        val m = KnnModel.fit(train, "features", y,
+          k = i("n_neighbors", 5), classification = false)
+        (m, Metrics.regression(m.transform(test), y, "prediction"))
+
       case "regression" =>
         val y = yCol.get
         val est: org.apache.spark.ml.Estimator[_] = algorithm match {
@@ -517,11 +541,19 @@ class Trainer(spark: SparkSession, registryDir: String) {
           case "elastic_net" => new LinearRegression()
             .setRegParam(d("alpha", 1.0)).setElasticNetParam(d("l1_ratio", 0.5))
             .setLabelCol(y).setFeaturesCol("features")
-          case "random_forest" | "extra_trees" => new RandomForestRegressor()
+          // bagging → forest of trees (sklearn BaggingRegressor's default
+          // base estimator is a decision tree — a random forest IS bagged
+          // trees + feature subsampling; recorded substitution like
+          // extra_trees)
+          case "random_forest" | "extra_trees" | "bagging" => new RandomForestRegressor()
             .setNumTrees(i("n_estimators", 20)).setSeed(42)
+            .setMaxDepth(i("max_depth", 5))
             .setLabelCol(y).setFeaturesCol("features")
-          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" =>
+          // ada_boost → the MLlib boosting family (sequential additive
+          // trees; recorded substitution like xgboost)
+          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" | "ada_boost" =>
             new GBTRegressor().setMaxIter(i("n_estimators", 20)).setSeed(42)
+              .setMaxDepth(i("max_depth", 5))
               .setLabelCol(y).setFeaturesCol("features")
           // SVR: RBF feature map + ridge (MLlib has no epsilon-insensitive
           // loss — squared loss over the same kernel map, recorded fallback)
@@ -536,6 +568,15 @@ class Trainer(spark: SparkSession, registryDir: String) {
         val pred = m.transform(test)
         (m, Metrics.regression(pred, y, "prediction"))
 
+      case "classification" if algorithm == "knn" =>
+        // sklearn KNeighborsClassifier: majority vote, tied counts take
+        // the smallest label (mode semantics); no probability output, so
+        // the binary extras are skipped exactly like LinearSVC
+        val y = yCol.get
+        val m = KnnModel.fit(train, "features", y,
+          k = i("n_neighbors", 5), classification = true)
+        (m, Metrics.classification(m.transform(test), y, "prediction"))
+
       case "classification" =>
         val y = yCol.get
         val est: org.apache.spark.ml.Estimator[_] = algorithm match {
@@ -547,11 +588,13 @@ class Trainer(spark: SparkSession, registryDir: String) {
             .setLabelCol(y).setFeaturesCol("features")
           case "svm" | "nu_svm" => kernelPipeline(
             new LinearSVC().setLabelCol(y).setFeaturesCol("rff_features"))
-          case "random_forest" | "extra_trees" => new RandomForestClassifier()
+          case "random_forest" | "extra_trees" | "bagging" => new RandomForestClassifier()
             .setNumTrees(i("n_estimators", 20)).setSeed(42)
+            .setMaxDepth(i("max_depth", 5))
             .setLabelCol(y).setFeaturesCol("features")
-          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" =>
+          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" | "ada_boost" =>
             new GBTClassifier().setMaxIter(i("n_estimators", 20)).setSeed(42)
+              .setMaxDepth(i("max_depth", 5))
               .setLabelCol(y).setFeaturesCol("features")
           case _ => new LogisticRegression().setMaxIter(100)
             .setLabelCol(y).setFeaturesCol("features")

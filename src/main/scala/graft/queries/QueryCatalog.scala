@@ -3105,6 +3105,208 @@ object QueryCatalog {
           FROM m ORDER BY l_quantity, l_discount, l_tax"""
     })
 
+  // -------------------------------------- §2.12 long tail (m13 … m17)
+
+  private val mLongTailCache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ml.Trainer, Long)]
+  private def mCached(key: String, s: SparkSession, dir: String)(
+      fit: graft.ml.Trainer => Long): (graft.ml.Trainer, Long) =
+    mLongTailCache.getOrElseUpdate(s"$key#${skey(s)}#$dir", {
+      val reg = java.nio.file.Files.createTempDirectory(s"graft_q_${key}_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      (tr, fit(tr))
+    })
+
+  private def m13Train(s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    mCached("knn", s, dir) { tr =>
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") % 997 === 0)
+        .select(col("l_quantity"), col("l_discount"),
+          (col("l_partkey") % 3).cast("double").as("label"))
+      tr.train("q_knn", "classification", li, Some("label"), "knn",
+        hyperparams = Map("n_neighbors" -> 5), testSize = 0.0).modelId
+    }
+
+  /** k-NN classification (m13, algorithm.rs:16): the stored training set
+    * IS the model; the oracle inlines it as VALUES and replays the whole
+    * serving contract — squared-L2 neighbour ranking with stored-index
+    * tie-break, then the (count desc, label asc) majority vote. */
+  val m13Knn: GraftQuery = GraftQuery(
+    "m13_knn",
+    (s, dir) => {
+      val (tr, modelId) = m13Train(s, dir)
+      val feats = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount")).distinct()
+      tr.registry.predictWithModel(modelId, feats)
+        .select(col("l_quantity"), col("l_discount"), col("prediction"))
+        .orderBy(col("l_quantity"), col("l_discount"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = m13Train(s, dir)
+      val (pts, labels, k, _) = tr.registry.knnParams(modelId)
+      val ptRows = pts.zip(labels).zipWithIndex.map { case ((p, y), i) =>
+        s"($i, ${dlit(p(0))}, ${dlit(p(1))}, ${dlit(y)})"
+      }.mkString(", ")
+      s"""WITH pts(idx, p0, p1, y) AS (VALUES $ptRows),
+          f AS (SELECT DISTINCT l_quantity AS q, l_discount AS dc FROM lineitem),
+          d AS (SELECT f.q, f.dc, pts.idx, pts.y,
+              ((f.q - pts.p0) * (f.q - pts.p0))
+                + ((f.dc - pts.p1) * (f.dc - pts.p1)) AS dsq
+            FROM f, pts),
+          nb AS (SELECT q, dc, y,
+              row_number() OVER (PARTITION BY q, dc ORDER BY dsq, idx) AS rn
+            FROM d),
+          vote AS (SELECT q, dc, y, count(*) AS c FROM nb WHERE rn <= $k
+            GROUP BY q, dc, y),
+          p AS (SELECT q, dc, y,
+              row_number() OVER (PARTITION BY q, dc ORDER BY c DESC, y) AS vr
+            FROM vote)
+          SELECT q AS l_quantity, dc AS l_discount, y AS prediction
+          FROM p WHERE vr = 1 ORDER BY l_quantity, l_discount"""
+    })
+
+  /** Robust-GD regression serving replay shared by m14 (huber) and m15
+    * (quantile): fit on standard-scaled features through the Trainer
+    * lifecycle, then replay prediction = b + ⟨w, (x−μ)/σ⟩ in SQL with
+    * the fitted parameters as literals (the m7 scale-replay shape). */
+  private def gdOracle(tr: graft.ml.Trainer, modelId: Long): String = {
+    val (w, b) = tr.registry.linearParams(modelId)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    require(w.length == feats.length, s"unexpected GD feature width ${w.length}")
+    val chain = feats.zipWithIndex
+      .map { case (f, j) => s"(${dlit(w(j))}) * ((f.$f - st.m$j) / st.sd$j)" }
+      .mkString(" + ")
+    s"""WITH st AS (SELECT
+            avg(l_quantity) AS m0, stddev_pop(l_quantity) AS sd0,
+            avg(l_discount) AS m1, stddev_pop(l_discount) AS sd1,
+            avg(l_tax) AS m2, stddev_pop(l_tax) AS sd2
+          FROM lineitem),
+        f AS (SELECT DISTINCT l_quantity, l_discount, l_tax FROM lineitem)
+        SELECT f.l_quantity, f.l_discount, f.l_tax,
+          round((${dlit(b)}) + ($chain), 4) + 0.0 AS prediction
+        FROM f, st ORDER BY f.l_quantity, f.l_discount, f.l_tax"""
+  }
+  private def gdQuery(algo: String, hp: Map[String, Any])(
+      s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    mCached(algo, s, dir) { tr =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount"), col("l_tax"))
+      // small-magnitude target keeps the fixed-rate subgradient steps in
+      // range; quality is not the contract here — deterministic replay is
+      val rel = li.withColumn("y", col("l_discount") * 2 + col("l_tax"))
+      tr.train(s"q_$algo", "regression", rel, Some("y"), algo,
+        hyperparams = hp,
+        preprocess = Seq("l_quantity", "l_discount", "l_tax")
+          .map(c => c -> graft.ml.ColumnPlan(c, scale = "standard")).toMap,
+        testSize = 0.0).modelId
+    }
+  private def gdServe(algo: String, hp: Map[String, Any])(
+      s: SparkSession, dir: String): DataFrame = {
+    val (tr, modelId) = gdQuery(algo, hp)(s, dir)
+    val feats = t(s, dir, "lineitem")
+      .select(col("l_quantity"), col("l_discount"), col("l_tax")).distinct()
+    tr.registry.predictWithModel(modelId, feats)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+        (round(col("prediction"), 4) + lit(0.0)).as("prediction"))
+      .orderBy(col("l_quantity"), col("l_discount"), col("l_tax"))
+  }
+
+  /** Huber regression (m14, algorithm.rs:27): robust loss via the
+    * WarmStart treeAggregate GD machinery; serving replays as linear
+    * literals over the standard-scale transform. */
+  val m14Huber: GraftQuery = GraftQuery(
+    "m14_huber",
+    (s, dir) => gdServe("huber", Map("epsilon" -> 1.35))(s, dir),
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = gdQuery("huber", Map("epsilon" -> 1.35))(s, dir)
+      gdOracle(tr, modelId)
+    })
+
+  /** Quantile (pinball-loss) regression (m15, algorithm.rs:28), τ=0.3. */
+  val m15Quantile: GraftQuery = GraftQuery(
+    "m15_quantile",
+    (s, dir) => gdServe("quantile", Map("quantile" -> 0.3))(s, dir),
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = gdQuery("quantile", Map("quantile" -> 0.3))(s, dir)
+      gdOracle(tr, modelId)
+    })
+
+  /** Tree-walk SQL for a fitted decision tree: nested CASE over the
+    * ContinuousSplit thresholds, leaf predictions as literals — MLlib's
+    * predictImpl goes left iff x(featureIdx) <= threshold, and threshold
+    * compares are exact doubles, so the replay is float-for-float. */
+  private def treeSql(node: org.apache.spark.ml.tree.Node,
+      featOf: Int => String): String = node match {
+    case l: org.apache.spark.ml.tree.LeafNode => s"(${dlit(l.prediction)})"
+    case n: org.apache.spark.ml.tree.InternalNode => n.split match {
+      case cs: org.apache.spark.ml.tree.ContinuousSplit =>
+        s"(CASE WHEN ${featOf(cs.featureIndex)} <= (${dlit(cs.threshold)}) " +
+          s"THEN ${treeSql(n.leftChild, featOf)} " +
+          s"ELSE ${treeSql(n.rightChild, featOf)} END)"
+      case other => throw new IllegalArgumentException(
+        s"tree replay supports continuous splits only, got ${other.getClass}")
+    }
+  }
+  private def ensembleOracle(tr: graft.ml.Trainer, modelId: Long): String = {
+    val (roots, weights, divisor) = tr.registry.treeEnsemble(modelId)
+    val names = tr.registry.featureNames(modelId).map(_.stripSuffix("__f"))
+    val featOf = (i: Int) => s"f.${names(i)}"
+    val chain = roots.zip(weights)
+      .map { case (r, w) => s"(${dlit(w)}) * ${treeSql(r, featOf)}" }
+      .mkString(" + ")
+    s"""WITH f AS (SELECT DISTINCT l_quantity, l_discount, l_tax FROM lineitem)
+        SELECT f.l_quantity, f.l_discount, f.l_tax,
+          round(($chain) / (${dlit(divisor)}), 4) + 0.0 AS prediction
+        FROM f ORDER BY f.l_quantity, f.l_discount, f.l_tax"""
+  }
+  private def ensembleQuery(algo: String)(
+      s: SparkSession, dir: String): (graft.ml.Trainer, Long) =
+    mCached(algo, s, dir) { tr =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+          col("l_extendedprice"))
+      tr.train(s"q_$algo", "regression", li, Some("l_extendedprice"), algo,
+        hyperparams = Map("n_estimators" -> 4, "max_depth" -> 4),
+        testSize = 0.0).modelId
+    }
+  private def ensembleServe(algo: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    val (tr, modelId) = ensembleQuery(algo)(s, dir)
+    val feats = t(s, dir, "lineitem")
+      .select(col("l_quantity"), col("l_discount"), col("l_tax")).distinct()
+    tr.registry.predictWithModel(modelId, feats)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+        (round(col("prediction"), 4) + lit(0.0)).as("prediction"))
+      .orderBy(col("l_quantity"), col("l_discount"), col("l_tax"))
+  }
+
+  /** Bagging (m16, algorithm.rs:33 → forest of bagged trees): the whole
+    * fitted ensemble replays as SQL — per-tree nested-CASE walks summed
+    * left-associatively and divided by n, exactly MLlib's
+    * sum-then-divide averaging. */
+  val m16Bagging: GraftQuery = GraftQuery(
+    "m16_bagging",
+    (s, dir) => ensembleServe("bagging")(s, dir),
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = ensembleQuery("bagging")(s, dir)
+      ensembleOracle(tr, modelId)
+    })
+
+  /** AdaBoost (m17, algorithm.rs:32 → the MLlib boosting family):
+    * weighted additive trees — Σ wᵢ·treeᵢ(x), the GBT blend — replayed
+    * the same way (divisor 1). */
+  val m17AdaBoost: GraftQuery = GraftQuery(
+    "m17_ada_boost",
+    (s, dir) => ensembleServe("ada_boost")(s, dir),
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = ensembleQuery("ada_boost")(s, dir)
+      ensembleOracle(tr, modelId)
+    })
+
   // one warm-start-tuned registry shared by the x8 query and its oracle
   // generator (the oracle inlines the SAME fitted head's parameters, so
   // the pair must come from one tune; session+dir keying as x6Cache)
@@ -3880,6 +4082,7 @@ object QueryCatalog {
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, m10SearchResults, m11ConfusionMetrics, m12KernelSvm,
+    m13Knn, m14Huber, m15Quantile, m16Bagging, m17AdaBoost,
     p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,

@@ -52,6 +52,100 @@ class MlSpec extends AnyFunSuite {
     else assert(dep.model_id == r1.modelId && !r2.deployed)
   }
 
+  test("knn: classification vote + regression mean match the stored-set contract; round-trips") {
+    // 2D points in two tight clusters; labels by cluster — knn must be
+    // perfect on the training region
+    val df = (0 until 60).map { i =>
+      val c = i % 2
+      (c * 10.0 + (i % 5) * 0.1, c * -8.0 + (i % 3) * 0.1, c.toDouble)
+    }.toDF("a", "b", "label")
+    val t = newTrainer()
+    val res = t.train("proj_knn", "classification", df, Some("label"), "knn",
+      hyperparams = Map("n_neighbors" -> 3), testSampling = "stratified")
+    assert(res.metrics("f1") == 1.0, s"knn f1: ${res.metrics}")
+    // algorithm recorded as requested, not as a substitute
+    assert(t.registry.models.where(col("model_id") === res.modelId)
+      .select("algorithm").as[String].head() == "knn")
+    // serving survives a cache clear (MLReadable round-trip)
+    val probe = Seq((10.2, -7.9, 0.0), (0.1, 0.2, 0.0)).toDF("a", "b", "label")
+    val before = t.registry.predict("proj_knn", probe)
+      .select("prediction").as[Double].collect().toSeq
+    assert(before == Seq(1.0, 0.0))
+    t.registry.clearServingCaches()
+    val after = t.registry.predict("proj_knn", probe)
+      .select("prediction").as[Double].collect().toSeq
+    assert(before == after)
+    // regression mode: prediction = mean of the k neighbour labels
+    val rdf = (0 until 30).map(i => (i.toDouble, i.toDouble * 2)).toDF("x", "y")
+    val rr = t.train("proj_knn_r", "regression", rdf, Some("y"), "knn",
+      hyperparams = Map("n_neighbors" -> 3), testSampling = "last")
+    val p = t.registry.predict("proj_knn_r", Seq((10.0, 0.0)).toDF("x", "y"))
+      .select("prediction").as[Double].head()
+    // neighbours of x=10 are {9, 10, 11} → mean(18, 20, 22) = 20
+    assert(math.abs(p - 20.0) < 1e-9, s"knn regression: $p")
+  }
+
+  test("huber is robust to outliers where OLS is not; quantile τ shifts the fit") {
+    // y = 2x with 10% gross positive outliers: OLS chases them, huber
+    // shouldn't
+    val df = (1 to 200).map { i =>
+      val x = (i % 20).toDouble / 20.0
+      val y = 2.0 * x + (if (i % 10 == 0) 50.0 else 0.0)
+      (x, y)
+    }.toDF("x", "y")
+    val t = newTrainer()
+    def fitB(algo: String, hp: Map[String, Any]): Double = {
+      val res = t.train(s"proj_$algo", "regression", df, Some("y"), algo,
+        hyperparams = hp,
+        preprocess = Map("x" -> ColumnPlan("x", scale = "standard")),
+        testSize = 0.0)
+      val (_, b) = t.registry.linearParams(res.modelId)
+      b // with standardized x, the intercept is the fit's centre estimate
+    }
+    val bHuber = fitB("huber", Map("epsilon" -> 0.5, "epochs" -> 400))
+    val bOls = {
+      val res = t.train("proj_ols_cmp", "regression", df, Some("y"), "linear",
+        preprocess = Map("x" -> ColumnPlan("x", scale = "standard")), testSize = 0.0)
+      t.registry.linearParams(res.modelId)._2
+    }
+    // OLS centre ≈ mean(y) ≈ 2x̄ + 5; huber centre stays near the inlier line
+    assert(bHuber < bOls - 2.0,
+      s"huber not robust: huber b=$bHuber vs ols b=$bOls")
+    // quantile: higher τ ⇒ higher fitted level on asymmetric data
+    val b30 = fitB("quantile", Map("quantile" -> 0.3, "epochs" -> 400))
+    val b80 = fitB("quantile", Map("quantile" -> 0.8, "epochs" -> 400))
+    assert(b80 > b30, s"quantile τ ordering violated: τ=0.8 b=$b80 vs τ=0.3 b=$b30")
+  }
+
+  test("ada_boost and bagging map to the boosting/bagging tree families and fit") {
+    val df = (1 to 150).map { i =>
+      val x1 = (i % 30).toDouble
+      (x1, (i % 7).toDouble, x1 * 2 + (i % 7))
+    }.toDF("x1", "x2", "y")
+    val t = newTrainer()
+    for (algo <- Seq("ada_boost", "bagging")) {
+      val res = t.train(s"proj_$algo", "regression", df, Some("y"), algo,
+        hyperparams = Map("n_estimators" -> 5), testSampling = "last")
+      assert(res.metrics("r2") > 0.9, s"$algo r2: ${res.metrics}")
+      assert(t.registry.models.where(col("model_id") === res.modelId)
+        .select("algorithm").as[String].head() == algo)
+      // the ensemble introspection surface resolves (the m16/m17 oracle seam)
+      val (roots, weights, divisor) = t.registry.treeEnsemble(res.modelId)
+      assert(roots.length == 5 && weights.length == 5)
+      assert(if (algo == "bagging") divisor == 5.0 else divisor == 1.0)
+    }
+    // classification side dispatches too
+    val cdf = (1 to 100).map { i =>
+      val x = (i % 20).toDouble
+      (x, if (x >= 10) 1.0 else 0.0)
+    }.toDF("x", "label")
+    for (algo <- Seq("ada_boost", "bagging")) {
+      val res = t.train(s"projc_$algo", "classification", cdf, Some("label"), algo,
+        testSampling = "stratified")
+      assert(res.metrics("f1") > 0.9, s"$algo classification f1: ${res.metrics}")
+    }
+  }
+
   test("kmeans clustering and pca decomposition produce metrics") {
     val df = (1 to 90).map { i =>
       val c = i % 3
