@@ -131,7 +131,6 @@ object Corpus {
     // metadata-cheap job instead of a second scan.
     val c2 = lmBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
       .localCheckpoint()
-    val c2Rows = c2.count()
     // c(h) = Σ_w c(h,w): derived from the vocabulary-sized c2 aggregate,
     // not a second corpus scan
     val c1 = c2.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
@@ -145,10 +144,19 @@ object Corpus {
     val c1h = c1.select(xxhash64(col("w1")).as("__j1"), col("__c1"))
     // V = reference-corpus vocabulary over ALL positions (a single-token
     // reference doc contributes to V though it yields no bigram). This is
-    // an eager driver value — the smoothing term is a plan literal.
-    val v = lmCorpus
-      .select(explode(split(trim(lower(col(lmTextCol))), "\\s+")).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0)
+    // an eager driver value — the smoothing term is a plan literal. The
+    // broadcast-ceiling row count of the (checkpointed, cheap-to-rescan)
+    // c2 frame folds into the SAME aggregate via a tagged union — the c9
+    // trick: no standalone count() job just to size the gate.
+    val tok = lmCorpus
+      .select(explode(split(trim(lower(col(lmTextCol))), "\\s+")).as("w"),
+        lit(true).as("__isTok"))
+    val stats = tok.unionByName(
+        c2.select(col("w1").as("w"), lit(false).as("__isTok")))
+      .agg(countDistinct(when(col("__isTok"), col("w"))),
+        count(when(!col("__isTok"), 1))).head()
+    val v = stats.getLong(0)
+    val c2Rows = stats.getLong(1)
     require(v > 0,
       "perplexityStats: the reference corpus is empty — an LM with V = 0 " +
         "has a zero smoothing denominator and cannot score anything")
