@@ -620,12 +620,24 @@ object HnswIndex {
     * stay invisible; a pre-marker layout counts everything). Built
     * identically by load (which caches it) and by the unpersist sites (so
     * the CacheManager's plan-keyed entry can be dropped). */
+  // the blob table's fixed layout — EXPLICIT on every read: parquet
+  // schema inference is a Spark job per read site, and the delta-append
+  // path reads the table twice per micro-batch (two pure-overhead jobs
+  // on the continuous-ingest critical path)
+  private val BlobSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pid",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("graph",
+      org.apache.spark.sql.types.BinaryType)))
+
   private def blobFrame(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/data")
+    val base = spark.read.schema(BlobSchema).parquet(s"$path/data")
     val segs = IndexStore.committedDeltaSegs(spark, path)
     if (segs.isEmpty) base
     else base.unionByName(
-      spark.read.parquet(s"$path/delta")
+      spark.read.schema(BlobSchema.add("seg",
+          org.apache.spark.sql.types.IntegerType))
+        .parquet(s"$path/delta")
         .where(col("seg").isin(segs.map(Integer.valueOf): _*))
         .drop("seg"))
   }

@@ -3767,6 +3767,51 @@ object QueryCatalog {
           FROM a JOIN rep ON a.c = rep.c WHERE a.rn = 1 ORDER BY a.doc_id"""
     })
 
+  /** OpenSourceAI STREAMING chat (x13): chat_completions_create_stream
+    * (open_source_ai.rs:188-247) — the per-token delta iterator of the
+    * x10 surface. The query drains every stream into (doc_id, idx,
+    * token) rows AND asserts in-line that the reassembled stream equals
+    * the batch envelope's content (the reference contract: the stream is
+    * the same completion, chunked); the oracle replays the per-token
+    * stream itself — the first max_tokens corpus tokens WITH ordinality.
+    */
+  val x13ChatCompletionStream: GraftQuery = GraftQuery(
+    "x13_chat_completion_stream",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      docs.flatMap { case (id, text) =>
+        val tokens = graft.store.OpenSourceAI.chatCompletionsCreateStream(
+          "test-model", Seq("system" -> "be brief", "user" -> text),
+          maxTokens = 12).toSeq
+        // stream ≡ batch: the chunked deltas must reassemble into the
+        // batch envelope's choice content (open_source_ai.rs contract)
+        val batch = graft.store.OpenSourceAI.chatCompletionsCreate(
+          "test-model", Seq("system" -> "be brief", "user" -> text),
+          maxTokens = 12)
+        val content = org.json4s.jackson.JsonMethods.parse(batch) \ "choices" match {
+          case org.json4s.JArray(c :: _) =>
+            (c \ "message" \ "content").values.toString
+          case _ => ""
+        }
+        require(tokens.mkString(" ") == content,
+          s"stream/batch divergence for doc $id: " +
+            s"'${tokens.mkString(" ")}' vs '$content'")
+        tokens.zipWithIndex.map { case (tok, i) => (id, i + 1, tok) }
+      }.toDF("doc_id", "idx", "token")
+        .orderBy(col("doc_id"), col("idx"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+            tok AS (SELECT doc_id,
+              list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 12) AS l
+              FROM d),
+            x AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS idx, l FROM tok)
+            SELECT doc_id, CAST(idx AS INT) AS idx,
+              l[CAST(idx AS INT)] AS token
+            FROM x ORDER BY doc_id, idx"""))
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -4087,7 +4132,7 @@ object QueryCatalog {
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
     x9TransformNer, x10ChatCompletion, x11TunePairWarmStart,
-    x12TuneConversationWarmStart,
+    x12TuneConversationWarmStart, x13ChatCompletionStream,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }

@@ -117,6 +117,12 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       DeltaTable.readParquetCached(sess, dir.getPath, s"$docsPath#segdir"))
   }
 
+  private def appendChangelogLocal(rows: Seq[(String, String)]): Unit = {
+    val batch = DeltaTable.allocLogBatch(changelogPath)
+    DeltaTable.publishLogBatchLocal(rows, changelogPath, batch)
+    ()
+  }
+
   private def appendChangelog(batchDocs: DataFrame): Unit = {
     // write-ahead numbering + stage-then-rename: the old read-then-append
     // `maxChangelogBatch + 1` handed two concurrent upserts the same batch
@@ -240,24 +246,29 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         .select("source_uuid", "created_at")
         .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap)
     val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val outSchema = StructType(Seq(
-      StructField("row_id", LongType, nullable = false),
-      StructField("source_uuid", StringType, nullable = true),
-      StructField("document", StringType, nullable = true),
-      StructField("created_at", TimestampType, nullable = true)))
-    val outRows: Seq[org.apache.spark.sql.Row] = uuids.map { u =>
-      org.apache.spark.sql.Row(
+    // timestamps land as INT64 micros — what the local parquet writer
+    // declares and what Spark reads back as TimestampType
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    // uuid-sorted, like the distributed path's sortWithinPartitions: the
+    // In-pruned reads rely on row-group source_uuid stats
+    val sortedUuids = uuids.sorted
+    val outRows: Seq[Seq[Any]] = sortedUuids.map { u =>
+      Seq(
         org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
           org.apache.spark.unsafe.types.UTF8String.fromString(u), StringType, 42L),
-        u, lastByUuid(u), oldCreated.getOrElse(u, now))
+        u, lastByUuid(u), micros(oldCreated.getOrElse(u, now)))
     }
-    import scala.jdk.CollectionConverters._
-    val local = sess.createDataFrame(outRows.asJava, outSchema)
-    traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, local,
-      local.select("source_uuid"), docCol = "source_uuid",
-      sortCols = Seq("source_uuid"), coalesceTo = 1, knownIds = Some(uuids)))
-    traced("up:changelog")(appendChangelog(
-      local.select(col("source_uuid"), col("document"))))
+    // the batch is driver-held end to end: segment file, manifest rows,
+    // changelog batch, and every commit marker write driver-side — an
+    // event-sized upsert schedules exactly ONE Spark job (the In-pruned
+    // created_at read above)
+    traced("up:append-docs")(DeltaTable.appendDeltaLocal(docsPath,
+      Seq("row_id" -> "long", "source_uuid" -> "string",
+        "document" -> "string", "created_at" -> "ts"),
+      outRows, uuids, docCol = "source_uuid"))
+    traced("up:changelog")(appendChangelogLocal(
+      sortedUuids.map(u => u -> lastByUuid(u))))
     traced("up:compact-check")(DeltaTable.compactIfNeeded(spark, docsPath,
       "source_uuid", maxSegments = 16, sortCols = Seq("source_uuid")))
     true
@@ -519,6 +530,23 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     }
   }
 
+  /** Driver-side `get_json_object(doc, "$.<name>")` for the local chunk
+    * path: string fields unwrap, missing/null → None, other JSON values
+    * render compactly (both engines render without whitespace). Only
+    * object roots carry fields — same contract as the fast upsert's id
+    * extraction. */
+  private def jsonField(doc: String, name: String): Option[String] =
+    if (doc == null) None
+    else org.json4s.jackson.JsonMethods.parseOpt(doc).flatMap {
+      case o: org.json4s.JObject => (o \ name) match {
+        case org.json4s.JString(s) => Some(s)
+        case org.json4s.JNothing | org.json4s.JNull => None
+        case other => Some(org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(other)))
+      }
+      case _ => None
+    }
+
   private def chunkFrame(docs: DataFrame, f: PipelineField): DataFrame = {
     val (size, overlap) = f.splitter.getOrElse((1500, 40))
     docs.select(col("source_uuid").as("document_id"),
@@ -723,8 +751,21 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       .select(col("source_uuid"), col("document"))
       .localCheckpoint(eager = false)
     val changedIds = changedDocs.select(col("source_uuid").as("document_id"))
-    val idSeq = traced("sync:changed-collect")(
-      changedDocs.select("source_uuid").as[String].collect().toSeq)
+    // event-sized batches (judged from the new changelog dirs' bytes, a
+    // driver-side listing) collect the DOCUMENTS too: the chunk and
+    // tsvector chains then compute and write fully driver-side — their
+    // kernels (ChunkKernel.chunk, TsRank.stemTokens) are the exact
+    // functions the distributed expressions call
+    val collectDocsLocally = newBatchBytes <= (4L << 20)
+    val collected: Seq[(String, String)] = traced("sync:changed-collect")(
+      if (collectDocsLocally)
+        changedDocs.select("source_uuid", "document")
+          .as[(String, String)].collect().toSeq
+      else changedDocs.select("source_uuid").as[String].collect().toSeq
+        .map(u => (u, null: String)))
+    val idSeq = collected.map(_._1)
+    val docsLocal: Option[Seq[(String, String)]] =
+      if (collectDocsLocally) Some(collected) else None
 
     // Reads of the changed documents' OLD rows push an In(document_id…)
     // literal to the parquet scan — segments are written document_id-sorted,
@@ -746,7 +787,24 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       // DataFrame creation (appends never remove files), so recomputation
       // is cheap AND stable — and each skipped barrier is one less Spark
       // job on the per-micro-batch critical path
-      val newChunks = chunkFrame(changedDocs, f)
+      //
+      // event-sized batches chunk DRIVER-SIDE with the same kernel the
+      // ChunkText expression calls; the rows then back both the local
+      // chunk/tsvector writes and a LocalRelation for the embedding
+      // chain's joins (IncrementalSyncSpec pins incremental ≡ full)
+      val localChunks: Option[Seq[(String, Int, String)]] = docsLocal.map { ds =>
+        val (size, overlap) = f.splitter.getOrElse((1500, 40))
+        val setId = graft.functions.ChunkKernel.setIdFor(f.splitterModel)
+        ds.sortBy(_._1).flatMap { case (uuid, doc) =>
+          jsonField(doc, f.name).toSeq.flatMap(text =>
+            graft.functions.ChunkKernel.chunk(text, size, overlap, setId)
+              .zipWithIndex.map { case (c, i) => (uuid, i, c) })
+        }
+      }
+      val newChunks = localChunks match {
+        case Some(rows) => ms.createDataFrame(rows).toDF(keyCols: _*)
+        case None => chunkFrame(changedDocs, f)
+      }
       val oldChunks = changedOnly(DeltaTable.read(ms, chunksP))
       val changed = newChunks.join(oldChunks, keyCols, "left_anti")
       val smallBatch =
@@ -771,22 +829,31 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       implicit val ec: scala.concurrent.ExecutionContext = Collection.maintenanceEc
 
       val chunksF = Future {
-        traced("chain:chunks-append")(
-          DeltaTable.appendDelta(ms, chunksP, newChunks, changedIds,
+        traced("chain:chunks-append")(localChunks match {
+          // driver-held rows → driver-side segment write, zero Spark jobs
+          case Some(rows) => DeltaTable.appendDeltaLocal(chunksP,
+            Seq("document_id" -> "string", "chunk_index" -> "int",
+              "chunk" -> "string"),
+            rows.map { case (d, i, c) => Seq(d, i, c) }, idSeq,
+            docCol = "document_id")
+          case None => DeltaTable.appendDelta(ms, chunksP, newChunks, changedIds,
             sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch,
-            knownIds = localIds))
+            knownIds = localIds)
+        })
         ()
       }
       val embF: Future[Option[Long]] = Future {
         f.semanticSearch.map { emb =>
         val embP = tablePath(p.name, f.name, "embeddings")
-        // LAZY checkpoint: the count() below materializes it, so freezing
-        // the frame and measuring the stale slack share ONE Spark job
-        val oldEmb = traced("chain:oldemb-frame")(changedOnly(DeltaTable.read(ms, embP))
-          .localCheckpoint(eager = false))
-        // old index rows these documents are about to supersede (exact
-        // over-fetch slack for stale ANN nodes until the next merge)
-        val nStale = traced("chain:oldemb-count")(oldEmb.count())
+        // the append below is now this frame's ONLY action (index
+        // consumers read the published segment back), so no freeze is
+        // needed — and the stale-row count (exact over-fetch slack for
+        // stale ANN nodes until the next merge) rides the SAME action as
+        // an observed metric instead of its own count() job
+        val staleObs = new org.apache.spark.sql.Observation()
+        val oldEmb = traced("chain:oldemb-frame")(
+          changedOnly(DeltaTable.read(ms, embP))
+            .observe(staleObs, count(lit(1)).as("n")))
         val newEmb = emb.embedFrame(changed, col("chunk"), "embedding")
           .select(col("document_id"), col("chunk_index"),
             contentHid.as("hid"), col("embedding"))
@@ -795,23 +862,33 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         val reused = oldEmb
           .join(newChunks.join(changed, keyCols, "left_anti")
             .select("document_id", "chunk_index"), Seq("document_id", "chunk_index"))
-        // eager checkpoint ONLY when the frame has multiple consumers
-        // (table append + index delta segments): with no index on the
-        // field, appendDelta is the sole consumer and the checkpoint is
-        // a pure extra materialization job (~0.4 s) on the critical path
-        // — the lineage is already recomputation-stable (checkpointed
-        // changedDocs + frozen oldEmb + pre-append file listings)
         val delta0 = reused.unionByName(newEmb)
-        val delta =
-          if (f.vectorIndex.nonEmpty || f.hnswIndex.nonEmpty || f.binaryIndex)
-            traced("chain:delta-checkpoint")(delta0.localCheckpoint())
-          else delta0
         // the content-keyed hid rides IN the segment (new rows stamped it
         // above, reused rows carry their stored one), so the HNSW append
         // below and every later read agree on node ids with no derivation
-        traced("chain:emb-append")(DeltaTable.appendDelta(ms, embP, delta, changedIds,
-          sortCols = Seq("document_id", "chunk_index"), coalesceTo = smallBatch,
-          knownIds = localIds))
+        val seg = traced("chain:emb-append")(DeltaTable.appendDelta(ms, embP, delta0,
+          changedIds, sortCols = Seq("document_id", "chunk_index"),
+          coalesceTo = smallBatch, knownIds = localIds))
+        // collected during the append action (non-blocking now: the
+        // action completed). When the batch's new-chunk side is a
+        // STATICALLY empty LocalRelation (a changed document cleared its
+        // field), PropagateEmptyRelation prunes the reused-join and the
+        // CollectMetrics node with it — the metrics map comes back empty
+        // even though the superseded old rows are genuinely stale, so
+        // that rare branch pays the explicit count the metric normally
+        // replaces
+        val nStale = staleObs.get.get("n").map(_.asInstanceOf[Long])
+          .getOrElse(traced("chain:oldemb-count")(
+            changedOnly(DeltaTable.read(ms, embP)).count()))
+        // index consumers reuse the JUST-PUBLISHED segment's files instead
+        // of a checkpoint: the append's write already materialized the
+        // rows, so the read-back is lineage-free with no extra
+        // materialization job (~0.4 s off the per-batch critical path);
+        // with no index on the field the append was the sole consumer
+        val delta =
+          if (f.vectorIndex.nonEmpty || f.hnswIndex.nonEmpty || f.binaryIndex)
+            DeltaTable.segmentFrame(ms, embP, seg, delta0.schema)
+          else delta0
 
         // index delta segments over ONLY the new segment's vectors
         f.vectorIndex.foreach { nlist =>
@@ -849,12 +926,25 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       }
       val tsF = Future {
         if (f.fullTextSearch) {
-          val newTs = newChunks.select(col("document_id"), col("chunk_index"),
-            TsRank.tsVector(col("chunk")).as("terms"))
-          traced("chain:ts-append")(
-            DeltaTable.appendDelta(ms, tablePath(p.name, f.name, "tsvectors"),
-              newTs, changedIds, sortCols = Seq("document_id", "chunk_index"),
-              coalesceTo = smallBatch, knownIds = localIds))
+          traced("chain:ts-append")(localChunks match {
+            // driver-held rows → the same stem kernel the TsVectorExpr
+            // calls, written driver-side — zero Spark jobs
+            case Some(rows) => DeltaTable.appendDeltaLocal(
+              tablePath(p.name, f.name, "tsvectors"),
+              Seq("document_id" -> "string", "chunk_index" -> "int",
+                "terms" -> "strings"),
+              rows.map { case (d, i, c) =>
+                Seq(d, i, TsRank.stemTokens(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(c))
+                  .map(_.toString).toSeq)
+              }, idSeq, docCol = "document_id")
+            case None =>
+              val newTs = newChunks.select(col("document_id"), col("chunk_index"),
+                TsRank.tsVector(col("chunk")).as("terms"))
+              DeltaTable.appendDelta(ms, tablePath(p.name, f.name, "tsvectors"),
+                newTs, changedIds, sortCols = Seq("document_id", "chunk_index"),
+                coalesceTo = smallBatch, knownIds = localIds)
+          })
           ()
         }
       }

@@ -226,6 +226,97 @@ object DeltaTable {
     seg
   }
 
+  /** Driver-side parquet write of a small driver-held row batch — the
+    * [[appendManifestLocal]] machinery generalized to arbitrary flat
+    * schemas: one file, zero Spark jobs. Column kinds: `string` (binary
+    * UTF8), `long`, `int`, `ts` (INT64 TIMESTAMP micros, UTC — Spark
+    * reads it as TimestampType alongside Spark-written INT96 files).
+    * Values must be pre-converted ((String, Long, Int, Long-micros)). */
+  private def writeParquetLocal(
+      file: java.io.File,
+      cols: Seq[(String, String)],
+      rows: Seq[Seq[Any]]): Unit = {
+    val fields = cols.map {
+      case (n, "string") => s"required binary $n (UTF8);"
+      case (n, "long") => s"required int64 $n;"
+      case (n, "int") => s"required int32 $n;"
+      case (n, "ts") => s"required int64 $n (TIMESTAMP(MICROS,true));"
+      // the standard 3-level LIST shape Spark writes and reads natively
+      case (n, "strings") =>
+        s"required group $n (LIST) { repeated group list { required binary element (UTF8); } }"
+      case (n, k) => throw new IllegalArgumentException(s"unknown local column kind $k for $n")
+    }.mkString(" ")
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      s"message local { $fields }")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.parquet.io.LocalOutputFile(file.toPath))
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      cols.zip(r).foreach {
+        case ((n, "string"), v) => g.add(n, v.asInstanceOf[String])
+        case ((n, "int"), v) => g.add(n, v.asInstanceOf[Int])
+        case ((n, "strings"), v) =>
+          val lst = g.addGroup(n)
+          v.asInstanceOf[Seq[String]].foreach(s =>
+            lst.addGroup("list").add("element", s))
+        case ((n, _), v) => g.add(n, v.asInstanceOf[Long]) // long + ts-micros
+      }
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  /** [[appendDelta]] for a batch the driver already holds: the segment
+    * file, manifest rows, and commit marker all write driver-side — an
+    * event-sized append schedules ZERO Spark jobs. Same protocol as the
+    * distributed path (seg allocation, stage-then-rename, manifest +
+    * commit + cache advance under the per-path mutex); rows should
+    * arrive pre-sorted on the pruning column so row-group stats prune
+    * reads exactly like the sorted distributed segments. */
+  private[graft] def appendDeltaLocal(
+      path: String,
+      cols: Seq[(String, String)],
+      rows: Seq[Seq[Any]],
+      ids: Seq[String],
+      docCol: String): Int = {
+    graft.operators.IvfIndex.invalidate(path)
+    requireLocalWrites(path, "appendDeltaLocal")
+    require(ids.nonEmpty, "appendDeltaLocal needs the batch's document ids")
+    val seg = allocSeg(path)
+    if (rows.nonEmpty) {
+      val stage = new java.io.File(ioPath(s"$path/_stage-seg$seg"))
+      stage.mkdirs()
+      writeParquetLocal(new java.io.File(stage, "part-local-0.parquet"), cols, rows)
+      if (!stage.renameTo(new java.io.File(s"${ioPath(path)}/seg=$seg")))
+        throw new java.io.IOException(s"could not publish segment $seg under $path")
+    }
+    manifestLock(path).synchronized {
+      val preFp = manifestFingerprint(path)
+      val written = appendManifestLocal(path, ids, docCol, seg)
+      commitSeg(path, seg)
+      manifestCacheApply(path, preFp, written, ids, seg)
+    }
+    seg
+  }
+
+  /** The just-published segment as a lineage-free frame: read the seg=N
+    * files back with the caller's schema (explicit — no inference job).
+    * This is the checkpoint-free way for index consumers to reuse an
+    * appended delta: the append's write already materialized the rows, so
+    * re-reading its files costs no recompute and no extra barrier job. A
+    * 0-row append published no data dir → an empty frame of the schema. */
+  private[graft] def segmentFrame(spark: SparkSession, path: String, seg: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dir = new java.io.File(s"${ioPath(path)}/seg=$seg")
+    if (dir.isDirectory) spark.read.schema(schema).parquet(s"$path/seg=$seg")
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+  }
+
   private val manifestLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def manifestLock(path: String): Object =
@@ -562,7 +653,25 @@ object DeltaTable {
     * consumers skip only after the FULL grace, writers re-alloc at half,
     * and the remaining check-to-rename window is a local syscall, not a
     * Spark job. Returns the batch number the data actually landed under. */
-  private[graft] def publishLogBatch(df: DataFrame, path: String, batch: Long): Long = {
+  private[graft] def publishLogBatch(df: DataFrame, path: String, batch: Long): Long =
+    publishLogBatchWith(path, batch)(stage =>
+      df.write.mode(SaveMode.Overwrite).parquet(stage))
+
+  /** [[publishLogBatch]] for a driver-held (source_uuid, document) batch:
+    * the batch file writes driver-side — zero Spark jobs — under the
+    * identical alloc/burn/rename commit protocol. */
+  private[graft] def publishLogBatchLocal(
+      rows: Seq[(String, String)], path: String, batch: Long): Long =
+    publishLogBatchWith(path, batch) { stage =>
+      val dir = new java.io.File(ioPath(stage))
+      dir.mkdirs()
+      writeParquetLocal(new java.io.File(dir, "part-local-0.parquet"),
+        Seq("source_uuid" -> "string", "document" -> "string"),
+        rows.map { case (u, d) => Seq(u, d) })
+    }
+
+  private def publishLogBatchWith(path: String, batch: Long)(
+      write: String => Unit): Long = {
     requireLocalWrites(path, "publishLogBatch")
     val stage = s"$path/_stage-batch$batch"
     // tracks the number the data is currently HEADED FOR: after a
@@ -573,7 +682,7 @@ object DeltaTable {
     // the original batch
     var target = batch
     try {
-      df.write.mode(SaveMode.Overwrite).parquet(stage)
+      write(stage)
       val alloc = new java.io.File(commitsPath(path), s"alloc-$batch")
       val staleAlloc = !alloc.exists() ||
         System.currentTimeMillis() - alloc.lastModified() > logAllocGraceMs / 2
