@@ -5,7 +5,7 @@ row-count + value compare). Usage:
     python3 tools/check_correctness.py /root/testdata/sf0.01 /tmp/verify_out
 (run `sbt "runMain graft.Verify <sfdir> <outdir>"` first)
 """
-import sys, json, glob, math
+import sys, os, json, glob, math
 import duckdb
 import numpy as np
 
@@ -13,7 +13,11 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # seed-sweep corpora are Spark-written DIRECTORIES; driver testdata is
+    # single files — glob the former so both register
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle_sql = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
