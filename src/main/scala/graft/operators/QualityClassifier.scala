@@ -38,6 +38,12 @@ import graft.functions.TextFunctions
   */
 object QualityClassifier {
 
+  /** Clamp for the one-class MLE's infinite-intercept limit:
+    * sigmoid(±10) ≈ 1∓4.54e-5, decisive at any rounded precision the
+    * oracles use while staying an exact short decimal literal.
+    */
+  val OneClassIntercept = 10.0
+
   /** A fitted classifier: `score(doc) = sigmoid(intercept + tf · weights)`.
     * `weights` is dense over the `dim` hash buckets.
     */
@@ -108,11 +114,21 @@ object QualityClassifier {
       maxIter: Int = 100,
       regParam: Double = 1e-4): Model = {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
-    // one-class training data makes LogisticRegression return an infinite
-    // intercept — which would serialize as invalid JSON and inline as an
-    // unparseable literal in generated oracles. Fail loudly instead.
-    require(!pos.isEmpty, "quality classifier fit: positive set is empty")
-    require(!neg.isEmpty, "quality classifier fit: negative set is empty")
+    // One-class training data makes LogisticRegression return an infinite
+    // intercept — invalid JSON and an unparseable literal in generated
+    // oracles. The true one-class MLE is the intercept limit ±∞ with zero
+    // weights; return that limit clamped to a finite canonical value so a
+    // distillation labeling that happens to be unanimous on some corpus
+    // (every document passes curate, every document reads positive) still
+    // yields a deterministic, servable, replayable model. Only a fully
+    // empty corpus fails loudly.
+    val posEmpty = pos.isEmpty
+    val negEmpty = neg.isEmpty
+    require(!(posEmpty && negEmpty), "quality classifier fit: both classes are empty")
+    if (posEmpty || negEmpty) {
+      val intercept = if (negEmpty) OneClassIntercept else -OneClassIntercept
+      return Model(dim, intercept, new Array[Double](dim))
+    }
     val labeled = pos.select(col(textCol).as("__text"), lit(1.0).as("label"))
       .unionByName(neg.select(col(textCol).as("__text"), lit(0.0).as("label")))
     val toTf = udf { bks: scala.collection.Seq[Int] =>

@@ -81,6 +81,24 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(kept.where(col("id") > 1000).count() == 0)
   }
 
+  test("one-class fit returns the clamped MLE limit, not a crash") {
+    // a unanimous distillation labeling (every doc kept / every doc
+    // positive) must still yield a finite, servable model — the seed-sweep
+    // harness hit exactly this on a 500-doc regenerated corpus
+    val allPos = QualityClassifier.fit(pos.limit(20), neg.limit(0), "text", dim = 256)
+    assert(allPos.intercept == QualityClassifier.OneClassIntercept)
+    assert(allPos.weights.forall(_ == 0.0))
+    val allNeg = QualityClassifier.fit(pos.limit(0), neg.limit(20), "text", dim = 256)
+    assert(allNeg.intercept == -QualityClassifier.OneClassIntercept)
+    // scores are decisively one-sided on both
+    val s = QualityClassifier.scores(pos.limit(5), "id", "text", allPos)
+      .collect().map(_.getDouble(2))
+    assert(s.forall(_ > 0.999))
+    intercept[IllegalArgumentException] {
+      QualityClassifier.fit(pos.limit(0), neg.limit(0), "text", dim = 256)
+    }
+  }
+
   test("fit is deterministic across runs") {
     val m2 = QualityClassifier.fit(pos.limit(60), neg.limit(60), "text", dim = 256)
     assert(m2.intercept == model.intercept)
@@ -110,11 +128,11 @@ class QualityClassifierSpec extends AnyFunSuite {
     } finally QualityClassifier.literalMaxDim = saved
   }
 
-  test("one-class training data is refused (no infinite intercept)") {
+  test("a fully empty corpus is refused") {
     val e = intercept[IllegalArgumentException] {
-      QualityClassifier.fit(pos.limit(5), neg.limit(0), "text", dim = 64)
+      QualityClassifier.fit(pos.limit(0), neg.limit(0), "text", dim = 64)
     }
-    assert(e.getMessage.contains("negative set is empty"))
+    assert(e.getMessage.contains("both classes are empty"))
   }
 
   test("non-power-of-two dim is refused") {

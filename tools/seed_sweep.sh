@@ -37,16 +37,17 @@ for seed in $SEEDS; do
   out=/tmp/graft_seed_out_$seed
   rm -rf "$dir" "$out"
   mkdir -p "$dir"
+  log=/tmp/graft_seed_log_$seed.txt
   echo "=== seed $seed: generating $NDOCS docs / $NVECS vecs"
-  sbt -batch "runMain graft.GenData $dir $NDOCS $NVECS $seed" >/dev/null
+  if ! sbt -batch "runMain graft.GenData $dir $NDOCS $NVECS $seed" >"$log" 2>&1; then
+    echo "=== seed $seed: GENDATA FAILED (tail of $log):"; tail -20 "$log"; exit 1
+  fi
   for t in region nation customer supplier part orders lineitem events; do
     ln -s "$BASE/$t.parquet" "$dir/$t.parquet"
   done
   echo "=== seed $seed: verify"
-  if [ -n "$QUERIES" ]; then
-    sbt -batch "runMain graft.Verify $dir $out $QUERIES" >/dev/null
-  else
-    sbt -batch "runMain graft.Verify $dir $out" >/dev/null
+  if ! sbt -batch "runMain graft.Verify $dir $out $QUERIES" >"$log" 2>&1; then
+    echo "=== seed $seed: VERIFY FAILED (tail of $log):"; tail -30 "$log"; exit 1
   fi
   echo "=== seed $seed: oracle compare"
   if python3 tools/check_correctness.py "$dir" "$out"; then
