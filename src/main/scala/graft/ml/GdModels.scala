@@ -30,45 +30,14 @@ object GdRegression {
       loss: String, lossParam: Double,
       epochs: Int = 300, learningRate: Double = 0.1): (Array[Double], Double) = {
     require(loss == "huber" || loss == "quantile", s"unknown GD loss $loss")
-    val sc = data.sparkSession.sparkContext
-    val rows = data.select(col(featuresCol), col(labelCol).cast("double"))
-      .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
-      .cache()
-    val n = rows.count().toDouble
-    require(n > 0, s"$loss regression needs at least one training row")
-    val d = rows.first()._1.size
-    var w = new Array[Double](d)
-    var b = 0.0
+    val d = data.select(col(featuresCol)).first().getAs[Vector](0).size
     val isHuber = loss == "huber"
-    for (_ <- 0 until epochs) {
-      val wB = sc.broadcast(w)
-      val bNow = b
-      val (gw, gb) = rows.treeAggregate((new Array[Double](d), 0.0))(
-        seqOp = { case ((gwAcc, gbAcc), (x, y)) =>
-          val ww = wB.value
-          var pred = bNow
-          var i = 0
-          while (i < d) { pred += ww(i) * x(i); i += 1 }
-          val r = pred - y
-          val g =
-            if (isHuber) { if (math.abs(r) <= lossParam) r else lossParam * math.signum(r) }
-            else { if (r > 0) 1.0 - lossParam else -lossParam }
-          i = 0
-          while (i < d) { gwAcc(i) += g * x(i); i += 1 }
-          (gwAcc, gbAcc + g)
-        },
-        combOp = { case ((g1, b1), (g2, b2)) =>
-          var i = 0
-          while (i < d) { g1(i) += g2(i); i += 1 }
-          (g1, b1 + b2)
-        })
-      var i = 0
-      while (i < d) { w(i) -= learningRate * gw(i) / n; i += 1 }
-      b -= learningRate * gb / n
-      wB.destroy()
+    WarmStart.gdEpochs(new Array[Double](d), 0.0, data, featuresCol, labelCol,
+      epochs, learningRate, 0.0, s"$loss regression") { (m, y) =>
+      val r = m - y
+      if (isHuber) { if (math.abs(r) <= lossParam) r else lossParam * math.signum(r) }
+      else { if (r > 0) 1.0 - lossParam else -lossParam }
     }
-    rows.unpersist()
-    (w, b)
   }
 }
 

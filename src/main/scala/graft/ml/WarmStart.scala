@@ -37,14 +37,33 @@ object WarmStart {
   def continueLogisticBinary(
       init: Array[Double], initIntercept: Double,
       data: DataFrame, featuresCol: String, labelCol: String,
-      epochs: Int = 60, learningRate: Double = 2.0, l2: Double = 0.0): (Array[Double], Double) = {
+      epochs: Int = 60, learningRate: Double = 2.0, l2: Double = 0.0): (Array[Double], Double) =
+    gdEpochs(init, initIntercept, data, featuresCol, labelCol,
+      epochs, learningRate, l2, "warm-start tune") { (m, y) =>
+      1.0 / (1.0 + math.exp(-m)) - y
+    }
+
+  /** The shared full-batch GD epoch loop both the logistic warm start and
+    * the huber/quantile regression fits instantiate: per epoch the d+1
+    * parameters broadcast, executors fold per-partition partials of
+    * (g·x, Σg) where `g = pointGrad(margin, y)` and
+    * `margin = b + ⟨w, x⟩` (left-assoc, intercept-seeded), treeAggregate
+    * merges, the driver steps by `lr·(g/n + l2·w)` and destroys the
+    * broadcast. One distributed pass per epoch, O(d) driver state, no
+    * data collect. Deterministic given data + init.
+    */
+  private[ml] def gdEpochs(
+      init: Array[Double], initIntercept: Double,
+      data: DataFrame, featuresCol: String, labelCol: String,
+      epochs: Int, learningRate: Double, l2: Double, what: String)(
+      pointGrad: (Double, Double) => Double): (Array[Double], Double) = {
     val d = init.length
     val sc = data.sparkSession.sparkContext
     val rows = data.select(col(featuresCol), col(labelCol).cast("double"))
       .rdd.map(r => (r.getAs[Vector](0), r.getDouble(1)))
       .cache() // epochs passes over the same frame
     val n = rows.count().toDouble
-    require(n > 0, "warm-start tune needs at least one training row")
+    require(n > 0, s"$what needs at least one training row")
     var w = init.clone()
     var b = initIntercept
     for (_ <- 0 until epochs) {
@@ -53,14 +72,13 @@ object WarmStart {
       val (gw, gb) = rows.treeAggregate((new Array[Double](d), 0.0))(
         seqOp = { case ((gwAcc, gbAcc), (x, y)) =>
           val ww = wB.value
-          var dot = 0.0
+          var m = bNow
           var i = 0
-          while (i < d) { dot += ww(i) * x(i); i += 1 }
-          val p = 1.0 / (1.0 + math.exp(-(bNow + dot)))
-          val e = p - y
+          while (i < d) { m += ww(i) * x(i); i += 1 }
+          val g = pointGrad(m, y)
           i = 0
-          while (i < d) { gwAcc(i) += e * x(i); i += 1 }
-          (gwAcc, gbAcc + e)
+          while (i < d) { gwAcc(i) += g * x(i); i += 1 }
+          (gwAcc, gbAcc + g)
         },
         combOp = { case ((g1, b1), (g2, b2)) =>
           var i = 0

@@ -538,7 +538,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   private def jsonField(doc: String, name: String): Option[String] =
     if (doc == null) None
     else org.json4s.jackson.JsonMethods.parseOpt(doc).flatMap {
-      case o: org.json4s.JObject => (o \ name) match {
+      // first occurrence wins on duplicate keys — json4s `\` would collect
+      // ALL matches into a JArray, but get_json_object (the distributed
+      // chunk path) streams the first, and the two paths must chunk
+      // identical text or the next sync sees phantom diffs
+      case o: org.json4s.JObject => o.obj.collectFirst { case (`name`, v) => v }.flatMap {
         case org.json4s.JString(s) => Some(s)
         case org.json4s.JNothing | org.json4s.JNull => None
         case other => Some(org.json4s.jackson.JsonMethods.compact(
@@ -851,9 +855,12 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // stale ANN nodes until the next merge) rides the SAME action as
         // an observed metric instead of its own count() job
         val staleObs = new org.apache.spark.sql.Observation()
-        val oldEmb = traced("chain:oldemb-frame")(
-          changedOnly(DeltaTable.read(ms, embP))
-            .observe(staleObs, count(lit(1)).as("n")))
+        // file listing + manifests captured HERE, pre-append: the explicit
+        // count fallback below must see the superseded rows, which the
+        // post-append table view no longer resolves
+        val oldEmbBase = traced("chain:oldemb-frame")(
+          changedOnly(DeltaTable.read(ms, embP)))
+        val oldEmb = oldEmbBase.observe(staleObs, count(lit(1)).as("n"))
         val newEmb = emb.embedFrame(changed, col("chunk"), "embedding")
           .select(col("document_id"), col("chunk_index"),
             contentHid.as("hid"), col("embedding"))
@@ -878,8 +885,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         // that rare branch pays the explicit count the metric normally
         // replaces
         val nStale = staleObs.get.get("n").map(_.asInstanceOf[Long])
-          .getOrElse(traced("chain:oldemb-count")(
-            changedOnly(DeltaTable.read(ms, embP)).count()))
+          .getOrElse(traced("chain:oldemb-count")(oldEmbBase.count()))
         // index consumers reuse the JUST-PUBLISHED segment's files instead
         // of a checkpoint: the append's write already materialized the
         // rows, so the read-back is lineage-free with no extra
