@@ -76,6 +76,17 @@ class Registry(spark: SparkSession, dir: String) {
     if (new java.io.File(deploymentsPath).exists()) spark.read.parquet(deploymentsPath)
     else spark.emptyDataset[DeploymentRow].toDF()
 
+  /** What actually serves — the reference records which backend fit the
+    * requested algorithm in pgml.models.runtime (orm/model.rs:72-89); here
+    * the executing family, so a nearest-family substitution (e.g.
+    * ransac → GdLinear, catboost → GBTRegression) is visible in the
+    * model row. Pipelines list their stage families. */
+  private def runtimeOf(model: Any): String = model match {
+    case p: org.apache.spark.ml.PipelineModel =>
+      p.stages.map(runtimeOf).mkString("+")
+    case other => other.getClass.getSimpleName.stripSuffix("Model")
+  }
+
   def saveModel(
       project: String, task: String, algorithm: String,
       hyperparams: Map[String, Any], metrics: Map[String, Double],
@@ -104,7 +115,7 @@ class Registry(spark: SparkSession, dir: String) {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${modelDir(id)}/graft_meta.json"), meta)
 
-    val row = ModelRow(id, project, task, algorithm,
+    val row = ModelRow(id, project, task, algorithm, runtimeOf(model),
       Serialization.write(hyperparams.map { case (k, v) => k -> v.toString }),
       Serialization.write(metrics), java.time.Instant.now().toString)
     append(Seq(row).toDF(), modelsPath)
@@ -555,7 +566,8 @@ class Registry(spark: SparkSession, dir: String) {
 }
 
 final case class ModelRow(model_id: Long, project: String, task: String,
-    algorithm: String, hyperparams: String, metrics: String, created_at: String)
+    algorithm: String, runtime: String, hyperparams: String, metrics: String,
+    created_at: String)
 final case class DeploymentRow(project: String, model_id: Long, strategy: String,
     created_at: String, seq: Long)
 final case class RegistryMeta(modelClass: String, featNames: Seq[String],

@@ -505,17 +505,23 @@ class Trainer(spark: SparkSession, registryDir: String) {
       hp.get("kernel").map(_.toString).getOrElse("rbf") != "linear"
 
     task match {
-      case "regression" if algorithm == "huber" || algorithm == "quantile" =>
+      case "regression" if Set("huber", "quantile", "ransac", "theil_sen")(algorithm) =>
         // robust losses (algorithm.rs:27-28) — MLlib has neither, so the
         // WarmStart treeAggregate GD machinery fits them (GdRegression);
         // the registered GdLinearModel serves like any linear head and
-        // its parameters replay as the m14/m15 oracle literals.
+        // its parameters replay as the m14/m15/m18 oracle literals.
+        // ransac/theil_sen (algorithm.rs:25-26) are the other two
+        // outlier-robust regressors in the enum: neither consensus
+        // sampling nor median-of-slopes distributes cleanly, and the
+        // huber loss is the standard smooth robust surrogate for both —
+        // recorded substitution (the model row's runtime says GdLinear).
         // sklearn defaults: HuberRegressor epsilon=1.35, QuantileRegressor
         // quantile=0.5
         val y = yCol.get
         val lossParam =
-          if (algorithm == "huber") d("epsilon", 1.35) else d("quantile", 0.5)
-        val (w, b) = GdRegression.fit(train, "features", y, algorithm, lossParam,
+          if (algorithm == "quantile") d("quantile", 0.5) else d("epsilon", 1.35)
+        val gdLoss = if (algorithm == "quantile") "quantile" else "huber"
+        val (w, b) = GdRegression.fit(train, "features", y, gdLoss, lossParam,
           epochs = i("epochs", 300), learningRate = d("learning_rate", 0.1))
         val m = new GdLinearModel(w, b)
         (m, Metrics.regression(m.transform(test), y, "prediction"))
@@ -534,9 +540,17 @@ class Trainer(spark: SparkSession, registryDir: String) {
         val est: org.apache.spark.ml.Estimator[_] = algorithm match {
           case "linear" => new LinearRegression().setSolver("normal").setRegParam(0.0)
             .setLabelCol(y).setFeaturesCol("features")
-          case "ridge" => new LinearRegression().setRegParam(d("alpha", 1.0))
-            .setElasticNetParam(0.0).setLabelCol(y).setFeaturesCol("features")
-          case "lasso" => new LinearRegression().setRegParam(d("alpha", 1.0))
+          // bayesian_ridge/ARD (algorithm.rs:21-22) estimate the ridge
+          // penalty from the data; the point estimate is a ridge fit —
+          // nearest family, recorded substitution
+          case "ridge" | "bayesian_ridge" | "automatic_relevance_determination" =>
+            new LinearRegression().setRegParam(d("alpha", 1.0))
+              .setElasticNetParam(0.0).setLabelCol(y).setFeaturesCol("features")
+          // least_angle computes the lasso path, omp the greedy L0
+          // approximation of it (algorithm.rs:18-20) — the L1 fit is the
+          // nearest sparse-linear family for all three
+          case "lasso" | "least_angle" | "lasso_least_angle" | "orthogonal_matching_pursuit" =>
+            new LinearRegression().setRegParam(d("alpha", 1.0))
             .setElasticNetParam(1.0).setLabelCol(y).setFeaturesCol("features")
           case "elastic_net" => new LinearRegression()
             .setRegParam(d("alpha", 1.0)).setElasticNetParam(d("l1_ratio", 0.5))
@@ -545,23 +559,35 @@ class Trainer(spark: SparkSession, registryDir: String) {
           // base estimator is a decision tree — a random forest IS bagged
           // trees + feature subsampling; recorded substitution like
           // extra_trees)
-          case "random_forest" | "extra_trees" | "bagging" => new RandomForestRegressor()
+          // xgboost_random_forest (algorithm.rs:9) IS a random forest fit
+          // through the xgboost runtime — the forest family, not boosting
+          case "random_forest" | "extra_trees" | "bagging" | "xgboost_random_forest" =>
+            new RandomForestRegressor()
             .setNumTrees(i("n_estimators", 20)).setSeed(42)
             .setMaxDepth(i("max_depth", 5))
             .setLabelCol(y).setFeaturesCol("features")
-          // ada_boost → the MLlib boosting family (sequential additive
-          // trees; recorded substitution like xgboost)
-          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" | "ada_boost" =>
+          // ada_boost/catboost → the MLlib boosting family (sequential
+          // additive trees; recorded substitution like xgboost)
+          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" | "ada_boost" | "catboost" =>
             new GBTRegressor().setMaxIter(i("n_estimators", 20)).setSeed(42)
               .setMaxDepth(i("max_depth", 5))
               .setLabelCol(y).setFeaturesCol("features")
           // SVR: RBF feature map + ridge (MLlib has no epsilon-insensitive
-          // loss — squared loss over the same kernel map, recorded fallback)
-          case "svm" | "nu_svm" if isRbf => kernelPipeline(
+          // loss — squared loss over the same kernel map, recorded
+          // fallback). kernel_ridge IS exactly this shape (ridge over the
+          // kernel map), and a GP posterior mean is kernel ridge with the
+          // noise term as the penalty (algorithm.rs:29-30) — same mapping.
+          case "svm" | "nu_svm" | "kernel_ridge" | "gaussian_process" if isRbf =>
+            kernelPipeline(
             new LinearRegression().setRegParam(d("alpha", 1.0))
               .setElasticNetParam(0.0)
               .setLabelCol(y).setFeaturesCol("rff_features"))
-          case _ => new LinearRegression().setSolver("normal") // nearest-family fallback
+          case "kernel_ridge" | "gaussian_process" => // kernel='linear'
+            new LinearRegression().setRegParam(d("alpha", 1.0))
+              .setElasticNetParam(0.0).setLabelCol(y).setFeaturesCol("features")
+          // sklearn SGDRegressor's default loss is plain squared error —
+          // the OLS fit is the exact limit point, not a substitution
+          case _ => new LinearRegression().setSolver("normal") // incl. stochastic_gradient_descent
             .setLabelCol(y).setFeaturesCol("features")
         }
         val m = est.fit(train).asInstanceOf[org.apache.spark.ml.Transformer]
@@ -582,17 +608,24 @@ class Trainer(spark: SparkSession, registryDir: String) {
         val est: org.apache.spark.ml.Estimator[_] = algorithm match {
           case "linear" | "ridge" => new LogisticRegression().setMaxIter(100)
             .setLabelCol(y).setFeaturesCol("features")
-          case "linear_svm" => new LinearSVC()
+          // perceptron, passive_aggressive, and SGDClassifier's default
+          // all train a linear separator on hinge-family losses
+          // (algorithm.rs:23-26) — LinearSVC is the hinge fit
+          case "linear_svm" | "perceptron" | "passive_aggressive" | "stochastic_gradient_descent" =>
+            new LinearSVC()
             .setLabelCol(y).setFeaturesCol("features")
           case "svm" | "nu_svm" if !isRbf => new LinearSVC()
             .setLabelCol(y).setFeaturesCol("features")
-          case "svm" | "nu_svm" => kernelPipeline(
+          // a GP classifier's RBF-kernel decision surface → the same
+          // random-Fourier feature map the SVC substitution uses
+          case "svm" | "nu_svm" | "gaussian_process" => kernelPipeline(
             new LinearSVC().setLabelCol(y).setFeaturesCol("rff_features"))
-          case "random_forest" | "extra_trees" | "bagging" => new RandomForestClassifier()
+          case "random_forest" | "extra_trees" | "bagging" | "xgboost_random_forest" =>
+            new RandomForestClassifier()
             .setNumTrees(i("n_estimators", 20)).setSeed(42)
             .setMaxDepth(i("max_depth", 5))
             .setLabelCol(y).setFeaturesCol("features")
-          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" | "ada_boost" =>
+          case "gradient_boosting_trees" | "xgboost" | "lightgbm" | "hist_gradient_boosting" | "ada_boost" | "catboost" =>
             new GBTClassifier().setMaxIter(i("n_estimators", 20)).setSeed(42)
               .setMaxDepth(i("max_depth", 5))
               .setLabelCol(y).setFeaturesCol("features")
@@ -622,7 +655,7 @@ class Trainer(spark: SparkSession, registryDir: String) {
           case "agglomerative" | "birch" | "ward" | "feature_agglomeration" =>
             new org.apache.spark.ml.clustering.BisectingKMeans()
               .setK(k).setSeed(42).setFeaturesCol("features")
-          case "gaussian_mixture" | "spectral" | "affinity_propagation" | "mean_shift" =>
+          case "gaussian_mixture" | "spectral" | "spectral_bi" | "spectral_co" | "affinity_propagation" | "mean_shift" =>
             new org.apache.spark.ml.clustering.GaussianMixture()
               .setK(k).setSeed(42).setFeaturesCol("features")
           case "dbscan" | "optics" => throw new IllegalArgumentException(

@@ -3295,6 +3295,21 @@ object QueryCatalog {
       ensembleOracle(tr, modelId)
     })
 
+  /** RANSAC (m18, algorithm.rs:25 → huber-loss GD, the recorded robust
+    * substitution): consensus sampling doesn't distribute; the smooth
+    * robust surrogate fits through the same WarmStart machinery as
+    * m14/m15 and its served head replays as linear literals over the
+    * standard-scale transform. theil_sen routes identically, so this one
+    * oracle covers the whole robust tail of the enum. */
+  val m18Ransac: GraftQuery = GraftQuery(
+    "m18_ransac",
+    (s, dir) => gdServe("ransac", Map.empty)(s, dir),
+    None,
+    oracleGen = Some { (s, dir) =>
+      val (tr, modelId) = gdQuery("ransac", Map.empty)(s, dir)
+      gdOracle(tr, modelId)
+    })
+
   /** AdaBoost (m17, algorithm.rs:32 → the MLlib boosting family):
     * weighted additive trees — Σ wᵢ·treeᵢ(x), the GBT blend — replayed
     * the same way (divisor 1). */
@@ -4127,7 +4142,7 @@ object QueryCatalog {
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, m10SearchResults, m11ConfusionMetrics, m12KernelSvm,
-    m13Knn, m14Huber, m15Quantile, m16Bagging, m17AdaBoost,
+    m13Knn, m14Huber, m15Quantile, m16Bagging, m17AdaBoost, m18Ransac,
     p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,

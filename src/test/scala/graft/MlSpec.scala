@@ -243,4 +243,95 @@ class MlSpec extends AnyFunSuite {
     t.registry.deploy("p", b.modelId, "specific")
     assert(t.registry.resolveStrategy("p", "rollback").contains(a.modelId))
   }
+
+  test("every algorithm.rs enum name trains, serves, and records its executing family") {
+    // the full pgml.algorithm enum (orm/algorithm.rs:6-52) minus the three
+    // that never reach the train dispatch: dbscan/optics (label the fitted
+    // set, no predict() — asserted below) and transformers (the tune path)
+    val reg = (alg: String) => alg -> "regression"
+    val clf = (alg: String) => alg -> "classification"
+    val clu = (alg: String) => alg -> "clustering"
+    val expected = Map[String, String](
+      // linear family — exact fits, no substitution
+      "linear" -> "LinearRegression", "ridge" -> "LinearRegression",
+      "lasso" -> "LinearRegression", "elastic_net" -> "LinearRegression",
+      "stochastic_gradient_descent" -> "LinearRegression",
+      // sparse/Bayesian linear tail → L1/L2 nearest family
+      "least_angle" -> "LinearRegression",
+      "lasso_least_angle" -> "LinearRegression",
+      "orthogonal_matching_pursuit" -> "LinearRegression",
+      "bayesian_ridge" -> "LinearRegression",
+      "automatic_relevance_determination" -> "LinearRegression",
+      // robust tail → the huber GD head
+      "huber" -> "GdLinear", "quantile" -> "GdLinear",
+      "ransac" -> "GdLinear", "theil_sen" -> "GdLinear",
+      // kernel tail → RFF pipeline (rbf default)
+      "svm" -> "RffTransformer+LinearRegression",
+      "nu_svm" -> "RffTransformer+LinearRegression",
+      "kernel_ridge" -> "RffTransformer+LinearRegression",
+      "gaussian_process" -> "RffTransformer+LinearRegression",
+      // trees
+      "random_forest" -> "RandomForestRegression",
+      "extra_trees" -> "RandomForestRegression",
+      "bagging" -> "RandomForestRegression",
+      "xgboost_random_forest" -> "RandomForestRegression",
+      "gradient_boosting_trees" -> "GBTRegression",
+      "hist_gradient_boosting" -> "GBTRegression",
+      "xgboost" -> "GBTRegression", "lightgbm" -> "GBTRegression",
+      "ada_boost" -> "GBTRegression", "catboost" -> "GBTRegression",
+      "knn" -> "Knn",
+      // classification-only names → hinge separator
+      "perceptron" -> "LinearSVC", "passive_aggressive" -> "LinearSVC",
+      "linear_svm" -> "LinearSVC",
+      // clustering
+      "kmeans" -> "KMeans", "mini_batch_kmeans" -> "KMeans",
+      "birch" -> "BisectingKMeans", "feature_agglomeration" -> "BisectingKMeans",
+      "affinity_propagation" -> "GaussianMixture",
+      "mean_shift" -> "GaussianMixture", "spectral" -> "GaussianMixture",
+      "spectral_bi" -> "GaussianMixture", "spectral_co" -> "GaussianMixture",
+      "pca" -> "PCA")
+    val tasks: Seq[(String, String)] =
+      Seq("linear", "ridge", "lasso", "elastic_net", "least_angle",
+        "lasso_least_angle", "orthogonal_matching_pursuit", "bayesian_ridge",
+        "automatic_relevance_determination", "stochastic_gradient_descent",
+        "huber", "quantile", "ransac", "theil_sen", "svm", "nu_svm",
+        "kernel_ridge", "gaussian_process", "random_forest", "extra_trees",
+        "bagging", "xgboost_random_forest", "gradient_boosting_trees",
+        "hist_gradient_boosting", "xgboost", "lightgbm", "ada_boost",
+        "catboost", "knn").map(reg) ++
+      Seq("perceptron", "passive_aggressive", "linear_svm").map(clf) ++
+      Seq("kmeans", "mini_batch_kmeans", "birch", "feature_agglomeration",
+        "affinity_propagation", "mean_shift", "spectral", "spectral_bi",
+        "spectral_co").map(clu) :+ ("pca" -> "decomposition")
+    val rdf = (1 to 60).map(i =>
+      ((i % 13).toDouble, (i % 7).toDouble, 2.0 * (i % 13) + (i % 7)))
+      .toDF("x1", "x2", "y")
+    val cdf = (1 to 60).map(i =>
+      ((i % 13).toDouble, (i % 7).toDouble, if (i % 13 >= 6) 1.0 else 0.0))
+      .toDF("x1", "x2", "y")
+    val t = newTrainer()
+    for ((alg, task) <- tasks) {
+      val (rel, y) = task match {
+        case "regression" => (rdf, Some("y"))
+        case "classification" => (cdf, Some("y"))
+        case _ => (rdf.select("x1", "x2"), None)
+      }
+      val res = t.train(s"sweep_$alg", task, rel, y, alg, testSize = 0.0,
+        hyperparams = Map("n_clusters" -> 3))
+      val row = t.registry.models.where(col("model_id") === res.modelId)
+        .select("algorithm", "runtime").head()
+      assert(row.getString(0) == alg)
+      assert(row.getString(1) == expected(alg),
+        s"$alg: runtime ${row.getString(1)}, want ${expected(alg)}")
+      val servedCol = if (task == "decomposition") "pca" else "prediction"
+      val served = t.registry.predictWithModel(res.modelId,
+        rel.limit(3)).select(servedCol)
+      assert(served.na.drop().count() == 3, s"$alg served nulls")
+    }
+    // the two density clusterers never serve predict() — loud contract
+    val err = intercept[IllegalArgumentException] {
+      t.train("sweep_dbscan", "clustering", rdf.select("x1", "x2"), None, "dbscan")
+    }
+    assert(err.getMessage.contains("Dbscan"))
+  }
 }
