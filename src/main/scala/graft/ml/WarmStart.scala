@@ -65,7 +65,16 @@ object WarmStart {
     val n = rows.count().toDouble
     require(n > 0, s"$what needs at least one training row")
     var w = init.clone()
-    var b = initIntercept
+    // A warm-start seed fitted on one-class data carries MLlib's
+    // infinite-intercept limit (constant-label logistic short-circuits to
+    // zero coefficients and ±∞ log-odds), and ∞ survives every finite
+    // gradient step — the tuned head would serialize as an unparseable
+    // oracle literal. Clamp to the house one-class MLE convention (±10:
+    // sigmoid(±10) ≈ 1∓4.5e-5, decisive at any oracle rounding — see
+    // QualityClassifier.OneClassIntercept) so continued training resumes
+    // from a finite, replayable point.
+    var b = if (initIntercept.isInfinite) math.signum(initIntercept) * 10.0
+      else initIntercept
     for (_ <- 0 until epochs) {
       val wB = sc.broadcast(w)
       val bNow = b

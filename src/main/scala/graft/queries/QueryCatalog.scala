@@ -3862,12 +3862,16 @@ object QueryCatalog {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val sink = s"x7_out_${x7Counter.incrementAndGet()}"
-      // documents.parquet is a single FILE in the driver layout; the
-      // streaming file source wants a directory, so point it at the sf
-      // dir with a glob pinned to that one file
-      val stream = s.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      // documents.parquet is a single FILE in the driver layout (stream
+      // the sf dir with a glob pinned to that one file) but a parquet
+      // DIRECTORY under GenData/seed-sweep layouts, where the part files
+      // inside would never match that glob — stream the directory itself
+      val stream =
+        if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+          s.readStream.schema(docs.schema).parquet(s"$dir/documents.parquet")
+        else s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
       val q = graft.operators.Transform(stream, "text-classification", "text")
         .selectExpr("doc_id", "get_json_object(output, '$[0].label') AS label")
         .writeStream.outputMode("append").format("memory").queryName(sink).start()

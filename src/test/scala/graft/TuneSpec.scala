@@ -157,6 +157,40 @@ class TuneSpec extends AnyFunSuite {
     assert(before.toSeq == after.toSeq, "reloaded warm-start head diverged")
   }
 
+  test("warm start from a one-class base fit stays finite (clamped MLE seed)") {
+    // a unanimous weak labeling (the seed-sweep's x8 fragility: every doc
+    // reads positive on some regenerated corpus) makes MLlib's cold fit
+    // short-circuit to zero coefficients and a +Inf intercept; the warm
+    // chain must resume from the clamped one-class MLE, not carry ∞ into
+    // the tuned literals
+    val oneClass = (0 until 40).map(i => (s"fast service case ${i % 9}", 1.0))
+      .toDF("text", "label")
+    val t = newTrainer()
+    val base = t.tune("proj_one", "text_classification", oneClass,
+      textCol = "text", yCol = "label", modelName = "distilbert-stand-in",
+      testSize = 0.0)
+    val tuned = t.tune("proj_one", "text_classification", oneClass,
+      textCol = "text", yCol = "label", modelName = "distilbert-stand-in",
+      testSize = 0.0)
+    val hp = t.registry.models.where(col("model_id") === tuned.modelId)
+      .select("hyperparams").as[String].head()
+    assert(hp.contains(s""""warm_start_from":"${base.modelId}""""), hp)
+    val (w, b) = t.registry.logisticParams(tuned.modelId)
+    assert(java.lang.Double.isFinite(b), s"tuned intercept not finite: $b")
+    assert(w.forall(java.lang.Double.isFinite), "tuned weights not finite")
+    assert(b >= 10.0, s"clamped seed should keep the decisive intercept, got $b")
+    // serving is decisively one-sided
+    val dim = 64
+    val emb = graft.functions.HashEmbedder(dim)
+    val embC = emb.embedCol(col("text"))
+    val feat = oneClass.limit(5).select(
+      (0 until dim).map(i => element_at(embC, i + 1).cast("double").as(s"e$i")) :+
+        col("label"): _*)
+    val preds = t.registry.predictWithModel(tuned.modelId, feat)
+      .select("prediction").as[Double].collect()
+    assert(preds.forall(_ == 1.0))
+  }
+
   test("second PAIR tune WARM-STARTS: gradient updates improve held-out f1 from the deployed pair head") {
     // same lifecycle as the text_classification warm-start test, over the
     // 2·dim interaction features: base deployment fit on a SMALL NOISY
