@@ -577,12 +577,19 @@ class Trainer(spark: SparkSession, registryDir: String) {
           // fallback). kernel_ridge IS exactly this shape (ridge over the
           // kernel map), and a GP posterior mean is kernel ridge with the
           // noise term as the penalty (algorithm.rs:29-30) — same mapping.
-          case "svm" | "nu_svm" | "kernel_ridge" | "gaussian_process" if isRbf =>
+          // Defaults follow sklearn: KernelRidge(kernel='linear') plain
+          // ridge unless rbf is asked for; GPR's default kernel is RBF.
+          case "svm" | "nu_svm" | "gaussian_process" if isRbf =>
             kernelPipeline(
             new LinearRegression().setRegParam(d("alpha", 1.0))
               .setElasticNetParam(0.0)
               .setLabelCol(y).setFeaturesCol("rff_features"))
-          case "kernel_ridge" | "gaussian_process" => // kernel='linear'
+          case "kernel_ridge" if hp.get("kernel").map(_.toString).contains("rbf") =>
+            kernelPipeline(
+              new LinearRegression().setRegParam(d("alpha", 1.0))
+                .setElasticNetParam(0.0)
+                .setLabelCol(y).setFeaturesCol("rff_features"))
+          case "kernel_ridge" | "gaussian_process" => // linear kernel
             new LinearRegression().setRegParam(d("alpha", 1.0))
               .setElasticNetParam(0.0).setLabelCol(y).setFeaturesCol("features")
           // sklearn SGDRegressor's default loss is plain squared error —
@@ -614,10 +621,10 @@ class Trainer(spark: SparkSession, registryDir: String) {
           case "linear_svm" | "perceptron" | "passive_aggressive" | "stochastic_gradient_descent" =>
             new LinearSVC()
             .setLabelCol(y).setFeaturesCol("features")
-          case "svm" | "nu_svm" if !isRbf => new LinearSVC()
+          case "svm" | "nu_svm" | "gaussian_process" if !isRbf => new LinearSVC()
             .setLabelCol(y).setFeaturesCol("features")
-          // a GP classifier's RBF-kernel decision surface → the same
-          // random-Fourier feature map the SVC substitution uses
+          // a GP classifier's RBF-kernel decision surface (GPC's sklearn
+          // default) → the same random-Fourier map the SVC substitution uses
           case "svm" | "nu_svm" | "gaussian_process" => kernelPipeline(
             new LinearSVC().setLabelCol(y).setFeaturesCol("rff_features"))
           case "random_forest" | "extra_trees" | "bagging" | "xgboost_random_forest" =>

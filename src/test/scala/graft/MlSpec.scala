@@ -265,10 +265,11 @@ class MlSpec extends AnyFunSuite {
       // robust tail → the huber GD head
       "huber" -> "GdLinear", "quantile" -> "GdLinear",
       "ransac" -> "GdLinear", "theil_sen" -> "GdLinear",
-      // kernel tail → RFF pipeline (rbf default)
+      // kernel tail → RFF pipeline under the sklearn default kernels
+      // (SVR/GPR default rbf; KernelRidge defaults kernel='linear')
       "svm" -> "RffTransformer+LinearRegression",
       "nu_svm" -> "RffTransformer+LinearRegression",
-      "kernel_ridge" -> "RffTransformer+LinearRegression",
+      "kernel_ridge" -> "LinearRegression",
       "gaussian_process" -> "RffTransformer+LinearRegression",
       // trees
       "random_forest" -> "RandomForestRegression",
