@@ -115,10 +115,16 @@ class Registry(spark: SparkSession, dir: String) {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${modelDir(id)}/graft_meta.json"), meta)
 
-    val row = ModelRow(id, project, task, algorithm, runtimeOf(model),
-      Serialization.write(hyperparams.map { case (k, v) => k -> v.toString }),
-      Serialization.write(metrics), java.time.Instant.now().toString)
-    append(Seq(row).toDF(), modelsPath)
+    // one row per train — writes driver-side, zero Spark jobs (ModelRow
+    // column order; string-typed like the case class)
+    graft.store.DeltaTable.appendLogFilesLocal(modelsPath,
+      Seq("model_id" -> "long", "project" -> "string", "task" -> "string",
+        "algorithm" -> "string", "runtime" -> "string",
+        "hyperparams" -> "string", "metrics" -> "string",
+        "created_at" -> "string"),
+      Seq(Seq(id, project, task, algorithm, runtimeOf(model),
+        Serialization.write(hyperparams.map { case (k, v) => k -> v.toString }),
+        Serialization.write(metrics), java.time.Instant.now().toString)))
     metricsCache.put(id, metrics)
     id
   }
@@ -156,8 +162,12 @@ class Registry(spark: SparkSession, dir: String) {
   }
 
   def deploy(project: String, modelId: Long, strategy: String): Unit = {
-    append(Seq(DeploymentRow(project, modelId, strategy,
-      java.time.Instant.now().toString, System.nanoTime())).toDF(), deploymentsPath)
+    // one row per deploy — driver-side, zero Spark jobs (DeploymentRow order)
+    graft.store.DeltaTable.appendLogFilesLocal(deploymentsPath,
+      Seq("project" -> "string", "model_id" -> "long", "strategy" -> "string",
+        "created_at" -> "string", "seq" -> "long"),
+      Seq(Seq(project, modelId, strategy,
+        java.time.Instant.now().toString, System.nanoTime())))
     deployCache.remove(project) // next read resolves the new pointer
   }
 
@@ -558,11 +568,6 @@ class Registry(spark: SparkSession, dir: String) {
       .load(path).asInstanceOf[org.apache.spark.ml.Transformer]
   }
 
-  // stage-then-rename append (graft.store.DeltaTable): registry rows may
-  // land from concurrent trains; raw SaveMode.Append writers clobber each
-  // other's shared _temporary staging dir
-  private def append(df: DataFrame, path: String): Unit =
-    graft.store.DeltaTable.appendLogFiles(df, path)
 }
 
 final case class ModelRow(model_id: Long, project: String, task: String,

@@ -759,6 +759,27 @@ object DeltaTable {
       }
   }
 
+  /** [[appendLogFiles]] for a driver-held batch over an arbitrary flat
+    * schema (see [[writeParquetLocal]] column kinds): the file stages
+    * under an underscore name — readers skip it — and renames in
+    * atomically, ZERO Spark jobs. The registry's one-row model/deployment
+    * appends were each paying a coalesce(1) job plus its scheduling gap
+    * on every train/tune/deploy. */
+  private[graft] def appendLogFilesLocal(
+      path: String, cols: Seq[(String, String)], rows: Seq[Seq[Any]]): Unit = {
+    requireLocalWrites(path, "appendLogFilesLocal")
+    val dir = new java.io.File(ioPath(path))
+    dir.mkdirs()
+    val stage = new java.io.File(dir, s"_stage-${java.util.UUID.randomUUID()}.parquet")
+    try {
+      writeParquetLocal(stage, cols, rows)
+      val dest = new java.io.File(dir, s"part-${java.util.UUID.randomUUID()}-local.parquet")
+      if (!stage.renameTo(dest))
+        throw new java.io.IOException(
+          s"could not publish log file ${dest.getName} under $path")
+    } finally if (stage.exists()) stage.delete()
+  }
+
   /** Concurrency-safe append for an UNPARTITIONED log table (searches /
     * search_results / search_events, registry models / deployments): the
     * batch stages under a per-writer hidden dir and its part file renames
