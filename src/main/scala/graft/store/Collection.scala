@@ -1707,26 +1707,29 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val results = search(p, semantic, fullText, limit, filterJson).cache()
     // search logging is concurrent BY NATURE (the reference logs inside
     // every search statement) — stage-then-rename appends, never
-    // SaveMode.Append's shared _temporary dir
-    DeltaTable.appendLogFiles(
-      Seq((searchId, queryJson, java.time.Instant.now().toString))
-        .toDF("search_id", "query", "created_at"),
-      searchesPath)
-    DeltaTable.appendLogFiles(
-      results.withColumn("search_id", lit(searchId))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("document_id"))))
-        .select("search_id", "document_id", "rank", "score"),
-      searchResultsPath)
+    // SaveMode.Append's shared _temporary dir. Both logs write
+    // driver-side: the results frame is top-`limit` by contract and its
+    // (score desc, document_id) order IS the rank, so the one collect
+    // (which also primes the cache the caller reads) replaces a window +
+    // two coalesce(1) jobs on the request hot path.
+    DeltaTable.appendLogFilesLocal(searchesPath,
+      Seq("search_id" -> "long", "query" -> "string", "created_at" -> "string"),
+      Seq(Seq(searchId, queryJson, java.time.Instant.now().toString)))
+    DeltaTable.appendLogFilesLocal(searchResultsPath,
+      Seq("search_id" -> "long", "document_id" -> "string",
+        "rank" -> "int", "score" -> "double"),
+      results.select(col("document_id"), col("score")).collect()
+        .zipWithIndex.map { case (r, i) =>
+          Seq(searchId, r.getString(0), i + 1, r.getDouble(1)) }.toSeq)
     (searchId, results)
   }
 
   /** Clickthrough feedback (INSERT_SEARCH_EVENT, queries.rs:131-133). */
   def addSearchEvent(searchId: Long, documentId: String, eventJson: String): Unit =
-    DeltaTable.appendLogFiles(
-      Seq((searchId, documentId, eventJson, java.time.Instant.now().toString))
-        .toDF("search_id", "document_id", "event", "created_at"),
-      searchEventsPath)
+    DeltaTable.appendLogFilesLocal(searchEventsPath,
+      Seq("search_id" -> "long", "document_id" -> "string",
+        "event" -> "string", "created_at" -> "string"),
+      Seq(Seq(searchId, documentId, eventJson, java.time.Instant.now().toString)))
 
   def searches: DataFrame = spark.read.parquet(searchesPath)
   def searchResults: DataFrame = spark.read.parquet(searchResultsPath)

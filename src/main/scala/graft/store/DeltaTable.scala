@@ -240,6 +240,7 @@ object DeltaTable {
       case (n, "string") => s"required binary $n (UTF8);"
       case (n, "long") => s"required int64 $n;"
       case (n, "int") => s"required int32 $n;"
+      case (n, "double") => s"required double $n;"
       case (n, "ts") => s"required int64 $n (TIMESTAMP(MICROS,true));"
       // the standard 3-level LIST shape Spark writes and reads natively
       case (n, "strings") =>
@@ -260,6 +261,7 @@ object DeltaTable {
       cols.zip(r).foreach {
         case ((n, "string"), v) => g.add(n, v.asInstanceOf[String])
         case ((n, "int"), v) => g.add(n, v.asInstanceOf[Int])
+        case ((n, "double"), v) => g.add(n, v.asInstanceOf[Double])
         case ((n, "strings"), v) =>
           val lst = g.addGroup(n)
           v.asInstanceOf[Seq[String]].foreach(s =>
