@@ -208,6 +208,28 @@ class LogSinkSpec extends AnyFunSuite {
     assert(out.select("search_id").as[Long].collect().distinct.length == 32)
   }
 
+  test("concurrent appendLogFilesLocal lose no rows; Spark reads the mixed schema kinds") {
+    // the zero-job path the registry and search logs now take: UUID-named
+    // files rename in atomically, and the required-typed local columns
+    // (long/string/int/double) must read back alongside each other
+    val p = tmp("local") + "/results"
+    inParallel(4) { i =>
+      (0 until 8).foreach { j =>
+        DeltaTable.appendLogFilesLocal(p,
+          Seq("search_id" -> "long", "document_id" -> "string",
+            "rank" -> "int", "score" -> "double"),
+          Seq(Seq(i.toLong * 100 + j, s"d$i-$j", j + 1, j / 8.0)))
+      }
+    }
+    val out = spark.read.parquet(p)
+    assert(out.count() == 32)
+    assert(out.select("search_id").as[Long].collect().distinct.length == 32)
+    assert(out.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(out.schema("rank").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.where(col("rank") === 8).select("score").as[Double]
+      .collect().forall(_ == 7 / 8.0))
+  }
+
   test("concurrent upserts: both batches visible, distinct changelog batch ids, sync consumes both") {
     val wh = tmp("upsert")
     val c = new Collection(spark, "c_conc", wh)
