@@ -68,8 +68,13 @@ class Registry(spark: SparkSession, dir: String) {
     id
   }
 
+  // mergeSchema: the one-file-per-row log layout means schema inference
+  // would otherwise sample ONE arbitrary file — a registry holding rows
+  // from before a column addition (runtime landed after round 13) must
+  // read deterministically, old rows surfacing the new column as null
   def models: DataFrame =
-    if (new java.io.File(modelsPath).exists()) spark.read.parquet(modelsPath)
+    if (new java.io.File(modelsPath).exists())
+      spark.read.option("mergeSchema", "true").parquet(modelsPath)
     else spark.emptyDataset[ModelRow].toDF()
 
   def deployments: DataFrame =

@@ -244,7 +244,10 @@ class Trainer(spark: SparkSession, registryDir: String) {
         // First tune of a project (or a non-logistic deployment) cold-fits
         // through the standard lifecycle as before.
         registry.deployedLogisticParams(projectName) match {
-          case Some((seedId, w0, b0)) if w0.length == dim =>
+          // ±Inf intercept = the one-class MLE, warm-started from its
+          // clamp (gdEpochs); NaN anywhere → cold fit, the seed is garbage
+          case Some((seedId, w0, b0)) if w0.length == dim &&
+              w0.forall(java.lang.Double.isFinite) && !b0.isNaN =>
             tuneWarmStart(projectName, task, feat, yCol, seedId, w0, b0,
               tuneHp, testSize, testSampling)
           case _ =>
@@ -276,7 +279,11 @@ class Trainer(spark: SparkSession, registryDir: String) {
         // a deployed binary-logistic pair head (2·dim interaction
         // features) seeds full-batch GD on the new tune relation.
         registry.deployedLogisticParams(projectName) match {
-          case Some((seedId, w0, b0)) if w0.length == 2 * dim =>
+          // a ±Inf intercept is the one-class MLE and warm-starts from its
+          // clamp (gdEpochs); NaN anywhere means the deployed head is
+          // garbage — cold-fit rather than continue from it
+          case Some((seedId, w0, b0)) if w0.length == 2 * dim &&
+              w0.forall(java.lang.Double.isFinite) && !b0.isNaN =>
             tuneWarmStart(projectName, task, feat, yCol, seedId, w0, b0,
               tuneHp, testSize, testSampling)
           case _ =>
@@ -501,8 +508,11 @@ class Trainer(spark: SparkSession, registryDir: String) {
         .setInputCol("features").setOutputCol("rff_features")
       new org.apache.spark.ml.Pipeline().setStages(Array(rff, linear))
     }
+    // sklearn default kernels: KernelRidge(kernel='linear'); SVR/SVC and
+    // the GP models default to RBF
     def isRbf: Boolean =
-      hp.get("kernel").map(_.toString).getOrElse("rbf") != "linear"
+      hp.get("kernel").map(_.toString)
+        .getOrElse(if (algorithm == "kernel_ridge") "linear" else "rbf") != "linear"
 
     task match {
       case "regression" if Set("huber", "quantile", "ransac", "theil_sen")(algorithm) =>
@@ -576,19 +586,13 @@ class Trainer(spark: SparkSession, registryDir: String) {
           // loss — squared loss over the same kernel map, recorded
           // fallback). kernel_ridge IS exactly this shape (ridge over the
           // kernel map), and a GP posterior mean is kernel ridge with the
-          // noise term as the penalty (algorithm.rs:29-30) — same mapping.
-          // Defaults follow sklearn: KernelRidge(kernel='linear') plain
-          // ridge unless rbf is asked for; GPR's default kernel is RBF.
-          case "svm" | "nu_svm" | "gaussian_process" if isRbf =>
+          // noise term as the penalty (algorithm.rs:29-30) — same mapping;
+          // isRbf carries each algorithm's sklearn default kernel.
+          case "svm" | "nu_svm" | "kernel_ridge" | "gaussian_process" if isRbf =>
             kernelPipeline(
             new LinearRegression().setRegParam(d("alpha", 1.0))
               .setElasticNetParam(0.0)
               .setLabelCol(y).setFeaturesCol("rff_features"))
-          case "kernel_ridge" if hp.get("kernel").map(_.toString).contains("rbf") =>
-            kernelPipeline(
-              new LinearRegression().setRegParam(d("alpha", 1.0))
-                .setElasticNetParam(0.0)
-                .setLabelCol(y).setFeaturesCol("rff_features"))
           case "kernel_ridge" | "gaussian_process" => // linear kernel
             new LinearRegression().setRegParam(d("alpha", 1.0))
               .setElasticNetParam(0.0).setLabelCol(y).setFeaturesCol("features")

@@ -69,11 +69,13 @@ object WarmStart {
     // infinite-intercept limit (constant-label logistic short-circuits to
     // zero coefficients and ±∞ log-odds), and ∞ survives every finite
     // gradient step — the tuned head would serialize as an unparseable
-    // oracle literal. Clamp to the house one-class MLE convention (±10:
-    // sigmoid(±10) ≈ 1∓4.5e-5, decisive at any oracle rounding — see
-    // QualityClassifier.OneClassIntercept) so continued training resumes
-    // from a finite, replayable point.
-    var b = if (initIntercept.isInfinite) math.signum(initIntercept) * 10.0
+    // oracle literal. Clamp to the house one-class MLE convention
+    // (QualityClassifier.OneClassIntercept: sigmoid(±10) ≈ 1∓4.5e-5,
+    // decisive at any oracle rounding) so continued training resumes from
+    // a finite, replayable point. NaN seeds never reach here — the tune
+    // dispatch cold-fits instead of warm-starting from garbage.
+    var b = if (initIntercept.isInfinite)
+      math.signum(initIntercept) * graft.operators.QualityClassifier.OneClassIntercept
       else initIntercept
     for (_ <- 0 until epochs) {
       val wB = sc.broadcast(w)

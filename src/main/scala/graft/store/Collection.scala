@@ -1725,11 +1725,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   }
 
   /** Clickthrough feedback (INSERT_SEARCH_EVENT, queries.rs:131-133). */
-  def addSearchEvent(searchId: Long, documentId: String, eventJson: String): Unit =
+  def addSearchEvent(searchId: Long, documentId: String, eventJson: String): Unit = {
+    // the local writer's columns are parquet `required` — reject null
+    // loudly here rather than NPE inside the writer
+    require(documentId != null && eventJson != null,
+      "addSearchEvent needs non-null documentId and eventJson")
     DeltaTable.appendLogFilesLocal(searchEventsPath,
       Seq("search_id" -> "long", "document_id" -> "string",
         "event" -> "string", "created_at" -> "string"),
       Seq(Seq(searchId, documentId, eventJson, java.time.Instant.now().toString)))
+  }
 
   def searches: DataFrame = spark.read.parquet(searchesPath)
   def searchResults: DataFrame = spark.read.parquet(searchResultsPath)

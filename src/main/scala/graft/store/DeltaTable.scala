@@ -782,13 +782,13 @@ object DeltaTable {
     } finally if (stage.exists()) stage.delete()
   }
 
-  /** Concurrency-safe append for an UNPARTITIONED log table (searches /
-    * search_results / search_events, registry models / deployments): the
-    * batch stages under a per-writer hidden dir and its part file renames
-    * in. coalesce(1) makes each append a single atomic rename — these are
-    * row-scale logging writes, one small file per event is the intended
-    * layout; readers listing mid-rename see whole appends only. Part
-    * names carry the writing job's UUID, so movers never collide. */
+  /** Concurrency-safe append of a DISTRIBUTED frame to an unpartitioned
+    * log table: the batch stages under a per-writer hidden dir and its
+    * part file renames in; readers listing mid-rename see whole appends
+    * only, and UUID part names mean movers never collide. The row-scale
+    * producers (registry models/deployments, search logs) all moved to
+    * [[appendLogFilesLocal]] — this is the path for a log batch too big
+    * to hold on the driver. */
   private[graft] def appendLogFiles(df: DataFrame, path: String): Unit = {
     requireLocalWrites(path, "appendLogFiles")
     val stage = s"$path/_stage-${java.util.UUID.randomUUID()}"

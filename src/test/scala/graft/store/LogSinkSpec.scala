@@ -278,7 +278,10 @@ class LogSinkSpec extends AnyFunSuite {
     assert(withResults == logged, "search_results lost a concurrent append")
   }
 
-  test("registry: concurrent trains both register (appendLogFiles path)") {
+  // the registry now writes driver-side (appendLogFilesLocal, covered
+  // above); this pins the DISTRIBUTED log append kept for driver-too-big
+  // batches
+  test("concurrent distributed appendLogFiles both land (models-table shape)") {
     val p = tmp("registry") + "/models"
     inParallel(2) { i =>
       DeltaTable.appendLogFiles(
