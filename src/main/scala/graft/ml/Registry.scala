@@ -556,15 +556,22 @@ class Registry(spark: SparkSession, dir: String) {
 
   /** `pgml.dump_all` / `load_all` — registry tables to/from CSV
     * (api.rs:1028-1074). */
+  // escape = the quote char: Spark's default CSV dialect backslash-escapes
+  // embedded quotes, which standard RFC-4180 readers (the reference dumps
+  // via COPY ... CSV, api.rs:1029-1049; DuckDB; Excel) misparse on the
+  // hyperparams/metrics JSON columns — doubling the quote is the portable
+  // form, and m19's oracle has DuckDB parse the dump independently
   def dumpAll(path: String): Unit = {
     models.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true")
-      .csv(s"$path/models_csv")
+      .option("escape", "\"").csv(s"$path/models_csv")
     deployments.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true")
-      .csv(s"$path/deployments_csv")
+      .option("escape", "\"").csv(s"$path/deployments_csv")
   }
   def loadAll(path: String): (DataFrame, DataFrame) = (
-    spark.read.option("header", "true").option("inferSchema", "true").csv(s"$path/models_csv"),
-    spark.read.option("header", "true").option("inferSchema", "true").csv(s"$path/deployments_csv"))
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("escape", "\"").csv(s"$path/models_csv"),
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("escape", "\"").csv(s"$path/deployments_csv"))
 
   private def loadModel(className: String, path: String): org.apache.spark.ml.Transformer = {
     val clazz = Class.forName(className + "$") // companion object

@@ -3310,6 +3310,59 @@ object QueryCatalog {
       gdOracle(tr, modelId)
     })
 
+  // one trained-and-dumped registry per (session, dir): the query reloads
+  // it through Spark's CSV reader while the oracle has DuckDB parse the
+  // SAME dump independently — the gate verifies the export FORMAT
+  // (RFC-4180 quoting of the JSON columns included), not just our own
+  // round-trip
+  private val m19Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def m19Dump(s: SparkSession, dir: String): String =
+    m19Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice")).limit(2000)
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_dump_").toString
+      val tr = new graft.ml.Trainer(s, reg)
+      tr.train("q_dump", "regression", li, Some("l_extendedprice"), "linear",
+        testSize = 0.0)
+      tr.train("q_dump", "regression", li, Some("l_extendedprice"), "ridge",
+        hyperparams = Map("alpha" -> 100.0), testSize = 0.0)
+      val out = java.nio.file.Files.createTempDirectory("graft_q_dump_out_").toString
+      tr.registry.dumpAll(out)
+      out
+    })
+
+  /** Model dump_all / load_all (m19, api.rs:1029-1071: COPY the registry
+    * tables TO/FROM CSV): train two models (the second deploys only on a
+    * metric tie-or-better, so the deployments table is exercised too),
+    * dump, reload through Spark's CSV reader, and emit the reloaded
+    * models joined with per-model deployment counts. The oracle reads the
+    * SAME dumped CSV files with DuckDB's independent RFC-4180 parser —
+    * quoting of the embedded-JSON hyperparams/metrics columns and the
+    * header contract are what the hash gate verifies. */
+  val m19DumpLoad: GraftQuery = GraftQuery(
+    "m19_dump_load",
+    (s, dir) => {
+      val dump = m19Dump(s, dir)
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_load_").toString
+      val (models, deps) = new graft.ml.Registry(s, reg).loadAll(dump)
+      models.select(col("model_id").cast("long").as("model_id"),
+          col("project"), col("task"), col("algorithm"), col("runtime"))
+        .join(deps.groupBy(col("model_id").cast("long").as("model_id"))
+          .agg(count(lit(1)).as("n_deploys")), Seq("model_id"), "left")
+        .na.fill(0L, Seq("n_deploys"))
+        .orderBy(col("model_id"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val dump = m19Dump(s, dir)
+      s"""WITH m AS (SELECT * FROM read_csv_auto('$dump/models_csv/*.csv', header=true)),
+          d AS (SELECT * FROM read_csv_auto('$dump/deployments_csv/*.csv', header=true))
+          SELECT CAST(m.model_id AS BIGINT) AS model_id, m.project, m.task,
+            m.algorithm, m.runtime,
+            (SELECT count(*) FROM d WHERE d.model_id = m.model_id) AS n_deploys
+          FROM m ORDER BY model_id"""
+    })
+
   /** AdaBoost (m17, algorithm.rs:32 → the MLlib boosting family):
     * weighted additive trees — Σ wᵢ·treeᵢ(x), the GBT blend — replayed
     * the same way (divisor 1). */
@@ -4147,6 +4200,7 @@ object QueryCatalog {
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, m10SearchResults, m11ConfusionMetrics, m12KernelSvm,
     m13Knn, m14Huber, m15Quantile, m16Bagging, m17AdaBoost, m18Ransac,
+    m19DumpLoad,
     p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
