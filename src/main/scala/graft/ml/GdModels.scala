@@ -32,12 +32,20 @@ object GdRegression {
     require(loss == "huber" || loss == "quantile", s"unknown GD loss $loss")
     val d = data.select(col(featuresCol)).first().getAs[Vector](0).size
     val isHuber = loss == "huber"
-    WarmStart.gdEpochs(new Array[Double](d), 0.0, data, featuresCol, labelCol,
+    val (w, b) = WarmStart.gdEpochs(new Array[Double](d), 0.0, data, featuresCol, labelCol,
       epochs, learningRate, 0.0, s"$loss regression") { (m, y) =>
       val r = m - y
       if (isHuber) { if (math.abs(r) <= lossParam) r else lossParam * math.signum(r) }
       else { if (r > 0) 1.0 - lossParam else -lossParam }
     }
+    // fixed-rate full-batch GD can diverge on unscaled large-magnitude
+    // features; NaN/Inf here would serialize as unquoted json tokens in
+    // gd_linear.json and unparseable oracle literals — fail loudly instead
+    // (the warm-start path guards its SEED the same way)
+    require(w.forall(java.lang.Double.isFinite) && java.lang.Double.isFinite(b),
+      s"$loss regression diverged to non-finite parameters — " +
+        "standard-scale the features (preprocess scale=standard) or lower the learning rate")
+    (w, b)
   }
 }
 

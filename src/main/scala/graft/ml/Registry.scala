@@ -71,15 +71,19 @@ class Registry(spark: SparkSession, dir: String) {
   // mergeSchema: the one-file-per-row log layout means schema inference
   // would otherwise sample ONE arbitrary file — a registry holding rows
   // from before a column addition (runtime landed after round 13) must
-  // read deterministically, old rows surfacing the new column as null
+  // read deterministically, old rows surfacing the new column as null.
+  // Cheap at one-file-per-row scale, and applied to EVERY log table so the
+  // next row-schema evolution can't reintroduce the sampled-schema bug.
+  private def readLogTable(path: String, empty: => DataFrame): DataFrame =
+    if (new java.io.File(path).exists())
+      spark.read.option("mergeSchema", "true").parquet(path)
+    else empty
+
   def models: DataFrame =
-    if (new java.io.File(modelsPath).exists())
-      spark.read.option("mergeSchema", "true").parquet(modelsPath)
-    else spark.emptyDataset[ModelRow].toDF()
+    readLogTable(modelsPath, spark.emptyDataset[ModelRow].toDF())
 
   def deployments: DataFrame =
-    if (new java.io.File(deploymentsPath).exists()) spark.read.parquet(deploymentsPath)
-    else spark.emptyDataset[DeploymentRow].toDF()
+    readLogTable(deploymentsPath, spark.emptyDataset[DeploymentRow].toDF())
 
   /** What actually serves — the reference records which backend fit the
     * requested algorithm in pgml.models.runtime (orm/model.rs:72-89); here

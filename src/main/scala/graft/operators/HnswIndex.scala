@@ -730,6 +730,13 @@ object HnswIndex {
     graphCache.keys.filter(_._1 == home).foreach(graphCache.remove)
   }
 
+  /** Drop every cached home served for a SOURCE path, including the
+    * executor-local deserialized graphs of those homes. */
+  def invalidateSource(sourcePath: String): Unit =
+    family.invalidateSource(sourcePath).foreach { h =>
+      graphCache.keys.filter(_._1 == h).foreach(graphCache.remove)
+    }
+
   def invalidateAll(): Unit = {
     family.invalidateAll()
     graphCache.clear()

@@ -28,6 +28,10 @@ private[operators] object IndexStore {
   final class Family[T](name: String, formatVersion: Int)(
       release: T => Unit) {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, T]
+    // home → source, recorded at serve time so writers can invalidate by
+    // SOURCE path: homes are mtime-hashed, so a writer holding only the
+    // table path could otherwise never name the cache key it must drop
+    private val sourceOf = scala.collection.concurrent.TrieMap.empty[String, String]
 
     def root: String = sys.env.get("GRAFT_INDEX_DIR").map(_ + s"/$name")
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-$name")
@@ -51,15 +55,30 @@ private[operators] object IndexStore {
       * resolved home, so a mid-session source rewrite resolves to a new
       * home and therefore a fresh entry — never stale data. */
     def serve(spark: SparkSession, home: String, sourcePath: String)(
-        loadOrBuild: => T): T =
+        loadOrBuild: => T): T = {
+      sourceOf.put(home, sourcePath)
       cache.getOrElseUpdate(home, {
         val t = loadOrBuild
         publishManifestAndPrune(spark, home, sourcePath)
         t
       })
+    }
 
     def invalidate(home: String): Unit = cache.remove(home).foreach(release)
-    def invalidateAll(): Unit = cache.keys.foreach(invalidate)
+
+    /** Drop every cached home served for `sourcePath` (writers hold the
+      * table path, not the mtime-hashed home). Returns the homes dropped so
+      * callers can clear their own per-home side caches (executor graphs,
+      * driver-local postings). */
+    def invalidateSource(sourcePath: String): Seq[String] = {
+      val homes = sourceOf.collect {
+        case (h, s) if s == sourcePath => h
+      }.toSeq
+      homes.foreach { h => sourceOf.remove(h); invalidate(h) }
+      homes
+    }
+
+    def invalidateAll(): Unit = { sourceOf.clear(); cache.keys.foreach(invalidate) }
   }
 
   /** Build-if-absent under the atomic-publish protocol: `sidecarName`'s

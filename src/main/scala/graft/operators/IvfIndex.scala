@@ -221,6 +221,11 @@ object IvfIndex {
     * stale index or recompute evicted blocks against swapped parquet. */
   def invalidate(key: String): Unit = family.invalidate(key)
 
+  /** Drop every cached home served for a SOURCE path (what writers hold). */
+  def invalidateSource(sourcePath: String): Unit = {
+    family.invalidateSource(sourcePath); ()
+  }
+
   def invalidateAll(): Unit = family.invalidateAll()
 
   /** Remove a persisted index (e.g. before a re-sync rebuilds it). */

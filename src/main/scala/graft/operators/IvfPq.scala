@@ -140,6 +140,15 @@ object IvfPq {
     localVecCache.remove(home)
   }
 
+  /** Drop every cached home served for a SOURCE path, including the
+    * driver-local code/vector snapshots (writers hold the table path, not
+    * the mtime-hashed home — see IndexStore.Family.invalidateSource). */
+  def invalidateSource(sourcePath: String): Unit =
+    family.invalidateSource(sourcePath).foreach { h =>
+      localCodesCache.remove(h)
+      localVecCache.remove(h)
+    }
+
   /** The candidate stage on its own: driver-side probe selection → a
     * partition-pruned ADC scan of the probed clusters' codes → top-`r`
     * ids. Exposed so the probe PLAN (cluster_id PartitionFilters +
@@ -307,8 +316,10 @@ object IvfPq {
       case IvfIndex.MetricIp => v => graft.functions.VectorKernels.dotF(v, query)
       case _ => v => graft.functions.VectorKernels.cosineF(v, query)
     }
+    // drop ids absent from the vector snapshot, like the distributed
+    // fetchShortlist's inner join does for rows deleted under the index
     shortlist
-      .map { case (id, _) => (id, exact(vecs(id))) }
+      .flatMap { case (id, _) => vecs.get(id).map(v => (id, exact(v))) }
       .sortBy { case (id, s) => (-s, id) }
       .take(k)
       .toSeq

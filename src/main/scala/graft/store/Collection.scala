@@ -531,25 +531,33 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   }
 
   /** Driver-side `get_json_object(doc, "$.<name>")` for the local chunk
-    * path: string fields unwrap, missing/null → None, other JSON values
-    * render compactly (both engines render without whitespace). Only
-    * object roots carry fields — same contract as the fast upsert's id
-    * extraction. */
-  private def jsonField(doc: String, name: String): Option[String] =
-    if (doc == null) None
-    else org.json4s.jackson.JsonMethods.parseOpt(doc).flatMap {
+    * path: string fields unwrap, missing/null → [[FieldMissing]]. A
+    * NON-string value is reported as [[FieldNonString]] rather than
+    * re-rendered: json4s render can normalize number text ("1.50"→"1.5",
+    * "1e3"→"1000.0") differently from get_json_object's Jackson
+    * copyCurrentStructure, and the two paths must chunk byte-identical
+    * text or the next sync sees phantom diffs — the caller routes such
+    * fields through the distributed chunkFrame. Only object roots carry
+    * fields — same contract as the fast upsert's id extraction. */
+  private sealed trait JsonFieldValue
+  private final case class FieldText(s: String) extends JsonFieldValue
+  private case object FieldMissing extends JsonFieldValue
+  private case object FieldNonString extends JsonFieldValue
+
+  private def jsonField(doc: String, name: String): JsonFieldValue =
+    if (doc == null) FieldMissing
+    else org.json4s.jackson.JsonMethods.parseOpt(doc).map {
       // first occurrence wins on duplicate keys — json4s `\` would collect
       // ALL matches into a JArray, but get_json_object (the distributed
       // chunk path) streams the first, and the two paths must chunk
       // identical text or the next sync sees phantom diffs
-      case o: org.json4s.JObject => o.obj.collectFirst { case (`name`, v) => v }.flatMap {
-        case org.json4s.JString(s) => Some(s)
-        case org.json4s.JNothing | org.json4s.JNull => None
-        case other => Some(org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(other)))
+      case o: org.json4s.JObject => o.obj.collectFirst { case (`name`, v) => v } match {
+        case Some(org.json4s.JString(s)) => FieldText(s)
+        case Some(org.json4s.JNothing) | Some(org.json4s.JNull) | None => FieldMissing
+        case Some(_) => FieldNonString
       }
-      case _ => None
-    }
+      case _ => FieldMissing
+    }.getOrElse(FieldMissing)
 
   private def chunkFrame(docs: DataFrame, f: PipelineField): DataFrame = {
     val (size, overlap) = f.splitter.getOrElse((1500, 40))
@@ -796,14 +804,22 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       // ChunkText expression calls; the rows then back both the local
       // chunk/tsvector writes and a LocalRelation for the embedding
       // chain's joins (IncrementalSyncSpec pins incremental ≡ full)
-      val localChunks: Option[Seq[(String, Int, String)]] = docsLocal.map { ds =>
+      val localChunks: Option[Seq[(String, Int, String)]] = docsLocal.flatMap { ds =>
         val (size, overlap) = f.splitter.getOrElse((1500, 40))
         val setId = graft.functions.ChunkKernel.setIdFor(f.splitterModel)
-        ds.sortBy(_._1).flatMap { case (uuid, doc) =>
-          jsonField(doc, f.name).toSeq.flatMap(text =>
-            graft.functions.ChunkKernel.chunk(text, size, overlap, setId)
-              .zipWithIndex.map { case (c, i) => (uuid, i, c) })
+        val fields = ds.sortBy(_._1).map { case (uuid, doc) =>
+          (uuid, jsonField(doc, f.name))
         }
+        // any non-string field value → the whole field goes distributed:
+        // re-rendering it here risks json4s/Jackson number-normalization
+        // diffs against get_json_object (see jsonField's scaladoc)
+        if (fields.exists(_._2 == FieldNonString)) None
+        else Some(fields.flatMap {
+          case (uuid, FieldText(text)) =>
+            graft.functions.ChunkKernel.chunk(text, size, overlap, setId)
+              .zipWithIndex.map { case (c, i) => (uuid, i, c) }
+          case _ => Nil
+        })
       }
       val newChunks = localChunks match {
         case Some(rows) => ms.createDataFrame(rows).toDF(keyCols: _*)

@@ -123,6 +123,20 @@ object DeltaTable {
         case _ => None
       }).foldLeft(-1)(math.max)
 
+  /** Drop EVERY index family's cached state for a rewritten table — not
+    * just IVF's. Homes are mtime-hashed, so writers (which hold only the
+    * table path) go through each family's source→home map; families with
+    * driver/executor side caches (HNSW graphs, IVF-PQ postings) clear those
+    * for the dropped homes too. Without this, the IVF-PQ local tier kept
+    * serving its first-call snapshot across a source rewrite. */
+  private def invalidateIndexes(path: String): Unit = {
+    graft.operators.IvfIndex.invalidateSource(path)
+    graft.operators.IvfPq.invalidateSource(path)
+    graft.operators.HnswIndex.invalidateSource(path)
+    graft.operators.Pq.invalidateSource(path)
+    graft.operators.Quantized.invalidateSource(path)
+  }
+
   private def hasManifest(path: String): Boolean = {
     val d = new java.io.File(manifestPath(path))
     d.isDirectory && Option(d.listFiles()).exists(_.exists(f =>
@@ -133,7 +147,7 @@ object DeltaTable {
     * the same write-then-swap as the old snapshot path. The slate-clean
     * state every full sync and every compaction produces. */
   def writeBase(df: DataFrame, path: String, sortCols: Seq[String] = Nil): Unit = {
-    graft.operators.IvfIndex.invalidate(path)
+    invalidateIndexes(path)
     requireLocalWrites(path, "writeBase")
     manifestCache.remove(path)
     invalidateSchemas(path)
@@ -173,7 +187,7 @@ object DeltaTable {
       // instead of a coalesce(1) job per table-touch — on a micro-batch,
       // scheduling fixed costs dwarf the one-row payloads
       knownIds: Option[Seq[String]] = None): Int = {
-    graft.operators.IvfIndex.invalidate(path)
+    invalidateIndexes(path)
     requireLocalWrites(path, "appendDelta")
     val seg = allocSeg(path)
     val sized = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
@@ -285,7 +299,7 @@ object DeltaTable {
       rows: Seq[Seq[Any]],
       ids: Seq[String],
       docCol: String): Int = {
-    graft.operators.IvfIndex.invalidate(path)
+    invalidateIndexes(path)
     requireLocalWrites(path, "appendDeltaLocal")
     require(ids.nonEmpty, "appendDeltaLocal needs the batch's document ids")
     val seg = allocSeg(path)
@@ -913,7 +927,7 @@ object DeltaTable {
   /** Swap a staged home into place (cache-coherent twin of the swap inside
     * [[writeBase]]). Caller must hold the home's writer lock. */
   private[graft] def publishStaged(staged: String, home: String): Unit = {
-    graft.operators.IvfIndex.invalidate(home)
+    invalidateIndexes(home)
     manifestCache.remove(home)
     invalidateSchemas(home)
     swap(staged, home)
@@ -939,7 +953,7 @@ object DeltaTable {
       path: String,
       docIds: DataFrame,
       docCol: String = "document_id"): Unit = {
-    graft.operators.IvfIndex.invalidate(path)
+    invalidateIndexes(path)
     requireLocalWrites(path, "tombstone")
     val seg = allocSeg(path)
     appendManifest(path, docIds, docCol, seg)
@@ -1162,7 +1176,7 @@ object DeltaTable {
     * log sinks share this with the segmented layout's base writes, so the
     * crash-window semantics live in exactly one place. */
   private[graft] def writeSnapshot(df: DataFrame, path: String): Unit = {
-    graft.operators.IvfIndex.invalidate(path)
+    invalidateIndexes(path)
     requireLocalWrites(path, "writeSnapshot")
     val tmp = path + "_tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
