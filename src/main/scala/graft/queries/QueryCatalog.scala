@@ -2312,6 +2312,99 @@ object QueryCatalog {
             FROM fused
             ORDER BY total DESC, md5(CAST(doc_id AS VARCHAR)) LIMIT 10"""))
 
+  private val s13Cache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.functions.CrossEncoderReranker.Model]
+
+  /** Fit the interaction-feature cross-encoder on deterministic pairs from
+    * the corpus under test: each document's leading 6 words form its query
+    * (positive pair); the NEXT document's text is the negative — the
+    * EmbedderSpec fixture shape over real testdata. Cached per
+    * (session, dir) like x9Fit so the query fn and the oracle generator
+    * replay the SAME fitted weights. */
+  private def s13Fit(s: SparkSession, dir: String)
+      : graft.functions.CrossEncoderReranker.Model =
+    s13Cache.getOrElseUpdate(s"${skey(s)}#$dir", {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q"))
+      val pos = docs.select(col("q"), col("text").as("chunk"), lit(1.0).as("label"))
+      val next = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("ntext"))
+      val neg = docs.join(next, Seq("doc_id"))
+        .select(col("q"), col("ntext").as("chunk"), lit(0.0).as("label"))
+      graft.functions.CrossEncoderReranker.fit(
+        pos.unionAll(neg), "q", "chunk", "label", graft.functions.HashEmbedder(64))
+    })
+
+  /** vector_search WITH the trained cross-encoder rerank stage (closes the
+    * last tested-only §2.3 row): the chunked s6 retrieval fetches a 20-row
+    * shortlist (kGlobal = max(limit, rerank)), the interaction-feature
+    * cross-encoder scores each (query, chunk) pair map-side inside the
+    * shortlist's plan, and the final top-10 re-orders by rerank_score —
+    * vector_search_query_builder.rs:332-381's (rank).corpus_id alignment
+    * join re-expressed as the column-level rerank seam, returning
+    * (document, chunk, score, rerank_score) like rs:367-381. The generated
+    * oracle replays EVERYTHING in DuckDB: S6OracleSql's chunk-fold +
+    * hash-embed + cosine CTEs, the 20-row shortlist cut, all six
+    * interaction features (query-side features fold to literals — the
+    * query text is a constant: 4 distinct tokens, 3 distinct bigrams), and
+    * the sigmoid with the FITTED weights inlined. Integer-ratio features
+    * are IEEE-exact; round(4) covers the sigmoid's exp ULP spread; the
+    * ordering itself uses unrounded scores on both engines with the
+    * (md5-uuid, chunk_index) tie-break. */
+  val s13RerankCrossEncoder: GraftQuery = GraftQuery(
+    "s13_rerank_cross_encoder",
+    (s, dir) => {
+      val model = s13Fit(s, dir)
+      val (c, p) = e2eCollection(s, dir, 200, 20)
+      c.vectorSearch(p,
+          Seq(graft.store.VectorSearchField("text", "spark query table join")),
+          limit = 10, rerank = Some(20),
+          reranker = graft.functions.CrossEncoderReranker(model))
+        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          col("chunk"),
+          (round(col("score"), 5) + lit(0.0)).as("score"),
+          (round(col("rerank_score"), 4) + lit(0.0)).as("rerank_score"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val m = s13Fit(s, dir)
+      val w = m.weights
+      val qlist = "['spark','query','table','join']"
+      val qbi = "['spark query','query table','table join']"
+      s"""WITH ${S6OracleSql.ctes},
+         |short AS (SELECT sc.doc_id, sc.chunk_index, c.chunk, sc.raw
+         |  FROM scored sc JOIN chunks c ON sc.doc_id = c.doc_id AND sc.chunk_index = c.chunk_index
+         |  ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)), sc.chunk_index LIMIT 20),
+         |ftok AS (SELECT doc_id, chunk_index, chunk, raw,
+         |    list_filter(string_split_regex(trim(lower(chunk)), '\\s+'), t -> t <> '') AS ct
+         |  FROM short),
+         |fset AS (SELECT doc_id, chunk_index, chunk, raw, ct,
+         |    list_distinct(ct) AS cd,
+         |    CASE WHEN len(ct) >= 2
+         |      THEN list_distinct(list_transform(range(1, len(ct)), i -> ct[i] || ' ' || ct[i+1]))
+         |      ELSE []::VARCHAR[] END AS bc
+         |  FROM ftok),
+         |feat AS (SELECT doc_id, chunk_index, chunk, raw,
+         |    CAST(len(list_intersect(cd, $qlist)) AS DOUBLE)
+         |      / greatest(len(list_distinct(list_concat(cd, $qlist))), 1) AS f0,
+         |    CAST(len(list_intersect(cd, $qlist)) AS DOUBLE) / 4.0 AS f1,
+         |    CAST(len(list_filter(ct, tw -> list_contains($qlist, tw))) AS DOUBLE)
+         |      / CAST(4 * greatest(len(ct), 1) AS DOUBLE) AS f2,
+         |    CAST(len(list_intersect(bc, $qbi)) AS DOUBLE) / 3.0 AS f3,
+         |    least(4.0 / greatest(len(cd), 1),
+         |      CAST(greatest(len(cd), 1) AS DOUBLE) / 4.0) AS f4,
+         |    raw AS f5
+         |  FROM fset),
+         |prb AS (SELECT doc_id, chunk_index, chunk, raw,
+         |    1.0 / (1.0 + exp(-((${dlit(m.intercept)}) + (f0 * (${dlit(w(0))})
+         |      + f1 * (${dlit(w(1))}) + f2 * (${dlit(w(2))}) + f3 * (${dlit(w(3))})
+         |      + f4 * (${dlit(w(4))}) + f5 * (${dlit(w(5))}))))) AS rs
+         |  FROM feat)
+         |SELECT doc_id, chunk, round(raw, 5) + 0.0 AS score,
+         |  round(rs, 4) + 0.0 AS rerank_score
+         |FROM prb ORDER BY rs DESC, md5(CAST(doc_id AS VARCHAR)), chunk_index LIMIT 10""".stripMargin
+    })
+
   /** RAG envelope ORACLED end to end (`collection.rag`,
     * pgml-sdks rag query shape): vectorSearch retrieves top-3 chunks, the
     * prompt template's `{CONTEXT}` slot is filled with the newline-joined
@@ -4196,6 +4289,7 @@ object QueryCatalog {
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag, s9SearchLog,
     s10FilteredSearch, s11DeleteCascade, s12UpsertDirectory,
+    s13RerankCrossEncoder,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, m10SearchResults, m11ConfusionMetrics, m12KernelSvm,

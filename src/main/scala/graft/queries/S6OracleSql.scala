@@ -10,8 +10,11 @@ package graft.queries
   */
 object S6OracleSql {
 
-  val sql: String =
-    """WITH f AS (SELECT doc_id, list_reduce(string_split(text, ' '),
+  /** The CTE body alone (through `scored(doc_id, chunk_index, raw)`), so
+    * the s13 rerank oracle can compose the SAME chunk-fold + hash-embed +
+    * cosine replay and append its own feature/sigmoid stages. */
+  val ctes: String =
+    """f AS (SELECT doc_id, list_reduce(string_split(text, ' '),
       |    (a, b) -> CASE WHEN len(string_split(a, chr(31))[-1]) + 1 + len(b) > 200
       |                    AND string_split(a, chr(31))[-1] <> ''
       |      THEN a || chr(31) || right(string_split(a, chr(31))[-1], 20) || ' ' || b
@@ -63,7 +66,10 @@ object S6OracleSql {
       |    list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y) AS nb,
       |    CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0 ELSE dt / (sqrt(na) * sqrt(nb)) END AS raw
       |  FROM vecs dv, (SELECT v FROM vecs WHERE doc_id = -1) q
-      |  WHERE dv.doc_id >= 0)
+      |  WHERE dv.doc_id >= 0)""".stripMargin
+
+  val sql: String =
+    s"""WITH $ctes
       |SELECT sc.doc_id, c.chunk, round(sc.raw, 5) AS score
       |FROM scored sc JOIN chunks c ON sc.doc_id = c.doc_id AND sc.chunk_index = c.chunk_index
       |ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)), sc.chunk_index LIMIT 10""".stripMargin
