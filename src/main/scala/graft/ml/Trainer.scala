@@ -27,18 +27,38 @@ final case class TrainResult(
     deployed: Boolean, metrics: Map[String, Double])
 
 object Sampling {
-  /** random | last | stratified (src/orm/sampling.rs:48-68). */
+  /** random | last | stratified (src/orm/sampling.rs:48-68).
+    *
+    * With `keyCol` (a stable row identity), the seeded shuffle order is
+    * the house splitmix64 avalanche of the key instead of `rand(seed)`:
+    * rand's per-partition stream changes under any repartition, so the
+    * same seed gives a DIFFERENT split on a different cluster layout —
+    * a keyed draw makes a 100 TB training split reproducible at any
+    * scale, and SQL-replayable (SplitmixSql), so split membership itself
+    * is oracle-gated (m20). Without a key the rand(seed) order remains
+    * (arbitrary relations have no stable identity to hash). */
   def split(df: DataFrame, testSize: Double, sampling: String, labelCol: String,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      seed: Long = 42L, keyCol: Option[String] = None): (DataFrame, DataFrame) = {
     val n = df.count()
     val nTest = if (testSize > 1) testSize.toLong else math.round(n * testSize)
+    def shuffleCols: Seq[org.apache.spark.sql.Column] = keyCol match {
+      case Some(k) =>
+        val kh =
+          if (df.schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            col(k).cast("long")
+          else xxhash64(col(k))
+        // key as tie-break: mix64 collisions cannot make the order
+        // partition-dependent
+        Seq(graft.functions.TextFunctions.mix64(kh, seed), col(k))
+      case None => Seq(rand(seed))
+    }
     val ordered = sampling match {
-      case "random" => df.orderBy(rand(seed))
+      case "random" => df.orderBy(shuffleCols: _*)
       case "last" => df
       case "stratified" =>
         // round-robin by label via row_number-per-label (sampling.rs:55-68)
         df.withColumn("__rn", row_number().over(
-          Window.partitionBy(col(labelCol)).orderBy(rand(seed))))
+          Window.partitionBy(col(labelCol)).orderBy(shuffleCols: _*)))
           .orderBy(col("__rn"), col(labelCol)).drop("__rn")
       case other => throw new IllegalArgumentException(s"unknown sampling $other")
     }

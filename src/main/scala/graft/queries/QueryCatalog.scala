@@ -3456,6 +3456,60 @@ object QueryCatalog {
           FROM m ORDER BY model_id"""
     })
 
+  /** Seeded train/test split membership ORACLED per row (closes the
+    * oldest tested-only rows, §2.6 ORDER BY RANDOM() / §2.11 random and
+    * stratified splits): Sampling.split with a stable key orders by the
+    * house splitmix64 avalanche of the key (same seed ⇒ same split under
+    * ANY partition layout — rand(seed)'s per-partition stream does not
+    * survive a repartition; that reproducibility is the 100 TB contract)
+    * and the DuckDB oracle recomputes membership INDEPENDENTLY: the
+    * SplitmixSql limb replay of mix64(doc_id, seed) folded to SIGNED
+    * BIGINT (Spark orders longs signed), row_number over (draw, doc_id),
+    * and the same n − round(n·testSize) cut; the stratified arm replays
+    * the per-label round-robin (row_number per lang over the same draw,
+    * then the (rn, lang) global order). `last` is intentionally not
+    * gated: its order is the input relation's physical row order — not a
+    * deterministic cross-engine contract. */
+  val m20SeededSplit: GraftQuery = GraftQuery(
+    "m20_seeded_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      def arm(sampling: String): DataFrame = {
+        val (tr, te) = graft.ml.Sampling.split(docs, 0.25, sampling, "lang",
+          seed = 7L, keyCol = Some("doc_id"))
+        tr.select(lit(sampling).as("sampling"), col("doc_id"), lit("train").as("part"))
+          .unionAll(te.select(lit(sampling).as("sampling"), col("doc_id"),
+            lit("test").as("part")))
+      }
+      arm("random").unionAll(arm("stratified"))
+        .orderBy(col("sampling"), col("doc_id"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val n = t(s, dir, "documents").count()
+      val cut = n - math.round(n * 0.25)
+      val seedMixed = SplitmixSql.seedMixed(7L)
+      s"""WITH m0 AS (SELECT doc_id, lang,
+         |    xor(doc_id::HUGEINT, $seedMixed::HUGEINT) AS z FROM documents),
+         |m1 AS (SELECT doc_id, lang, ${SplitmixSql.mul("xor(z, z >> 30)", SplitmixSql.C1)} AS z FROM m0),
+         |m2 AS (SELECT doc_id, lang, ${SplitmixSql.mul("xor(z, z >> 27)", SplitmixSql.C2)} AS z FROM m1),
+         |mz AS (SELECT doc_id, lang,
+         |    CASE WHEN xor(z, z >> 31) >= 9223372036854775808::HUGEINT
+         |         THEN CAST(xor(z, z >> 31) - 18446744073709551616::HUGEINT AS BIGINT)
+         |         ELSE CAST(xor(z, z >> 31) AS BIGINT) END AS sdraw FROM m2),
+         |r AS (SELECT doc_id,
+         |    CASE WHEN row_number() OVER (ORDER BY sdraw, doc_id) - 1 < $cut
+         |         THEN 'train' ELSE 'test' END AS part FROM mz),
+         |st0 AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY sdraw, doc_id) AS rn FROM mz),
+         |st AS (SELECT doc_id,
+         |    CASE WHEN row_number() OVER (ORDER BY rn, lang) - 1 < $cut
+         |         THEN 'train' ELSE 'test' END AS part FROM st0)
+         |SELECT 'random' AS sampling, doc_id, part FROM r
+         |UNION ALL SELECT 'stratified' AS sampling, doc_id, part FROM st
+         |ORDER BY sampling, doc_id""".stripMargin
+    })
+
   /** AdaBoost (m17, algorithm.rs:32 → the MLlib boosting family):
     * weighted additive trees — Σ wᵢ·treeᵢ(x), the GBT blend — replayed
     * the same way (divisor 1). */
@@ -4294,7 +4348,7 @@ object QueryCatalog {
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, m10SearchResults, m11ConfusionMetrics, m12KernelSvm,
     m13Knn, m14Huber, m15Quantile, m16Bagging, m17AdaBoost, m18Ransac,
-    m19DumpLoad,
+    m19DumpLoad, m20SeededSplit,
     p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
