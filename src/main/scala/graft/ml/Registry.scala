@@ -21,6 +21,7 @@ class Registry(spark: SparkSession, dir: String) {
 
   private def modelsPath = s"$dir/models"
   private def deploymentsPath = s"$dir/deployments"
+  private def splittersPath = s"$dir/splitters"
   private def modelDir(id: Long) = s"$dir/files/model_$id"
 
   // Serving caches — the reference keeps deployed estimators in shared
@@ -84,6 +85,84 @@ class Registry(spark: SparkSession, dir: String) {
 
   def deployments: DataFrame =
     readLogTable(deploymentsPath, spark.emptyDataset[DeploymentRow].toDF())
+
+  /** The `pgml.splitters` registry (pgml-sdks/pgml/src/queries.rs:39-47:
+    * id, name, parameters jsonb, project_id + created_at). The store's
+    * Pipeline schema carries splitter parameters for sync execution; this
+    * table is the registry surface a pipeline registers against, so
+    * splitter configs are enumerable and dump/load-able alongside
+    * models/deployments (m19). */
+  def splitters: DataFrame =
+    readLogTable(splittersPath, spark.emptyDataset[SplitterRow].toDF())
+
+  /** Get-or-create a splitter row by (name, parameters, project_id) — the
+    * SDK's FK shape: one row per distinct splitter config per project.
+    * Returns the splitter id. Row-scale driver-side append (zero Spark
+    * jobs beyond the lookup read). */
+  def getOrCreateSplitter(name: String, parameters: String, projectId: Long): Long = {
+    val existing = splitters
+      .where(col("name") === name && col("parameters") === parameters &&
+        col("project_id") === projectId)
+      .select(col("id")).limit(1).collect()
+    if (existing.nonEmpty) existing(0).getLong(0)
+    else {
+      val id = splitters.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0) + 1
+      graft.store.DeltaTable.appendLogFilesLocal(splittersPath,
+        Seq("id" -> "long", "name" -> "string", "parameters" -> "string",
+          "project_id" -> "long", "created_at" -> "string"),
+        Seq(Seq(id, name, parameters, projectId,
+          java.time.Instant.now().toString)))
+      id
+    }
+  }
+
+  /** Upgrade an older registry layout IN PLACE to the current row schemas
+    * (the SDK's `migrate()`, pgml-sdks/pgml/src/migrations/mod.rs: version
+    * dispatch over stored state, add-column migrations). Every log table
+    * is rewritten so EACH parquet file carries the full current schema —
+    * the mergeSchema read above keeps old layouts readable, but after
+    * migrate() even a single-file-sampled external reader sees current
+    * columns, with pre-evolution rows surfacing added columns as null
+    * (e.g. a pre-`runtime` models table). Idempotent: tables already on
+    * the current schema are left untouched. */
+  def migrate(): Unit = {
+    migrateLogTable(modelsPath, spark.emptyDataset[ModelRow].toDF())
+    migrateLogTable(deploymentsPath, spark.emptyDataset[DeploymentRow].toDF())
+    migrateLogTable(splittersPath, spark.emptyDataset[SplitterRow].toDF())
+  }
+
+  private def migrateLogTable(path: String, empty: DataFrame): Unit = {
+    val d = new java.io.File(path)
+    if (!d.isDirectory) return
+    val parts = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (parts.isEmpty) return
+    val target = empty.schema
+    val stale = parts.exists(f =>
+      spark.read.parquet(f.getPath).schema.fieldNames.toSet !=
+        target.fieldNames.toSet)
+    if (!stale) return
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val aligned = merged.select(target.map { f =>
+      if (merged.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    // stage the rewritten table beside the old files, then swap: the old
+    // parts vanish only after the staged file is fully written, so a crash
+    // leaves either the old layout or the upgraded one, never neither
+    val stage = s"$path/_migrate-${java.util.UUID.randomUUID()}"
+    aligned.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val staged = Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    require(staged.nonEmpty, s"migrate staged no files under $stage")
+    parts.foreach(_.delete())
+    staged.foreach { f =>
+      if (!f.renameTo(new java.io.File(d, f.getName)))
+        throw new java.io.IOException(
+          s"could not publish migrated log file ${f.getName} under $path")
+    }
+    graft.store.DeltaTable.deleteRecursively(new java.io.File(stage))
+  }
 
   /** What actually serves — the reference records which backend fit the
     * requested algorithm in pgml.models.runtime (orm/model.rs:72-89); here
@@ -570,12 +649,20 @@ class Registry(spark: SparkSession, dir: String) {
       .option("escape", "\"").csv(s"$path/models_csv")
     deployments.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true")
       .option("escape", "\"").csv(s"$path/deployments_csv")
+    splitters.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("escape", "\"").csv(s"$path/splitters_csv")
   }
   def loadAll(path: String): (DataFrame, DataFrame) = (
     spark.read.option("header", "true").option("inferSchema", "true")
       .option("escape", "\"").csv(s"$path/models_csv"),
     spark.read.option("header", "true").option("inferSchema", "true")
       .option("escape", "\"").csv(s"$path/deployments_csv"))
+
+  /** The splitters leg of [[loadAll]] (kept separate so the two-table
+    * return shape callers rely on is unchanged). */
+  def loadSplitters(path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("escape", "\"").csv(s"$path/splitters_csv")
 
   private def loadModel(className: String, path: String): org.apache.spark.ml.Transformer = {
     val clazz = Class.forName(className + "$") // companion object
@@ -591,6 +678,8 @@ final case class ModelRow(model_id: Long, project: String, task: String,
     created_at: String)
 final case class DeploymentRow(project: String, model_id: Long, strategy: String,
     created_at: String, seq: Long)
+final case class SplitterRow(id: Long, name: String, parameters: String,
+    project_id: Long, created_at: String)
 final case class RegistryMeta(modelClass: String, featNames: Seq[String],
     fitted: Seq[FittedColumnJson])
 final case class SearchResultRow(params: Map[String, String],

@@ -3419,6 +3419,15 @@ object QueryCatalog {
         testSize = 0.0)
       tr.train("q_dump", "regression", li, Some("l_extendedprice"), "ridge",
         hyperparams = Map("alpha" -> 100.0), testSize = 0.0)
+      // splitter registry rows ride the same dump (queries.rs:39-47);
+      // the duplicate get-or-create must NOT mint a third row
+      val s1 = tr.registry.getOrCreateSplitter("recursive_character",
+        """{"chunk_size": 1500, "chunk_overlap": 40}""", 1L)
+      val s1b = tr.registry.getOrCreateSplitter("recursive_character",
+        """{"chunk_size": 1500, "chunk_overlap": 40}""", 1L)
+      require(s1 == s1b, s"get-or-create minted a duplicate splitter: $s1 vs $s1b")
+      tr.registry.getOrCreateSplitter("markdown",
+        """{"chunk_size": 600, "chunk_overlap": 0}""", 2L)
       val out = java.nio.file.Files.createTempDirectory("graft_q_dump_out_").toString
       tr.registry.dumpAll(out)
       out
@@ -3454,6 +3463,32 @@ object QueryCatalog {
             m.algorithm, m.runtime,
             (SELECT count(*) FROM d WHERE d.model_id = m.model_id) AS n_deploys
           FROM m ORDER BY model_id"""
+    })
+
+  /** `pgml.splitters` registry round-trip (queries.rs:39-47) through the
+    * m19 dump/load machinery: two distinct splitter configs (plus a
+    * duplicate get-or-create that must reuse its row) are registered
+    * beside the models, dumped to RFC-4180 CSV, and reloaded through
+    * Spark's CSV reader while DuckDB parses the SAME files independently —
+    * the JSONB-ish `parameters` column (embedded quotes and commas) is
+    * gated verbatim, which m19 left un-gated for models. */
+  val m21Splitters: GraftQuery = GraftQuery(
+    "m21_splitters",
+    (s, dir) => {
+      val dump = m19Dump(s, dir)
+      val reg = java.nio.file.Files.createTempDirectory("graft_q_split_").toString
+      new graft.ml.Registry(s, reg).loadSplitters(dump)
+        .select(col("id").cast("long").as("id"), col("name"), col("parameters"),
+          col("project_id").cast("long").as("project_id"))
+        .orderBy(col("id"))
+    },
+    None,
+    oracleGen = Some { (s, dir) =>
+      val dump = m19Dump(s, dir)
+      s"""SELECT CAST(id AS BIGINT) AS id, name, parameters,
+            CAST(project_id AS BIGINT) AS project_id
+          FROM read_csv_auto('$dump/splitters_csv/*.csv', header=true)
+          ORDER BY id"""
     })
 
   /** Seeded train/test split membership ORACLED per row (closes the
@@ -4348,7 +4383,7 @@ object QueryCatalog {
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, m10SearchResults, m11ConfusionMetrics, m12KernelSvm,
     m13Knn, m14Huber, m15Quantile, m16Bagging, m17AdaBoost, m18Ransac,
-    m19DumpLoad, m20SeededSplit,
+    m19DumpLoad, m20SeededSplit, m21Splitters,
     p1Preprocess,
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,

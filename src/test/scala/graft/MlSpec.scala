@@ -335,4 +335,63 @@ class MlSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("Dbscan"))
   }
+
+  test("splitters registry: get-or-create dedups; rows dump and reload") {
+    val t = newTrainer()
+    val a = t.registry.getOrCreateSplitter("recursive_character",
+      """{"chunk_size": 1500, "chunk_overlap": 40}""", 1L)
+    val b = t.registry.getOrCreateSplitter("recursive_character",
+      """{"chunk_size": 1500, "chunk_overlap": 40}""", 1L)
+    assert(a == b, "same (name, parameters, project) must reuse its row")
+    val c = t.registry.getOrCreateSplitter("recursive_character",
+      """{"chunk_size": 1500, "chunk_overlap": 40}""", 2L) // other project
+    val d = t.registry.getOrCreateSplitter("markdown", """{}""", 1L)
+    assert(Set(a, c, d).size == 3)
+    assert(t.registry.splitters.count() == 3)
+    val dump = Files.createTempDirectory("graft_split_dump_").toString
+    t.registry.dumpAll(dump)
+    val re = newTrainer().registry.loadSplitters(dump)
+    assert(re.count() == 3)
+    assert(re.where(col("name") === "recursive_character")
+      .select("parameters").as[String].collect()
+      .forall(_ == """{"chunk_size": 1500, "chunk_overlap": 40}"""))
+  }
+
+  test("migrate() upgrades a pre-runtime-column registry layout in place") {
+    val regDir = Files.createTempDirectory("graft_reg_old_").toString
+    // an r13-layout models table: rows WITHOUT the runtime column
+    graft.store.DeltaTable.appendLogFilesLocal(s"$regDir/models",
+      Seq("model_id" -> "long", "project" -> "string", "task" -> "string",
+        "algorithm" -> "string", "hyperparams" -> "string",
+        "metrics" -> "string", "created_at" -> "string"),
+      Seq(Seq(1L, "old_p", "regression", "linear", "{}", """{"r2": 0.5}""",
+        "2026-01-01T00:00:00Z")))
+    graft.store.DeltaTable.appendLogFilesLocal(s"$regDir/deployments",
+      Seq("project" -> "string", "model_id" -> "long", "strategy" -> "string",
+        "created_at" -> "string", "seq" -> "long"),
+      Seq(Seq("old_p", 1L, "new_score", "2026-01-01T00:00:00Z", 1L)))
+    val reg = new Registry(spark, regDir)
+    reg.migrate()
+    // every file now carries the FULL current schema — a single-file
+    // (non-mergeSchema) reader sees the runtime column, null for old rows
+    val files = new java.io.File(s"$regDir/models").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val sch = spark.read.parquet(f.getPath).schema.fieldNames.toSet
+      assert(sch == Set("model_id", "project", "task", "algorithm", "runtime",
+        "hyperparams", "metrics", "created_at"), s"${f.getName}: $sch")
+    }
+    val row = reg.models.where(col("model_id") === 1L)
+      .select("algorithm", "runtime").head()
+    assert(row.getString(0) == "linear" && row.isNullAt(1))
+    // deployments were already current: migrate() must not have rewritten
+    // them (idempotence on the current layout), and the pointer still works
+    assert(reg.currentDeployment("old_p").exists(_.model_id == 1L))
+    val before = new java.io.File(s"$regDir/models").listFiles()
+      .map(_.getName).toSet
+    reg.migrate() // second run: no-op
+    assert(new java.io.File(s"$regDir/models").listFiles()
+      .map(_.getName).toSet == before)
+  }
 }
