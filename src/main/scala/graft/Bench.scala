@@ -101,13 +101,13 @@ object Bench {
           emb.where(col("vec_id") < 10)
             .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
             .collect().toSeq.sortBy(_._1))
-        val idx = graft.operators.HnswIndex.serveOrBuild(
-          s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
-          m = 16, efConstruction = 64, numPartitions = 8)
+        val p = graft.operators.AnnServing.LocalParams(numPartitions = 8, ef = 64)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            idx.searchLocal(qv, 10, ef = 64).map { case (id, sc) => (qid, id, sc) }
+            graft.operators.AnnServing.serveLocal(s, "hnsw",
+              s"$dir/embeddings.parquet", emb, "vec_id", "embedding", qv, 10, p)
+              .map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }
@@ -126,12 +126,12 @@ object Bench {
           emb.where(col("vec_id") < 10)
             .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
             .collect().toSeq.sortBy(_._1))
-        val idx = graft.operators.IvfIndex.serveOrBuild(
-          s, s"$dir/embeddings.parquet", emb, "embedding", nlist = 16)
+        val p = graft.operators.AnnServing.LocalParams(nlist = 16, nprobe = 4)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            idx.searchLocal(qv, 10, nprobe = 4, "vec_id")
+            graft.operators.AnnServing.serveLocal(s, "ivf",
+              s"$dir/embeddings.parquet", emb, "vec_id", "embedding", qv, 10, p)
               .map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
@@ -146,13 +146,14 @@ object Bench {
             .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
             .collect().toSeq.sortBy(_._1))
         val V = graft.queries.V24OracleSql
+        val p = graft.operators.AnnServing.LocalParams(nprobe = V.Nprobe,
+          rerank = V.Rerank, pqNlist = V.Nlist, m = V.M, kCent = V.KCent,
+          nassign = V.Nassign)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            graft.operators.IvfPq.searchLocal(
-              s, s"$dir/embeddings.parquet", emb, "vec_id", "embedding", qv, 10,
-              nprobe = V.Nprobe, rerank = V.Rerank, nlist = V.Nlist,
-              m = V.M, kCent = V.KCent, nassign = V.Nassign)
+            graft.operators.AnnServing.serveLocal(s, "ivfpq",
+              s"$dir/embeddings.parquet", emb, "vec_id", "embedding", qv, 10, p)
               .map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ONE driver-local ANN serving entry across the index families with an
+  * in-process tier (HNSW / IVF / IVF-PQ) — so a deployed-index resolution
+  * or any future caller cannot pick a family without its local tier.
+  *
+  * The facade adds NO arithmetic of its own: each arm resolves the same
+  * persisted home as the family's distributed query (same build knobs →
+  * same mtime-hashed key) and calls the family's `searchLocal`, which its
+  * own spec pins bit-identical to the distributed path. Unknown families
+  * refuse loudly. The reference's serving counterpart is the in-process
+  * HNSW probe behind `vector_search` (pgml-sdks pipeline.rs:526-543 —
+  * build-once, serve-from-memory); this is that tier with a family switch.
+  */
+object AnnServing {
+
+  /** Build/serve knobs — per-family defaults equal the distributed entry
+    * points' defaults, so `serveLocal(family, src, …)` with default params
+    * serves the SAME home a default distributed query built. */
+  final case class LocalParams(
+      metric: String = IvfIndex.MetricCosine,
+      // hnsw build (HnswIndex.serveOrBuild defaults) + probe width
+      hnswM: Int = 16, efConstruction: Int = 64, numPartitions: Int = 0,
+      ef: Int = 0,
+      // ivf (IvfIndex.serveOrBuild default nlist = 0 → ~√N)
+      nlist: Int = 0, nprobe: Int = 4,
+      // ivfpq (IvfPq.searchLocal defaults)
+      pqNlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
+      rerank: Int = 0, byResidual: Boolean = false, variant: String = "")
+
+  val Families: Seq[String] = Seq("hnsw", "ivf", "ivfpq")
+
+  /** In-process top-k over `sourcePath`'s vectors: (id, score) best-first,
+    * ties by id — zero Spark jobs once the family's local cache is warm. */
+  def serveLocal(
+      spark: SparkSession, family: String, sourcePath: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int,
+      params: LocalParams = LocalParams()): Seq[(Long, Double)] = family match {
+    case "hnsw" =>
+      HnswIndex.serveOrBuild(spark, sourcePath, df, vecCol, idCol,
+          params.hnswM, params.efConstruction, params.numPartitions, params.metric)
+        .searchLocal(query, k, params.ef)
+    case "ivf" =>
+      IvfIndex.serveOrBuild(spark, sourcePath, df, vecCol, params.nlist,
+          params.metric)
+        .searchLocal(query, k, params.nprobe, idCol)
+    case "ivfpq" =>
+      IvfPq.searchLocal(spark, sourcePath, df, idCol, vecCol, query, k,
+        params.nprobe, params.rerank, params.pqNlist, params.m, params.kCent,
+        params.nassign, params.metric, params.byResidual, params.variant)
+    case other => throw new IllegalArgumentException(
+      s"unknown ANN family '$other' — serveLocal serves ${Families.mkString("/")}")
+  }
+}

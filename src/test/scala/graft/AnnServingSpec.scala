@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnServing, HnswIndex, IvfIndex, IvfPq}
+
+/** The unified driver-local serving entry: all three families through
+  * AnnServing.serveLocal, each bit-identical to its family's distributed
+  * path (the facade adds dispatch only, never arithmetic). */
+class AnnServingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+  private lazy val src = s"${TestSpark.sf0001}/embeddings.parquet"
+  private def queryVec(id: Long): Array[Float] =
+    emb.where($"vec_id" === id).select("embedding").as[Array[Float]].head()
+
+  test("serveLocal(hnsw|ivf|ivfpq) equals each family's distributed search") {
+    val queries = Seq(3L, 9L, 21L).map(queryVec)
+    val p = AnnServing.LocalParams(nlist = 16, pqNlist = 8, kCent = 16, rerank = 100)
+
+    for (q <- queries) {
+      val hnswDist = HnswIndex
+        .serveOrBuild(spark, src, emb, "embedding", "vec_id")
+        .search(q, 10, ef = 0, idName = "vec_id")
+        .as[(Long, Double)].collect().toSeq
+      assert(AnnServing.serveLocal(spark, "hnsw", src, emb, "vec_id", "embedding",
+        q, 10, p) == hnswDist, "hnsw facade diverged")
+
+      val ivfDist = IvfIndex.serveOrBuild(spark, src, emb, "embedding", nlist = 16)
+        .search(q, 10, p.nprobe, Seq("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(AnnServing.serveLocal(spark, "ivf", src, emb, "vec_id", "embedding",
+        q, 10, p) == ivfDist, "ivf facade diverged")
+
+      val pqDist = IvfPq.knnIndexed(spark, src, emb, "vec_id", "embedding", q, 10,
+          nprobe = p.nprobe, rerank = p.rerank, nlist = p.pqNlist, m = p.m,
+          kCent = p.kCent)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(AnnServing.serveLocal(spark, "ivfpq", src, emb, "vec_id", "embedding",
+        q, 10, p) == pqDist, "ivfpq facade diverged")
+    }
+  }
+
+  test("unknown family refuses loudly") {
+    val err = intercept[IllegalArgumentException] {
+      AnnServing.serveLocal(spark, "flat", src, emb, "vec_id", "embedding",
+        queryVec(3), 10)
+    }
+    assert(err.getMessage.contains("hnsw/ivf/ivfpq"))
+  }
+}
