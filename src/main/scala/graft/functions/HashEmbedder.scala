@@ -84,6 +84,12 @@ trait Embedder extends Serializable {
   def embedFrame(df: org.apache.spark.sql.DataFrame, inCol: Column,
       outName: String): org.apache.spark.sql.DataFrame =
     df.withColumn(outName, embedCol(inCol))
+
+  /** Driver-side batch embedding — what an event-sized sync batch calls
+    * so a handful of chunks never pays a Spark job. Default maps
+    * [[embedOne]]; batching backends override with ONE protocol call per
+    * slice (the remote_embeddings.rs:70-118 shape, like [[embedFrame]]). */
+  def embedMany(texts: Seq[String]): Seq[Array[Float]] = texts.map(embedOne)
 }
 
 final case class HashEmbedder(dim: Int = 64) extends Embedder {
@@ -133,6 +139,17 @@ final case class RemoteEmbedder(
       s"client ${client.model} returned dim ${e.length}, embedder declares $dim")
     e
   }
+
+  /** Driver-side batches go through the SAME sliced protocol as
+    * [[embedFrame]] — one client request per `batchSize` slice, never a
+    * request per text. */
+  override def embedMany(texts: Seq[String]): Seq[Array[Float]] =
+    texts.grouped(batchSize).flatMap { slice =>
+      val embs = client.embedBatch(slice)
+      embs.foreach(e => require(e.length == dim,
+        s"client ${client.model} returned dim ${e.length}, embedder declares $dim"))
+      embs
+    }.toSeq
 
   /** Column fallback (single-text batches). Prefer [[embedFrame]] — this
     * exists so driver-side query embedding and ad-hoc column use work. */

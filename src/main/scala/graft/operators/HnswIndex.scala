@@ -595,6 +595,45 @@ object HnswIndex {
     catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
+  /** [[appendSegment]] for a batch the driver already holds: build ONE
+    * graph partition in-process (same builder, same pid-derived seed, same
+    * id-ascending insertion order as the distributed `numPartitions = 1`
+    * path — blobs are bit-identical) and write the segment parquet
+    * driver-side. An event-sized micro-batch then appends to the forest
+    * with ZERO Spark jobs. Same protocol: seg allocation, stage-then-
+    * rename, commit marker, cache invalidation. */
+  def appendSegmentLocal(
+      spark: SparkSession,
+      path: String,
+      rows: Seq[(Long, Array[Float])],
+      seed: Long = 42L): Unit = {
+    require(existsAt(spark, path), s"no persisted forest at $path to append to")
+    val fs = IndexStore.fsFor(spark, path)
+    val meta = org.json4s.jackson.JsonMethods.parse(
+      IndexStore.readString(fs, new Path(path, Sidecar)))
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val before = blobFrame(spark, path)
+    val seg = graft.store.DeltaTable.allocSegment(path, minSeg = 1,
+      segParent = s"$path/delta")
+    require(seg < (1 << (31 - PidSegShift)),
+      s"HNSW home $path has accumulated $seg delta segments; merge (rebuild) before appending more")
+    if (rows.nonEmpty) {
+      val pid = seg << PidSegShift
+      val b = new HnswGraphBuilder((meta \ "m").extract[Int],
+        (meta \ "efConstruction").extract[Int],
+        seed ^ (pid.toLong * 0x9e3779b97f4a7c15L),
+        (meta \ "metric").extractOpt[String].getOrElse(MetricCosine))
+      rows.sortBy(_._1).foreach { case (id, v) => b.add(id, v) }
+      graft.store.DeltaTable.publishSegmentLocal(s"$path/delta", seg,
+        Seq("pid" -> "int", "graph" -> "bytes"),
+        Seq(Seq(pid, serialize(b.freeze()))))
+    }
+    graft.store.DeltaTable.commitSegment(path, seg)
+    invalidate(path)
+    try before.unpersist(true)
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
+  }
+
   def existsAt(spark: SparkSession, path: String): Boolean =
     IndexStore.fsFor(spark, path).exists(new Path(path, Sidecar))
 

@@ -836,6 +836,85 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       // coalesce(1) job per table-touch (4 tables + the IVF home)
       val localIds =
         if (idSeq.size <= DeltaTable.InPushdownMaxIds) Some(idSeq) else None
+      val embP = tablePath(p.name, f.name, "embeddings")
+      // event-sized fast path for the WHOLE embeddings→indexes chain: the
+      // changed docs' current chunk + embedding rows read driver-side (the
+      // local twin of the In-pruned reads, same supersession rule), BEFORE
+      // the concurrent chains append to those tables — the pre-append
+      // listing guarantee the distributed frames above rely on. None →
+      // the distributed chain below runs unchanged (legacy layout, big
+      // manifest, non-string fields, big batch).
+      val localEmbOld: Option[(Seq[Seq[Any]], Seq[Seq[Any]])] =
+        if (localChunks.isEmpty || f.semanticSearch.isEmpty) None
+        else for {
+          oc <- DeltaTable.readDocsLocal(ms, chunksP, idSeq,
+            Seq("document_id" -> "string", "chunk_index" -> "int",
+              "chunk" -> "string"), "document_id")
+          oe <- DeltaTable.readDocsLocal(ms, embP, idSeq,
+            Seq("document_id" -> "string", "chunk_index" -> "int",
+              "hid" -> "long", "embedding" -> "floats"), "document_id")
+        } yield (oc, oe)
+
+      /** The distributed emb chain's exact semantics over driver rows:
+        * changed = new chunks minus stored triples; unchanged chunks of
+        * changed docs carry their STORED embedding + hid into the new
+        * segment (only changed text reaches the model — embedMany, the
+        * remote client's batch shape); nStale = the superseded old-row
+        * count. Index segments build from the same rows: HNSW graphs
+        * in-process (bit-identical to the numPartitions=1 build), binary
+        * signatures through the packQuery kernel twin, IVF through its
+        * distributed append (partitioned cluster layout). Zero Spark jobs
+        * except the rare IVF arm. */
+      def localEmbChain(emb: graft.functions.Embedder,
+          newChunkRows: Seq[(String, Int, String)],
+          oldChunkRows: Seq[Seq[Any]], oldEmbRows: Seq[Seq[Any]]): Long = {
+        val oldTriples = oldChunkRows.map(r =>
+          (r(0).asInstanceOf[String], r(1).asInstanceOf[Int],
+            r(2).asInstanceOf[String])).toSet
+        val changedRows = newChunkRows.filterNot(oldTriples)
+        val unchangedKeys = newChunkRows.filter(oldTriples)
+          .map(r => (r._1, r._2)).toSet
+        val reused = oldEmbRows
+          .map(r => (r(0).asInstanceOf[String], r(1).asInstanceOf[Int],
+            r(2).asInstanceOf[Long], r(3).asInstanceOf[Array[Float]]))
+          .filter(r => unchangedKeys((r._1, r._2)))
+        val fresh = changedRows.zip(emb.embedMany(changedRows.map(_._3)))
+          .map { case ((d, i, c), v) => (d, i, contentHidOf(d, i, c), v) }
+        val delta = (reused ++ fresh).sortBy(r => (r._1, r._2))
+        traced("chain:emb-append")(DeltaTable.appendDeltaLocal(embP,
+          Seq("document_id" -> "string", "chunk_index" -> "int",
+            "hid" -> "long", "embedding" -> "floats"),
+          delta.map(r => Seq(r._1, r._2, r._3, r._4)), idSeq,
+          docCol = "document_id"))
+        f.vectorIndex.foreach { nlist =>
+          val ivfP = tablePath(p.name, f.name, "ivf")
+          if (!graft.operators.IvfIndex.existsAt(spark, ivfP)) {
+            graft.operators.IvfIndex.loadOrBuild(
+              spark, ivfP, embeddings(p, f.name), "embedding", nlist)
+            ()
+          } else graft.operators.IvfIndex.appendSegment(
+            ms, ivfP,
+            ms.createDataFrame(delta.map(r => (r._1, r._2, r._4)))
+              .toDF("document_id", "chunk_index", "embedding"),
+            "embedding", changedIds, knownIds = localIds)
+        }
+        f.hnswIndex.foreach { _ =>
+          val hp = tablePath(p.name, f.name, "hnsw")
+          if (!graft.operators.HnswIndex.existsAt(spark, hp)) rebuildHnsw(p, f)
+          else graft.operators.HnswIndex.appendSegmentLocal(ms, hp,
+            delta.map(r => (r._3, r._4)))
+        }
+        if (f.binaryIndex) {
+          DeltaTable.appendDeltaLocal(tablePath(p.name, f.name, "binsig"),
+            Seq("document_id" -> "string", "chunk_index" -> "int",
+              "sig" -> "longs"),
+            delta.map(r =>
+              Seq(r._1, r._2, graft.operators.Quantized.packQuery(r._4))),
+            idSeq, docCol = "document_id")
+          ()
+        }
+        oldEmbRows.size.toLong
+      }
       // The three append chains below (chunks / embeddings→indexes /
       // tsvectors) are independent: every frame they share is defined
       // above from the checkpointed changedDocs plus PRE-append file
@@ -864,7 +943,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       }
       val embF: Future[Option[Long]] = Future {
         f.semanticSearch.map { emb =>
-        val embP = tablePath(p.name, f.name, "embeddings")
+        localEmbOld match {
+        case Some((oldChunkRows, oldEmbRows)) =>
+          traced("chain:emb-local")(
+            localEmbChain(emb, localChunks.get, oldChunkRows, oldEmbRows))
+        case None =>
         // the append below is now this frame's ONLY action (index
         // consumers read the published segment back), so no freeze is
         // needed — and the stale-row count (exact over-fetch slack for
@@ -944,6 +1027,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           ()
         }
         nStale
+        }
         }
       }
       val tsF = Future {
@@ -1251,6 +1335,16 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * a window where ids disagree. */
   private def contentHid: Column =
     xxhash64(col("document_id"), col("chunk_index"), col("chunk"))
+
+  /** [[contentHid]] for one driver-held row: evaluates the SAME Catalyst
+    * expression over literals, so local and distributed syncs mint
+    * bit-identical node ids by construction (no hand-rolled hash twin to
+    * drift). Event-sized batches only — a few expression builds per row. */
+  private def contentHidOf(doc: String, idx: Int, chunk: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal.create(doc), Literal.create(idx),
+      Literal.create(chunk))).eval(null).asInstanceOf[Long]
+  }
 
   /** Legacy derivation for pre-hid warehouses (node ids keyed on the
     * owning segment); [[syncPipelineIncremental]] migrates such tables

@@ -256,9 +256,14 @@ object DeltaTable {
       case (n, "int") => s"required int32 $n;"
       case (n, "double") => s"required double $n;"
       case (n, "ts") => s"required int64 $n (TIMESTAMP(MICROS,true));"
+      case (n, "bytes") => s"required binary $n;"
       // the standard 3-level LIST shape Spark writes and reads natively
       case (n, "strings") =>
         s"required group $n (LIST) { repeated group list { required binary element (UTF8); } }"
+      case (n, "floats") =>
+        s"required group $n (LIST) { repeated group list { required float element; } }"
+      case (n, "longs") =>
+        s"required group $n (LIST) { repeated group list { required int64 element; } }"
       case (n, k) => throw new IllegalArgumentException(s"unknown local column kind $k for $n")
     }.mkString(" ")
     val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
@@ -280,10 +285,137 @@ object DeltaTable {
           val lst = g.addGroup(n)
           v.asInstanceOf[Seq[String]].foreach(s =>
             lst.addGroup("list").add("element", s))
+        case ((n, "bytes"), v) =>
+          g.add(n, org.apache.parquet.io.api.Binary
+            .fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+        case ((n, "floats"), v) =>
+          val lst = g.addGroup(n)
+          v.asInstanceOf[Array[Float]].foreach(x =>
+            lst.addGroup("list").add("element", x))
+        case ((n, "longs"), v) =>
+          val lst = g.addGroup(n)
+          v.asInstanceOf[Array[Long]].foreach(x =>
+            lst.addGroup("list").add("element", x))
         case ((n, _), v) => g.add(n, v.asInstanceOf[Long]) // long + ts-micros
       }
       writer.write(g)
     } finally writer.close()
+  }
+
+  /** Driver-side read of ONE parquet file (local-writer or Spark-written):
+    * rows as value sequences in `cols` order (the [[writeParquetLocal]]
+    * kind vocabulary: string/int/long/double/ts/bytes + strings/floats/
+    * longs lists), with an optional `docCol IN ids` filter pushed to
+    * row-group stats AND record level (segments are written sorted on the
+    * doc column, so the stats prune exactly like the distributed
+    * In-pushdown). NULL fields surface as null. */
+  private def readParquetLocalFile(
+      file: java.io.File,
+      cols: Seq[(String, String)],
+      filter: Option[(String, Set[String])]): Seq[Seq[Any]] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val builder = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath))
+      .withConf(new org.apache.hadoop.conf.Configuration(false))
+    val withF = filter match {
+      case Some((c, ids)) =>
+        import scala.jdk.CollectionConverters._
+        val set: java.util.Set[org.apache.parquet.io.api.Binary] =
+          ids.map(org.apache.parquet.io.api.Binary.fromString).asJava
+        builder.withFilter(FilterCompat.get(
+          FilterApi.in(FilterApi.binaryColumn(c), new java.util.HashSet(set))))
+      case None => builder
+    }
+    val reader = withF.build()
+    val out = Seq.newBuilder[Seq[Any]]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        out += cols.map { case (n, kind) =>
+          if (g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0) kind match {
+            case "string" => g.getString(n, 0)
+            case "int" => g.getInteger(n, 0)
+            case "double" => g.getDouble(n, 0)
+            case "bytes" => g.getBinary(n, 0).getBytes
+            case "strings" =>
+              val lst = g.getGroup(n, 0)
+              (0 until lst.getFieldRepetitionCount(0))
+                .map(i => lst.getGroup(0, i).getString(0, 0))
+            case "floats" =>
+              val lst = g.getGroup(n, 0)
+              Array.tabulate(lst.getFieldRepetitionCount(0))(i =>
+                lst.getGroup(0, i).getFloat(0, 0))
+            case "longs" =>
+              val lst = g.getGroup(n, 0)
+              Array.tabulate(lst.getFieldRepetitionCount(0))(i =>
+                lst.getGroup(0, i).getLong(0, 0))
+            case _ => g.getLong(n, 0) // long + ts-micros
+          } else null
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
+  }
+
+  /** Driver-side equivalent of `read(path).where(docCol isin docIds)` —
+    * the CURRENT rows of `docIds`' documents, resolved through the SAME
+    * supersession rule as [[resolve]]: a doc in the (committed) manifest
+    * reads only its latest segment; a doc absent from the manifest has
+    * rows only in the base seg=0 (appendDelta claims every doc it writes).
+    * Returns None when the local fast path does not apply (non-local
+    * store, legacy flat layout, manifest past the literal budget, or a
+    * requested column missing from a file's schema — pre-hid tables) —
+    * callers then take the distributed read. Zero Spark jobs when the
+    * manifest literal cache is warm (appendDeltaLocal keeps it warm).
+    *
+    * Concurrency: callers must hold the pipeline sync (read) lock, which
+    * excludes the background merge's publish — the exact guarantee the
+    * distributed path's pre-append file listings rely on. */
+  private[graft] def readDocsLocal(
+      spark: SparkSession, path: String, docIds: Seq[String],
+      cols: Seq[(String, String)], docCol: String): Option[Seq[Seq[Any]]] = {
+    if (!isLocal(path)) return None
+    val dir = new java.io.File(ioPath(path))
+    if (!dir.isDirectory) return None
+    // legacy flat-snapshot layout (parquet files at the root, no seg dirs):
+    // the distributed path migrates it — don't reimplement that here
+    val hasSegDirs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("seg="))
+    val hasRootParquet = Option(dir.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (!hasSegDirs || hasRootParquet) return None
+    if (hasManifest(path) && manifestBytes(path) > LiteralManifestMaxBytes) return None
+    if (docIds.isEmpty) return Some(Nil)
+    val latest =
+      if (hasManifest(path)) cachedLatest(spark, path, docCol)
+      else new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    val bySeg = docIds.groupBy { d =>
+      Option(latest.get(org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+        .map(_.intValue).getOrElse(0)
+    }
+    val out = Seq.newBuilder[Seq[Any]]
+    for ((seg, ids) <- bySeg) {
+      val segDir = new java.io.File(dir, s"seg=$seg")
+      if (segDir.isDirectory) {
+        val files = Option(segDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+        val idSet = ids.toSet
+        for (f <- files) {
+          // a requested column absent from the file (pre-hid layout) →
+          // the caller must take the distributed path and its migration
+          val fileSchema = org.apache.parquet.hadoop.ParquetFileReader
+            .readFooter(new org.apache.hadoop.conf.Configuration(false),
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+            .getFileMetaData.getSchema
+          if (!cols.forall { case (n, _) => fileSchema.containsField(n) }) return None
+          out ++= readParquetLocalFile(f, cols, Some(docCol -> idSet))
+        }
+      }
+    }
+    Some(out.result())
   }
 
   /** [[appendDelta]] for a batch the driver already holds: the segment
@@ -317,6 +449,22 @@ object DeltaTable {
       manifestCacheApply(path, preFp, written, ids, seg)
     }
     seg
+  }
+
+  /** [[stagePublishSegment]] for rows the driver already holds: write the
+    * segment file with the local writer and rename it into place — used by
+    * index homes whose event-sized delta is built in-process (the HNSW
+    * local append). Caller handles 0-row batches and commit markers. */
+  private[graft] def publishSegmentLocal(
+      segParent: String, seg: Int,
+      cols: Seq[(String, String)], rows: Seq[Seq[Any]]): Unit = {
+    requireLocalWrites(segParent, "publishSegmentLocal")
+    val stage = new java.io.File(ioPath(s"$segParent/_stage-seg$seg"))
+    stage.mkdirs()
+    writeParquetLocal(new java.io.File(stage, "part-local-0.parquet"), cols, rows)
+    new java.io.File(ioPath(segParent)).mkdirs()
+    if (!stage.renameTo(new java.io.File(s"${ioPath(segParent)}/seg=$seg")))
+      throw new java.io.IOException(s"could not publish segment $seg under $segParent")
   }
 
   /** The just-published segment as a lineage-free frame: read the seg=N

@@ -23,7 +23,13 @@ final case class CountingEmbedder(dim: Int = 16) extends Embedder {
       org.apache.spark.unsafe.types.UTF8String.fromString(s), dim).toFloatArray()
   })
   override def embedCol(text: Column): Column = countingUdf(text)
-  override def embedOne(text: String): Array[Float] = inner.embedOne(text)
+  // the event-sized sync path embeds driver-side (embedMany → embedOne);
+  // the invariant under test is "only changed chunks reach the MODEL",
+  // whichever path carries them — count both
+  override def embedOne(text: String): Array[Float] = {
+    CountingEmbedder.calls.incrementAndGet()
+    inner.embedOne(text)
+  }
 }
 
 class IncrementalSyncSpec extends AnyFunSuite {
