@@ -117,6 +117,32 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       DeltaTable.readParquetCached(sess, dir.getPath, s"$docsPath#segdir"))
   }
 
+  /** Driver-side twin of the changed-docs window: union the new changelog
+    * batches in batch order and keep each uuid's LAST row (row_number over
+    * batch desc ≡ last-put-wins over batch asc). None when any batch file's
+    * layout the local reader can't take — caller collects distributed. */
+  private def readChangelogLocal(
+      wm: Long, maxB: Long): Option[Seq[(String, String)]] = {
+    val dirs = Option(new java.io.File(changelogPath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+      .map(d => (d.getName.stripPrefix("batch=").toLong, d))
+      .filter { case (b, _) => b > wm && b <= maxB }
+      .sortBy(_._1)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for ((_, d) <- dirs) {
+      val files = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      DeltaTable.readFilesLocal(files.toSeq,
+          Seq("source_uuid" -> "string", "document" -> "string")) match {
+        case Some(rows) => rows.foreach(r =>
+          out.put(r(0).asInstanceOf[String], r(1).asInstanceOf[String]))
+        case None => return None
+      }
+    }
+    Some(out.toSeq.sortBy(_._1))
+  }
+
   private def appendChangelogLocal(rows: Seq[(String, String)]): Unit = {
     val batch = DeltaTable.allocLogBatch(changelogPath)
     DeltaTable.publishLogBatchLocal(rows, changelogPath, batch)
@@ -237,19 +263,28 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // pipeline run its whole delta machinery for nothing on next sync)
     if (uuids.isEmpty) return true
     val sess = microSpark(1)
-    // the ONE corpus-touching action: In-pruned two-column read of the
-    // touched documents' stored created_at (row-group stats prune on the
-    // uuid-sorted segments, untouched documents never read)
-    val oldCreated = traced("up:old-created")(
-      DeltaTable.read(sess, docsPath, "source_uuid")
-        .where(col("source_uuid").isin(uuids: _*))
-        .select("source_uuid", "created_at")
-        .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap)
-    val now = new java.sql.Timestamp(System.currentTimeMillis())
     // timestamps land as INT64 micros — what the local parquet writer
     // declares and what Spark reads back as TimestampType
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    // the one remaining corpus touch — the touched documents' stored
+    // created_at — reads DRIVER-SIDE when the layout allows (In-pruned to
+    // the docs' own segments, same supersession rule); the distributed
+    // In-pruned read remains the fallback for legacy/INT96 layouts
+    val oldCreatedMicros: Map[String, Long] =
+      DeltaTable.readDocsLocal(sess, docsPath, uuids,
+          Seq("source_uuid" -> "string", "created_at" -> "ts"),
+          "source_uuid") match {
+        case Some(rows) => rows.collect {
+          case Seq(u: String, m: java.lang.Long) => u -> m.longValue
+        }.toMap
+        case None => traced("up:old-created")(
+          DeltaTable.read(sess, docsPath, "source_uuid")
+            .where(col("source_uuid").isin(uuids: _*))
+            .select("source_uuid", "created_at")
+            .collect().map(r => r.getString(0) -> micros(r.getTimestamp(1))).toMap)
+      }
+    val nowMicros = micros(new java.sql.Timestamp(System.currentTimeMillis()))
     // uuid-sorted, like the distributed path's sortWithinPartitions: the
     // In-pruned reads rely on row-group source_uuid stats
     val sortedUuids = uuids.sorted
@@ -257,12 +292,11 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       Seq(
         org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
           org.apache.spark.unsafe.types.UTF8String.fromString(u), StringType, 42L),
-        u, lastByUuid(u), micros(oldCreated.getOrElse(u, now)))
+        u, lastByUuid(u), oldCreatedMicros.getOrElse(u, nowMicros))
     }
-    // the batch is driver-held end to end: segment file, manifest rows,
-    // changelog batch, and every commit marker write driver-side — an
-    // event-sized upsert schedules exactly ONE Spark job (the In-pruned
-    // created_at read above)
+    // the batch is driver-held end to end: old created_at, segment file,
+    // manifest rows, changelog batch, and every commit marker — an
+    // event-sized upsert schedules ZERO Spark jobs on current layouts
     traced("up:append-docs")(DeltaTable.appendDeltaLocal(docsPath,
       Seq("row_id" -> "long", "source_uuid" -> "string",
         "document" -> "string", "created_at" -> "ts"),
@@ -771,8 +805,12 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     val collectDocsLocally = newBatchBytes <= (4L << 20)
     val collected: Seq[(String, String)] = traced("sync:changed-collect")(
       if (collectDocsLocally)
-        changedDocs.select("source_uuid", "document")
-          .as[(String, String)].collect().toSeq
+        // changelog batch dirs are tiny and committed-by-presence — read
+        // them driver-side (last batch wins per uuid, the window's rule);
+        // a layout the local reader can't take falls back to the collect
+        readChangelogLocal(wm, maxB).getOrElse(
+          changedDocs.select("source_uuid", "document")
+            .as[(String, String)].collect().toSeq)
       else changedDocs.select("source_uuid").as[String].collect().toSeq
         .map(u => (u, null: String)))
     val idSeq = collected.map(_._1)

@@ -360,6 +360,52 @@ object DeltaTable {
     out.result()
   }
 
+  /** Whether a parquet file's layout matches the requested kinds — a
+    * column absent (pre-hid layout) or at a different physical type (e.g.
+    * Spark's default INT96 timestamps in distributed-written segments vs
+    * the local writer's INT64 micros) means the local fast path must not
+    * read it; callers fall back to the distributed read, which handles
+    * any layout. */
+  private def schemaCompatibleLocal(
+      f: java.io.File, cols: Seq[(String, String)]): Boolean = {
+    val fileSchema = org.apache.parquet.hadoop.ParquetFileReader
+      .readFooter(new org.apache.hadoop.conf.Configuration(false),
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+      .getFileMetaData.getSchema
+    cols.forall { case (n, kind) =>
+      fileSchema.containsField(n) && {
+        val t = fileSchema.getType(fileSchema.getFieldIndex(n))
+        kind match {
+          case "strings" | "floats" | "longs" => !t.isPrimitive
+          case _ => t.isPrimitive && {
+            val p = t.asPrimitiveType().getPrimitiveTypeName.name()
+            kind match {
+              case "string" | "bytes" => p == "BINARY"
+              case "int" => p == "INT32"
+              case "long" | "ts" => p == "INT64"
+              case "double" => p == "DOUBLE"
+              case _ => false
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** [[readParquetLocalFile]] over a fixed file list with the schema
+    * compatibility gate — None when any file's layout diverges from the
+    * requested kinds (caller falls back to the distributed read). */
+  private[graft] def readFilesLocal(
+      files: Seq[java.io.File],
+      cols: Seq[(String, String)]): Option[Seq[Seq[Any]]] = {
+    val out = Seq.newBuilder[Seq[Any]]
+    for (f <- files) {
+      if (!schemaCompatibleLocal(f, cols)) return None
+      out ++= readParquetLocalFile(f, cols, None)
+    }
+    Some(out.result())
+  }
+
   /** Driver-side equivalent of `read(path).where(docCol isin docIds)` —
     * the CURRENT rows of `docIds`' documents, resolved through the SAME
     * supersession rule as [[resolve]]: a doc in the (committed) manifest
@@ -404,13 +450,7 @@ object DeltaTable {
           .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
         val idSet = ids.toSet
         for (f <- files) {
-          // a requested column absent from the file (pre-hid layout) →
-          // the caller must take the distributed path and its migration
-          val fileSchema = org.apache.parquet.hadoop.ParquetFileReader
-            .readFooter(new org.apache.hadoop.conf.Configuration(false),
-              new org.apache.hadoop.fs.Path(f.getAbsolutePath))
-            .getFileMetaData.getSchema
-          if (!cols.forall { case (n, _) => fileSchema.containsField(n) }) return None
+          if (!schemaCompatibleLocal(f, cols)) return None
           out ++= readParquetLocalFile(f, cols, Some(docCol -> idSet))
         }
       }
