@@ -3741,7 +3741,11 @@ object QueryCatalog {
     "x10_chat_completion",
     (s, dir) => {
       import s.implicits._
+      // fixed-size oracle domain: the per-document envelope/stream loop
+      // is driver-side by construction (a token-stream surface), so the
+      // slice is capped at 50 docs — corpus-independent under any sf
       val docs = t(s, dir, "documents").where(col("doc_id") % 11 === 0)
+        .orderBy(col("doc_id")).limit(50)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1).toSeq
       // Oracle validity domain, enforced (not assumed): the DuckDB replay
@@ -3768,7 +3772,8 @@ object QueryCatalog {
           get_json_object(col("env"), "$.choices[0].message.content").as("content"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+              ORDER BY doc_id LIMIT 50),
             m AS (SELECT doc_id, text,
               '[{"role": "system", "content": "be brief"}, {"role": "user", "content": "'
                 || text || '"}]' AS msg FROM d),
@@ -4029,7 +4034,11 @@ object QueryCatalog {
     "x13_chat_completion_stream",
     (s, dir) => {
       import s.implicits._
+      // fixed-size oracle domain: the per-document envelope/stream loop
+      // is driver-side by construction (a token-stream surface), so the
+      // slice is capped at 50 docs — corpus-independent under any sf
       val docs = t(s, dir, "documents").where(col("doc_id") % 11 === 0)
+        .orderBy(col("doc_id")).limit(50)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1).toSeq
       docs.flatMap { case (id, text) =>
@@ -4053,7 +4062,8 @@ object QueryCatalog {
       }.toDF("doc_id", "idx", "token")
         .orderBy(col("doc_id"), col("idx"))
     },
-    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+              ORDER BY doc_id LIMIT 50),
             tok AS (SELECT doc_id,
               list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 12) AS l
               FROM d),
