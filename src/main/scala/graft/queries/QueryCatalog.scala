@@ -2405,6 +2405,79 @@ object QueryCatalog {
          |FROM prb ORDER BY rs DESC, md5(CAST(doc_id AS VARCHAR)), chunk_index LIMIT 10""".stripMargin
     })
 
+  /** Fluent `query_builder` façade ORACLED (s14): the deprecated SDK
+    * surface `collection.query().vector_recall(q, pipeline).limit(n)
+    * .filter(f).fetch_all()` (pgml-sdks/pgml/src/query_builder.rs:1-113)
+    * routed through the SAME filtered vector-search path s10 gates — the
+    * façade must add nothing and lose nothing, so its oracle is s10's
+    * replay verbatim (hash-embed cosine WHERE-gated by the compiled JSON
+    * metadata predicate, then top-10). */
+  val s14QueryBuilder: GraftQuery = GraftQuery(
+    "s14_query_builder",
+    (s, dir) => {
+      val (c, p) = e2eCollection(s, dir, 100000, 0)
+      c.query()
+        .vectorRecall("spark query table join", p)
+        .limit(10)
+        .filter(
+          """{"$and": [{"lang": {"$in": ["en", "de"]}}, {"n_chars": {"$gt": 300}}]}""")
+        .fetchAll()
+        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          round(col("score"), 5).as("score"))
+    },
+    Some(s"""WITH ${s4ScoredCtes("spark query table join")}
+            SELECT sc.doc_id, round(sc.raw, 5) AS score
+            FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+            WHERE d.lang IN ('en', 'de') AND d.n_chars > 300
+            ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
+
+  // remote-embeddings warehouse: its own ingest (the pipeline's embedder
+  // is the REMOTE batch-contract client, not the column kernel), once per
+  // session+dir
+  private val s15Done =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Remote-embeddings boundary ORACLED end to end (s15): the pipeline's
+    * semantic-search embedder is [[graft.functions.RemoteEmbedder]] over
+    * the batch-contract client protocol
+    * (pgml-sdks/pgml/src/remote_embeddings.rs:1-197) — texts reach the
+    * client in fixed-size slices, one request per slice, one embedding
+    * per input in order, via `mapPartitions` (never a call per row). The
+    * offline [[graft.functions.HashBackedClient]] endpoint serves the
+    * hash kernel behind that protocol, so the s4 DuckDB replay gates the
+    * WHOLE remote path: a dropped/reordered/mis-sliced batch, a per-row
+    * call that breaks on the empty slice, or a driver-side query
+    * embedding that bypasses the client would all break the hash. */
+  val s15RemoteEmbeddings: GraftQuery = GraftQuery(
+    "s15_remote_embeddings",
+    (s, dir) => {
+      val key = s"s15#${skey(s)}#$dir"
+      val wh = e2eWh.getOrElseUpdate(key,
+        java.nio.file.Files.createTempDirectory("graft_s15_wh_").toString)
+      val c = new graft.store.Collection(s, "docs", wh)
+      val p = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+        "text", splitter = Some((100000, 0)),
+        semanticSearch = Some(graft.functions.RemoteEmbedder(
+          graft.functions.HashBackedClient(64), dim = 64, batchSize = 32)),
+        fullTextSearch = false)))
+      if (!s15Done.contains(key)) {
+        c.upsertDocuments(
+          t(s, dir, "documents").select(
+            to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))).as("document")))
+        c.syncPipeline(p)
+        s15Done.put(key, true)
+      }
+      c.vectorSearch(p,
+          Seq(graft.store.VectorSearchField("text", "spark query table join")), limit = 10)
+        .select(get_json_object(col("document"), "$.id").cast("long").as("doc_id"),
+          col("chunk"), round(col("score"), 5).as("score"))
+    },
+    Some(s"""WITH ${s4ScoredCtes("spark query table join")}
+            SELECT sc.doc_id, d.text AS chunk, round(sc.raw, 5) AS score
+            FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+            ORDER BY sc.raw DESC, md5(CAST(sc.doc_id AS VARCHAR)) LIMIT 10"""))
+
   /** RAG envelope ORACLED end to end (`collection.rag`,
     * pgml-sdks rag query shape): vectorSearch retrieves top-3 chunks, the
     * prompt template's `{CONTEXT}` slot is filled with the newline-joined
@@ -4388,7 +4461,7 @@ object QueryCatalog {
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag, s9SearchLog,
     s10FilteredSearch, s11DeleteCascade, s12UpsertDirectory,
-    s13RerankCrossEncoder,
+    s13RerankCrossEncoder, s14QueryBuilder, s15RemoteEmbeddings,
     m1LinearRegression, m2ColumnStats, m3Kmeans, m4Dbscan,
     m5DeployStrategies, m6Decompose, m7PredictRow, m8TrainJoint,
     m9PredictProba, m10SearchResults, m11ConfusionMetrics, m12KernelSvm,
