@@ -57,10 +57,20 @@ object Dedup {
 
   /** MinHash + banded LSH near-duplicate pairs, exact-verified.
     *
-    * With k=64, bands=16 (4 rows/band), a pair at Jaccard 0.9 is caught
-    * with prob 1-(1-0.9⁴)^16 ≈ 1-4e-8 — candidate recall is effectively
-    * exact at the threshold; false positives are removed by the exact
-    * Jaccard verify.
+    * Banding defaults to the PRODUCTION shape: k=128, bands=16 → r=8 rows
+    * per band (the Lee et al. 2022 / RefinedWeb regime, which runs r=8-20).
+    * At the 0.9 threshold a true pair is caught with prob
+    * 1-(1-0.9⁸)^16 ≈ 0.9999 (J=0.95 → 1-3e-8), while a random
+    * stopword-sharing pair at J≈0.1-0.3 collides with prob J⁸ per band —
+    * measured on a 1.5M-doc Zipf corpus this is the difference between
+    * 172M false candidates (r=4: J_typ⁴·16·n²/2 — a quadratic knee, wall
+    * b(last)=2.05 over the 500k→1.5M decade) and ~10⁵ (r=8: linear-work
+    * asymptote restored). The r=4 setting is NOT scale-safe on natural
+    * text: minhash argmins concentrate on head tokens, so 4-row bands
+    * collide between unrelated documents at a constant per-pair rate.
+    * Candidate recall is the LSH S-curve by contract (the published
+    * operator's semantics); the exact Jaccard verify removes every false
+    * positive, so precision is exact.
     *
     * Scale discipline (the measured hotspot on the very self-similar
     * corpus — 234 s → <20 s at sf0.1):
@@ -76,8 +86,14 @@ object Dedup {
     *     independent of document length (the token-hash arrays never ride
     *     the ×bands shuffle);
     *  5. size-ratio prefilter: jaccard >= t forces
-    *     min(|A|,|B|) >= t·max(|A|,|B|) — pairs failing it are dropped as
-    *     they stream out of the join, before the pair-distinct;
+    *     min(|A|,|B|) >= t·max(|A|,|B|) — the multiplicative SIZE CLASS
+    *     rides the band join KEY (qualifying pairs sit in the same or
+    *     adjacent classes, so the probe side emits cls and cls+1 — exact,
+    *     no candidate lost), splitting the stopword-driven giant buckets
+    *     that otherwise make the self-join quadratic on heavy-head
+    *     corpora; pairs that still straddle the ratio bound inside a
+    *     class pair are dropped as they stream out of the join, before
+    *     the pair-distinct;
     *  6. surviving candidate pairs distinct() on 16-byte (g_a, g_b) rows,
     *     then verify ONCE per pair by joining back to the cached groups
     *     (the small pair side broadcasts; worst case the token hashes
@@ -93,7 +109,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      k: Int = 64,
+      k: Int = 128,
       bands: Int = 16,
       shingle: Int = 1): DataFrame = {
     val (groups, candidates) = lshGroupCandidates(df, idCol, textCol, threshold, k, bands, shingle)
@@ -160,6 +176,30 @@ object Dedup {
       least(col("sz_a"), col("sz_b")).cast("double") >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b"))
 
+    // SIZE-CLASS band key (the sf30 quadratic-knee fix, measured): on a
+    // stopword-heavy corpus the minhash argmins concentrate on the few
+    // head tokens, so band buckets collect O(n) unrelated docs and the
+    // self-join materializes sum(m²) ∝ n² rows (measured 89M → 787M
+    // candidate pairs over the 500k → 1.5M-doc decade). Valid pairs obey
+    // min >= t·max, so multiplicative size classes of width ln(1/t) put
+    // any qualifying pair in the SAME or ADJACENT classes — keying the
+    // join by (band, bucket, class) with the probe side emitted at cls
+    // and cls+1 splits the stopword buckets by size without dropping a
+    // single candidate (a straddling pair joins via the probe's cls+1
+    // emission; the 1e-9 slack absorbs ln() rounding at exact-ratio
+    // boundaries). Orientation is decided per pair, not per row: same
+    // class → keep g_a < g_b; adjacent classes → the match exists only at
+    // the probe's cls+1 emission (a = larger class), exactly once.
+    val sizeClass: Column => Column =
+      if (threshold >= 1.0) sz => sz.cast("long")
+      else {
+        val w = -math.log(threshold) * (1 + 1e-9)
+        sz => floor(log(sz.cast("double")) / lit(w)).cast("long")
+      }
+    def keepPair: Column =
+      (col("cls") === col("cls_b") && col("g_a") < col("g_b")) ||
+        col("cls") =!= col("cls_b")
+
     val candidates = if (inlineVerify) {
       // SMALL-CORPUS REGIME: arrays ride the band exchange and the verify
       // runs inline as pairs stream out of the join; only VERIFIED
@@ -170,12 +210,15 @@ object Dedup {
         minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
       val banded = sig.select(col("g"), col("sz"), col("th"),
         bandCols(col("sig")).as(Seq("band", "bucket")))
-      val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"),
+      val a = banded.select(col("band"), col("bucket"),
+        sizeClass(col("sz")).as("cls"), col("g").as("g_a"),
         col("sz").as("sz_a"), col("th").as("th_a"))
-      val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"),
+      val b = banded.select(col("band"), col("bucket"),
+        explode(array(sizeClass(col("sz")), sizeClass(col("sz")) + 1)).as("cls"),
+        sizeClass(col("sz")).as("cls_b"), col("g").as("g_b"),
         col("sz").as("sz_b"), col("th").as("th_b"))
-      a.join(b, Seq("band", "bucket"))
-        .where(col("g_a") < col("g_b"))
+      a.join(b, Seq("band", "bucket", "cls"))
+        .where(keepPair)
         .where(sizeCompatible)
         .withColumn("jaccard",
           graft.functions.JaccardFunctions.sortedJaccardLong(col("th_a"), col("th_b")))
@@ -187,17 +230,25 @@ object Dedup {
       // 4 fixed-width columns, ~24 B/row regardless of document length
       // (token-hash arrays across sides × bands would otherwise dominate
       // the shuffle; LshShuffleSpec pins the slim payload in the plan).
+      // persist the signature frame: the self-join's build and probe sides
+      // would otherwise EACH recompute the k-family minhash over every
+      // group (measured ~800 CPU-s per side at 1.5M docs); ~(8k+16) B/row
+      // spills to disk if the corpus outgrows storage memory
       val sig = groups.select(col("g"), size(col("toks")).as("sz"),
         minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sig.select(col("g"), col("sz"),
         bandCols(col("sig")).as(Seq("band", "bucket")))
-      val a = banded.select(col("band"), col("bucket"), col("g").as("g_a"), col("sz").as("sz_a"))
-      val b = banded.select(col("band"), col("bucket"), col("g").as("g_b"), col("sz").as("sz_b"))
+      val a = banded.select(col("band"), col("bucket"),
+        sizeClass(col("sz")).as("cls"), col("g").as("g_a"), col("sz").as("sz_a"))
+      val b = banded.select(col("band"), col("bucket"),
+        explode(array(sizeClass(col("sz")), sizeClass(col("sz")) + 1)).as("cls"),
+        sizeClass(col("sz")).as("cls_b"), col("g").as("g_b"), col("sz").as("sz_b"))
 
       // prefilter in the join stream, then distinct the surviving candidate
       // GROUP PAIRS — 16-byte rows — and verify each pair exactly once
-      val candPairs = a.join(b, Seq("band", "bucket"))
-        .where(col("g_a") < col("g_b"))
+      val candPairs = a.join(b, Seq("band", "bucket", "cls"))
+        .where(keepPair)
         .where(sizeCompatible)
         .select(col("g_a"), col("g_b"))
         .distinct()
@@ -235,7 +286,7 @@ object Dedup {
     // Components run over the GROUP graph (one node per unique token set),
     // never the expanded id-pair graph: identical docs form cliques whose
     // pair expansion is quadratic, but they're a single component node here.
-    val (groups, cands) = lshGroupCandidates(df, idCol, textCol, threshold, 64, 16, 1)
+    val (groups, cands) = lshGroupCandidates(df, idCol, textCol, threshold, 128, 16, 1)
     val comp = Components.minLabel(
       cands.select(col("g_a").as("a"), col("g_b").as("b")))
       .select(col("id").as("g"), col("component"))

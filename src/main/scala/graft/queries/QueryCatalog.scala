@@ -520,7 +520,8 @@ object QueryCatalog {
   /** Curation with the near-dup stage enabled (the full pretraining front
     * door: lang gate → quality gate → exact dedup → MinHash near-dedup →
     * stats). Oracle composes the c1 gate/dedup replay with the d4
-    * recursive-closure keep-one replay over the exact survivors.
+    * recursive-closure keep-one replay over the mechanism-replayed LSH
+    * pair graph of the gated survivors ([[LshOracleSql]]).
     */
   val c2CorpusCurateNearDup: GraftQuery = GraftQuery(
     "c2_corpus_curate_neardup",
@@ -561,10 +562,8 @@ object QueryCatalog {
             ek AS (SELECT g.doc_id, g.text, g.quality FROM gated g JOIN keep USING (doc_id)),
             tk2 AS (SELECT doc_id,
               list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks FROM ek),
-            e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-              FROM tk2 a JOIN tk2 b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+            """ + LshOracleSql.ctes("tk2", 0.9) + """,
+            e AS (SELECT ia, ib FROM lsh_pairs),
             sym AS (SELECT ia AS a, ib AS b FROM e
                     UNION ALL SELECT ib, ia FROM e),
             reach(id, r) AS (
@@ -1112,9 +1111,15 @@ object QueryCatalog {
             FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
             ORDER BY tk.doc_id"""))
 
-  /** MinHash+LSH near-dup pairs, exact-verified at jaccard >= 0.9.
-    * Oracle = brute-force exact pairwise jaccard (LSH miss probability at
-    * 0.9 with 32 bands × 4 rows ≈ 1.5e-15 — effectively exact).
+  /** MinHash+LSH near-dup pairs at jaccard >= 0.9, production banding
+    * (k=128, 16 bands × 8 rows — the Lee et al. 2022 / RefinedWeb
+    * regime; r=4 measured quadratic on a 1.5M-doc Zipf corpus). The
+    * oracle replays the LSH MECHANISM itself in DuckDB — FNV token hash,
+    * splitmix64 families, signed minima, band agreement — then the exact
+    * jaccard verify over the candidates ([[LshOracleSql]]): the gate
+    * covers the operator's actual S-curve semantics at any band width.
+    * A separate TextDedupSpec gate measures candidate recall against
+    * brute force on a planted corpus.
     */
   val d1MinhashLsh: GraftQuery = GraftQuery(
     "d1_minhash_lsh_pairs",
@@ -1122,15 +1127,12 @@ object QueryCatalog {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
-    Some("""WITH tk AS (SELECT doc_id,
-              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
-              FROM documents)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.toks, b.toks))), 5) AS jaccard
-            FROM tk a JOIN tk b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    Some(s"""WITH tk AS (SELECT doc_id,
+              list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+              FROM documents),
+            ${LshOracleSql.ctes("tk", 0.9)}
+            SELECT ia AS id_a, ib AS id_b, round(jaccard, 5) AS jaccard
+            FROM lsh_pairs
             ORDER BY id_a, id_b"""))
 
   /** SimHash near-dup pairs (hamming <= 3 via 4×16-bit pigeonhole bands).
@@ -1178,21 +1180,19 @@ object QueryCatalog {
 
   /** Near-dup GROUPS (connected components over the verified LSH pair
     * graph, group = min doc id): the dedup pipeline's clustering step.
-    * Oracle replays it as a transitive-closure recursive CTE over the exact
-    * brute-force pair graph.
+    * Oracle replays it as a transitive-closure recursive CTE over the
+    * mechanism-replayed LSH pair graph ([[LshOracleSql]]).
     */
   val d3DedupGroups: GraftQuery = GraftQuery(
     "d3_dedup_groups",
     (s, dir) =>
       Dedup.nearDupGroups(t(s, dir, "documents"), "doc_id", "text", 0.9)
         .orderBy(col("doc_id")),
-    Some("""WITH RECURSIVE tk AS (SELECT doc_id,
-              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+    Some(s"""WITH RECURSIVE tk AS (SELECT doc_id,
+              list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
               FROM documents),
-            e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-              FROM tk a JOIN tk b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+            ${LshOracleSql.ctes("tk", 0.9)},
+            e AS (SELECT ia, ib FROM lsh_pairs),
             sym AS (SELECT ia AS a, ib AS b FROM e
                     UNION ALL SELECT ib, ia FROM e),
             reach(id, r) AS (
@@ -1212,19 +1212,17 @@ object QueryCatalog {
       Dedup.deduplicate(t(s, dir, "documents"), "doc_id", "text", 0.9)
         .select(col("doc_id"))
         .orderBy(col("doc_id")),
-    Some("""WITH RECURSIVE tk AS (SELECT doc_id,
-              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+    Some(s"""WITH RECURSIVE tk AS (SELECT doc_id,
+              list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
               FROM documents),
-            e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-              FROM tk a JOIN tk b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+            ${LshOracleSql.ctes("tk", 0.9)},
+            e AS (SELECT ia, ib FROM lsh_pairs),
             sym AS (SELECT ia AS a, ib AS b FROM e
                     UNION ALL SELECT ib, ia FROM e),
             reach(id, r) AS (
               SELECT a, a FROM sym
               UNION
-              SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id),
+              SELECT s2.a, reach.r FROM sym s2 JOIN reach ON s2.b = reach.id),
             dropped AS (SELECT id FROM (
               SELECT id, min(r) AS g FROM reach GROUP BY id) WHERE id <> g)
             SELECT doc_id FROM documents

@@ -124,4 +124,31 @@ class LshShuffleSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(inlinePairs == expected, "inline-verify regime pair set wrong")
     assert(slimPairs == expected, "slim-exchange regime pair set wrong")
   }
+
+  test("size-class band key loses no cross-class candidates") {
+    // pairs whose sizes differ WITHIN the jaccard ratio but straddle a
+    // multiplicative size-class boundary: doc 2i has 60 tokens, doc 2i+1
+    // the same 60 plus 2 extra (jaccard 60/62 ≈ 0.968 ≥ 0.95, size ratio
+    // 60/62 ≈ 0.968 ≥ 0.95). With class width ln(1/0.95) ≈ 0.0513,
+    // ln(62)−ln(60) ≈ 0.0328 keeps them within one class width but the
+    // floor boundary can fall between them — the probe side's cls+1
+    // emission must still surface the pair in BOTH verify regimes.
+    val docs = (0 until 40).flatMap { i =>
+      val base = (0 until 60).map(t => s"p${i}_$t")
+      Seq((2L * i, base.mkString(" ")),
+        (2L * i + 1, (base ++ Seq(s"q${i}_a", s"q${i}_b")).mkString(" ")))
+    }.toDF("id", "text")
+    val expected = (0 until 40).map(i => (2L * i, 2L * i + 1)).toSet
+    val savedGate = Dedup.inlineVerifyMaxCorpusBytes
+    try {
+      Dedup.inlineVerifyMaxCorpusBytes = Long.MaxValue
+      val inlineP = Dedup.minhashLshPairs(docs, "id", "text", 0.95)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      Dedup.inlineVerifyMaxCorpusBytes = 0L
+      val slimP = Dedup.minhashLshPairs(docs, "id", "text", 0.95)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(inlineP == expected, "inline regime dropped a cross-class pair")
+      assert(slimP == expected, "slim regime dropped a cross-class pair")
+    } finally Dedup.inlineVerifyMaxCorpusBytes = savedGate
+  }
 }

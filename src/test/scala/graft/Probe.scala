@@ -335,6 +335,81 @@ object Probe {
       println(f"MEAN RECALL: ${recalls.sum / recalls.length}%.3f  MIN: ${recalls.min}%.2f")
       spark.stop()
 
+    case "lsh-buckets" :: rest =>
+      // band-bucket size distribution of the d1/d3 LSH core at a given
+      // corpus: the band self-join materializes sum(m·(m−1)/2) rows, so a
+      // heavy bucket tail is the quadratic-knee signature
+      val sfDir = rest.headOption.getOrElse("/tmp/graft_sf10")
+      val shingle = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
+      val spark = session()
+      val docs = Tables.load(spark, sfDir, "documents")
+      val base = docs.select(col("doc_id").as("id"),
+        array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("toks"))
+      val groups = base.groupBy(xxhash64(col("toks")).as("g"))
+        .agg(first(col("toks")).as("toks"))
+      val (k, bands) = (128, 16)
+      val rows = k / bands
+      val sig = groups.select(col("g"), size(col("toks")).as("sz"),
+        graft.functions.TextFunctions.minhashSignature(
+          concat_ws(" ", col("toks")), k, shingle).as("sig"))
+      val banded = sig.select(col("g"), col("sz"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as(Seq("band", "bucket")))
+      val bstats = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("m")).cache()
+      println("=== totals (nGroups, nBuckets, joinRows=sum m^2, candPairs=sum m(m-1)/2, maxBucket) ===")
+      bstats.agg(sum(col("m")).as("rows_banded"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("m") * col("m")).as("join_rows"),
+        sum(col("m") * (col("m") - 1) / 2).as("cand_pairs"),
+        max(col("m")).as("max_bucket")).show(false)
+      println("=== top-20 buckets by size ===")
+      bstats.orderBy(desc("m")).show(20, false)
+      // class-keyed join size: what the (band, bucket, cls) join with the
+      // probe side emitted at cls and cls+1 actually materializes
+      val w = -math.log(0.9) * (1 + 1e-9)
+      val cstats = banded
+        .withColumn("cls", floor(log(col("sz").cast("double")) / lit(w)))
+        .groupBy("band", "bucket", "cls").agg(count(lit(1)).as("m"))
+      val probe = cstats.select(col("band"), col("bucket"),
+        explode(array(col("cls"), col("cls") + 1)).as("cls"), col("m").as("mb"))
+      println("=== class-keyed join rows (build x probe incl. cls+1 emission) ===")
+      cstats.join(probe, Seq("band", "bucket", "cls"))
+        .agg(sum(col("m") * col("mb")).as("join_rows_clskey")).show(false)
+      spark.stop()
+
+    case "stages" :: q :: rest =>
+      // per-stage CPU/records/shuffle attribution of one catalog query run
+      // (after a warm-up) — finds the hot stage the job-level census hides
+      val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      val spark = session()
+      val fn = SparkEntry.queries(q)
+      fn(spark, sfDir).count() // warm
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val m = i.taskMetrics
+          out.add(f"stage ${i.stageId}%4d run ${m.executorRunTime / 1e3}%8.1f s " +
+            f"cpu ${m.executorCpuTime / 1e9}%8.1f s gc ${m.jvmGCTime / 1e3}%6.1f s " +
+            f"in ${m.inputMetrics.recordsRead}%12d sr ${m.shuffleReadMetrics.recordsRead}%12d " +
+            f"sw ${m.shuffleWriteMetrics.recordsWritten}%12d  ${i.name.take(60)}")
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"QUERY $q wall ${wall}%.3f s")
+      import scala.jdk.CollectionConverters._
+      out.asScala.toSeq.sorted.foreach(println)
+      spark.stop()
+
     case "jobs" :: q :: rest =>
       // count spark jobs + their wall time inside one catalog query run
       // (after a warm-up): many small jobs = driver-side overhead dominates

@@ -43,6 +43,48 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.keys.forall { case (x, y) => y != 4L && x != 4L })
   }
 
+  test("LSH candidate recall vs brute force on real corpus + planted borderline pairs") {
+    // the d1 oracle now replays the LSH mechanism, so recall vs exact
+    // all-pairs jaccard needs its OWN gate: (a) the testdata corpus —
+    // every brute-force pair at >= 0.9 must surface through the bands;
+    // (b) planted pairs just above threshold (J = 58/60 ≈ 0.967 and
+    // J = 38/42 ≈ 0.905, the S-curve's weak zone at r=8: per-pair catch
+    // prob 1 − (1−J⁸)¹⁶ ≈ 1 − 3e-8 and ≈ 1 − 7e-5) — deterministic per
+    // input, pinned here so a banding change that dents recall fails
+    // loudly instead of silently shrinking d1.
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select($"doc_id".as("id"), $"text")
+    val brute = {
+      val tk = docs.select($"id",
+        array_distinct(split(trim(lower($"text")), "\\s+")).as("toks"))
+      val a = tk.select($"id".as("ia"), $"toks".as("ta"))
+      val b = tk.select($"id".as("ib"), $"toks".as("tb"))
+      a.crossJoin(b).where($"ia" < $"ib")
+        .where(size(array_intersect($"ta", $"tb")).cast("double") >=
+          lit(0.9) * size(array_union($"ta", $"tb")))
+        .select($"ia", $"ib").as[(Long, Long)].collect().toSet
+    }
+    val lsh = Dedup.minhashLshPairs(docs, "id", "text", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(brute.subsetOf(lsh) && lsh.subsetOf(brute),
+      s"LSH pairs != brute force: missed ${(brute -- lsh).size}, extra ${(lsh -- brute).size}")
+
+    val planted = (0 until 30).flatMap { i =>
+      val wide = (0 until 60).map(t => s"w${i}_$t")
+      val narrow = (0 until 40).map(t => s"n${i}_$t")
+      Seq((4L * i, wide.mkString(" ")),
+        (4L * i + 1, (wide.drop(2) ++ Seq(s"x${i}_a", s"x${i}_b")).mkString(" ")),
+        (4L * i + 2, narrow.mkString(" ")),
+        (4L * i + 3, (narrow.drop(2) ++ Seq(s"y${i}_a", s"y${i}_b")).mkString(" ")))
+    }.toDF("id", "text")
+    val got = Dedup.minhashLshPairs(planted, "id", "text", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expect = (0 until 30).flatMap(i =>
+      Seq((4L * i, 4L * i + 1), (4L * i + 2, 4L * i + 3))).toSet
+    assert(got == expect,
+      s"planted borderline recall broke: missed ${(expect -- got).size}, extra ${(got -- expect).size}")
+  }
+
   test("minhash signature estimates jaccard") {
     // signature agreement rate ≈ true jaccard (k=256 → ±~6%)
     val s1 = TextKernels.minhashSignature(
