@@ -24,9 +24,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // result timestamps dump as NTZ micros: the session writes
+        // TIMESTAMP_MICROS with isAdjustedToUTC=true (the store's
+        // driver-local segment readers need it), but the driver's pandas
+        // compare reads that as tz-AWARE while the DuckDB oracle side is
+        // naive — cast result columns back to the session-UTC wall time
+        // the oracle computes (values identical, annotation dropped)
+        val outDf = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+        }.foldLeft(df)((d, c) =>
+          d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp_ntz")))
+        outDf.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
