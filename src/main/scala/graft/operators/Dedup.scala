@@ -389,18 +389,44 @@ object Dedup {
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming (<=3
     * guaranteed caught by 4-band pigeonhole on the 64-bit sketch).
     */
+  /** SimHash near-dup pairs at Hamming distance <= maxHamming (default 3),
+    * EXACT by multi-index pigeonhole (Norouzi et al., "Fast Search in
+    * Hamming Space with Multi-Index Hashing", CVPR 2012): the 64-bit
+    * sketch splits into 2 halves of 32 bits; <= 3 total errors means SOME
+    * half differs in <= 1 bit, so the probe side emits its half value
+    * plus all 32 one-bit flips and the join key is the 32-bit half.
+    *
+    * Scale shape: the previous 4x16-bit exact-match bands collide between
+    * UNRELATED docs once n approaches 2^16 per band — bucket sizes grow
+    * ~n/65536 and the self-join streams sum(m^2) ~ n^2/65536 candidate
+    * pairs through the distinct (the d1 knee's sibling). 32-bit keys put
+    * random collisions at ~n^2/2^32 (negligible through billions of
+    * docs); the price is a fixed 33x probe-side emission of 12-byte rows,
+    * linear in n. maxHamming <= 3 keeps the 2-half scheme exact; larger
+    * radii would need ceil((maxHamming+1)/2)-bit flip enumeration or more
+    * halves.
+    */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"simhashPairs is exact for maxHamming <= 3 (2x32-bit pigeonhole); got $maxHamming")
     val sk = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sk"))
-    val banded = sk.select(col("id"), col("sk"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sk"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sk").as("sk_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sk").as("sk_b"))
+    def half(i: Int): Column =
+      shiftrightunsigned(col("sk"), i * 32).bitwiseAND(lit(0xffffffffL))
+    // build side: one row per half
+    val a = sk.select(col("id").as("id_a"), col("sk").as("sk_a"),
+      posexplode(array(half(0), half(1))).as(Seq("band", "bucket")))
+    // probe side: the half value and its 32 one-bit flips
+    val b = sk.select(col("id").as("id_b"), col("sk").as("sk_b"),
+      posexplode(array((0 until 2).map(i =>
+        array(half(i) +: (0 until 32).map(bit =>
+          half(i).bitwiseXOR(lit(1L << bit))): _*)): _*))
+        .as(Seq("band", "probes")))
+      .select(col("id_b"), col("sk_b"), col("band"),
+        explode(col("probes")).as("bucket"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sk_a"), col("sk_b")).distinct()
