@@ -103,12 +103,14 @@ object Bench {
             .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
             .collect().toSeq.sortBy(_._1))
         val p = graft.operators.AnnServing.LocalParams(numPartitions = 8, ef = 64)
+        // resolve-once handle, probe 1000x: the production serving shape
+        // (per-probe serveLocal re-stats the source home each call)
+        val probe = graft.operators.AnnServing.localProber(s, "hnsw",
+          s"$dir/embeddings.parquet", emb, "vec_id", "embedding", p)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            graft.operators.AnnServing.serveLocal(s, "hnsw",
-              s"$dir/embeddings.parquet", emb, "vec_id", "embedding", qv, 10, p)
-              .map { case (id, sc) => (qid, id, sc) }
+            probe(qv, 10).map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }
@@ -128,12 +130,12 @@ object Bench {
             .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
             .collect().toSeq.sortBy(_._1))
         val p = graft.operators.AnnServing.LocalParams(nlist = 16, nprobe = 4)
+        val probe = graft.operators.AnnServing.localProber(s, "ivf",
+          s"$dir/embeddings.parquet", emb, "vec_id", "embedding", p)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            graft.operators.AnnServing.serveLocal(s, "ivf",
-              s"$dir/embeddings.parquet", emb, "vec_id", "embedding", qv, 10, p)
-              .map { case (id, sc) => (qid, id, sc) }
+            probe(qv, 10).map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }
@@ -150,12 +152,12 @@ object Bench {
         val p = graft.operators.AnnServing.LocalParams(nprobe = V.Nprobe,
           rerank = V.Rerank, pqNlist = V.Nlist, m = V.M, kCent = V.KCent,
           nassign = V.Nassign)
+        val probe = graft.operators.AnnServing.localProber(s, "ivfpq",
+          s"$dir/embeddings.parquet", emb, "vec_id", "embedding", p)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            graft.operators.AnnServing.serveLocal(s, "ivfpq",
-              s"$dir/embeddings.parquet", emb, "vec_id", "embedding", qv, 10, p)
-              .map { case (id, sc) => (qid, id, sc) }
+            probe(qv, 10).map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }

@@ -54,4 +54,35 @@ object AnnServing {
     case other => throw new IllegalArgumentException(
       s"unknown ANN family '$other' — serveLocal serves ${Families.mkString("/")}")
   }
+
+  /** Resolve-once probe handle: the production serving shape. Each
+    * [[serveLocal]] call re-resolves the source's mtime-hashed home (an
+    * `exists` + `listStatus` per call — measured ~0.35 ms on a local FS,
+    * a third of the whole HNSW probe), which a server holding thousands
+    * of requests per handle should pay ONCE. The returned closure probes
+    * the home resolved at acquisition: acquire a prober per request
+    * batch; a source rewritten after acquisition is picked up on the
+    * next acquisition (or immediately by [[serveLocal]]'s per-call
+    * resolution — the one-shot entry keeps that contract). IVF-PQ's
+    * static entry memoizes its own code/vector snapshots per home, so
+    * its closure delegates to the family entry unchanged. */
+  def localProber(
+      spark: SparkSession, family: String, sourcePath: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      params: LocalParams = LocalParams()): (Array[Float], Int) => Seq[(Long, Double)] =
+    family match {
+      case "hnsw" =>
+        val idx = HnswIndex.serveOrBuild(spark, sourcePath, df, vecCol, idCol,
+          params.hnswM, params.efConstruction, params.numPartitions, params.metric)
+        (q, k) => idx.searchLocal(q, k, params.ef)
+      case "ivf" =>
+        val idx = IvfIndex.serveOrBuild(spark, sourcePath, df, vecCol,
+          params.nlist, params.metric)
+        (q, k) => idx.searchLocal(q, k, params.nprobe, idCol)
+      case "ivfpq" =>
+        (q, k) => serveLocal(spark, "ivfpq", sourcePath, df, idCol, vecCol,
+          q, k, params)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN family '$other' — localProber serves ${Families.mkString("/")}")
+    }
 }

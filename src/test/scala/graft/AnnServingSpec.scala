@@ -44,11 +44,27 @@ class AnnServingSpec extends AnyFunSuite {
     }
   }
 
+  test("localProber (resolve-once handle) equals per-call serveLocal for all families") {
+    val queries = Seq(3L, 9L, 21L).map(queryVec)
+    val p = AnnServing.LocalParams(nlist = 16, pqNlist = 8, kCent = 16, rerank = 100)
+    for (fam <- AnnServing.Families) {
+      val probe = AnnServing.localProber(spark, fam, src, emb, "vec_id", "embedding", p)
+      for (q <- queries)
+        assert(probe(q, 10) ==
+          AnnServing.serveLocal(spark, fam, src, emb, "vec_id", "embedding", q, 10, p),
+          s"$fam prober diverged from per-call serveLocal")
+    }
+  }
+
   test("unknown family refuses loudly") {
     val err = intercept[IllegalArgumentException] {
       AnnServing.serveLocal(spark, "flat", src, emb, "vec_id", "embedding",
         queryVec(3), 10)
     }
     assert(err.getMessage.contains("hnsw/ivf/ivfpq"))
+    val err2 = intercept[IllegalArgumentException] {
+      AnnServing.localProber(spark, "flat", src, emb, "vec_id", "embedding")
+    }
+    assert(err2.getMessage.contains("hnsw/ivf/ivfpq"))
   }
 }
