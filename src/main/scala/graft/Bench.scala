@@ -342,8 +342,22 @@ object Bench {
     val cpuJson = passSteals.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
     val waitJson = passSteals.map(s => f"${s._2}%.1f").mkString("[", ",", "]")
     val ctxtJson = passSteals.map(_._3.toString).mkString("[", ",", "]")
+    // The FULL record (per-pass arrays, loadavg, steal counters) goes to a
+    // FILE: the driver captures only the tail of stdout, and two rounds
+    // running the full line was truncated head-first into an unparseable
+    // artifact (r14/r15 "parsed": null). stdout carries one COMPACT line —
+    // totals + per-leg medians, ~¼ the bytes — printed LAST so a tail
+    // capture always keeps it whole; the detail path rides along in it.
+    val fullJson =
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/tmp/graft_bench_detail.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"host_cpus":$hostCpus,"sf":"$sfDir"}""")
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu_sec_per_pass":$cpuJson,"host_cpus":$hostCpus,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

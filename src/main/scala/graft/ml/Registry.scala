@@ -75,10 +75,16 @@ class Registry(spark: SparkSession, dir: String) {
   // read deterministically, old rows surfacing the new column as null.
   // Cheap at one-file-per-row scale, and applied to EVERY log table so the
   // next row-schema evolution can't reintroduce the sampled-schema bug.
-  private def readLogTable(path: String, empty: => DataFrame): DataFrame =
-    if (new java.io.File(path).exists())
-      spark.read.option("mergeSchema", "true").parquet(path)
+  private def readLogTable(path: String, empty: => DataFrame): DataFrame = {
+    // "exists" is not enough: the splitters dir may hold only the
+    // underscore-prefixed _alloc marker dir before the first row lands, and
+    // parquet schema inference fails on a data-less directory
+    val d = new java.io.File(path)
+    val hasData = d.isDirectory && Option(d.listFiles()).exists(_.exists(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    if (hasData) spark.read.option("mergeSchema", "true").parquet(path)
     else empty
+  }
 
   def models: DataFrame =
     readLogTable(modelsPath, spark.emptyDataset[ModelRow].toDF())
@@ -98,21 +104,59 @@ class Registry(spark: SparkSession, dir: String) {
   /** Get-or-create a splitter row by (name, parameters, project_id) — the
     * SDK's FK shape: one row per distinct splitter config per project.
     * Returns the splitter id. Row-scale driver-side append (zero Spark
-    * jobs beyond the lookup read). */
+    * jobs beyond the lookup read).
+    *
+    * Concurrency discipline (same class of guard as allocateId /
+    * DeltaTable's write-ahead alloc markers, the r15-verdict durability
+    * fix): under `_alloc/` (underscore-prefixed — invisible to parquet
+    * readers and dump_all) the registration atomically claims TWO markers.
+    * `cfg-<md5(config)>` makes one caller per distinct config the writer —
+    * losers of that race wait for the winner's row and return ITS id, so
+    * same-config concurrent registrations converge on one row. The
+    * winner's id then rides `alloc-<id>` (createNewFile, atomic), so
+    * concurrent registrations of DIFFERENT configs can never mint the same
+    * id even though both saw the same max(id). If a claim holder crashed
+    * pre-append, the waiter times out and appends its own row; readers
+    * take min(id) per config, so even that degraded path converges. */
   def getOrCreateSplitter(name: String, parameters: String, projectId: Long): Long = {
-    val existing = splitters
-      .where(col("name") === name && col("parameters") === parameters &&
-        col("project_id") === projectId)
-      .select(col("id")).limit(1).collect()
-    if (existing.nonEmpty) existing(0).getLong(0)
-    else {
-      val id = splitters.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0) + 1
+    def lookup(): Option[Long] = {
+      val r = splitters
+        .where(col("name") === name && col("parameters") === parameters &&
+          col("project_id") === projectId)
+        .agg(min(col("id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    def append(): Long = {
+      val allocDir = new java.io.File(s"$splittersPath/_alloc")
+      allocDir.mkdirs()
+      var id = splitters.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0) + 1
+      while (!new java.io.File(allocDir, s"alloc-$id").createNewFile()) id += 1
       graft.store.DeltaTable.appendLogFilesLocal(splittersPath,
         Seq("id" -> "long", "name" -> "string", "parameters" -> "string",
           "project_id" -> "long", "created_at" -> "string"),
         Seq(Seq(id, name, parameters, projectId,
           java.time.Instant.now().toString)))
       id
+    }
+    lookup().getOrElse {
+      val allocDir = new java.io.File(s"$splittersPath/_alloc")
+      allocDir.mkdirs()
+      val cfgKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$name\u0000$parameters\u0000$projectId"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      if (new java.io.File(allocDir, s"cfg-$cfgKey").createNewFile()) append()
+      else {
+        // another registration of this exact config holds the claim — poll
+        // for its row (bounded), then fall back to an own append whose id
+        // converges via min(id) if the claimant died pre-append
+        var r = lookup()
+        var waitedMs = 0
+        while (r.isEmpty && waitedMs < 10000) {
+          Thread.sleep(50); waitedMs += 50; r = lookup()
+        }
+        r.getOrElse(append())
+      }
     }
   }
 

@@ -63,9 +63,7 @@ object AnnServing {
     * the home resolved at acquisition: acquire a prober per request
     * batch; a source rewritten after acquisition is picked up on the
     * next acquisition (or immediately by [[serveLocal]]'s per-call
-    * resolution — the one-shot entry keeps that contract). IVF-PQ's
-    * static entry memoizes its own code/vector snapshots per home, so
-    * its closure delegates to the family entry unchanged. */
+    * resolution — the one-shot entry keeps that contract). */
   def localProber(
       spark: SparkSession, family: String, sourcePath: String,
       df: => DataFrame, idCol: String, vecCol: String,
@@ -80,8 +78,10 @@ object AnnServing {
           params.nlist, params.metric)
         (q, k) => idx.searchLocal(q, k, params.nprobe, idCol)
       case "ivfpq" =>
-        (q, k) => serveLocal(spark, "ivfpq", sourcePath, df, idCol, vecCol,
-          q, k, params)
+        IvfPq.localProbe(spark, sourcePath, df, idCol, vecCol,
+          params.nprobe, params.rerank, params.pqNlist, params.m,
+          params.kCent, params.nassign, params.metric, params.byResidual,
+          params.variant)
       case other => throw new IllegalArgumentException(
         s"unknown ANN family '$other' — localProber serves ${Families.mkString("/")}")
     }

@@ -23,6 +23,12 @@ import graft.functions.VecFunctions._
   */
 object Dedup {
 
+  /** One-slot registry of the scale-regime LSH signature cache: the next
+    * lshGroupCandidates call releases the previous call's persist, so a
+    * session never pins more than one signature frame (ADVICE r15). */
+  private val lastScaleSig =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Exact dedup: one representative (min id) + duplicate count per
     * identical content. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
@@ -237,6 +243,13 @@ object Dedup {
       val sig = groups.select(col("g"), size(col("toks")).as("sz"),
         minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // bounded pinning: release the PREVIOUS call's signature cache — a
+      // Verify session running d1+d3+d4+c2 would otherwise accumulate one
+      // ~(8k+16) B/group copy per call for the session lifetime. One-slot
+      // registry instead of an eager checkpoint: the candidates must stay
+      // a lazy plan (LshShuffleSpec pins the slim band exchange in it).
+      Option(Dedup.lastScaleSig.getAndSet(sig)).filter(_ ne sig)
+        .foreach(s => try { s.unpersist(); () } catch { case _: Throwable => () })
       val banded = sig.select(col("g"), col("sz"),
         bandCols(col("sig")).as(Seq("band", "bucket")))
       val a = banded.select(col("band"), col("bucket"),
@@ -386,44 +399,58 @@ object Dedup {
         .where(!col("is_dup")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
-  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming (<=3
-    * guaranteed caught by 4-band pigeonhole on the 64-bit sketch).
-    */
   /** SimHash near-dup pairs at Hamming distance <= maxHamming (default 3),
     * EXACT by multi-index pigeonhole (Norouzi et al., "Fast Search in
     * Hamming Space with Multi-Index Hashing", CVPR 2012): the 64-bit
-    * sketch splits into 2 halves of 32 bits; <= 3 total errors means SOME
-    * half differs in <= 1 bit, so the probe side emits its half value
-    * plus all 32 one-bit flips and the join key is the 32-bit half.
+    * sketch splits into m = ceil((maxHamming+1)/2) parts; <= 2m-1 total
+    * errors means SOME part differs in <= 1 bit, so the probe side emits
+    * each part value plus all its one-bit flips and the join key is the
+    * part. Radius <= 3 uses 2x32-bit parts, radius 4..5 uses 3 parts of
+    * 22/21/21 bits; above 5 the operator refuses (contract pinned in
+    * TextDedupSpec) rather than degrade into <=16-bit parts.
     *
     * Scale shape: the previous 4x16-bit exact-match bands collide between
     * UNRELATED docs once n approaches 2^16 per band — bucket sizes grow
     * ~n/65536 and the self-join streams sum(m^2) ~ n^2/65536 candidate
     * pairs through the distinct (the d1 knee's sibling). 32-bit keys put
     * random collisions at ~n^2/2^32 (negligible through billions of
-    * docs); the price is a fixed 33x probe-side emission of 12-byte rows,
-    * linear in n. maxHamming <= 3 keeps the 2-half scheme exact; larger
-    * radii would need ceil((maxHamming+1)/2)-bit flip enumeration or more
-    * halves.
+    * docs) and 21-bit keys at ~n^2/2^21 per band (sub-quadratic well past
+    * 10M docs); the price is a fixed (width+1)x probe-side emission of
+    * 12-byte rows, linear in n.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"simhashPairs is exact for maxHamming <= 3 (2x32-bit pigeonhole); got $maxHamming")
+    // m one-bit-probed substrings are exact for hamming <= 2m-1 (some part
+    // must then differ in <= 1 bit): radius <= 3 rides 2x32-bit parts
+    // (collisions ~n²/2³²), radius <= 5 pays 3x~21-bit parts (~n²/2²¹ per
+    // band — still sub-quadratic far past 10M docs, but a measurably
+    // larger constant, so the narrow scheme stays the default). Beyond 5
+    // the parts would shrink to <=16 bits — the bucket-saturation regime
+    // the r15 knee hunt measured at b(last)=2.0 — so refuse loudly rather
+    // than silently degrade.
+    require(maxHamming <= 5,
+      s"simhashPairs is exact only for maxHamming <= 5 " +
+        s"(3-part multi-index pigeonhole); got $maxHamming")
+    val nParts = if (maxHamming <= 3) 2 else 3
+    // widths sum to 64; first part takes the remainder (22/21/21 at m=3)
+    val widths = Array.tabulate(nParts)(i =>
+      if (i == 0) 64 - (64 / nParts) * (nParts - 1) else 64 / nParts)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sk = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sk"))
-    def half(i: Int): Column =
-      shiftrightunsigned(col("sk"), i * 32).bitwiseAND(lit(0xffffffffL))
-    // build side: one row per half
+    def part(i: Int): Column =
+      shiftrightunsigned(col("sk"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    // build side: one row per part
     val a = sk.select(col("id").as("id_a"), col("sk").as("sk_a"),
-      posexplode(array(half(0), half(1))).as(Seq("band", "bucket")))
-    // probe side: the half value and its 32 one-bit flips
+      posexplode(array((0 until nParts).map(part): _*)).as(Seq("band", "bucket")))
+    // probe side: each part value and its width_i one-bit flips
     val b = sk.select(col("id").as("id_b"), col("sk").as("sk_b"),
-      posexplode(array((0 until 2).map(i =>
-        array(half(i) +: (0 until 32).map(bit =>
-          half(i).bitwiseXOR(lit(1L << bit))): _*)): _*))
+      posexplode(array((0 until nParts).map(i =>
+        array(part(i) +: (0 until widths(i)).map(bit =>
+          part(i).bitwiseXOR(lit(1L << bit))): _*)): _*))
         .as(Seq("band", "probes")))
       .select(col("id_b"), col("sk_b"), col("band"),
         explode(col("probes")).as("bucket"))

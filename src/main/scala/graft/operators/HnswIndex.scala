@@ -155,6 +155,67 @@ final class HnswGraph(
   }
 }
 
+/** Unboxed growable int list — the builder's neighbor lists. An
+  * `ArrayBuffer[Int]` boxes every element; at ~1000 link mutations per
+  * insert that allocation was a measured third of build time. */
+private[operators] final class IntBuf(initial: Int = 8) {
+  private var a = new Array[Int](initial)
+  private var n = 0
+  def +=(x: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    a(n) = x; n += 1
+  }
+  def length: Int = n
+  def apply(i: Int): Int = a(i)
+  def clear(): Unit = n = 0
+  def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+}
+
+/** Unboxed binary heap over (double key, int payload) parallel arrays —
+  * the builder's candidate/result queues. `scala.PriorityQueue[(Double,
+  * Int)]` allocates a tuple per push and compares through boxed Ordering;
+  * this is the same heap on primitives. Tie order among equal keys is
+  * heap-internal (as it was), deterministic for a fixed push sequence. */
+private[operators] final class DHeap(isMin: Boolean, cap0: Int = 64) {
+  private var ds = new Array[Double](math.max(cap0, 4))
+  private var ns = new Array[Int](math.max(cap0, 4))
+  private var n = 0
+  def size: Int = n
+  def nonEmpty: Boolean = n > 0
+  @inline private def before(a: Double, b: Double): Boolean =
+    if (isMin) a < b else a > b
+  def topD: Double = ds(0)
+  def topN: Int = ns(0)
+  def push(d: Double, node: Int): Unit = {
+    if (n == ds.length) {
+      ds = java.util.Arrays.copyOf(ds, n * 2)
+      ns = java.util.Arrays.copyOf(ns, n * 2)
+    }
+    var i = n; n += 1
+    while (i > 0 && before(d, ds((i - 1) >> 1))) {
+      val p = (i - 1) >> 1
+      ds(i) = ds(p); ns(i) = ns(p); i = p
+    }
+    ds(i) = d; ns(i) = node
+  }
+  def pop(): Unit = {
+    n -= 1
+    val d = ds(n); val node = ns(n)
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = l + 1
+      var best = i
+      var bd = d
+      if (l < n && before(ds(l), bd)) { best = l; bd = ds(l) }
+      if (r < n && before(ds(r), bd)) { best = r }
+      if (best == i) done = true
+      else { ds(i) = ds(best); ns(i) = ns(best); i = best }
+    }
+    ds(i) = d; ns(i) = node
+  }
+}
+
 /** Incremental builder: standard HNSW insertion with the simple
   * closest-M neighbor selection and bidirectional links pruned to
   * m (upper layers) / 2m (layer 0). */
@@ -169,8 +230,7 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long,
   private val idsB = scala.collection.mutable.ArrayBuffer.empty[Long]
   private val vecsB = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
   private val normsB = scala.collection.mutable.ArrayBuffer.empty[Double]
-  private val nbrs = scala.collection.mutable.ArrayBuffer
-    .empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+  private val nbrs = scala.collection.mutable.ArrayBuffer.empty[Array[IntBuf]]
   private var entry = -1
   private var maxLevel = -1
   private var dim = -1
@@ -192,9 +252,22 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long,
 
   private def dist(v: Array[Float], vNorm: Double, node: Int): Double = {
     val w = vecsB(node)
-    var dot = 0.0
+    // 4 independent accumulators: breaks the loop-carried dependency the
+    // JIT can't reassociate itself (build-quality decisions only — serve
+    // scores come from the graph/search kernels, not this loop)
+    var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+    val n = w.length
     var i = 0
-    while (i < w.length) { dot += v(i).toDouble * w(i); i += 1 }
+    val lim = n - 3
+    while (i < lim) {
+      d0 += v(i).toDouble * w(i)
+      d1 += v(i + 1).toDouble * w(i + 1)
+      d2 += v(i + 2).toDouble * w(i + 2)
+      d3 += v(i + 3).toDouble * w(i + 3)
+      i += 4
+    }
+    var dot = d0 + d1 + d2 + d3
+    while (i < n) { dot += v(i).toDouble * w(i); i += 1 }
     mcode match {
       case 1 => vNorm * vNorm + normsB(node) * normsB(node) - 2.0 * dot
       case 2 => -dot
@@ -204,28 +277,29 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long,
     }
   }
 
+  /** ef-bounded greedy layer sweep. Returns (dists, nodes) sorted
+    * ascending by distance. */
   private def searchLayer(
       v: Array[Float], vNorm: Double, eps: Array[Int], ef: Int, layer: Int)
-      : Array[(Double, Int)] = {
+      : (Array[Double], Array[Int]) = {
     val visited = new java.util.BitSet(size)
-    val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), Double](_._1).reverse)
-    val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), Double](_._1))
+    val cand = new DHeap(isMin = true)            // closest unexpanded first
+    val res = new DHeap(isMin = false, ef + 1)    // worst of the best on top
     var i = 0
     while (i < eps.length) {
       val ep = eps(i)
       if (!visited.get(ep)) {
         visited.set(ep)
         val d = dist(v, vNorm, ep)
-        cand.enqueue((d, ep)); res.enqueue((d, ep))
+        cand.push(d, ep); res.push(d, ep)
       }
       i += 1
     }
     var done = false
     while (!done && cand.nonEmpty) {
-      val (dc, c) = cand.dequeue()
-      if (res.size >= ef && dc > res.head._1) done = true
+      val dc = cand.topD; val c = cand.topN
+      cand.pop()
+      if (res.size >= ef && dc > res.topD) done = true
       else {
         val layerNbrs = nbrs(c)(layer)
         var j = 0
@@ -234,16 +308,44 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long,
           if (!visited.get(nb)) {
             visited.set(nb)
             val d = dist(v, vNorm, nb)
-            if (res.size < ef || d < res.head._1) {
-              cand.enqueue((d, nb)); res.enqueue((d, nb))
-              if (res.size > ef) { res.dequeue(); () }
+            if (res.size < ef || d < res.topD) {
+              cand.push(d, nb); res.push(d, nb)
+              if (res.size > ef) res.pop()
             }
           }
           j += 1
         }
       }
     }
-    res.dequeueAll.toArray.sortBy(_._1)
+    // drain the max-heap back-to-front → ascending by distance
+    val n0 = res.size
+    val outD = new Array[Double](n0)
+    val outN = new Array[Int](n0)
+    var k = n0 - 1
+    while (k >= 0) { outD(k) = res.topD; outN(k) = res.topN; res.pop(); k -= 1 }
+    (outD, outN)
+  }
+
+  /** Keep the mMax closest neighbors of `c` (stable ascending selection —
+    * ties keep list order, like the sortBy it replaces). */
+  private def prune(c: Int, cl: IntBuf, mMax: Int): Unit = {
+    val cv = vecsB(c); val cn = normsB(c)
+    val len = cl.length
+    val ds = new Array[Double](len)
+    val nsA = new Array[Int](len)
+    var i = 0
+    while (i < len) { nsA(i) = cl(i); ds(i) = dist(cv, cn, cl(i)); i += 1 }
+    i = 1
+    while (i < len) {
+      val d = ds(i); val node = nsA(i)
+      var j = i - 1
+      while (j >= 0 && ds(j) > d) { ds(j + 1) = ds(j); nsA(j + 1) = nsA(j); j -= 1 }
+      ds(j + 1) = d; nsA(j + 1) = node
+      i += 1
+    }
+    cl.clear()
+    i = 0
+    while (i < mMax) { cl += nsA(i); i += 1 }
   }
 
   def add(id: Long, v: Array[Float]): Unit = {
@@ -256,7 +358,7 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long,
     val node = size
     val level = randomLevel()
     idsB += id; vecsB += v; normsB += vNorm
-    nbrs += Array.fill(level + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    nbrs += Array.fill(level + 1)(new IntBuf())
     if (entry < 0) { entry = node; maxLevel = level; return }
 
     // greedy descent to level+1
@@ -282,25 +384,21 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long,
     var eps = Array(ep)
     l = math.min(level, maxLevel)
     while (l >= 0) {
-      val found = searchLayer(v, vNorm, eps, efConstruction, l)
+      val (_, foundN) = searchLayer(v, vNorm, eps, efConstruction, l)
       val mMax = if (l == 0) 2 * m else m
-      val selected = found.take(m).map(_._2)
-      nbrs(node)(l) ++= selected
+      val take = math.min(m, foundN.length)
+      val nl = nbrs(node)(l)
       var s = 0
-      while (s < selected.length) {
-        val c = selected(s)
+      while (s < take) { nl += foundN(s); s += 1 }
+      s = 0
+      while (s < take) {
+        val c = foundN(s)
         val cl = nbrs(c)(l)
         cl += node
-        if (cl.length > mMax) {
-          // prune to the mMax closest neighbors of c
-          val cv = vecsB(c); val cn = normsB(c)
-          val kept = cl.toArray.map(nb => (dist(cv, cn, nb), nb))
-            .sortBy(_._1).take(mMax).map(_._2)
-          cl.clear(); cl ++= kept
-        }
+        if (cl.length > mMax) prune(c, cl, mMax)
         s += 1
       }
-      eps = found.map(_._2)
+      eps = foundN
       l -= 1
     }
     if (level > maxLevel) { maxLevel = level; entry = node }
@@ -632,6 +730,41 @@ object HnswIndex {
     invalidate(path)
     try before.unpersist(true)
     catch { case _: org.apache.spark.sql.AnalysisException => () }
+  }
+
+  /** Base-graph build for a driver-held corpus: the `numPartitions = 1`
+    * distributed build's graph — same pid-0 seed derivation, same
+    * id-ascending insertion order, so the blob is bit-identical — built
+    * in-process and published under the same `data/` + sidecar layout
+    * [[load]] reads, with ZERO Spark jobs. The full-sync counterpart of
+    * [[appendSegmentLocal]]: a first sync over a corpus that fits on the
+    * driver shouldn't pay a count + shuffle + mapPartitions job chain to
+    * build a one-partition graph. Local-FS homes only (the java.io publish
+    * protocol) — callers gate on [[graft.store.DeltaTable.isLocal]]. */
+  def buildLocalBase(
+      spark: SparkSession, path: String, rows: Seq[(Long, Array[Float])],
+      m: Int = 16, efConstruction: Int = 64, seed: Long = 42L,
+      metric: String = MetricCosine): HnswIndex = {
+    metricCode(metric)
+    require(rows.nonEmpty, "buildLocalBase needs at least one row " +
+      "(an empty corpus should fall through to the distributed build)")
+    graft.store.DeltaTable.requireLocalWrites(path, "HnswIndex.buildLocalBase")
+    val b = new HnswGraphBuilder(m, efConstruction, seed, metric)
+    rows.sortBy(_._1).foreach { case (id, v) => b.add(id, v) }
+    val fs = IndexStore.fsFor(spark, path)
+    val target = fs.makeQualified(new Path(path))
+    IndexStore.publishAtomic(fs, target) { tmp =>
+      val dataDir = new java.io.File(new Path(tmp, "data").toUri.getPath)
+      dataDir.mkdirs()
+      graft.store.DeltaTable.writeParquetLocal(
+        new java.io.File(dataDir, "part-00000-local.parquet"),
+        Seq("pid" -> "int", "graph" -> "bytes"),
+        Seq(Seq(0, serialize(b.freeze()))))
+      IndexStore.writeString(fs, new Path(tmp, Sidecar),
+        s"""{"m":$m,"efConstruction":$efConstruction,"metric":"$metric"}""")
+    }
+    invalidate(path)
+    load(spark, path)
   }
 
   def existsAt(spark: SparkSession, path: String): Boolean =

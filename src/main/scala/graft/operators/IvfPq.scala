@@ -244,7 +244,22 @@ object IvfPq {
       query: Array[Float], k: Int, nprobe: Int = 4, rerank: Int = 0,
       nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
       metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
-      variant: String = ""): Seq[(Long, Double)] = {
+      variant: String = ""): Seq[(Long, Double)] =
+    localProbe(spark, sourcePath, df, idCol, vecCol, nprobe, rerank,
+      nlist, m, kCent, nassign, metric, byResidual, variant)(query, k)
+
+  /** Resolve-once probe factory: pays serveOrBuild + the mtime-hashed home
+    * resolution + the code/vector snapshot lookups ONCE and returns a
+    * closure that only does per-probe arithmetic — the shape
+    * AnnServing.localProber hands a server loop (searchLocal keeps the
+    * one-shot per-call-resolution contract by delegating here). */
+  def localProbe(
+      spark: SparkSession, sourcePath: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      nprobe: Int = 4, rerank: Int = 0,
+      nlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
+      metric: String = IvfIndex.MetricCosine, byResidual: Boolean = false,
+      variant: String = ""): (Array[Float], Int) => Seq[(Long, Double)] = {
     val h = serveOrBuild(spark, sourcePath, df, idCol, vecCol,
       nlist, m, kCent, nassign, metric, byResidual, variant)
     val home = indexPathFor(spark, sourcePath, nlist, m, kCent, nassign,
@@ -261,6 +276,7 @@ object IvfPq {
       df.select(col(idCol).cast("long"), col(vecCol))
         .as[(Long, Array[Float])].collect().toMap
     })
+    (query: Array[Float], k: Int) => {
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
     val probed = IvfIndex.rankCentroids(h.centroids, query, metric, nprobe)
     // ADC shortlist: copies carry identical scores when codes encode raw
@@ -323,6 +339,7 @@ object IvfPq {
       .sortBy { case (id, s) => (-s, id) }
       .take(k)
       .toSeq
+    }
   }
 
   /** Serving: driver-side probe selection → partition-pruned ADC scan of

@@ -41,6 +41,67 @@ object Transform {
     * whitelist.rs): when set, only listed model names may run. */
   @volatile var modelAllowlist: Option[Set[String]] = None
 
+  /** The FULL `verify_task` config surface (whitelist.rs:9-51): three GUC
+    * strings — the model whitelist CSV, the global trust_remote_code flag,
+    * and the trusted-model CSV. Empty CSV = unrestricted (config_csv_list
+    * drops empty segments, whitelist.rs:41-51). */
+  final case class GuardConfig(
+      whitelist: String = "",
+      trustRemoteCode: Boolean = false,
+      trustRemoteCodeWhitelist: String = "")
+  @volatile var guardConfig: GuardConfig = GuardConfig()
+
+  /** whitelist.rs:41-51 `config_csv_list`: strip surrounding quotes, split
+    * on ',', drop empty segments. */
+  def csvList(v: String): Seq[String] =
+    v.replaceAll("^\"+|\"+$", "").split(',').toSeq.filter(_.nonEmpty)
+
+  /** `verify_task` (whitelist.rs:11-39) as a decision function: None = the
+    * task may run; Some(reason) = the deny reason. Rules, in reference
+    * order: a task with no model name always passes; a non-empty whitelist
+    * must contain the model exactly (no wildcarding in the reference);
+    * a task requesting trust_remote_code=true passes only when the global
+    * flag is set AND (the trusted CSV is empty OR contains the model). */
+  def verifyTask(
+      model: Option[String], taskTrust: Option[Boolean],
+      cfg: GuardConfig): Option[String] =
+    model match {
+      case None => None
+      case Some(m) =>
+        val wl = csvList(cfg.whitelist)
+        if (wl.nonEmpty && !wl.contains(m)) Some("not_whitelisted")
+        else {
+          val trusted = csvList(cfg.trustRemoteCodeWhitelist)
+          val modelTrusted = trusted.isEmpty || trusted.contains(m)
+          if (taskTrust.contains(true) && !(cfg.trustRemoteCode && modelTrusted))
+            Some("remote_code_not_trusted")
+          else None
+        }
+    }
+
+  /** Relational decision surface over (model, trust_remote_code) rows —
+    * each row goes through the SAME verifyTask the serving path enforces,
+    * so the allow/deny table is the guard's actual behavior, oracle-able
+    * row-by-row from the pinned config literal (x14). */
+  def whitelistDecisions(
+      df: DataFrame, modelCol: String, trustCol: String,
+      cfg: GuardConfig): DataFrame = {
+    val mIdx = df.schema.fieldIndex(modelCol)
+    val tIdx = df.schema.fieldIndex(trustCol)
+    val outSchema = df.schema
+      .add("allowed", org.apache.spark.sql.types.BooleanType)
+      .add("reason", StringType)
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val m = if (r.isNullAt(mIdx)) None else Some(r.getString(mIdx))
+        val tr = if (r.isNullAt(tIdx)) None else Some(r.getBoolean(tIdx))
+        val denial = verifyTask(m, tr, cfg)
+        Row.fromSeq(r.toSeq :+ denial.isEmpty :+ denial.getOrElse("ok"))
+      }
+    }(enc)
+  }
+
   private val customModels =
     scala.collection.concurrent.TrieMap.empty[String, TaskModel]
 
@@ -84,6 +145,13 @@ object Transform {
     require(supportedTasks.contains(task), s"unsupported task $task")
     require(df.columns.contains(inputCol), s"missing input column $inputCol")
     args.get("model").foreach(checkAllowed)
+    // the full verify_task gate: whitelist membership plus the
+    // trust_remote_code axis from the task args (whitelist.rs:11-39)
+    verifyTask(args.get("model"),
+        args.get("trust_remote_code").map(_.toBoolean), guardConfig)
+      .foreach { reason =>
+        throw new IllegalArgumentException(
+          s"model ${args.getOrElse("model", "")} denied: $reason") }
     val custom = resolveModel(task, args)
     val idx = df.schema.fieldIndex(inputCol)
     val outSchema = df.schema.add(outputCol, StringType)

@@ -40,9 +40,17 @@ object LshOracleSql {
 
   /** CTE chain from `inRel(doc_id, toks)` — toks = DISTINCT lowercase
     * whitespace tokens — to `lsh_pairs(ia, ib, jaccard)`. Embed after a
-    * `WITH` that already defines `inRel`. */
+    * `WITH` that already defines `inRel`.
+    *
+    * Empty-token rule: the JVM kernel (TextKernels.tokens) filters ''
+    * before hashing, so a doc whose text carries edge whitespace that
+    * survives trim (tab/newline) contributes no '' token to the ENGINE's
+    * signature — the signature CTEs here filter '' to match, else band
+    * keys diverge for such docs. '' stays in the jaccard verify (lsh_pairs
+    * uses raw toks), which is also the engine's verify-side behavior. */
   def ctes(inRel: String, threshold: Double): String =
-    s"""lsh_t AS (SELECT DISTINCT unnest(toks) AS t FROM $inRel),
+    s"""lsh_t AS (SELECT t FROM (SELECT DISTINCT unnest(toks) AS t FROM $inRel)
+       |    WHERE t <> ''),
        |lsh_tb AS (SELECT t,
        |    flatten(list_transform(string_split(t, ''), ch ->
        |      CASE WHEN unicode(ch) < 128 THEN [unicode(ch)]
@@ -64,7 +72,9 @@ object LshOracleSql {
        |         THEN CAST(xor(z, z >> 31) - $Mod AS BIGINT)
        |         ELSE CAST(xor(z, z >> 31) AS BIGINT) END AS v FROM lsh_m2),
        |lsh_sig AS (SELECT d.doc_id, f.s, min(f.v) AS m
-       |    FROM (SELECT doc_id, unnest(toks) AS t FROM $inRel) d
+       |    FROM (SELECT doc_id, t FROM
+       |            (SELECT doc_id, unnest(toks) AS t FROM $inRel)
+       |          WHERE t <> '') d
        |    JOIN lsh_fv f ON d.t = f.t GROUP BY d.doc_id, f.s),
        |lsh_band AS (SELECT doc_id, s // $RowsPerBand AS band,
        |      string_agg(CAST(m AS VARCHAR), ':' ORDER BY s) AS bkey

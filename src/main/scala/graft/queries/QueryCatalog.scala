@@ -1141,12 +1141,32 @@ object QueryCatalog {
     * the 64 bit votes, and brute-forces all pairs at hamming <= 3 (the
     * banding is exact by pigeonhole, so brute force is the right oracle).
     */
+  /** Brute-force simhash oracle: full sketch replay (FNV-1a token hash →
+    * per-bit majority vote) + all-pairs bit_count filter at `maxH`. */
+  private def simhashOracleSql(maxH: Int): String =
+    simhashOracleTemplate.replace("__MAXH__", maxH.toString)
+
   val d2Simhash: GraftQuery = GraftQuery(
     "d2_simhash_pairs",
     (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("id_a"), col("id_b")),
-    Some("""WITH tk AS (
+    Some(simhashOracleSql(3)))
+
+  /** simhashPairs at radius 5 (d2b): the 3-part multi-index scheme —
+    * exactness past the 2-half radius-3 contract, same brute-force oracle
+    * at the wider threshold. */
+  val d2bSimhashR5: GraftQuery = GraftQuery(
+    "d2b_simhash_pairs_r5",
+    (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(simhashOracleSql(5)))
+
+  // lazy: referenced by simhashOracleSql during d2/d2b's own val init,
+  // which runs before this declaration in object-initialization order
+  private lazy val simhashOracleTemplate: String =
+    ("""WITH tk AS (
               SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                 t -> t <> '') AS toks FROM documents),
             tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
@@ -1175,8 +1195,8 @@ object QueryCatalog {
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sk, b.sk)) <= 3
-            ORDER BY id_a, id_b"""))
+            WHERE bit_count(xor(a.sk, b.sk)) <= __MAXH__
+            ORDER BY id_a, id_b""").stripMargin
 
   /** Near-dup GROUPS (connected components over the verified LSH pair
     * graph, group = min doc id): the dedup pipeline's clustering step.
@@ -4143,6 +4163,67 @@ object QueryCatalog {
               l[CAST(idx AS INT)] AS token
             FROM x ORDER BY doc_id, idx"""))
 
+  /** The `pgml.huggingface_whitelist` guard as a DECISION TABLE (x14):
+    * every (model, trust_remote_code) combination over a corpus-derived
+    * domain goes through the SAME Transform.verifyTask the serving path
+    * enforces (whitelist.rs:11-39 — empty-CSV = unrestricted, exact-name
+    * membership, the trust_remote_code axis), under two pinned configs:
+    * A = non-empty whitelist + global trust OFF (exercises ok /
+    * not_whitelisted / remote_code_not_trusted), B = empty whitelist +
+    * global trust ON + non-empty trusted CSV (exercises the trusted-model
+    * sub-branch). The oracle replays the decision formula in SQL from the
+    * SAME config literals. */
+  val x14WhitelistGuard: GraftQuery = GraftQuery(
+    "x14_whitelist_guard",
+    (s, dir) => {
+      import graft.operators.Transform
+      val tasks = t(s, dir, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("org"), (col("doc_id") % 4).cast("string"),
+            lit("/m"), (col("doc_id") % 3).cast("string")).as("model"),
+          (col("doc_id") % 5 < 2).as("trust_remote_code"))
+      val cfgA = Transform.GuardConfig(
+        whitelist = "org0/m0,org1/m1,org2/m2,org3/m0,org0/m1,org2/m0",
+        trustRemoteCode = false, trustRemoteCodeWhitelist = "")
+      val cfgB = Transform.GuardConfig(
+        whitelist = "", trustRemoteCode = true,
+        trustRemoteCodeWhitelist = "org0/m0,org1/m1")
+      Transform.whitelistDecisions(tasks, "model", "trust_remote_code", cfgA)
+        .withColumn("config_id", lit("A"))
+        .unionByName(
+          Transform.whitelistDecisions(tasks, "model", "trust_remote_code", cfgB)
+            .withColumn("config_id", lit("B")))
+        .select(col("config_id"), col("doc_id"), col("model"),
+          col("trust_remote_code"), col("allowed"), col("reason"))
+        .orderBy(col("config_id"), col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              'org' || CAST(doc_id % 4 AS VARCHAR) || '/m'
+                    || CAST(doc_id % 3 AS VARCHAR) AS model,
+              (doc_id % 5) < 2 AS trust_remote_code
+              FROM documents WHERE doc_id < 200),
+            d AS (
+              SELECT 'A' AS config_id, doc_id, model, trust_remote_code,
+                CASE WHEN NOT list_contains(string_split(
+                       'org0/m0,org1/m1,org2/m2,org3/m0,org0/m1,org2/m0', ','),
+                       model)
+                     THEN 'not_whitelisted'
+                     WHEN trust_remote_code AND NOT false
+                     THEN 'remote_code_not_trusted'
+                     ELSE 'ok' END AS reason
+              FROM t
+              UNION ALL
+              SELECT 'B' AS config_id, doc_id, model, trust_remote_code,
+                CASE WHEN trust_remote_code AND NOT (true AND
+                       list_contains(string_split('org0/m0,org1/m1', ','), model))
+                     THEN 'remote_code_not_trusted'
+                     ELSE 'ok' END AS reason
+              FROM t)
+            SELECT config_id, doc_id, model, trust_remote_code,
+              reason = 'ok' AS allowed, reason
+            FROM d ORDER BY config_id, doc_id"""))
+
   // ------------------------------------------------- transform / stream / media
 
   /** pgml.transform task dispatch (text-classification): the deterministic
@@ -4453,8 +4534,8 @@ object QueryCatalog {
     t10DedupSpans, t11GopherRules, t12LangIdTrained, t13BpeTokens,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
-    d1MinhashLsh, d2Simhash, d3DedupGroups, d4Deduplicate, d5Decontaminate,
-    d6DedupAgainst,
+    d1MinhashLsh, d2Simhash, d2bSimhashR5, d3DedupGroups, d4Deduplicate,
+    d5Decontaminate, d6DedupAgainst,
     e1EmbeddingPairs, e2SemDedup,
     s1Chunk, s2FilterCompiler, s3FulltextRank, s4VectorSearchE2e, s5OrderBy,
     s6VectorSearchChunked, s7HybridSearch, s8Rag, s9SearchLog,
@@ -4469,7 +4550,7 @@ object QueryCatalog {
     x1TransformSentiment, x2Sessions, x3Text2Text, x4Conversational,
     x5TransformTrained, x6Generate, x7TransformStream, x8TuneWarmStart,
     x9TransformNer, x10ChatCompletion, x11TunePairWarmStart,
-    x12TuneConversationWarmStart, x13ChatCompletionStream,
+    x12TuneConversationWarmStart, x13ChatCompletionStream, x14WhitelistGuard,
     mm1MediaFeatures, mm2MediaDecode, mm3AudioDecode, mm4VideoFrames,
     mm5ImageResize, ds1LoadIris)
 }

@@ -619,37 +619,63 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   private def syncFieldFull(p: Pipeline, f: PipelineField): Unit = {
     val chunks = chunkFrame(documents, f)
       .cache() // chunk once; chunks/embeddings/tsvectors all derive from it
-    DeltaTable.writeBase(chunks, tablePath(p.name, f.name, "chunks"),
-      sortCols = Seq("document_id", "chunk_index"))
+    // materialize the cache up front so the concurrent legs below all hit
+    // it instead of racing to compute the chunk lineage independently
+    traced("full:chunks-materialize")(chunks.count())
 
-    f.semanticSearch.foreach { emb =>
-      // embedFrame, not embedCol: a batching embedder (remote endpoint /
-      // on-device model) groups rows per model call at ingest
-      val e = emb.embedFrame(chunks, col("chunk"), "embedding")
-        .select(col("document_id"), col("chunk_index"),
-          contentHid.as("hid"), col("embedding"))
-      DeltaTable.writeBase(e, tablePath(p.name, f.name, "embeddings"),
-        sortCols = Seq("document_id", "chunk_index"))
-      // ingest-time ANN index build (HNSW analogue, pipeline.rs:526-543):
-      // the synced embeddings just changed, so the old index is stale —
-      // drop and rebuild the persisted cluster_id-partitioned copy
-      f.vectorIndex.foreach { nlist =>
-        val ivfP = tablePath(p.name, f.name, "ivf")
-        graft.operators.IvfIndex.delete(spark, ivfP)
-        graft.operators.IvfIndex.loadOrBuild(
-          spark, ivfP, embeddings(p, f.name), "embedding", nlist)
-        ()
+    // The derived legs below are independent once their input table is
+    // written: indexes (ivf → hnsw → binsig) read the embeddings table,
+    // tsvectors reads the cached chunks. Run them as concurrent Spark
+    // jobs on the shared session (the incremental path's discipline,
+    // see the append chains around line 960) — the index chain is
+    // driver-arithmetic-heavy while the table writes are executor-heavy,
+    // so overlapping them shortens the first-sync critical path.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Collection.maintenanceEc
+    val chunksF: Future[Unit] = Future {
+      traced("full:chunks-write")(
+        DeltaTable.writeBase(chunks, tablePath(p.name, f.name, "chunks"),
+          sortCols = Seq("document_id", "chunk_index")))
+    }
+    val idxF: Future[Unit] = Future {
+      f.semanticSearch.map { emb =>
+        // embedFrame, not embedCol: a batching embedder (remote endpoint /
+        // on-device model) groups rows per model call at ingest
+        val e = emb.embedFrame(chunks, col("chunk"), "embedding")
+          .select(col("document_id"), col("chunk_index"),
+            contentHid.as("hid"), col("embedding"))
+        traced("full:emb-write")(
+          DeltaTable.writeBase(e, tablePath(p.name, f.name, "embeddings"),
+            sortCols = Seq("document_id", "chunk_index")))
+        // ingest-time ANN index builds (HNSW analogue, pipeline.rs:526-543):
+        // the synced embeddings just changed, so the old indexes are stale —
+        // drop and rebuild each persisted copy
+        val ivfHnswF = Future {
+          f.vectorIndex.foreach { nlist =>
+            val ivfP = tablePath(p.name, f.name, "ivf")
+            graft.operators.IvfIndex.delete(spark, ivfP)
+            traced("full:ivf-build")(graft.operators.IvfIndex.loadOrBuild(
+              spark, ivfP, embeddings(p, f.name), "embedding", nlist))
+            ()
+          }
+          traced("full:hnsw-build")(rebuildHnsw(p, f))
+        }
+        val binF = Future(traced("full:binsig-write")(rebuildBinary(p, f)))
+        Future.sequence(Seq(ivfHnswF, binF)).map(_ => ())
+      }.getOrElse(Future.unit)
+    }.flatten
+    val tsF: Future[Unit] = Future {
+      if (f.fullTextSearch) {
+        val ts = chunks
+          .select(col("document_id"), col("chunk_index"),
+            TsRank.tsVector(col("chunk")).as("terms"))
+        traced("full:tsv-write")(
+          DeltaTable.writeBase(ts, tablePath(p.name, f.name, "tsvectors"),
+            sortCols = Seq("document_id", "chunk_index")))
       }
-      rebuildHnsw(p, f)
-      rebuildBinary(p, f)
     }
-    if (f.fullTextSearch) {
-      val ts = chunks
-        .select(col("document_id"), col("chunk_index"),
-          TsRank.tsVector(col("chunk")).as("terms"))
-      DeltaTable.writeBase(ts, tablePath(p.name, f.name, "tsvectors"),
-        sortCols = Seq("document_id", "chunk_index"))
-    }
+    Await.result(chunksF.zip(idxF).zip(tsF), Duration.Inf)
     chunks.unpersist()
     ()
   }
@@ -1358,9 +1384,42 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     f.hnswIndex.foreach { case (m, efc) =>
       val hp = tablePath(p.name, f.name, "hnsw")
       graft.operators.HnswIndex.delete(spark, hp)
-      graft.operators.HnswIndex.loadOrBuild(
-        spark, hp, hnswKeyed(p, f.name), "embedding", "hid", m, efc)
-      ()
+      val keyed = hnswKeyed(p, f.name)
+      // Driver-sized corpora build the base graph IN-PROCESS — the
+      // full-sync twin of the zero-job micro-batch appends (r15 #4's
+      // machinery generalized to the first sync). Gate: one
+      // partitionBudget of rows (where the distributed build is a single
+      // partition anyway, so the local blob is bit-identical), a bounded
+      // vector collect (<= 32 MB), and a java.io-visible home. A 100 TB
+      // corpus fails the gate and takes the distributed build below.
+      val localRows: Option[Seq[(Long, Array[Float])]] =
+        f.semanticSearch match {
+          case Some(emb) if graft.store.DeltaTable.isLocal(hp) =>
+            // ONE bounded job sizes the corpus AND fetches it: collect up
+            // to cap+1 rows — cap+1 back means too big (fall through to
+            // the distributed build), <= cap back means we already hold
+            // every row (a bounded read, <= 32 MB by construction)
+            val cap = math.min(
+              graft.operators.HnswIndex.DefaultPartitionBudget.toLong,
+              (32L << 20) / (emb.dim.toLong * 4 + 8)).toInt
+            import spark.implicits._
+            val probe = traced("hnsw:probe-collect")(
+              keyed.select(col("hid").cast("long"), col("embedding"))
+                .limit(cap + 1).as[(Long, Array[Float])].collect())
+            if (probe.nonEmpty && probe.length <= cap) Some(probe.toSeq)
+            else None
+          case _ => None
+        }
+      localRows match {
+        case Some(rows) =>
+          traced("hnsw:local-base")(
+            graft.operators.HnswIndex.buildLocalBase(spark, hp, rows, m, efc))
+          ()
+        case None =>
+          graft.operators.HnswIndex.loadOrBuild(
+            spark, hp, keyed, "embedding", "hid", m, efc)
+          ()
+      }
     }
 
   /** The 64-bit surrogate node id HNSW graphs store for a row: keyed on

@@ -246,7 +246,7 @@ object DeltaTable {
     * UTF8), `long`, `int`, `ts` (INT64 TIMESTAMP micros, UTC — Spark
     * reads it as TimestampType alongside Spark-written INT96 files).
     * Values must be pre-converted ((String, Long, Int, Long-micros)). */
-  private def writeParquetLocal(
+  private[graft] def writeParquetLocal(
       file: java.io.File,
       cols: Seq[(String, String)],
       rows: Seq[Seq[Any]]): Unit = {
@@ -624,7 +624,7 @@ object DeltaTable {
     * scheme'd path would hit. Remote deployments sit this layout on a
     * transactional table format (see the class doc); [[resolve]] still
     * READS remote homes Spark-side. */
-  private def requireLocalWrites(path: String, op: String): Unit =
+  private[graft] def requireLocalWrites(path: String, op: String): Unit =
     require(isLocal(path),
       s"DeltaTable.$op writes need a local filesystem home, got: $path " +
         "(remote stores should use a transactional table format)")
@@ -1267,7 +1267,7 @@ object DeltaTable {
       .drop(latest(docCol)).drop("__latest")
   }
 
-  private def isLocal(path: String): Boolean =
+  private[graft] def isLocal(path: String): Boolean =
     !ioPath(path).contains("://")
 
   // the forced-compaction budget is 4 MB of manifest files, so this bound

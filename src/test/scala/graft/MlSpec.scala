@@ -357,6 +357,45 @@ class MlSpec extends AnyFunSuite {
       .forall(_ == """{"chunk_size": 1500, "chunk_overlap": 40}"""))
   }
 
+  test("splitter ids: concurrent registrations yield exactly one id per config") {
+    val t = newTrainer()
+    val configs = Seq(
+      ("recursive_character", """{"chunk_size": 256}""", 1L),
+      ("recursive_character", """{"chunk_size": 512}""", 1L),
+      ("character", """{"chunk_size": 256}""", 1L),
+      ("markdown", """{}""", 2L))
+    // 4 configs × 4 racers each, all released through one barrier so the
+    // max(id)+1 window is actually contended — the pre-fix allocator mints
+    // the SAME id for DIFFERENT configs under exactly this schedule
+    val barrier = new java.util.concurrent.CyclicBarrier(configs.size * 4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(configs.size * 4)
+    try {
+      val futures = (0 until 4).flatMap { _ =>
+        configs.map { case (n, p, pid) =>
+          pool.submit(new java.util.concurrent.Callable[((String, String, Long), Long)] {
+            def call() = {
+              barrier.await()
+              ((n, p, pid), t.registry.getOrCreateSplitter(n, p, pid))
+            }
+          })
+        }
+      }
+      val got = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      val byConfig = got.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      byConfig.foreach { case (cfg, ids) =>
+        assert(ids.size == 1, s"config $cfg resolved to multiple ids: $ids")
+      }
+      val perConfig = byConfig.values.map(_.head).toSeq
+      assert(perConfig.distinct.size == configs.size,
+        s"distinct configs shared an id: $byConfig")
+      // later readers converge on the same ids (min-per-config), and a
+      // fresh Registry over the same dir agrees
+      configs.foreach { case (n, p, pid) =>
+        assert(t.registry.getOrCreateSplitter(n, p, pid) == byConfig((n, p, pid)).head)
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("migrate() upgrades a pre-runtime-column registry layout in place") {
     val regDir = Files.createTempDirectory("graft_reg_old_").toString
     // an r13-layout models table: rows WITHOUT the runtime column

@@ -441,6 +441,74 @@ object Probe {
         println(f"  job $id%3d ${ms / 1e3}%7.3f s  ${desc.take(90)}") }
       spark.stop()
 
+    case "hnsw-bench" :: rest =>
+      val n = rest.headOption.map(_.toInt).getOrElse(5000)
+      val dim = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val rnd = new java.util.SplittableRandom(7)
+      val pts = Array.tabulate(n)(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      for (pass <- 1 to 3) {
+        val b = new graft.operators.HnswGraphBuilder(16, 64, 42L)
+        val t0 = System.nanoTime()
+        pts.foreach { case (id, v) => b.add(id, v) }
+        val tAdd = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val g = b.freeze()
+        val tSer = (System.nanoTime() - t1) / 1e9
+        println(f"pass $pass: add $tAdd%.3f s (${tAdd * 1e6 / n}%.1f us/insert), " +
+          f"freeze $tSer%.3f s, nodes ${g.size}")
+      }
+
+    case "ingest-jobs" :: rest =>
+      // job census of the FULL first sync (bench s4_ingest shape): upsert
+      // the whole corpus + syncPipeline on a fresh warehouse, after one
+      // warm-up ingest on a separate warehouse
+      val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      val spark = session()
+      import spark.implicits._
+      def p() = graft.store.Pipeline("p", Seq(graft.store.PipelineField(
+        "text", splitter = Some((100000, 0)),
+        semanticSearch = Some(graft.functions.HashEmbedder(64)), fullTextSearch = true,
+        hnswIndex = Some((16, 64)), binaryIndex = true)))
+      // bench shape: REUSE one warehouse across passes (the e2eIngest
+      // contract), so the timed upsert takes the merge path
+      val wh = java.nio.file.Files.createTempDirectory("graft_ij_wh_").toString
+      def ingest(): (Double, Double) = {
+        val c = new graft.store.Collection(spark, "docs", wh)
+        val t0 = System.nanoTime()
+        c.upsertDocuments(
+          Tables.load(spark, sfDir, "documents").select(
+            to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))).as("document")))
+        val t1 = System.nanoTime()
+        c.syncPipeline(p())
+        val t2 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      }
+      ingest() // warm
+      ingest() // second warm: the merge path's first JIT
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (j.time,
+            j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct.mkString(" | ")))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, desc) = starts.getOrDefault(j.jobId, (j.time, "?"))
+          jobs.add((j.jobId, j.time - t0, desc))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (up, sync) = ingest()
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val js = jobs.asScala.toSeq.sortBy(_._1)
+      println(f"INGEST upsert ${up}%.3f s sync ${sync}%.3f s, ${js.size} jobs, job-time sum ${js.map(_._2).sum / 1e3}%.3f s")
+      js.foreach { case (id, ms, desc) =>
+        println(f"  job $id%3d ${ms / 1e3}%7.3f s  ${desc.take(100)}") }
+      spark.stop()
+
     case "delta-jobs" :: rest =>
       // job census of ONE micro-batch (1-doc upsert + incremental sync)
       // against a warm corpus: the fixed driver-side overhead every

@@ -31,6 +31,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!m.contains((1L, 4L)) && !m.contains((3L, 4L)))
   }
 
+  test("simhash radius contract: 3-part scheme exact through hamming 5, refuses > 5") {
+    // 200 corpus docs + planted pairs across the whole 0..5 radius — the
+    // 3-part pigeonhole must agree EXACTLY with the brute-force all-pairs
+    // filter at radius 5 (including radius-4/5 pairs the 2-half radius-3
+    // scheme never had to catch)
+    val docs = Tables.load(spark, TestSpark.sf001, "documents")
+      .where(col("doc_id") < 200)
+      .select(col("doc_id").as("id"), col("text"))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val sketches = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> TextKernels.simhash64(u(t)) }.toMap
+    val brute = (for {
+      (ia, sa) <- sketches; (ib, sb) <- sketches if ia < ib
+      h = TextKernels.hamming64(sa, sb) if h <= 5
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashPairs(docs, "id", "text", 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute,
+      s"radius-5 multi-index missed ${(brute -- got).take(5)} / " +
+        s"fabricated ${(got -- brute).take(5)}")
+    // the loud refusal above radius 5 is part of the operator contract
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "id", "text", 6)
+    }
+    assert(err.getMessage.contains("maxHamming <= 5"))
+  }
+
   test("minhash LSH finds exact and near duplicates, skips distinct docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"

@@ -167,6 +167,44 @@ class TransformMultimodalSpec extends AnyFunSuite {
     } finally Transform.modelAllowlist = None
   }
 
+  test("verifyTask replays whitelist.rs semantics (the reference's pg_tests)") {
+    import Transform.{GuardConfig, verifyTask}
+    val m = "Salesforce/xgen-7b-8k-inst"
+    // test_empty_whitelist: empty CSV = unrestricted
+    assert(verifyTask(Some(m), Some(false), GuardConfig("")).isEmpty)
+    // test_nonempty_whitelist: exact membership required
+    assert(verifyTask(Some(m), Some(false), GuardConfig(m)).isEmpty)
+    assert(verifyTask(Some(m), Some(false), GuardConfig("other_model"))
+      .contains("not_whitelisted"))
+    // no model name in the task → always ok
+    assert(verifyTask(None, Some(true), GuardConfig("other_model")).isEmpty)
+    // test_trusted_model: global flag gates remote code even for a trusted
+    // model; once set, both trust values pass
+    val trusted = GuardConfig(m, trustRemoteCode = false, trustRemoteCodeWhitelist = m)
+    assert(verifyTask(Some(m), Some(false), trusted).isEmpty)
+    assert(verifyTask(Some(m), Some(true), trusted)
+      .contains("remote_code_not_trusted"))
+    val trustedOn = trusted.copy(trustRemoteCode = true)
+    assert(verifyTask(Some(m), Some(false), trustedOn).isEmpty)
+    assert(verifyTask(Some(m), Some(true), trustedOn).isEmpty)
+    // test_untrusted_model: global ON but model not in the trusted CSV
+    val untrusted = GuardConfig(m, trustRemoteCode = true,
+      trustRemoteCodeWhitelist = "other_model")
+    assert(verifyTask(Some(m), Some(false), untrusted).isEmpty)
+    assert(verifyTask(Some(m), Some(true), untrusted)
+      .contains("remote_code_not_trusted"))
+    // config_csv_list: surrounding quotes stripped, empty segments dropped
+    assert(Transform.csvList("\"a,b\"") == Seq("a", "b"))
+    assert(Transform.csvList(",a,,b,") == Seq("a", "b"))
+    assert(Transform.csvList("") == Nil)
+    // the serving path enforces the trust axis end-to-end
+    Transform.guardConfig = GuardConfig(whitelist = "", trustRemoteCode = false)
+    try intercept[IllegalArgumentException] {
+      Transform(Seq(("x", 1)).toDF("text", "id"), "summarization", "text",
+        args = Map("model" -> "any", "trust_remote_code" -> "true"))
+    } finally Transform.guardConfig = GuardConfig()
+  }
+
   test("transformBatch batches per partition") {
     val out = Transform.transformBatch(
       spark.range(0, 10).map(i => s"item $i text"), "summarization", batchSize = 3)
