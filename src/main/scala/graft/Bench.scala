@@ -90,6 +90,13 @@ object Bench {
     // amortized away.
     val localQueryCache =
       scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Float])]]
+    // The local-ANN legs pin the CORRECTNESS settings by default (the specs
+    // pin those results bit-identical to the distributed paths at sf0.1).
+    // The one-off scale-headroom runs (sf30/sf100) override via env so the
+    // list count scales with the corpus the way a production deployment
+    // would (nlist=0 → ~√N); the defaults are untouched for driver runs.
+    def envInt(name: String, d: Int): Int =
+      sys.env.get(name).map(_.trim.toInt).getOrElse(d)
     val hnswLocal: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       (s, dir) => {
         import s.implicits._
@@ -129,7 +136,9 @@ object Bench {
           emb.where(col("vec_id") < 10)
             .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
             .collect().toSeq.sortBy(_._1))
-        val p = graft.operators.AnnServing.LocalParams(nlist = 16, nprobe = 4)
+        val p = graft.operators.AnnServing.LocalParams(
+          nlist = envInt("SPARK_GRAFT_IVF_NLIST", 16),
+          nprobe = envInt("SPARK_GRAFT_IVF_NPROBE", 4))
         val probe = graft.operators.AnnServing.localProber(s, "ivf",
           s"$dir/embeddings.parquet", emb, "vec_id", "embedding", p)
         var hits: Seq[(Long, Long, Double)] = Nil
@@ -149,9 +158,11 @@ object Bench {
             .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
             .collect().toSeq.sortBy(_._1))
         val V = graft.queries.V24OracleSql
-        val p = graft.operators.AnnServing.LocalParams(nprobe = V.Nprobe,
-          rerank = V.Rerank, pqNlist = V.Nlist, m = V.M, kCent = V.KCent,
-          nassign = V.Nassign)
+        val p = graft.operators.AnnServing.LocalParams(
+          nprobe = envInt("SPARK_GRAFT_PQ_NPROBE", V.Nprobe),
+          rerank = V.Rerank,
+          pqNlist = envInt("SPARK_GRAFT_PQ_NLIST", V.Nlist),
+          m = V.M, kCent = V.KCent, nassign = V.Nassign)
         val probe = graft.operators.AnnServing.localProber(s, "ivfpq",
           s"$dir/embeddings.parquet", emb, "vec_id", "embedding", p)
         var hits: Seq[(Long, Long, Double)] = Nil
