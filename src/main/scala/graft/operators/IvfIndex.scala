@@ -341,10 +341,44 @@ object IvfIndex {
     invalidate(path)
   }
 
+  /** Above this centroid count, assignment switches from the inlined
+    * per-centroid expression to the broadcast-kernel path: one Catalyst
+    * expression holding k centroid literals exceeds the generated-method
+    * budget around this width, Spark disables whole-stage codegen for the
+    * stage, and INTERPRETED expression-tree eval is ~50× a primitive loop
+    * — at a production quantizer width (nlist ≈ √N ≈ 2,200 at 5M rows)
+    * that turned the sf100 IVF build into the job that never ends. */
+  private[graft] val AssignExprMaxCentroids = 64
+
   /** Spill assignment (IVF literature's redundancy trick): each vector is
-    * stored in its `nassign` nearest clusters, as one codegen'd expression
-    * — sort the per-centroid cosine structs desc, explode the top slice. */
-  private[operators] def assignClusters(
+    * stored in its `nassign` nearest clusters — ranked by
+    * (score desc, centroid index desc), emitted best-first.
+    *
+    * Two mechanisms, one contract, chosen by quantizer width:
+    * small quantizers inline the centroids as one codegen'd expression
+    * (fuses into the scan stage — zero extra exchange, and the DuckDB
+    * oracles replay it term for term); wide quantizers broadcast the
+    * centroid matrix and run the SAME score kernels as a primitive loop
+    * ([[graft.functions.VectorKernels]] — the very functions the
+    * expressions' eval/codegen call), so the two paths are bit-identical
+    * by construction (IvfSpec pins equality, planted score-ties included).
+    */
+  private[graft] def assignClusters(
+      df: DataFrame, centroids: Array[Array[Float]], vecCol: String,
+      nassign: Int, metric: String = MetricCosine): DataFrame = {
+    val floatElems = df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (centroids.length <= AssignExprMaxCentroids || !floatElems)
+      assignClustersExpr(df, centroids, vecCol, nassign, metric)
+    else assignClustersKernel(df, centroids, vecCol, nassign, metric)
+  }
+
+  /** Narrow-quantizer mechanism: sort the per-centroid score structs desc,
+    * explode the top slice — one codegen'd expression over plan literals. */
+  private[graft] def assignClustersExpr(
       df: DataFrame, centroids: Array[Array[Float]], vecCol: String,
       nassign: Int, metric: String = MetricCosine): DataFrame = {
     val k = centroids.length
@@ -355,6 +389,52 @@ object IvfIndex {
       sort_array(array(centroidCols.toIndexedSeq: _*), asc = false),
       1, math.max(1, math.min(nassign, k)))
     df.withColumn("cluster_id", explode(top.getField("i")))
+  }
+
+  /** Wide-quantizer mechanism: broadcast the centroid matrix once per
+    * build, select each row's top-`nassign` clusters with a bounded
+    * insertion pass over [[graft.functions.VectorKernels]] scores. Same
+    * (s desc, i desc) rank order as the struct sort (an equal-score later
+    * centroid outranks an earlier one), same best-first emission. */
+  private[graft] def assignClustersKernel(
+      df: DataFrame, centroids: Array[Array[Float]], vecCol: String,
+      nassign: Int, metric: String = MetricCosine): DataFrame = {
+    import graft.functions.VectorKernels
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val score: (Array[Float], Array[Float]) => Double = metric match {
+      case MetricL2 => (v, c) => -VectorKernels.distL2F(v, c)
+      case MetricIp => (v, c) => VectorKernels.dotF(v, c)
+      case _ => (v, c) => VectorKernels.cosineF(v, c)
+    }
+    val m0 = nassign
+    val assign = udf { (vec: Seq[Float]) =>
+      val cs = bc.value
+      val v = vec.toArray
+      val m = math.max(1, math.min(m0, cs.length))
+      val topS = new Array[Double](m)
+      val topI = new Array[Int](m)
+      var filled = 0
+      var i = 0
+      while (i < cs.length) {
+        val s = score(v, cs(i))
+        // rank (s desc, i desc) under Catalyst's TOTAL double order
+        // (-0.0 < 0.0, NaN greatest — java.lang.Double.compare, what the
+        // struct sort_array uses): scanning i ascending, an equal score
+        // DISPLACES the earlier holder, so compare >= 0 moves left
+        var pos = filled
+        while (pos > 0 && java.lang.Double.compare(s, topS(pos - 1)) >= 0) pos -= 1
+        if (pos < m) {
+          val last = math.min(filled, m - 1)
+          var j = last
+          while (j > pos) { topS(j) = topS(j - 1); topI(j) = topI(j - 1); j -= 1 }
+          topS(pos) = s; topI(pos) = i
+          if (filled < m) filled += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.copyOf(topI, filled)
+    }
+    df.withColumn("cluster_id", explode(assign(col(vecCol))))
   }
 
   /** Load the index if `path` holds one, else build from `df` and persist —

@@ -329,4 +329,36 @@ class IvfSpec extends AnyFunSuite {
     IvfIndex.appendSegment(spark, home, batch, "embedding", batch.select("document_id"))
     assert(servedDocs(home)("doc400"))
   }
+
+  test("wide-quantizer kernel assignment is bit-identical to the expression path (ties included)") {
+    // The sf100 run exposed the scale bug this pins: k centroid literals
+    // inlined in one expression disable whole-stage codegen past ~64
+    // centroids and interpreted eval is ~50x a primitive loop, so wide
+    // quantizers assign via broadcast kernel. Same output, bit for bit —
+    // including rank order under planted EXACT score ties (duplicated
+    // centroids), which the struct sort breaks by higher centroid index.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 300L).map { id =>
+      (id, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val base = Array.fill(90)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    // plant ties: centroids 30/31 and 60/61/62 are bitwise duplicates
+    base(31) = base(30).clone()
+    base(61) = base(60).clone(); base(62) = base(60).clone()
+    for (metric <- Seq(IvfIndex.MetricCosine, IvfIndex.MetricL2, IvfIndex.MetricIp);
+         nassign <- Seq(1, 3)) {
+      val expr = IvfIndex.assignClustersExpr(vecs, base, "embedding", nassign, metric)
+        .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSeq
+      val kern = IvfIndex.assignClustersKernel(vecs, base, "embedding", nassign, metric)
+        .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSeq
+      assert(kern == expr, s"kernel/expr divergence at metric=$metric nassign=$nassign")
+    }
+    // the facade routes wide quantizers through the kernel (k=90 > 64)
+    // and narrow ones through the expression — same results either way
+    val facade = IvfIndex.assignClusters(vecs, base, "embedding", 3)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSeq
+    val exprC = IvfIndex.assignClustersExpr(vecs, base, "embedding", 3)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toSeq
+    assert(facade == exprC)
+  }
 }
