@@ -116,11 +116,11 @@ class IvfIndex private[operators] (
       }
     }
     import scala.jdk.CollectionConverters._
-    seen.entrySet().iterator().asScala
-      .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
-      .toArray
-      .sortBy { case (id, s) => (-s, id) }
-      .take(k)
+    // bounded selection, not a full sort: the probed posting lists hold
+    // ~nprobe/nlist of the corpus × nassign rows (sf100: ~650k per probe)
+    VectorSearch.topHits(
+      seen.entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue(), e.getValue.doubleValue())), k)
       .toSeq
   }
 }

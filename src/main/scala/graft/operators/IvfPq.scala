@@ -320,11 +320,11 @@ object IvfPq {
       }
     }
     import scala.jdk.CollectionConverters._
-    val shortlist = best.entrySet().iterator().asScala
-      .map(e => (e.getKey.longValue(), e.getValue.doubleValue()))
-      .toArray
-      .sortBy { case (id, s) => (-s, id) }
-      .take(r)
+    // bounded selection, not a full sort: the ADC candidate set is
+    // nprobe/nlist of the corpus × nassign — ~650k rows/probe at sf100
+    val shortlist = VectorSearch.topHits(
+      best.entrySet().iterator().asScala
+        .map(e => (e.getKey.longValue(), e.getValue.doubleValue())), r)
     // exact re-rank of the shortlist — VectorSearch.exactScoreCol's
     // arithmetic via the Array[Float] kernel twins
     val exact: Array[Float] => Double = metric match {

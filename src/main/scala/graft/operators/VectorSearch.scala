@@ -25,6 +25,40 @@ object VectorSearch {
     * distance, raw inner product. The shared re-rank scorer of every
     * quantized/ANN serving path — negating L2 keeps fusion and top-k
     * metric-agnostic (`orderBy(score desc)` everywhere). */
+  /** Bounded top-k selection over (id, score) hits — rank order
+    * (score desc, id asc) under the total double order, returned
+    * best-first: the O(n log k) serving twin of
+    * `.sortBy { case (id, s) => (-s, id) }.take(k)`. At production probe
+    * widths the candidate set is hundreds of thousands of rows per probe
+    * (sf100: IVF ~650k postings at nprobe=32/nlist=2236), and the full
+    * boxed TimSort was the dominant per-probe cost (~0.5 s) — a size-k
+    * heap does one primitive compare per candidate instead. */
+  private[graft] def topHits(
+      it: Iterator[(Long, Double)], k: Int): Array[(Long, Double)] = {
+    if (k <= 0) return Array.empty
+    // heap head = the WORST kept hit: score asc, ties by id desc
+    val worstFirst = new java.util.Comparator[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(a._2, b._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      }
+    }
+    val pq = new java.util.PriorityQueue[(Long, Double)](k, worstFirst)
+    while (it.hasNext) {
+      val e = it.next()
+      if (pq.size < k) pq.add(e)
+      else {
+        val h = pq.peek()
+        val c = java.lang.Double.compare(e._2, h._2)
+        if (c > 0 || (c == 0 && e._1 < h._1)) { pq.poll(); pq.add(e) }
+      }
+    }
+    val out = new Array[(Long, Double)](pq.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = pq.poll(); i -= 1 }
+    out
+  }
+
   def exactScoreCol(metric: String, vec: Column, query: Array[Float]): Column = {
     val q = floatVec(query.toIndexedSeq)
     metric match {

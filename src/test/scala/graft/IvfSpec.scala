@@ -330,6 +330,23 @@ class IvfSpec extends AnyFunSuite {
     assert(servedDocs(home)("doc400"))
   }
 
+  test("topHits bounded selection equals full sortBy((-s, id)).take(k), ties and signed zeros included") {
+    val rnd = new scala.util.Random(11)
+    // coarse score grid plants heavy ties; signed zeros pin the total order
+    val hits = (0L until 5000L).map { id =>
+      (id, rnd.nextInt(40) match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case g => (g - 20).toDouble / 7.0
+      })
+    }
+    for (k <- Seq(1, 10, 200, 5000, 9000)) {
+      val expect = hits.toArray.sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+      val got = graft.operators.VectorSearch.topHits(hits.iterator, k).toSeq
+      assert(got == expect, s"topHits diverged at k=$k")
+    }
+  }
+
   test("wide-quantizer kernel assignment is bit-identical to the expression path (ties included)") {
     // The sf100 run exposed the scale bug this pins: k centroid literals
     // inlined in one expression disable whole-stage codegen past ~64
