@@ -108,20 +108,19 @@ class IvfIndex private[operators] (
       case IvfIndex.MetricIp => v => graft.functions.VectorKernels.dotF(v, query)
       case _ => v => graft.functions.VectorKernels.cosineF(v, query)
     }
-    // spill copies carry identical scores — first occurrence wins (exact)
-    val seen = new java.util.HashMap[Long, java.lang.Double]()
+    // spill copies carry identical scores — first occurrence wins (exact);
+    // primitive accumulator + bounded selection, not a boxed map + full
+    // sort: the probed posting lists hold ~nprobe/nlist of the corpus ×
+    // nassign rows (sf100: ~650k per probe)
+    val expected = ranked.iterator
+      .map(c => postings.get(c).map(_.length).getOrElse(0)).sum
+    val seen = new VectorSearch.LongDoubleAcc(expected)
     ranked.foreach { c =>
       postings.getOrElse(c, Array.empty[(Long, Array[Float])]).foreach {
-        case (id, v) => if (!seen.containsKey(id)) seen.put(id, score(v))
+        case (id, v) => seen.putIfAbsent(id, score(v))
       }
     }
-    import scala.jdk.CollectionConverters._
-    // bounded selection, not a full sort: the probed posting lists hold
-    // ~nprobe/nlist of the corpus × nassign rows (sf100: ~650k per probe)
-    VectorSearch.topHits(
-      seen.entrySet().iterator().asScala
-        .map(e => (e.getKey.longValue(), e.getValue.doubleValue())), k)
-      .toSeq
+    seen.topHits(k).toSeq
   }
 }
 

@@ -281,14 +281,17 @@ object IvfPq {
     val probed = IvfIndex.rankCentroids(h.centroids, query, metric, nprobe)
     // ADC shortlist: copies carry identical scores when codes encode raw
     // vectors (first wins); residual copies quantize against different
-    // centroids (best copy wins — max, like the distributed groupBy max)
-    val best = new java.util.HashMap[Long, java.lang.Double]()
+    // centroids (best copy wins — max, like the distributed groupBy max).
+    // Primitive accumulator sized to the probed posting mass: a boxed
+    // HashMap here WAS the probe at production widths (~650k candidates).
+    val expected = probed.iterator
+      .map(ci => codes.get(ci).map(_.length).getOrElse(0)).sum
+    val best = new VectorSearch.LongDoubleAcc(expected)
     if (!h.byResidual) {
       val lut = h.model.lutFor(query, metric)
       probed.foreach { ci =>
         codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
-          case (id, pq) =>
-            if (!best.containsKey(id)) best.put(id, adcLocal(pq, lut))
+          case (id, pq) => best.putIfAbsent(id, adcLocal(pq, lut))
         }
       }
     } else {
@@ -298,10 +301,7 @@ object IvfPq {
             val qc = query.indices.map(d => query(d) - h.centroids(ci)(d)).toArray
             val lutCi = h.model.lutFor(qc, metric)
             codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
-              case (id, pq) =>
-                val s = adcLocal(pq, lutCi)
-                val prev = best.get(id)
-                if (prev == null || s > prev) best.put(id, s)
+              case (id, pq) => best.putMax(id, adcLocal(pq, lutCi))
             }
           }
         case _ =>
@@ -311,20 +311,14 @@ object IvfPq {
             var d = 0
             while (d < query.length) { qc += query(d).toDouble * h.centroids(ci)(d); d += 1 }
             codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
-              case (id, pq) =>
-                val s = qc + adcLocal(pq, lut)
-                val prev = best.get(id)
-                if (prev == null || s > prev) best.put(id, s)
+              case (id, pq) => best.putMax(id, qc + adcLocal(pq, lut))
             }
           }
       }
     }
-    import scala.jdk.CollectionConverters._
     // bounded selection, not a full sort: the ADC candidate set is
     // nprobe/nlist of the corpus × nassign — ~650k rows/probe at sf100
-    val shortlist = VectorSearch.topHits(
-      best.entrySet().iterator().asScala
-        .map(e => (e.getKey.longValue(), e.getValue.doubleValue())), r)
+    val shortlist = best.topHits(r)
     // exact re-rank of the shortlist — VectorSearch.exactScoreCol's
     // arithmetic via the Array[Float] kernel twins
     val exact: Array[Float] => Double = metric match {

@@ -35,28 +35,132 @@ object VectorSearch {
     * heap does one primitive compare per candidate instead. */
   private[graft] def topHits(
       it: Iterator[(Long, Double)], k: Int): Array[(Long, Double)] = {
-    if (k <= 0) return Array.empty
-    // heap head = the WORST kept hit: score asc, ties by id desc
-    val worstFirst = new java.util.Comparator[(Long, Double)] {
-      def compare(a: (Long, Double), b: (Long, Double)): Int = {
-        val c = java.lang.Double.compare(a._2, b._2)
-        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+    val h = new TopHitsHeap(k)
+    while (it.hasNext) { val e = it.next(); h.offer(e._1, e._2) }
+    h.result()
+  }
+
+  /** Size-k heap over primitive (id, score) arrays, head = the WORST kept
+    * hit under (score asc, id desc) — so [[topHits]]'s rank order falls
+    * out of extract-all. Single-use: [[result]] drains the heap. */
+  private[graft] final class TopHitsHeap(k: Int) {
+    private val cap = math.max(0, k)
+    private val hid = new Array[Long](cap)
+    private val hs = new Array[Double](cap)
+    private var n = 0
+    // (s1,id1) ranks WORSE than (s2,id2): total double order asc, id desc
+    @inline private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && id1 > id2)
+    }
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val ti = hid(i); hid(i) = hid(j); hid(j) = ti
+      val ts = hs(i); hs(i) = hs(j); hs(j) = ts
+    }
+    def offer(id: Long, s: Double): Unit = {
+      if (cap == 0) return
+      if (n < cap) {
+        hid(n) = id; hs(n) = s; n += 1
+        var i = n - 1
+        while (i > 0) {
+          val p = (i - 1) >> 1
+          if (worse(hs(i), hid(i), hs(p), hid(p))) { swap(i, p); i = p }
+          else i = 0
+        }
+      } else if (worse(hs(0), hid(0), s, id)) {
+        hs(0) = s; hid(0) = id
+        siftDown()
       }
     }
-    val pq = new java.util.PriorityQueue[(Long, Double)](k, worstFirst)
-    while (it.hasNext) {
-      val e = it.next()
-      if (pq.size < k) pq.add(e)
-      else {
-        val h = pq.peek()
-        val c = java.lang.Double.compare(e._2, h._2)
-        if (c > 0 || (c == 0 && e._1 < h._1)) { pq.poll(); pq.add(e) }
+    private def siftDown(): Unit = {
+      var i = 0
+      var continue = true
+      while (continue) {
+        val l = 2 * i + 1; val r = l + 1
+        var w = i
+        if (l < n && worse(hs(l), hid(l), hs(w), hid(w))) w = l
+        if (r < n && worse(hs(r), hid(r), hs(w), hid(w))) w = r
+        if (w == i) continue = false
+        else { swap(i, w); i = w }
       }
     }
-    val out = new Array[(Long, Double)](pq.size)
-    var i = out.length - 1
-    while (i >= 0) { out(i) = pq.poll(); i -= 1 }
-    out
+    /** Kept hits best-first (score desc, id asc); drains the heap. */
+    def result(): Array[(Long, Double)] = {
+      val out = new Array[(Long, Double)](n)
+      while (n > 0) {
+        out(n - 1) = (hid(0), hs(0))
+        n -= 1
+        if (n > 0) { hid(0) = hid(n); hs(0) = hs(n); siftDown() }
+      }
+      out
+    }
+  }
+
+  /** Open-addressed primitive long→double accumulator for the driver-local
+    * probe paths: `java.util.HashMap[Long, Double]` boxes every candidate
+    * id and score — at production probe widths (~650k candidates/probe at
+    * 5M vectors) the boxing and GC churn WERE the probe (~250 ms measured
+    * at sf100). Linear probing, power-of-2 capacity sized to the caller's
+    * candidate-count hint (no mid-probe rehash on the expected path). */
+  private[graft] final class LongDoubleAcc(expected: Int) {
+    private var cap = {
+      var c = 16
+      val want = math.max(16, expected) * 2L
+      while (c < want && c < (1 << 30)) c <<= 1
+      c
+    }
+    private var keys = new Array[Long](cap)
+    private var has = new Array[Boolean](cap)
+    private var vals = new Array[Double](cap)
+    private var n = 0
+    @inline private def slot(id: Long, c: Int): Int = {
+      var h = id * -0x61c8864680b583ebL // golden-ratio mix, then fold high bits
+      h ^= (h >>> 32)
+      (h & (c - 1)).toInt
+    }
+    private def grow(): Unit = {
+      val oc = cap; val ok = keys; val oh = has; val ov = vals
+      cap <<= 1
+      keys = new Array[Long](cap); has = new Array[Boolean](cap)
+      vals = new Array[Double](cap)
+      var i = 0
+      while (i < oc) {
+        if (oh(i)) {
+          var j = slot(ok(i), cap)
+          while (has(j)) j = (j + 1) & (cap - 1)
+          has(j) = true; keys(j) = ok(i); vals(j) = ov(i)
+        }
+        i += 1
+      }
+    }
+    @inline private def find(id: Long): Int = {
+      var i = slot(id, cap)
+      while (has(i) && keys(i) != id) i = (i + 1) & (cap - 1)
+      i
+    }
+    /** First write wins (the identical-score spill-copy dedup). */
+    def putIfAbsent(id: Long, s: Double): Unit = {
+      val i = find(id)
+      if (!has(i)) {
+        has(i) = true; keys(i) = id; vals(i) = s; n += 1
+        if (n * 2 > cap) grow()
+      }
+    }
+    /** Best copy wins (the residual-quantized spill-copy rule). */
+    def putMax(id: Long, s: Double): Unit = {
+      val i = find(id)
+      if (!has(i)) {
+        has(i) = true; keys(i) = id; vals(i) = s; n += 1
+        if (n * 2 > cap) grow()
+      } else if (s > vals(i)) vals(i) = s
+    }
+    /** Top-k of the accumulated entries, best-first — no boxing. */
+    def topHits(k: Int): Array[(Long, Double)] = {
+      val h = new TopHitsHeap(k)
+      var i = 0
+      while (i < cap) { if (has(i)) h.offer(keys(i), vals(i)); i += 1 }
+      h.result()
+    }
   }
 
   def exactScoreCol(metric: String, vec: Column, query: Array[Float]): Column = {
