@@ -44,6 +44,32 @@ object VectorKernels {
     math.sqrt(s)
   }
 
+  // ---- Strided twins over a FLAT posting blob ----
+  // The driver-local IVF tier stores each cluster's vectors as one flat
+  // float[] (n·dim, row-major): 15M spill rows as individual Array[Float]
+  // objects cost ~1.5 GB of headers/padding and a pointer chase per row.
+  // Same variable roles, same accumulation order as the Array twins above
+  // — scores stay bit-identical (a(i) ↦ flat(off+i), b ↦ q).
+  def dotFS(flat: Array[Float], off: Int, q: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < q.length) { s += flat(off + i).toDouble * q(i); i += 1 }
+    s
+  }
+  def cosineFS(flat: Array[Float], off: Int, q: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < q.length) {
+      val x = flat(off + i).toDouble; val y = q(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+  def distL2FS(flat: Array[Float], off: Int, q: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < q.length) { val d = flat(off + i).toDouble - q(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
   // ---- dot product (vectors.rs:276-292) ----
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

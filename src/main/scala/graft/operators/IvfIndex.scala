@@ -89,35 +89,59 @@ class IvfIndex private[operators] (
     * the probed corpus's vectors in driver memory — the "fits one
     * machine" tier, exactly like the HNSW graph cache; the distributed
     * [[search]] path remains the scale tier. */
+  // per-cluster posting blobs: (ids, vectors as ONE flat n·dim float[]) —
+  // 15M spill rows as individual Array[Float]s cost ~1.5 GB of object
+  // headers and a pointer chase per scanned row at sf100; the flat blob
+  // scans with stride (VectorKernels strided twins, bit-identical scores)
   @transient private lazy val localPostingsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Array[(Long, Array[Float])]]]
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Map[Int, (Array[Long], Array[Float])])]
 
   def searchLocal(query: Array[Float], k: Int, nprobe: Int,
       idCol: String): Seq[(Long, Double)] = {
-    val postings = localPostingsCache.getOrElseUpdate(idCol, {
+    val (dim, postings) = localPostingsCache.getOrElseUpdate(idCol, {
       val spark = data.sparkSession
       import spark.implicits._
-      data.select(col(idCol).cast("long"), col(vecCol), col("cluster_id").cast("int"))
+      val rows = data
+        .select(col(idCol).cast("long"), col(vecCol), col("cluster_id").cast("int"))
         .as[(Long, Array[Float], Int)].collect()
-        .groupBy(_._3)
-        .map { case (c, rows) => c -> rows.map(r => (r._1, r._2)) }
+      val d = if (rows.isEmpty) query.length else rows(0)._2.length
+      // cluster ids are centroid indices — two array passes: size each
+      // cluster, then fill its (ids, flat) pair in collect order
+      val k = centroids.length
+      val counts = new Array[Int](k)
+      rows.foreach(r => counts(r._3) += 1)
+      val idArr = Array.tabulate(k)(c => new Array[Long](counts(c)))
+      val flatArr = Array.tabulate(k)(c => new Array[Float](counts(c) * d))
+      val fill = new Array[Int](k)
+      rows.foreach { case (id, v, c) =>
+        val i = fill(c); fill(c) += 1
+        idArr(c)(i) = id
+        System.arraycopy(v, 0, flatArr(c), i * d, d)
+      }
+      (d, (0 until k).filter(counts(_) > 0)
+        .map(c => c -> (idArr(c), flatArr(c))).toMap)
     })
     val ranked = IvfIndex.rankCentroids(centroids, query, metric, nprobe)
-    val score: Array[Float] => Double = metric match {
-      case IvfIndex.MetricL2 => v => -graft.functions.VectorKernels.distL2F(v, query)
-      case IvfIndex.MetricIp => v => graft.functions.VectorKernels.dotF(v, query)
-      case _ => v => graft.functions.VectorKernels.cosineF(v, query)
+    import graft.functions.VectorKernels
+    val scoreAt: (Array[Float], Int) => Double = metric match {
+      case IvfIndex.MetricL2 => (f, o) => -VectorKernels.distL2FS(f, o, query)
+      case IvfIndex.MetricIp => (f, o) => VectorKernels.dotFS(f, o, query)
+      case _ => (f, o) => VectorKernels.cosineFS(f, o, query)
     }
     // spill copies carry identical scores — first occurrence wins (exact);
     // primitive accumulator + bounded selection, not a boxed map + full
     // sort: the probed posting lists hold ~nprobe/nlist of the corpus ×
     // nassign rows (sf100: ~650k per probe)
     val expected = ranked.iterator
-      .map(c => postings.get(c).map(_.length).getOrElse(0)).sum
+      .map(c => postings.get(c).map(_._1.length).getOrElse(0)).sum
     val seen = new VectorSearch.LongDoubleAcc(expected)
     ranked.foreach { c =>
-      postings.getOrElse(c, Array.empty[(Long, Array[Float])]).foreach {
-        case (id, v) => seen.putIfAbsent(id, score(v))
+      postings.get(c).foreach { case (ids, flat) =>
+        var j = 0
+        while (j < ids.length) {
+          seen.putIfAbsent(ids(j), scoreAt(flat, j * dim))
+          j += 1
+        }
       }
     }
     seen.topHits(k).toSeq

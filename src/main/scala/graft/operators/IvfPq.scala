@@ -209,24 +209,16 @@ object IvfPq {
 
   // ---------------------------------------------------- driver-local tier
 
-  // cluster→codes postings and id→vector maps, collected IN-PROCESS once
-  // per served home (the quantized counterpart of HnswIndex's graph cache)
+  // cluster→codes postings and id→vector snapshots, collected IN-PROCESS
+  // once per served home (the quantized counterpart of HnswIndex's graph
+  // cache) — both FLAT primitive layouts: per-cluster (ids, m-strided code
+  // blob), and (id→offset index, dim-strided vector blob). Millions of
+  // 8-byte Array[Byte]s / boxed map entries are mostly object header, and
+  // their GC pressure starved the 24 GB sf100 heap.
   private val localCodesCache =
-    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Array[(Long, Array[Byte])]]]
+    scala.collection.concurrent.TrieMap.empty[String, Map[Int, (Array[Long], Array[Byte])]]
   private val localVecCache =
-    scala.collection.concurrent.TrieMap.empty[String, scala.collection.Map[Long, Array[Float]]]
-
-  /** The [[graft.functions.QuantKernels.pqAdcDot]] loop over a plain
-    * lut array — identical accumulation order, so local ADC scores are
-    * bit-identical to the codegen'd scan. */
-  private def adcLocal(codes: Array[Byte], lut: Array[Double]): Double = {
-    val m = codes.length
-    val k = lut.length / m
-    var s = 0.0
-    var g = 0
-    while (g < m) { s += lut(g * k + (codes(g) & 0xFF)); g += 1 }
-    s
-  }
+    scala.collection.concurrent.TrieMap.empty[String, (VectorSearch.LongIntIndex, Int, Array[Float])]
 
   /** Driver-local serving tier: probe selection → in-process ADC scan of
     * the probed clusters' cached codes → top-r shortlist → exact re-rank
@@ -266,15 +258,38 @@ object IvfPq {
       metric, byResidual, variant)
     val codes = localCodesCache.getOrElseUpdate(home, {
       import spark.implicits._
-      h.codes.select(col("id").cast("long"), col("pq"), col("cluster_id").cast("int"))
+      val rows = h.codes
+        .select(col("id").cast("long"), col("pq"), col("cluster_id").cast("int"))
         .as[(Long, Array[Byte], Int)].collect()
-        .groupBy(_._3)
-        .map { case (c, rows) => c -> rows.map(r => (r._1, r._2)) }
+      val mW = if (rows.isEmpty) m else rows(0)._2.length
+      val k = h.centroids.length
+      val counts = new Array[Int](k)
+      rows.foreach(r => counts(r._3) += 1)
+      val idArr = Array.tabulate(k)(c => new Array[Long](counts(c)))
+      val codeArr = Array.tabulate(k)(c => new Array[Byte](counts(c) * mW))
+      val fill = new Array[Int](k)
+      rows.foreach { case (id, pq, c) =>
+        val i = fill(c); fill(c) += 1
+        idArr(c)(i) = id
+        System.arraycopy(pq, 0, codeArr(c), i * mW, mW)
+      }
+      (0 until k).filter(counts(_) > 0)
+        .map(c => c -> (idArr(c), codeArr(c))).toMap
     })
-    val vecs = localVecCache.getOrElseUpdate(home, {
+    val (vecIdx, vecDim, vecFlat) = localVecCache.getOrElseUpdate(home, {
       import spark.implicits._
-      df.select(col(idCol).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])].collect().toMap
+      val rows = df.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])].collect()
+      val d = if (rows.isEmpty) 1 else rows(0)._2.length
+      val idx = new VectorSearch.LongIntIndex(rows.length)
+      val flat = new Array[Float](rows.length * d)
+      var i = 0
+      while (i < rows.length) {
+        idx.put(rows(i)._1, i)
+        System.arraycopy(rows(i)._2, 0, flat, i * d, d)
+        i += 1
+      }
+      (idx, d, flat)
     })
     (query: Array[Float], k: Int) => {
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
@@ -285,13 +300,13 @@ object IvfPq {
     // Primitive accumulator sized to the probed posting mass: a boxed
     // HashMap here WAS the probe at production widths (~650k candidates).
     val expected = probed.iterator
-      .map(ci => codes.get(ci).map(_.length).getOrElse(0)).sum
+      .map(ci => codes.get(ci).map(_._1.length).getOrElse(0)).sum
     val best = new VectorSearch.LongDoubleAcc(expected)
     if (!h.byResidual) {
       val lut = h.model.lutFor(query, metric)
       probed.foreach { ci =>
-        codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
-          case (id, pq) => best.putIfAbsent(id, adcLocal(pq, lut))
+        codes.get(ci).foreach { case (ids, blob) =>
+          scanAdc(ids, blob, lut, 0.0, firstWins = true, best)
         }
       }
     } else {
@@ -300,8 +315,8 @@ object IvfPq {
           probed.foreach { ci =>
             val qc = query.indices.map(d => query(d) - h.centroids(ci)(d)).toArray
             val lutCi = h.model.lutFor(qc, metric)
-            codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
-              case (id, pq) => best.putMax(id, adcLocal(pq, lutCi))
+            codes.get(ci).foreach { case (ids, blob) =>
+              scanAdc(ids, blob, lutCi, 0.0, firstWins = false, best)
             }
           }
         case _ =>
@@ -310,8 +325,8 @@ object IvfPq {
             var qc = 0.0
             var d = 0
             while (d < query.length) { qc += query(d).toDouble * h.centroids(ci)(d); d += 1 }
-            codes.getOrElse(ci, Array.empty[(Long, Array[Byte])]).foreach {
-              case (id, pq) => best.putMax(id, qc + adcLocal(pq, lut))
+            codes.get(ci).foreach { case (ids, blob) =>
+              scanAdc(ids, blob, lut, qc, firstWins = false, best)
             }
           }
       }
@@ -320,19 +335,47 @@ object IvfPq {
     // nprobe/nlist of the corpus × nassign — ~650k rows/probe at sf100
     val shortlist = best.topHits(r)
     // exact re-rank of the shortlist — VectorSearch.exactScoreCol's
-    // arithmetic via the Array[Float] kernel twins
-    val exact: Array[Float] => Double = metric match {
-      case IvfIndex.MetricL2 => v => -graft.functions.VectorKernels.distL2F(v, query)
-      case IvfIndex.MetricIp => v => graft.functions.VectorKernels.dotF(v, query)
-      case _ => v => graft.functions.VectorKernels.cosineF(v, query)
+    // arithmetic via the strided kernel twins over the flat snapshot
+    import graft.functions.VectorKernels
+    val exactAt: Int => Double = metric match {
+      case IvfIndex.MetricL2 => o => -VectorKernels.distL2FS(vecFlat, o, query)
+      case IvfIndex.MetricIp => o => VectorKernels.dotFS(vecFlat, o, query)
+      case _ => o => VectorKernels.cosineFS(vecFlat, o, query)
     }
     // drop ids absent from the vector snapshot, like the distributed
     // fetchShortlist's inner join does for rows deleted under the index
     shortlist
-      .flatMap { case (id, _) => vecs.get(id).map(v => (id, exact(v))) }
+      .flatMap { case (id, _) =>
+        val row = vecIdx.get(id)
+        if (row < 0) None else Some((id, exactAt(row * vecDim)))
+      }
       .sortBy { case (id, s) => (-s, id) }
       .take(k)
       .toSeq
+    }
+  }
+
+  /** One cluster's ADC scan over the flat (ids, m-strided code blob)
+    * posting pair: the [[graft.functions.QuantKernels.pqAdcDot]] loop at
+    * stride — identical accumulation order, so local ADC scores are
+    * bit-identical to the codegen'd scan — with `base` added for the
+    * residual-IP decomposition and first-wins vs best-copy dedup into the
+    * primitive accumulator. */
+  @inline private def scanAdc(
+      ids: Array[Long], blob: Array[Byte], lut: Array[Double], base: Double,
+      firstWins: Boolean, best: VectorSearch.LongDoubleAcc): Unit = {
+    if (ids.length == 0) return
+    val mW = blob.length / ids.length
+    val k = lut.length / mW
+    var j = 0
+    while (j < ids.length) {
+      var s = 0.0
+      var g = 0
+      val off = j * mW
+      while (g < mW) { s += lut(g * k + (blob(off + g) & 0xFF)); g += 1 }
+      if (firstWins) best.putIfAbsent(ids(j), base + s)
+      else best.putMax(ids(j), base + s)
+      j += 1
     }
   }
 

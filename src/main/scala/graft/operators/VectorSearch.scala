@@ -163,6 +163,40 @@ object VectorSearch {
     }
   }
 
+  /** Open-addressed primitive long→int index (id → row offset) for the
+    * driver-local vector snapshots: a boxed Map[Long, Array[Float]] at 5M
+    * entries spends ~400 MB on entry objects and boxed keys alone. Built
+    * once, read-only after; -1 = absent. */
+  private[graft] final class LongIntIndex(expected: Int) {
+    private val cap = {
+      var c = 16
+      val want = math.max(16, expected) * 2L
+      while (c < want && c < (1 << 30)) c <<= 1
+      c
+    }
+    private val keys = new Array[Long](cap)
+    private val has = new Array[Boolean](cap)
+    private val vals = new Array[Int](cap)
+    @inline private def slot(id: Long): Int = {
+      var h = id * -0x61c8864680b583ebL
+      h ^= (h >>> 32)
+      (h & (cap - 1)).toInt
+    }
+    def put(id: Long, v: Int): Unit = {
+      var i = slot(id)
+      while (has(i) && keys(i) != id) i = (i + 1) & (cap - 1)
+      has(i) = true; keys(i) = id; vals(i) = v
+    }
+    def get(id: Long): Int = {
+      var i = slot(id)
+      while (has(i)) {
+        if (keys(i) == id) return vals(i)
+        i = (i + 1) & (cap - 1)
+      }
+      -1
+    }
+  }
+
   def exactScoreCol(metric: String, vec: Column, query: Array[Float]): Column = {
     val q = floatVec(query.toIndexedSeq)
     metric match {
