@@ -445,6 +445,73 @@ class HnswIndex private[operators] (
     hits.orderBy(col("score").desc, col(idName).asc).limit(k)
   }
 
+  // prepared probe plumbing for [[serveDistributed]]: the blob rows as a
+  // PERSISTED OBJECT-CACHE RDD. [[search]] pays two per-query costs that a
+  // serving endpoint shouldn't: a full Catalyst analyze/optimize/plan of a
+  // structurally identical query (only the closure-captured vector
+  // changes), and an InMemoryTableScan that COPIES every blob's bytes out
+  // of the columnar cache just so graphFor can ignore them on a cache hit.
+  // An RDD persisted deserialized hands out REFERENCES to the cached
+  // (pid, bytes) tuples — a steady-state probe job touches ~one object per
+  // partition — and an evicted block recomputes from parquet lineage, so
+  // the fallback story on a busy cluster is Spark's own. Built at most
+  // once per index instance; released with the instance (family release /
+  // invalidate), so a rewritten source never serves stale blobs.
+  @transient private lazy val probeRddRef =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.rdd.RDD[(Int, Array[Byte])]](null)
+
+  private def probeRdd: org.apache.spark.rdd.RDD[(Int, Array[Byte])] = {
+    val cur = probeRddRef.get()
+    if (cur != null) cur
+    else {
+      val spark = graphs.sparkSession
+      import spark.implicits._
+      val built = graphs.select(col("pid"), col("graph"))
+        .as[(Int, Array[Byte])].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (probeRddRef.compareAndSet(null, built)) {
+        built.count() // materialize: every later probe is cache-resident
+        built
+      } else { built.unpersist(false); probeRddRef.get() }
+    }
+  }
+
+  /** Drop the prepared probe RDD (source rewrite / family eviction). */
+  private[graft] def releaseProbe(): Unit =
+    Option(probeRddRef.getAndSet(null)).foreach { r =>
+      try { r.unpersist(false); () } catch { case _: Throwable => () }
+    }
+
+  /** Prepared single-query distributed probe: one RDD job over the
+    * persisted blob rows — per-partition graph search via the executor
+    * graph cache, then the driver merges the (partitions × k) partial hits
+    * under [[search]]'s exact order (score desc, id asc). No Catalyst work
+    * per query: the reference serves its probe from a prepared statement
+    * over a hot index (17.5 ms, speeding-up-vector-recall-5x-with-
+    * hnsw.md:81-98); this is the Spark-native equivalent — plan once,
+    * submit a job per query. Results are bit-identical to
+    * [[search]]`.collect()` (same per-graph search, same total order;
+    * HnswSpec pins it on a tie-planted forest). Scale: P graph partitions
+    * → one wave of P process-local tasks and a P×k-row driver merge —
+    * at 1000 partitions that is a 10k-row sort, noise. For many queries
+    * per request use [[searchBatch]]; for a driver-resident forest use
+    * [[searchLocal]]. */
+  def serveDistributed(query: Array[Float], k: Int, ef: Int = 0)
+      : Array[(Long, Double)] = {
+    val ck = cacheKey
+    val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
+    val q = query
+    val kk = k
+    probeRdd.mapPartitions { it =>
+      it.flatMap { case (pid, bytes) =>
+        HnswIndex.graphFor(ck, pid, bytes).search(q, kk, efEff)
+      }
+    }.collect()
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+  }
+
   /** Driver-local serving tier: search every graph IN-PROCESS and merge,
     * with zero Spark jobs after the first call (the blobs collect once and
     * deserialize into the shared graph cache). This is the reference's own
@@ -563,7 +630,9 @@ object HnswIndex {
   // shared serve/prune layer) and executor-local cache of deserialized
   // graphs (keyed by (home, pid))
   private val family =
-    new IndexStore.Family[HnswIndex]("hnsw", FormatVersion)(_.graphs.unpersist())
+    new IndexStore.Family[HnswIndex]("hnsw", FormatVersion)({ idx =>
+      idx.graphs.unpersist(); idx.releaseProbe()
+    })
   private val graphCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), HnswGraph]
 

@@ -168,6 +168,45 @@ class HnswSpec extends AnyFunSuite {
     idx.graphs.unpersist()
   }
 
+  test("prepared serveDistributed: bit-identical to search on a tie-planted forest, one job per probe, released with the instance") {
+    // plant bitwise-duplicate vectors under fresh ids so the top-k frontier
+    // carries score ties that only the (score desc, id asc) total order
+    // resolves — a merge-order divergence between the prepared path and
+    // TakeOrderedAndProject fails here, not in production
+    val base = emb.limit(120)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val planted = base ++ base.take(10).map { case (id, v) => (id + 100000L, v) }
+    val idx = HnswIndex.build(spark, planted.toDF("id", "vec"), "vec", "id",
+      m = 8, efConstruction = 32, numPartitions = 4)
+    val queries = base.take(8).map(_._2)
+    idx.serveDistributed(queries.head, 10, ef = 64) // warm: builds the probe RDD
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      queries.foreach { qv =>
+        val prep = idx.serveDistributed(qv, 10, ef = 64).toSeq
+        val dist = idx.search(qv, 10, ef = 64, idName = "id")
+          .as[(Long, Double)].collect().toSeq
+        assert(prep == dist)
+      }
+      Thread.sleep(300)
+      // one job per prepared probe + one per distributed comparator collect
+      assert(jobs.get() == 2L * queries.size,
+        s"expected ${2 * queries.size} jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the prepared RDD is persisted while served, dropped on release
+    val before = spark.sparkContext.getPersistentRDDs.size
+    idx.releaseProbe()
+    assert(spark.sparkContext.getPersistentRDDs.size == before - 1,
+      "releaseProbe did not unpersist the prepared probe RDD")
+    idx.graphs.unpersist()
+  }
+
   test("persisted forest: save→load identical results; loadOrBuild loads, param change rebuilds") {
     val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
     val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",

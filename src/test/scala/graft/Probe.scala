@@ -441,6 +441,75 @@ object Probe {
         println(f"  job $id%3d ${ms / 1e3}%7.3f s  ${desc.take(90)}") }
       spark.stop()
 
+    case "v9-decompose" :: rest =>
+      // split the v9_knn_hnsw bench leg into its serving components so the
+      // single-query latency floor is attributed, not guessed: (a) the
+      // query-vector parquet fetch, (b) serveOrBuild home resolution,
+      // (c) building + analyzing the search DataFrame (Catalyst), (d) the
+      // probe job itself (executed plan re-collected), (e) the merged
+      // count the bench times. 5 passes after warm-up.
+      val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      val spark = session()
+      import spark.implicits._
+      def leg(): Unit = {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val q = emb.where(col("vec_id") === 13).select("embedding")
+          .as[Array[Float]].head()
+        val idx = graft.operators.HnswIndex.serveOrBuild(
+          spark, s"$sfDir/embeddings.parquet", emb, "embedding", "vec_id",
+          m = 16, efConstruction = 64, numPartitions = 8)
+        idx.search(q, 10, ef = 64, idName = "vec_id").count(); ()
+      }
+      leg(); leg() // warm: index build + JIT + classload
+      for (pass <- 1 to 5) {
+        val t0 = System.nanoTime()
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val q = emb.where(col("vec_id") === 13).select("embedding")
+          .as[Array[Float]].head()
+        val t1 = System.nanoTime()
+        val idx = graft.operators.HnswIndex.serveOrBuild(
+          spark, s"$sfDir/embeddings.parquet", emb, "embedding", "vec_id",
+          m = 16, efConstruction = 64, numPartitions = 8)
+        val t2 = System.nanoTime()
+        val df = idx.search(q, 10, ef = 64, idName = "vec_id")
+        val plan = df.queryExecution.executedPlan // force analysis+planning
+        val t3 = System.nanoTime()
+        val n = df.count()
+        val t4 = System.nanoTime()
+        // re-run the already-planned frame: pure job cost, no Catalyst
+        df.count()
+        val t5 = System.nanoTime()
+        println(f"pass $pass: fetch ${(t1 - t0) / 1e9}%.4f  resolve ${(t2 - t1) / 1e9}%.4f  " +
+          f"plan ${(t3 - t2) / 1e9}%.4f  count ${(t4 - t3) / 1e9}%.4f  " +
+          f"recount ${(t5 - t4) / 1e9}%.4f  rows $n  total ${(t4 - t0) / 1e9}%.4f")
+        if (pass == 1) println(plan.toString.linesIterator.take(12).mkString("\n"))
+      }
+      // the PREPARED serving path (what the bench leg now runs): analyzed-
+      // once point-lookup Dataset + serveDistributed's persisted-RDD probe
+      val emb0 = Tables.load(spark, sfDir, "embeddings")
+      val fetchDs = emb0.where(col("vec_id") === 13).select("embedding")
+        .as[Array[Float]]
+      val idx0 = graft.operators.HnswIndex.serveOrBuild(
+        spark, s"$sfDir/embeddings.parquet", emb0, "embedding", "vec_id",
+        m = 16, efConstruction = 64, numPartitions = 8)
+      idx0.serveDistributed(fetchDs.head(), 10, ef = 64) // warm probe RDD
+      for (pass <- 1 to 5) {
+        val t0 = System.nanoTime()
+        val q = fetchDs.head()
+        val t1 = System.nanoTime()
+        val hits = idx0.serveDistributed(q, 10, ef = 64)
+        val t2 = System.nanoTime()
+        val tl = Tables.load(spark, sfDir, "embeddings")
+        val t3 = System.nanoTime()
+        val n = hits.toSeq.toDF("vec_id", "score").count()
+        val t4 = System.nanoTime()
+        println(f"prepared pass $pass: fetch ${(t1 - t0) / 1e9}%.4f  " +
+          f"probe ${(t2 - t1) / 1e9}%.4f  tablesLoad ${(t3 - t2) / 1e9}%.4f  " +
+          f"localCount ${(t4 - t3) / 1e9}%.4f  rows ${hits.length}/$n  " +
+          f"cols ${tl.columns.length}  total ${(t2 - t0) / 1e9}%.4f")
+      }
+      spark.stop()
+
     case "hnsw-bench" :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(5000)
       val dim = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
