@@ -39,7 +39,7 @@ object Bench {
       "q4_window_topn", "q8_events_hourly", "q9_json_extract",
       "v1_knn_cosine", "v2_vec_avg_by_label", "v3_vec_norms",
       "v4_knn_batch", "v5_knn_ivf", "v9_knn_hnsw", "v9b_hnsw_batch",
-      "v9d_hnsw_serve",
+      "v9d_hnsw_serve", "v5d_ivf_serve",
       "v9c_hnsw_local", "v5c_ivf_local", "v24c_ivfpq_local",
       "v11_knn_binary", "v12_knn_sq8", "v16_knn_pq", "v24_knn_ivfpq", "v25_knn_ivfpq_residual",
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
@@ -173,6 +173,31 @@ object Bench {
           }
         hits.toDF("query_id", "vec_id", "score")
       }
+    // v5d: steady-state single-query distributed IVF serving — the v9d
+    // twin through IvfIndex.serveDistributed (PartitionPruningRDD: each
+    // request's one job runs exactly nprobe tasks). 50 sequential probes
+    // (10 vectors × 5 repeats); leg/50 = per-request latency.
+    val ivfServeSteady: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        lazy val emb = graft.Tables.load(s, dir, "embeddings")
+        val queries = localQueryCache.getOrElseUpdate(dir,
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+            .collect().toSeq.sortBy(_._1))
+        val nlist = envInt("SPARK_GRAFT_IVF_NLIST", 16)
+        val nprobe = envInt("SPARK_GRAFT_IVF_NPROBE", 4)
+        val idx = graft.operators.IvfIndex.serveOrBuild(
+          s, s"$dir/embeddings.parquet", emb, "embedding", nlist = nlist)
+        var hits: Seq[(Long, Long, Double)] = Nil
+        for (_ <- 1 to 5)
+          hits = queries.map { case (qid, qv) =>
+            val top = idx.serveDistributed(qv, 10, nprobe, "vec_id")
+            (qid, top.head._1, top.head._2)
+          }
+        hits.toDF("query_id", "vec_id", "score")
+      }
 
     // s4_sync_delta: the incremental-ingest serving shape — ONE changed
     // document upserted and re-synced against an already-ingested corpus.
@@ -286,6 +311,7 @@ object Bench {
     val queries = SparkEntry.queries +
       ("s4_ingest" -> ingest) + ("v9_knn_hnsw" -> hnswServe) +
       ("v9b_hnsw_batch" -> hnswBatch) + ("v9d_hnsw_serve" -> hnswServeSteady) +
+      ("v5d_ivf_serve" -> ivfServeSteady) +
       ("v9c_hnsw_local" -> hnswLocal) + ("v5c_ivf_local" -> ivfLocal) +
       ("v24c_ivfpq_local" -> ivfpqLocal) + ("s4_sync_delta" -> syncDelta) +
       ("s4_sync_steady" -> syncSteady)

@@ -146,6 +146,103 @@ class IvfIndex private[operators] (
     }
     seen.topHits(k).toSeq
   }
+
+  // prepared probe plumbing for [[serveDistributed]] (the IVF twin of
+  // [[HnswIndex.serveDistributed]]'s): the postings re-keyed so RDD
+  // partition index == cluster id, flattened to one (ids, flat vectors,
+  // dim) blob per cluster, persisted deserialized. A query then runs a
+  // PartitionPruningRDD job over exactly the nprobe ranked partitions —
+  // the scheduler never even creates tasks for the other nlist−nprobe
+  // clusters, which is the partition-pruning serving contract of the
+  // persisted parquet layout with zero per-query Catalyst work. Keyed by
+  // idCol like the local postings cache; released with the instance.
+  @transient private lazy val probeRddCache =
+    scala.collection.concurrent.TrieMap.empty[
+      String, org.apache.spark.rdd.RDD[(Array[Long], Array[Float], Int)]]
+
+  private def probeRdd(idCol: String)
+      : org.apache.spark.rdd.RDD[(Array[Long], Array[Float], Int)] =
+    probeRddCache.getOrElseUpdate(idCol, {
+      val spark = data.sparkSession
+      import spark.implicits._
+      val n = centroids.length
+      val rdd = data
+        .select(col(idCol).cast("long"), col(vecCol), col("cluster_id").cast("int"))
+        .as[(Long, Array[Float], Int)].rdd
+        .map { case (id, v, c) => (c, (id, v)) }
+        .partitionBy(new IvfIndex.ClusterPartitioner(n))
+        .mapPartitions({ it =>
+          val rows = it.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val d = rows(0)._2._2.length
+            val ids = new Array[Long](rows.length)
+            val flat = new Array[Float](rows.length * d)
+            var i = 0
+            while (i < rows.length) {
+              ids(i) = rows(i)._2._1
+              System.arraycopy(rows(i)._2._2, 0, flat, i * d, d)
+              i += 1
+            }
+            Iterator.single((ids, flat, d))
+          }
+        }, preservesPartitioning = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // materialize: every later probe is cache-resident
+      rdd
+    })
+
+  /** Drop the prepared probe RDDs (source rewrite / family eviction). */
+  private[graft] def releaseProbe(): Unit = {
+    probeRddCache.values.foreach { r =>
+      try { r.unpersist(false); () } catch { case _: Throwable => () }
+    }
+    probeRddCache.clear()
+  }
+
+  /** Prepared single-query distributed probe: rank centroids on the
+    * driver, then ONE partition-pruned RDD job over the nprobe cluster
+    * partitions — per-partition exact scoring with the
+    * [[graft.functions.VectorKernels]] strided twins of the codegen scan
+    * kernels (bit-identical scores), spill-copy dedup and bounded top-k
+    * per task, and a (nprobe × k)-row driver merge under [[search]]'s
+    * (score desc, id asc) order. Per-partition top-k before the merge is
+    * exact: a vector crowded out of some partition's top-k is beaten
+    * there by k distinct ids, so it cannot be in the global top-k; spill
+    * copies carry identical scores, so any-one-wins dedup is exact.
+    * IvfSpec pins results identical to [[search]] and one pruned job per
+    * probe. Scale: per-request distributed work is nprobe/nlist of the
+    * corpus — more clusters means MORE pruning, not bigger tasks. */
+  def serveDistributed(query: Array[Float], k: Int, nprobe: Int,
+      idCol: String): Array[(Long, Double)] = {
+    val ranked = IvfIndex.rankCentroids(centroids, query, metric, nprobe)
+    val wanted = ranked.toSet
+    val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+      probeRdd(idCol), wanted.contains)
+    val mcode = metric
+    val q = query
+    val kk = k
+    val partials = pruned.mapPartitions { it =>
+      import graft.functions.VectorKernels
+      val scoreAt: (Array[Float], Int) => Double = mcode match {
+        case IvfIndex.MetricL2 => (f, o) => -VectorKernels.distL2FS(f, o, q)
+        case IvfIndex.MetricIp => (f, o) => VectorKernels.dotFS(f, o, q)
+        case _ => (f, o) => VectorKernels.cosineFS(f, o, q)
+      }
+      it.map { case (ids, flat, d) =>
+        val acc = new VectorSearch.LongDoubleAcc(ids.length)
+        var j = 0
+        while (j < ids.length) {
+          acc.putIfAbsent(ids(j), scoreAt(flat, j * d))
+          j += 1
+        }
+        acc.topHits(kk)
+      }
+    }.collect()
+    val merged = new VectorSearch.LongDoubleAcc(partials.iterator.map(_.length).sum)
+    partials.foreach(_.foreach { case (id, s) => merged.putIfAbsent(id, s) })
+    merged.topHits(k)
+  }
 }
 
 object IvfIndex {
@@ -184,9 +281,19 @@ object IvfIndex {
       metric: String, vec: org.apache.spark.sql.Column,
       centroid: Array[Float]): org.apache.spark.sql.Column =
     scoreExpr(metric, vec, centroid)
+  /** Partition index == cluster id: what makes per-query partition
+    * pruning possible on the prepared probe RDD. */
+  private[operators] final class ClusterPartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
   // home resolution / session cache / manifest prune — shared layer
   private val family =
-    new IndexStore.Family[IvfIndex]("ivf", FormatVersion)(_.data.unpersist())
+    new IndexStore.Family[IvfIndex]("ivf", FormatVersion)({ idx =>
+      idx.data.unpersist(); idx.releaseProbe()
+    })
 
   /** The family's on-disk root (spec introspection). */
   def indexRoot: String = family.root

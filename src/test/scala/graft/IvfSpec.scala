@@ -311,6 +311,60 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("serveDistributed: identical to search, one partition-pruned job per probe, released with the instance") {
+    val idx = IvfIndex.build(spark, emb, "embedding", nlist = 16)
+    val queries = emb.where($"vec_id" % 97 === 3)
+      .select("embedding").as[Array[Float]].collect().take(5)
+    idx.serveDistributed(queries.head, 10, nprobe = 4, "vec_id") // warm: builds the probe RDD
+    for (q <- queries; nprobe <- Seq(4, 16)) {
+      val prep = idx.serveDistributed(q, 10, nprobe, "vec_id").toSeq
+      val dist = idx.search(q, 10, nprobe, Seq("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(prep == dist, s"prepared probe diverged at nprobe=$nprobe")
+    }
+    // pruning census in isolation: nprobe=4 runs ONE job whose only
+    // SUBMITTED stage has exactly 4 tasks (the cached shuffle parent in
+    // the lineage is listed on the job but skipped, never submitted)
+    val tasks4 = new java.util.concurrent.atomic.AtomicLong(0)
+    val stages = new java.util.concurrent.atomic.AtomicLong(0)
+    val jcount = new java.util.concurrent.atomic.AtomicLong(0)
+    val l2 = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jcount.incrementAndGet(); ()
+      }
+      override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        stages.incrementAndGet(); tasks4.addAndGet(s.stageInfo.numTasks.toLong); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l2)
+    try {
+      idx.serveDistributed(queries.head, 10, nprobe = 4, "vec_id")
+      Thread.sleep(300)
+      assert(jcount.get() == 1, s"prepared probe scheduled ${jcount.get()} jobs")
+      assert(stages.get() == 1, s"prepared probe submitted ${stages.get()} stages")
+      assert(tasks4.get() == 4, s"nprobe=4 probe ran ${tasks4.get()} tasks")
+    } finally spark.sparkContext.removeSparkListener(l2)
+    // metrics l2/ip (un-normalized scoring + tie paths)
+    val raw = emb.select(col("vec_id"),
+      graft.functions.VecFunctions.vecMulScalar(col("embedding"),
+        (col("vec_id") % 5 + 1).cast("float")).as("embedding"))
+    for (metric <- Seq(IvfIndex.MetricL2, IvfIndex.MetricIp)) {
+      val mi = IvfIndex.build(spark, raw, "embedding", nlist = 8, metric = metric)
+      val q = raw.where($"vec_id" === 3).select("embedding").as[Array[Float]].head()
+      val dist = mi.search(q, 10, nprobe = 3, Seq("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val prep = mi.serveDistributed(q, 10, nprobe = 3, "vec_id").toSeq
+      assert(prep == dist, s"prepared probe diverged under $metric")
+      mi.releaseProbe(); mi.data.unpersist()
+    }
+    // the prepared RDD is persisted while served, dropped on release
+    val before = spark.sparkContext.getPersistentRDDs.size
+    idx.releaseProbe()
+    assert(spark.sparkContext.getPersistentRDDs.size == before - 1,
+      "releaseProbe did not unpersist the prepared probe RDD")
+    idx.data.unpersist()
+  }
+
   test("0-row appendSegment publishes manifest only; load survives and drops the docs") {
     val home = freshIvfHome(0 until 10)
     val empty = docVecs(Nil).toDF("document_id", "embedding")
