@@ -47,6 +47,7 @@ object Bench {
       "t8_repetition_stats", "t10_dedup_spans", "t11_gopher_rules",
       "t12_lang_id_trained", "t13_bpe_tokens", "c3_sample_mixture",
       "c6_perplexity", "c7_quality_classifier", "c8_c4_clean", "c9_ngram_lm",
+      "c10_dsir_weights",
       "d1_minhash_lsh_pairs",
       "d2_simhash_pairs", "d3_dedup_groups", "d5_decontaminate",
       "d6_dedup_against",

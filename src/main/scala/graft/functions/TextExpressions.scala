@@ -94,6 +94,27 @@ case class TokenFnvBuckets(child: Expression, dim: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-position hashed word-n-gram buckets
+  * ([[TextKernels.wordNgramFnvBuckets]]) — the DSIR featurizer (hashed
+  * unigram/bigram counts, Xie et al. 2023). */
+case class WordNgramFnvBuckets(child: Expression, n: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngram_fnv_buckets"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0 && dim > 0 && (dim & (dim - 1)) == 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, n>0, and a power-of-two dim, got n=$n dim=$dim")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.wordNgramFnvBuckets(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.wordNgramFnvBuckets($a, $n, $dim)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-position hashed char-n-gram buckets
   * ([[TextKernels.charNgramFnvBuckets]]) — the fastText-shape featurizer
   * behind trained language identification. */
@@ -143,6 +164,8 @@ object TextFunctions {
   def tokenFnvBuckets(text: Column, dim: Int): Column = c(TokenFnvBuckets(e(text), dim))
   def charNgramFnvBuckets(text: Column, n: Int, dim: Int): Column =
     c(CharNgramFnvBuckets(e(text), n, dim))
+  def wordNgramFnvBuckets(text: Column, n: Int, dim: Int): Column =
+    c(WordNgramFnvBuckets(e(text), n, dim))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))

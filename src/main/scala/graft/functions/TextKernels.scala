@@ -193,6 +193,34 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-position hashed WORD-n-gram buckets (in position order):
+    * FNV-1a-64 of each n-token window of the lowercase whitespace tokens,
+    * space-joined, folded to `dim` buckets (power of two — the same
+    * signed/unsigned contract as [[tokenFnvBuckets]]; n = 1 produces
+    * exactly tokenFnvBuckets). The hashed n-gram featurizer of DSIR-style
+    * importance resampling (Xie et al., NeurIPS 2023: unigram+bigram
+    * counts hashed into a fixed-width table).
+    */
+  def wordNgramFnvBuckets(text: UTF8String, n: Int, dim: Int): ArrayData = {
+    val toks = tokens(text.toString)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyIntArray)
+    val out = new Array[Int](count)
+    var i = 0
+    while (i < count) {
+      val g = if (n == 1) toks(i)
+        else {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          sb.toString
+        }
+      out(i) = (fnv1a64(g) & (dim - 1)).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-position hashed CHARACTER-n-gram buckets (in position order):
     * FNV-1a-64 of each length-`n` character window of the lowercased text,
     * folded to `dim` buckets (power of two — same signed/unsigned contract

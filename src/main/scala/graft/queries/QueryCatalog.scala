@@ -969,6 +969,47 @@ object QueryCatalog {
             FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
             ORDER BY tk.doc_id"""))
 
+  /** DSIR importance weights (c10): distribution-matching data selection
+    * (Xie et al., NeurIPS 2023) with the target domain = the corpus's
+    * `lang = 'en'` slice — every document's hashed-unigram+bigram
+    * importance log-weight. The oracle recomputes the smoothed bucket
+    * models from scratch in SQL (full mechanism replay — the fit is pure
+    * counting, so nothing is inlined); weights behind round(4), the c9
+    * ln convention. */
+  val c10DsirWeights: GraftQuery = GraftQuery(
+    "c10_dsir_weights",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Dsir.fit(
+        docs.where(col("lang") === C10OracleSql.TargetLang), "text",
+        docs, "text",
+        dim = C10OracleSql.Dim, ngrams = 2, alpha = C10OracleSql.Alpha)
+      graft.operators.Dsir.logWeights(docs, "doc_id", "text", m)
+        .select(col("doc_id"), col("n_grams"),
+          (round(col("log_weight"), 4) + lit(0.0)).as("log_weight"))
+        .orderBy(col("doc_id"))
+    },
+    Some(C10OracleSql.weightsSql))
+
+  /** DSIR top-k selection (c11): the 60 most target-like documents.
+    * Both sides rank by the ROUNDED weight with an id tiebreak, so the
+    * selected set is rounding-stable across engines. */
+  val c11DsirSelect: GraftQuery = GraftQuery(
+    "c11_dsir_select",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Dsir.fit(
+        docs.where(col("lang") === C10OracleSql.TargetLang), "text",
+        docs, "text",
+        dim = C10OracleSql.Dim, ngrams = 2, alpha = C10OracleSql.Alpha)
+      graft.operators.Dsir.logWeights(docs, "doc_id", "text", m)
+        .select(col("doc_id"),
+          (round(col("log_weight"), 4) + lit(0.0)).as("log_weight"))
+        .orderBy(col("log_weight").desc, col("doc_id").asc)
+        .limit(C10OracleSql.SelectN)
+    },
+    Some(C10OracleSql.selectSql))
+
   /** C4 line/page cleaning (c8): the published Raffel et al. 2020 §2.2
     * heuristics over a deterministically synthesized multi-line corpus
     * (the driver corpus has no newlines or punctuation, so the query
@@ -4534,6 +4575,7 @@ object QueryCatalog {
     t10DedupSpans, t11GopherRules, t12LangIdTrained, t13BpeTokens,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
+    c10DsirWeights, c11DsirSelect,
     d1MinhashLsh, d2Simhash, d2bSimhashR5, d3DedupGroups, d4Deduplicate,
     d5Decontaminate, d6DedupAgainst,
     e1EmbeddingPairs, e2SemDedup,
