@@ -28,6 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
+  // scale-headroom runs: the driver-local ANN tiers collect GB-class blob
+  // sets (the sf100 condition) — forward a raised collect ceiling
+  sys.env.get("SPARK_DRIVER_MAX_RESULT").toSeq
+    .map(v => s"-Dspark.driver.maxResultSize=$v") ++
   // forward graft.* tuning props (e.g. -Dgraft.lsh.inlineVerifyMaxBytes=0)
   // into the forked run/test JVMs
   sys.props.toSeq.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" }

@@ -512,6 +512,40 @@ class HnswIndex private[operators] (
       .take(k)
   }
 
+  /** Prepared batch probe: [[serveDistributed]] for a request carrying
+    * several query vectors — ONE RDD job in which every graph partition
+    * answers every query (the blob tuple is touched once per task, the
+    * graph comes from the executor cache), then a per-query driver merge
+    * under [[searchBatch]]'s exact (score desc, id asc) order. Returns
+    * (query id → top-k hits) for every input query, including ties
+    * resolved identically to the plan-based path (HnswSpec pins it).
+    * The collect is (partitions × queries × k) rows — at 1000 partitions
+    * and 25 queries that is 250k tiny rows, still driver-trivial; for
+    * larger fan-ins use [[searchBatch]], whose merge is a distributed
+    * window. */
+  def serveBatchDistributed(queries: Seq[(Long, Array[Float])], k: Int,
+      ef: Int = 0): Map[Long, Seq[(Long, Double)]] = {
+    val ck = cacheKey
+    val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
+    val qs = queries
+    val kk = k
+    val partials = probeRdd.mapPartitions { it =>
+      it.flatMap { case (pid, bytes) =>
+        val g = HnswIndex.graphFor(ck, pid, bytes)
+        qs.iterator.flatMap { case (qid, q) =>
+          g.search(q, kk, efEff).iterator.map { case (id, s) => (qid, id, s) }
+        }
+      }
+    }.collect()
+    val byQuery = partials.groupBy(_._1)
+    queries.iterator.map { case (qid, _) =>
+      qid -> byQuery.getOrElse(qid, Array.empty)
+        .map { case (_, id, s) => (id, s) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).toSeq
+    }.toMap
+  }
+
   /** Driver-local serving tier: search every graph IN-PROCESS and merge,
     * with zero Spark jobs after the first call (the blobs collect once and
     * deserialize into the shared graph cache). This is the reference's own

@@ -199,6 +199,19 @@ class HnswSpec extends AnyFunSuite {
       assert(jobs.get() == 2L * queries.size,
         s"expected ${2 * queries.size} jobs, saw ${jobs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)
+    // the prepared BATCH path answers every query identically to the
+    // plan-based searchBatch (same per-graph search, same merge order),
+    // ties included
+    val qBatch = base.take(6).map { case (id, v) => (id, v) }
+    val prepBatch = idx.serveBatchDistributed(qBatch, 10, ef = 64)
+    val planBatch = idx.searchBatch(qBatch, 10, ef = 64, idName = "id")
+      .select($"query_id", $"id", $"score").as[(Long, Long, Double)]
+      .collect().groupBy(_._1)
+    qBatch.foreach { case (qid, _) =>
+      val a = prepBatch(qid)
+      val b = planBatch(qid).map { case (_, id, s) => (id, s) }.toSeq
+      assert(a == b, s"batch query $qid: prepared != plan-based")
+    }
     // the prepared RDD is persisted while served, dropped on release
     val before = spark.sparkContext.getPersistentRDDs.size
     idx.releaseProbe()
