@@ -1539,8 +1539,17 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         .limit(k)
         .select(col("document_id"), col("chunk_index"), col("score"))
     val kk = k + stale.toInt
-    val hits = hnswIndex(p, field).search(query, kk,
-      if (ef > 0) math.max(ef, kk) else 0, idName = "hid")
+    // prepared probe (HnswIndex.serveDistributed): one RDD job over the
+    // persisted blob rows, zero per-query Catalyst work — spec-pinned
+    // bit-identical to the plan-based search(); the kk-row hit set then
+    // broadcasts into the resolve join exactly as before. The prepared
+    // RDD lives with the served index instance and is released on the
+    // sync path's delete/invalidate, so a rebuilt field never serves
+    // stale blobs.
+    val hitRows = hnswIndex(p, field).serveDistributed(query, kk,
+      if (ef > 0) math.max(ef, kk) else 0)
+    import spark.implicits._
+    val hits = hitRows.toSeq.toDF("hid", "score")
     hnswKeyed(p, field)
       .join(broadcast(hits), "hid")
       .select(col("document_id"), col("chunk_index"), col("score"))
