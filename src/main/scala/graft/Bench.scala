@@ -204,9 +204,9 @@ object Bench {
           s, s"$dir/embeddings.parquet", emb, "embedding", nlist = nlist)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 5)
-          hits = queries.map { case (qid, qv) =>
-            val top = idx.serveDistributed(qv, 10, nprobe, "vec_id")
-            (qid, top.head._1, top.head._2)
+          hits = queries.flatMap { case (qid, qv) =>
+            idx.serveDistributed(qv, 10, nprobe, "vec_id").take(1)
+              .map { case (id, s) => (qid, id, s) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }
@@ -314,9 +314,11 @@ object Bench {
           m = 16, efConstruction = 64, numPartitions = 8)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 5)
-          hits = queries.map { case (qid, qv) =>
-            val top = idx.serveDistributed(qv, 10, ef = 64)
-            (qid, top.head._1, top.head._2)
+          hits = queries.flatMap { case (qid, qv) =>
+            // headOption: an empty probe yields no row instead of
+            // aborting the whole bench run on NoSuchElementException
+            idx.serveDistributed(qv, 10, ef = 64).take(1)
+              .map { case (id, s) => (qid, id, s) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }

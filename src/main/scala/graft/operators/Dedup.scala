@@ -25,7 +25,14 @@ object Dedup {
 
   /** One-slot registry of the scale-regime LSH signature cache: the next
     * lshGroupCandidates call releases the previous call's persist, so a
-    * session never pins more than one signature frame (ADVICE r15). */
+    * session never pins more than one signature frame (ADVICE r15).
+    * Deliberate tradeoff: a caller that BUILDS candidate frames for two
+    * corpora before EXECUTING the first one loses the first frame's cache
+    * and re-pays its double minhash scan (results stay exact — the
+    * persist is a cost optimization, and the sequential build-then-run
+    * pattern of Verify/Bench/production pipelines keeps the slot live
+    * through every job that needs it). Bounded memory wins over the
+    * concurrent-builders corner. */
   private val lastScaleSig =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 

@@ -119,8 +119,12 @@ object Dsir {
     * one row per input document (a gramless document scores 0.0). */
   def logWeights(
       docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
+    // null text folds to the empty document (0 grams, weight 0.0) on BOTH
+    // scoring paths — without the coalesce the literal path's aggregate
+    // null-propagates while the broadcast path's posexplode drops the row,
+    // and the two paths would rank a null-text doc differently
     val base = docs.select(col(idCol),
-      gramBuckets(col(textCol), m.dim, m.ngrams).as("__bks"))
+      gramBuckets(coalesce(col(textCol), lit("")), m.dim, m.ngrams).as("__bks"))
     if (m.dim <= literalMaxDim) {
       val lrLit = typedLit(m.logRatios.toIndexedSeq)
       base.select(col(idCol),

@@ -457,6 +457,12 @@ class HnswIndex private[operators] (
   // the fallback story on a busy cluster is Spark's own. Built at most
   // once per index instance; released with the instance (family release /
   // invalidate), so a rewritten source never serves stale blobs.
+  // Residency tradeoff, stated plainly: while BOTH the plan paths
+  // (search/searchBatch over the cached DataFrame) and the prepared paths
+  // are in use, the blobs are resident twice (columnar cache + object
+  // cache) — GB-class at 5M nodes. A prepared-only deployment can
+  // `graphs.unpersist()` after the first probe; at forest sizes where
+  // this matters the driver-local tier is the designed serving shape.
   @transient private lazy val probeRddRef =
     new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.rdd.RDD[(Int, Array[Byte])]](null)
@@ -639,7 +645,11 @@ object HnswIndex {
   private val Sidecar = "meta.json"
   // bump when the graph layout or build scheme changes: the format version
   // keys the persisted home, so an old-format index is never served
-  private val FormatVersion = 2
+  // v3: the r16 builder rework (DHeap candidate/result queues, unrolled
+  // dist accumulation) changes edge selection on distance ties and ulp-
+  // level distances — rebuilds no longer bit-reproduce v2 homes, so v2
+  // homes must not take v3 delta segments (review finding, this round)
+  private val FormatVersion = 3
 
   /** pgvector's three operator classes (pipeline.rs:526-543; the reference
     * default is vector_cosine_ops). The metric is a BUILD-time property —

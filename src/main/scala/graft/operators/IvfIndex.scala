@@ -111,7 +111,8 @@ class IvfIndex private[operators] (
       val counts = new Array[Int](k)
       rows.foreach(r => counts(r._3) += 1)
       val idArr = Array.tabulate(k)(c => new Array[Long](counts(c)))
-      val flatArr = Array.tabulate(k)(c => new Array[Float](counts(c) * d))
+      val flatArr = Array.tabulate(k)(c => new Array[Float](
+        VectorSearch.flatFloats(counts(c), d, s"IVF local postings (cluster $c)")))
       val fill = new Array[Int](k)
       rows.foreach { case (id, v, c) =>
         val i = fill(c); fill(c) += 1
@@ -177,7 +178,8 @@ class IvfIndex private[operators] (
           else {
             val d = rows(0)._2._2.length
             val ids = new Array[Long](rows.length)
-            val flat = new Array[Float](rows.length * d)
+            val flat = new Array[Float](
+              VectorSearch.flatFloats(rows.length, d, "IVF prepared cluster blob"))
             var i = 0
             while (i < rows.length) {
               ids(i) = rows(i)._2._1
@@ -501,9 +503,15 @@ object IvfIndex {
         org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
+    // a NULL vector cannot rank in any probe (its scores null-propagate to
+    // the bottom of every ordering), so it never surfaces from the index —
+    // drop it HERE so both assignment mechanisms see the same rows: the
+    // expression path would quietly store it with null scores while the
+    // kernel path's UDF would NPE (review finding, this round)
+    val rows = df.where(col(vecCol).isNotNull)
     if (centroids.length <= AssignExprMaxCentroids || !floatElems)
-      assignClustersExpr(df, centroids, vecCol, nassign, metric)
-    else assignClustersKernel(df, centroids, vecCol, nassign, metric)
+      assignClustersExpr(rows, centroids, vecCol, nassign, metric)
+    else assignClustersKernel(rows, centroids, vecCol, nassign, metric)
   }
 
   /** Narrow-quantizer mechanism: sort the per-centroid score structs desc,

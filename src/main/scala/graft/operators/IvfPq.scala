@@ -282,7 +282,8 @@ object IvfPq {
         .as[(Long, Array[Float])].collect()
       val d = if (rows.isEmpty) 1 else rows(0)._2.length
       val idx = new VectorSearch.LongIntIndex(rows.length)
-      val flat = new Array[Float](rows.length * d)
+      val flat = new Array[Float](
+        VectorSearch.flatFloats(rows.length, d, "IVF-PQ local rerank snapshot"))
       var i = 0
       while (i < rows.length) {
         idx.put(rows(i)._1, i)

@@ -40,6 +40,18 @@ object VectorSearch {
     h.result()
   }
 
+  /** Int-safe size of an `nRows × d` flat float snapshot: the product is
+    * checked in Long so a 5M-row × 768-dim tier REFUSES loudly instead of
+    * wrapping negative (NegativeArraySizeException) or — worse — wrapping
+    * to a small positive length and corrupting the copy loop. */
+  private[graft] def flatFloats(nRows: Int, d: Int, what: String): Int = {
+    val n = nRows.toLong * d
+    require(n <= Int.MaxValue - 8L,
+      s"$what needs a $n-float flat snapshot, past the JVM array ceiling — " +
+        "shard the tier (more clusters / more partitions) or serve distributed")
+    n.toInt
+  }
+
   /** Size-k heap over primitive (id, score) arrays, head = the WORST kept
     * hit under (score asc, id desc) — so [[topHits]]'s rank order falls
     * out of extract-all. Single-use: [[result]] drains the heap. */

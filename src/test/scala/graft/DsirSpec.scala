@@ -53,13 +53,23 @@ class DsirSpec extends AnyFunSuite {
     }
   }
 
-  test("gram counting: n tokens give n unigrams + (n-1) bigrams; gramless text scores 0") {
-    val tiny = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, " \t ")).toDF("doc_id", "text")
-    val rows = Dsir.logWeights(tiny, "doc_id", "text", model)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+  test("gram counting: n tokens give n unigrams + (n-1) bigrams; gramless/null text scores 0 on both paths") {
+    val tiny = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, " \t "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def run(): Map[Long, (Long, Double)] =
+      Dsir.logWeights(tiny, "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = run()
     assert(rows(1L)._1 == 5, s"3 tokens should give 5 grams, got ${rows(1L)._1}")
     assert(rows(2L)._1 == 1)
     assert(rows(3L) == ((0L, 0.0)), s"gramless doc: ${rows(3L)}")
+    assert(rows(4L) == ((0L, 0.0)), s"null-text doc: ${rows(4L)}")
+    // the broadcast path must agree on the null/gramless rows too (it
+    // drops occurrence-less docs at posexplode and recovers them in the
+    // left join; the literal path folds an empty array — review finding)
+    val saved = Dsir.literalMaxDim
+    try { Dsir.literalMaxDim = 1; assert(run() == rows) }
+    finally Dsir.literalMaxDim = saved
   }
 
   test("select returns the deterministic top-n; resample is seed-deterministic and seed-sensitive") {
