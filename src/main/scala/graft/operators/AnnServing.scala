@@ -85,4 +85,38 @@ object AnnServing {
       case other => throw new IllegalArgumentException(
         s"unknown ANN family '$other' — localProber serves ${Families.mkString("/")}")
     }
+
+  /** Families with a PREPARED distributed probe ([[distributedProber]]).
+    * IVF-PQ's distributed path stays plan-based (composite-keyed codes;
+    * its driver-local tier is the latency path) — refused here rather
+    * than silently served through a different mechanism. */
+  val DistributedFamilies: Seq[String] = Seq("hnsw", "ivf")
+
+  /** Resolve-once DISTRIBUTED probe handle — [[localProber]]'s twin over
+    * the prepared serving paths ([[HnswIndex.serveDistributed]] /
+    * [[IvfIndex.serveDistributed]]): one RDD job per request, zero
+    * per-query Catalyst work, results spec-pinned bit-identical to the
+    * family's plan-based search. This is the tier for forests too large
+    * (or too hot) for driver residency: per-request work is P
+    * process-local tasks (HNSW) or exactly nprobe pruned tasks (IVF)
+    * plus a tiny driver merge, and the executors hold the index. Same
+    * acquisition contract as [[localProber]]: the home resolves once per
+    * handle; re-acquire to pick up a rewritten source. */
+  def distributedProber(
+      spark: SparkSession, family: String, sourcePath: String,
+      df: => DataFrame, idCol: String, vecCol: String,
+      params: LocalParams = LocalParams()): (Array[Float], Int) => Seq[(Long, Double)] =
+    family match {
+      case "hnsw" =>
+        val idx = HnswIndex.serveOrBuild(spark, sourcePath, df, vecCol, idCol,
+          params.hnswM, params.efConstruction, params.numPartitions, params.metric)
+        (q, k) => idx.serveDistributed(q, k, params.ef).toSeq
+      case "ivf" =>
+        val idx = IvfIndex.serveOrBuild(spark, sourcePath, df, vecCol,
+          params.nlist, params.metric)
+        (q, k) => idx.serveDistributed(q, k, params.nprobe, idCol).toSeq
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN family '$other' — distributedProber serves " +
+          DistributedFamilies.mkString("/"))
+    }
 }

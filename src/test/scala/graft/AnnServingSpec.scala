@@ -56,6 +56,22 @@ class AnnServingSpec extends AnyFunSuite {
     }
   }
 
+  test("distributedProber (prepared tier) equals serveLocal for hnsw/ivf; ivfpq refuses") {
+    val queries = Seq(3L, 9L, 21L).map(queryVec)
+    val p = AnnServing.LocalParams(nlist = 16)
+    for (fam <- AnnServing.DistributedFamilies) {
+      val probe = AnnServing.distributedProber(spark, fam, src, emb, "vec_id", "embedding", p)
+      for (q <- queries)
+        assert(probe(q, 10) ==
+          AnnServing.serveLocal(spark, fam, src, emb, "vec_id", "embedding", q, 10, p),
+          s"$fam distributed prober diverged from the local tier")
+    }
+    val err = intercept[IllegalArgumentException] {
+      AnnServing.distributedProber(spark, "ivfpq", src, emb, "vec_id", "embedding", p)
+    }
+    assert(err.getMessage.contains("hnsw/ivf"))
+  }
+
   test("unknown family refuses loudly") {
     val err = intercept[IllegalArgumentException] {
       AnnServing.serveLocal(spark, "flat", src, emb, "vec_id", "embedding",
