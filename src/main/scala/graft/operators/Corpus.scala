@@ -791,4 +791,91 @@ object Corpus {
       .withColumn("pack_id", (col("tok_start") / budget).cast("long"))
       .select(col(idCol), col("stripe"), col("pack_id"), col("n_tokens"), col("tok_start"))
   }
+
+  /** [[shuffleToShards]] / [[temperatureMixture]] draw from hash families
+    * distinct from [[sampleMixture]]/[[assignSplits]] (same rationale as
+    * [[splitDrawSeed]]: under one user seed, a shared family would make
+    * the shard order correlate with the sample's survivor slice). */
+  private[graft] def shardDrawSeed(seed: Long): Long = seed ^ 0x534841524453L // "SHARDS"
+  private[graft] def temperDrawSeed(seed: Long): Long = seed ^ 0x54454d504552L // "TEMPER"
+
+  /** Deterministic epoch shuffle into `numShards` shards — the global
+    * reshuffle every pretraining pipeline runs between curation and
+    * tokenization, so a training epoch streams documents in hash-random
+    * order from uniformly-sized shard files instead of crawl order. Both
+    * coordinates are pure functions of (id, seed): a document's shard is
+    * pmod(mix64(id), numShards) and its within-shard position is the rank
+    * of its draw (ties broken by id, so distinct ids make the layout
+    * total) — stable across runs, retries, and partition layouts, so a
+    * resumed epoch reads the identical order and a grown corpus never
+    * migrates existing documents between positions of OTHER shards.
+    *
+    * Spark shape: ONE hash exchange (the window's partitioning on the
+    * shard key) + a within-partition sort — there is no global sort. At
+    * 100 TB pick numShards at least the cluster parallelism: each task
+    * sorts ~corpus/numShards rows of (id, draw), and the materialized
+    * layout is then `result.join(docs).write.partitionBy("shard")` (or
+    * `repartition(col("shard")) + sortWithinPartitions(col("pos"))` for
+    * exactly one ordered file per shard).
+    *
+    * Output: (idCol, shard, pos).
+    */
+  def shuffleToShards(
+      docs: DataFrame, idCol: String,
+      numShards: Int, seed: Long = 0L): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__draw"), col(idCol))
+    docs
+      .select(col(idCol),
+        TextFunctions.mix64(idHash64(docs, idCol), shardDrawSeed(seed)).as("__draw"))
+      .withColumn("shard", pmod(col("__draw"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Temperature-α rate for one domain: keep-probability (nMin/n)^(1−α),
+    * anchored at the smallest domain so every target is feasible without
+    * replacement (expected kept size nMin^(1−α)·n^α ≤ n, i.e. sizes
+    * ∝ n^α). α = 0.5 routes through sqrt — division and sqrt are
+    * correctly-rounded IEEE ops in both the JVM and DuckDB, so the c12
+    * oracle replays the arithmetic bit-exactly; other α go through
+    * math.pow (1-ulp class, spec-covered in-JVM only). */
+  private[graft] def temperatureRate(nMin: Long, n: Long, alpha: Double): Double =
+    if (alpha == 0.5) math.sqrt(nMin.toDouble / n.toDouble)
+    else math.pow(nMin.toDouble / n.toDouble, 1.0 - alpha)
+
+  /** Temperature-α domain reweighting — the multilingual/multi-source
+    * sampling rule (mC4, XLM-R: p_i ∝ n_i^α) that flattens a natural
+    * crawl mixture toward uniform domain sizes without upsampling: domain
+    * i keeps each document independently with rate (n_min/n_i)^(1−α)
+    * ([[temperatureRate]] — 1 for the smallest domain; α = 1 keeps
+    * everything, α → 0 equalizes domain sizes at ~n_min). Unlike
+    * [[sampleMixture]] the rates are LEARNED from the corpus (one count
+    * per domain), not caller-supplied.
+    *
+    * Spark shape: ONE count aggregate over the domain column (map-side
+    * partials, |domains| result rows to the driver — the semDedup
+    * centroid convention) fixes the thresholds; the keep decision is then
+    * the [[sampleMixture]] draw mechanics under a distinct hash family
+    * ([[temperDrawSeed]]) against a plan-literal threshold map — a pure
+    * map-side filter fused into the scan, so nothing about the corpus
+    * itself ever shuffles and the decision is stable across runs,
+    * retries, and partition layouts. Rows with a NULL domain are dropped
+    * (no count, no threshold).
+    */
+  def temperatureMixture(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, seed: Long = 0L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = docs.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("__src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return docs.where(lit(false))
+    val nMin = counts.values.min
+    val thresholds = counts.map { case (s, n) =>
+      s -> drawThreshold(temperatureRate(nMin, n, alpha))
+    }
+    val u = draw24(docs, idCol, temperDrawSeed(seed))
+    docs.where(u < element_at(typedLit(thresholds), col(sourceCol).cast("string")))
+  }
 }

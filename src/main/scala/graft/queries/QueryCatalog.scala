@@ -837,6 +837,42 @@ object QueryCatalog {
         .select(col("doc_id"), col("split")).orderBy(col("doc_id")),
     Some(C5OracleSql.sql))
 
+  /** Temperature-α domain reweighting (mC4/XLM-R p_i ∝ n_i^α), rates
+    * LEARNED from per-domain counts. α pinned at 0.5 so the oracle's
+    * independent sqrt∘division threshold recomputation is bit-exact
+    * (C12OracleSql — counts, rates, thresholds, and draw all replayed
+    * from scratch in SQL; nothing shared with the operator). Sources
+    * fold into skewed head/mid/tail tiers first (~7:2:1) so the rates
+    * are genuinely fractional — the corpus's raw sources are uniform,
+    * which would make every rate 1 and the gate vacuous.
+    */
+  val c12TemperatureMixture: GraftQuery = GraftQuery(
+    "c12_temperature_mixture",
+    (s, dir) =>
+      graft.operators.Corpus.temperatureMixture(
+          t(s, dir, "documents").withColumn("domain",
+            when(col("source").isin(C12OracleSql.headSrcs: _*), "head")
+              .when(col("source").isin(C12OracleSql.midSrcs: _*), "mid")
+              .otherwise("tail")),
+          "doc_id", "domain",
+          C12OracleSql.alpha, C12OracleSql.seed)
+        .select(col("doc_id"), col("domain")).orderBy(col("doc_id")),
+    Some(C12OracleSql.sql))
+
+  /** Deterministic epoch shuffle into shards: shard = pmod of the seeded
+    * splitmix64 draw, pos = within-shard rank of (draw, id) — one hash
+    * exchange, no global sort. The oracle replays draw, shard, and rank
+    * from scratch (T14OracleSql; 7 shards exercises signed-pmod folding).
+    */
+  val t14ShardShuffle: GraftQuery = GraftQuery(
+    "t14_shard_shuffle",
+    (s, dir) =>
+      graft.operators.Corpus.shuffleToShards(
+          t(s, dir, "documents"), "doc_id",
+          T14OracleSql.numShards, T14OracleSql.seed)
+        .orderBy(col("doc_id")),
+    Some(T14OracleSql.sql))
+
   /** PII redaction (C4-style scrubbing): email → IPv4 → phone-shaped
     * regexp_replace chain. The corpus text carries no PII, so the query
     * plants a deterministic PII suffix on every document and redacts it —
@@ -4573,9 +4609,10 @@ object QueryCatalog {
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans, t11GopherRules, t12LangIdTrained, t13BpeTokens,
+    t14ShardShuffle,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
-    c10DsirWeights, c11DsirSelect,
+    c10DsirWeights, c11DsirSelect, c12TemperatureMixture,
     d1MinhashLsh, d2Simhash, d2bSimhashR5, d3DedupGroups, d4Deduplicate,
     d5Decontaminate, d6DedupAgainst,
     e1EmbeddingPairs, e2SemDedup,

@@ -26,11 +26,25 @@ object SplitmixSql {
 
   /** CTE chain computing `u` = top 24 bits of mix64(doc_id, seed) next to
     * the given passthrough columns; terminates in a relation named `m3`
-    * with columns (passthrough..., u). */
-  def drawCtes(seed: Long, passthrough: String): String =
+    * with columns (passthrough..., u). `from` is the relation scanned by
+    * the first link (the passthrough columns must exist on it). */
+  def drawCtes(seed: Long, passthrough: String, from: String = "documents"): String =
+    s"""m0 AS (SELECT $passthrough,
+       |    xor(doc_id::HUGEINT, ${seedMixed(seed)}::HUGEINT) AS z FROM $from),
+       |m1 AS (SELECT $passthrough, ${mul("xor(z, z >> 30)", C1)} AS z FROM m0),
+       |m2 AS (SELECT $passthrough, ${mul("xor(z, z >> 27)", C2)} AS z FROM m1),
+       |m3 AS (SELECT $passthrough, xor(z, z >> 31) >> 40 AS u FROM m2)""".stripMargin
+
+  /** [[drawCtes]] but keeping the FULL 64-bit avalanche, folded to the
+    * SIGNED BIGINT the JVM Long orders/mods by (the T6 rule); terminates
+    * in a relation named `m3` with columns (passthrough..., b). */
+  def signedCtes(seed: Long, passthrough: String): String =
     s"""m0 AS (SELECT $passthrough,
        |    xor(doc_id::HUGEINT, ${seedMixed(seed)}::HUGEINT) AS z FROM documents),
        |m1 AS (SELECT $passthrough, ${mul("xor(z, z >> 30)", C1)} AS z FROM m0),
        |m2 AS (SELECT $passthrough, ${mul("xor(z, z >> 27)", C2)} AS z FROM m1),
-       |m3 AS (SELECT $passthrough, xor(z, z >> 31) >> 40 AS u FROM m2)""".stripMargin
+       |m3 AS (SELECT $passthrough,
+       |    CASE WHEN xor(z, z >> 31) >= 9223372036854775808::HUGEINT
+       |         THEN (xor(z, z >> 31) - 18446744073709551616::HUGEINT)::BIGINT
+       |         ELSE xor(z, z >> 31)::BIGINT END AS b FROM m2)""".stripMargin
 }

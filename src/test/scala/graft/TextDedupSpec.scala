@@ -310,6 +310,99 @@ class TextDedupSpec extends AnyFunSuite {
       s"sampled survivors collapsed into $chained")
   }
 
+  test("shuffleToShards: dense ranks, balanced shards, layout-independent, total permutation at 1 shard") {
+    val docs = (0 until 3000).map(i => (i.toLong, s"d$i")).toDF("id", "text")
+    val out = graft.operators.Corpus.shuffleToShards(docs, "id", numShards = 7, seed = 3L)
+    val rows = out.as[(Long, Int, Long)].collect()
+    assert(rows.length == 3000 && rows.map(_._1).distinct.length == 3000)
+    // within every shard the positions are exactly 0..count-1 (dense rank)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length.toLong),
+        s"shard $shard positions not dense")
+    }
+    // hash-uniform shards: ~3000/7 each
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.keys.toSet.subsetOf((0 until 7).toSet))
+    sizes.foreach { case (s, n) => assert(math.abs(n - 3000 / 7) < 120, s"shard $s size $n") }
+    // pure function of (id, seed): identical layout at any partitioning
+    val repart = graft.operators.Corpus.shuffleToShards(
+      docs.repartition(13), "id", numShards = 7, seed = 3L)
+      .as[(Long, Int, Long)].collect()
+    assert(repart.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // one shard = a total permutation of the corpus, and it's shuffled
+    // (not id order)
+    val one = graft.operators.Corpus.shuffleToShards(docs, "id", numShards = 1, seed = 3L)
+      .as[(Long, Int, Long)].collect()
+    assert(one.map(_._3).sorted.toSeq == (0L until 3000L))
+    assert(one.sortBy(_._3).map(_._1).take(100).toSeq != (0L until 100L).toSeq)
+    // string ids hash rather than null-cast
+    val byName = graft.operators.Corpus.shuffleToShards(docs, "text", numShards = 7, seed = 3L)
+    assert(byName.count() == 3000)
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.shuffleToShards(docs, "id", numShards = 0)
+    }
+    // 100 TB contract: on a multi-partition input, exactly ONE hash
+    // exchange (the window's shard partitioning; the input's own
+    // round-robin repartition is not hash) and no global sort anywhere
+    // (AQE planned lazily hides exchanges — off for the inspection only)
+    val plan =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        graft.operators.Corpus.shuffleToShards(
+            docs.repartition(13), "id", numShards = 7, seed = 3L)
+          .queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val hashExchanges = plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.length == 1,
+      s"expected 1 hash exchange, got ${hashExchanges.length}")
+    assert(plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.isEmpty, "shuffleToShards must not global-sort")
+  }
+
+  test("temperatureMixture: alpha=1 keeps all, rates track (nmin/n)^(1-a), smallest domain survives whole") {
+    // skewed domains: 2000 / 500 / 125
+    val docs = ((0 until 2000).map(i => (i.toLong, "big")) ++
+      (2000 until 2500).map(i => (i.toLong, "mid")) ++
+      (2500 until 2625).map(i => (i.toLong, "small"))).toDF("id", "source")
+    // alpha = 1: the natural mixture — every document kept
+    assert(graft.operators.Corpus.temperatureMixture(docs, "id", "source", alpha = 1.0)
+      .count() == 2625)
+    // alpha = 0.5: expected kept sizes nmin^(1-a) * n^a = sqrt(125 * n)
+    val kept = graft.operators.Corpus.temperatureMixture(
+        docs, "id", "source", alpha = 0.5, seed = 11L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 125L) // anchor domain: rate exactly 1
+    assert(math.abs(kept("mid") - math.sqrt(125.0 * 500)) < 60,
+      s"mid kept ${kept("mid")}")
+    assert(math.abs(kept("big") - math.sqrt(125.0 * 2000)) < 80,
+      s"big kept ${kept("big")}")
+    // deterministic + layout-independent
+    val again = graft.operators.Corpus.temperatureMixture(
+      docs.repartition(13), "id", "source", alpha = 0.5, seed = 11L)
+    assert(again.count() == kept.values.sum)
+    // general alpha routes through pow: alpha -> 0 flattens toward nmin
+    val flat = graft.operators.Corpus.temperatureMixture(
+        docs, "id", "source", alpha = 0.1, seed = 11L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("big") < kept("big") && math.abs(flat("big") -
+      math.pow(125.0, 0.9) * math.pow(2000.0, 0.1)) < 60)
+    // null domains drop; alpha validated
+    val withNull = docs.withColumn("source",
+      when(col("id") < 10, lit(null: String)).otherwise(col("source")))
+    assert(graft.operators.Corpus.temperatureMixture(
+      withNull, "id", "source", alpha = 1.0).count() == 2615)
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.temperatureMixture(docs, "id", "source", alpha = 0.0)
+    }
+  }
+
   test("redactPii scrubs emails, IPv4s, and phone runs; prose survives") {
     val rows = Seq(
       (1L, "write to First.Last+tag@sub.example.co.uk today"),
