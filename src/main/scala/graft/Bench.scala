@@ -45,7 +45,8 @@ object Bench {
       "t2_token_stats", "t3_quality_score", "t4_bpeish_token_count",
       "t5_lang_id", "t6_fingerprint", "t7_pack_sequences",
       "t8_repetition_stats", "t10_dedup_spans", "t11_gopher_rules",
-      "t12_lang_id_trained", "t13_bpe_tokens", "c3_sample_mixture",
+      "t12_lang_id_trained", "t13_bpe_tokens", "t14_shard_shuffle",
+      "c3_sample_mixture", "c12_temperature_mixture", "c13_token_budget",
       "c6_perplexity", "c7_quality_classifier", "c8_c4_clean", "c9_ngram_lm",
       "c10_dsir_weights",
       "d1_minhash_lsh_pairs",

@@ -844,6 +844,81 @@ object Corpus {
     if (alpha == 0.5) math.sqrt(nMin.toDouble / n.toDouble)
     else math.pow(nMin.toDouble / n.toDouble, 1.0 - alpha)
 
+  private[graft] def budgetDrawSeed(seed: Long): Long = seed ^ 0x425544474554L // "BUDGET"
+
+  /** Token-budget mixture selection — mixtures are really specified in
+    * TOKENS, not documents ("40B tokens of web, 5B of code"): per domain,
+    * take documents in the seeded-draw order until the domain's token
+    * budget is exhausted (a document is kept iff it fits ENTIRELY:
+    * tok_start + n_tokens ≤ budget). Deterministic: the order is the
+    * signed splitmix64 draw (ties by id) under the distinct BUDGET hash
+    * family, so the selected set is stable across runs, retries, and
+    * partition layouts, and adding new documents never evicts an already
+    * -selected one whose draw precedes the cut.
+    *
+    * Spark shape — the naive form is one window per domain (one reducer
+    * per domain: dead at 100 TB). Instead the running token count is an
+    * ORDER-PRESERVING striped prefix sum: bucket = the draw's top bits
+    * (arithmetic shift — monotone in the signed draw, so buckets are
+    * contiguous draw ranges AND uniformly sized, the draw being uniform),
+    * per-(domain, bucket) window cumsums run with domains×buckets-way
+    * parallelism, and the driver prefix-sums the |domains|·buckets bucket
+    * totals (corpus-independent collect) into broadcast offsets —
+    * tok_start = offset + within-bucket cumsum equals the global
+    * per-domain cumsum exactly. That equivalence is what the c13 oracle
+    * proves: DuckDB computes the NAIVE single global window per domain.
+    * The frame scans twice (totals + window); at 100 TB pre-project or
+    * persist the slim (id, domain, draw, n_tokens) frame — ~40 B/doc —
+    * rather than tokenize twice.
+    *
+    * Domains absent from `budgets` get `defaultBudget` (default: no cap).
+    * Rows with a NULL domain are dropped. Output: (idCol, sourceCol,
+    * n_tokens, tok_start) for the kept documents.
+    */
+  def tokenBudgetMixture(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = Long.MaxValue,
+      seed: Long = 0L, buckets: Int = 256): DataFrame = {
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "budgets must be non-negative")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= 65536,
+      "buckets must be a power of two <= 65536")
+    val shift = 64 - java.lang.Long.numberOfTrailingZeros(buckets.toLong).toInt
+    val bucketCol =
+      if (shift >= 64) lit(0) else shiftright(col("__draw"), shift).cast("int")
+    val base = docs
+      .where(col(sourceCol).isNotNull)
+      .select(col(idCol), col(sourceCol),
+        col(sourceCol).cast("string").as("__src"),
+        TextFunctions.mix64(idHash64(docs, idCol), budgetDrawSeed(seed)).as("__draw"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__bucket", bucketCol)
+    // |domains| x buckets rows — corpus-size-independent driver state
+    val totals = base.groupBy(col("__src"), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (src, ts) =>
+      // ascending signed bucket order == ascending signed draw order
+      val sorted = ts.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _).init)
+        .map { case (bucket, off) => (src, bucket, off) }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("__src", "__bucket", "__offset")
+    val w = Window.partitionBy(col("__src"), col("__bucket"))
+      .orderBy(col("__draw"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = coalesce(
+      element_at(typedLit(budgets), col("__src")), lit(defaultBudget))
+    base
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(offsetsDf), Seq("__src", "__bucket"))
+      .withColumn("tok_start", col("__offset") + col("__cum"))
+      .where(col("tok_start") + col("n_tokens") <= budget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("tok_start"))
+  }
+
   /** Temperature-α domain reweighting — the multilingual/multi-source
     * sampling rule (mC4, XLM-R: p_i ∝ n_i^α) that flattens a natural
     * crawl mixture toward uniform domain sizes without upsampling: domain

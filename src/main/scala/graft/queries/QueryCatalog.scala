@@ -859,6 +859,27 @@ object QueryCatalog {
         .select(col("doc_id"), col("domain")).orderBy(col("doc_id")),
     Some(C12OracleSql.sql))
 
+  /** Token-budget mixture selection: per skewed domain tier, take
+    * documents in seeded-draw order until the tier's TOKEN budget is
+    * exhausted (head/mid budgets bind; tail rides the uncapped default).
+    * The operator's order-preserving striped prefix sum is oracled
+    * against the NAIVE global per-domain window in DuckDB — the oracle
+    * IS the distributed-mechanism ≡ sequential-semantics proof, in pure
+    * integer arithmetic (C13OracleSql).
+    */
+  val c13TokenBudget: GraftQuery = GraftQuery(
+    "c13_token_budget",
+    (s, dir) =>
+      graft.operators.Corpus.tokenBudgetMixture(
+          t(s, dir, "documents").withColumn("domain",
+            when(col("source").isin(C12OracleSql.headSrcs: _*), "head")
+              .when(col("source").isin(C12OracleSql.midSrcs: _*), "mid")
+              .otherwise("tail")),
+          "doc_id", "text", "domain",
+          C13OracleSql.budgets, seed = C13OracleSql.seed)
+        .orderBy(col("doc_id")),
+    Some(C13OracleSql.sql))
+
   /** Deterministic epoch shuffle into shards: shard = pmod of the seeded
     * splitmix64 draw, pos = within-shard rank of (draw, id) — one hash
     * exchange, no global sort. The oracle replays draw, shard, and rank
@@ -4612,7 +4633,7 @@ object QueryCatalog {
     t14ShardShuffle,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
-    c10DsirWeights, c11DsirSelect, c12TemperatureMixture,
+    c10DsirWeights, c11DsirSelect, c12TemperatureMixture, c13TokenBudget,
     d1MinhashLsh, d2Simhash, d2bSimhashR5, d3DedupGroups, d4Deduplicate,
     d5Decontaminate, d6DedupAgainst,
     e1EmbeddingPairs, e2SemDedup,

@@ -38,9 +38,9 @@ object SplitmixSql {
   /** [[drawCtes]] but keeping the FULL 64-bit avalanche, folded to the
     * SIGNED BIGINT the JVM Long orders/mods by (the T6 rule); terminates
     * in a relation named `m3` with columns (passthrough..., b). */
-  def signedCtes(seed: Long, passthrough: String): String =
+  def signedCtes(seed: Long, passthrough: String, from: String = "documents"): String =
     s"""m0 AS (SELECT $passthrough,
-       |    xor(doc_id::HUGEINT, ${seedMixed(seed)}::HUGEINT) AS z FROM documents),
+       |    xor(doc_id::HUGEINT, ${seedMixed(seed)}::HUGEINT) AS z FROM $from),
        |m1 AS (SELECT $passthrough, ${mul("xor(z, z >> 30)", C1)} AS z FROM m0),
        |m2 AS (SELECT $passthrough, ${mul("xor(z, z >> 27)", C2)} AS z FROM m1),
        |m3 AS (SELECT $passthrough,

@@ -403,6 +403,48 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetMixture: striped == naive, budgets bind exactly, default uncapped") {
+    // ~4600 tokens in 'web' (400 docs x 8..15 tokens), ~330 in 'code'
+    val docs = ((0 until 400).map(i => (i.toLong, "web", ("tok " * (8 + i % 8)).trim)) ++
+      (400 until 430).map(i => (i.toLong, "code", ("tok " * 11).trim))).toDF("id", "source", "text")
+    val budgets = Map("web" -> 1000L)
+    val out = graft.operators.Corpus.tokenBudgetMixture(
+        docs, "id", "text", "source", budgets, seed = 13L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // the striped prefix sum equals the naive global window: 1 bucket IS
+    // the naive form, and any power-of-two striping must agree with it
+    for (b <- Seq(1, 2, 256, 65536)) {
+      val alt = graft.operators.Corpus.tokenBudgetMixture(
+          docs.repartition(11), "id", "text", "source", budgets, seed = 13L, buckets = b)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(alt.toSeq == out.toSeq, s"buckets=$b diverged from default")
+    }
+    // web: kept tokens fill the budget as far as the next doc allows
+    val web = out.filter(_._2 == "web")
+    val webTokens = web.map(_._3).sum
+    assert(webTokens <= 1000L && webTokens > 900L, s"web kept $webTokens tokens")
+    // code rides the uncapped default: all 30 docs kept
+    assert(out.count(_._2 == "code") == 30)
+    // the kept set is exactly the docs that FIT: recompute tok_start
+    // uncapped (cumsum over ALL docs in draw order) and re-apply the rule
+    val uncapped = graft.operators.Corpus.tokenBudgetMixture(
+        docs, "id", "text", "source", Map.empty, seed = 13L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(uncapped.length == 430) // no cap: everything kept, with positions
+    val expectWeb = uncapped.filter(r => r._2 == "web" && r._4 + r._3 <= 1000L)
+      .map(_._1).sorted.toSeq
+    assert(web.map(_._1).sorted.toSeq == expectWeb)
+    // and within one domain the positions are a permutation-consistent
+    // cumsum: sorting by tok_start, each start equals the sum of all
+    // earlier docs' tokens
+    val allWeb = uncapped.filter(_._2 == "web").sortBy(_._4)
+    assert(allWeb.zip(allWeb.scanLeft(0L)(_ + _._3).init)
+      .forall { case (doc, start) => doc._4 == start })
+    // zero budget keeps nothing (no zero-token docs here)
+    assert(graft.operators.Corpus.tokenBudgetMixture(
+      docs, "id", "text", "source", Map.empty, defaultBudget = 0L).count() == 0)
+  }
+
   test("redactPii scrubs emails, IPv4s, and phone runs; prose survives") {
     val rows = Seq(
       (1L, "write to First.Last+tag@sub.example.co.uk today"),
