@@ -73,6 +73,23 @@ case class Mix64(child: Expression, seed: Long) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Allocation-free whitespace token count ([[TextKernels.tokenCount]]) —
+  * bit-identical to `size(split(trim(text), "\\s+"))` but without the
+  * per-row split array (the measured GC storm at 500k+ docs). */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokenCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.tokenCount($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-token FNV-1a-64 feature buckets ([[TextKernels.tokenFnvBuckets]]) —
   * the hashed bag-of-words featurizer behind the trained quality
   * classifier. `dim` must be a power of two (see the kernel's contract).
@@ -167,8 +184,10 @@ object TextFunctions {
   def wordNgramFnvBuckets(text: Column, n: Int, dim: Int): Column =
     c(WordNgramFnvBuckets(e(text), n, dim))
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  /** Whitespace token count — the allocation-free [[TokenCount]] kernel,
+    * bit-identical to `size(split(trim(text), "\\s+"))` (equivalence
+    * property-pinned in TextDedupSpec). */
+  def tokenCount(text: Column): Column = c(TokenCount(e(text)))
 
   /** BPE-ish token count: letter runs, single digits, punctuation marks —
     * the GPT-2 pre-tokenizer shape, regex-only so it stays in codegen.

@@ -379,14 +379,16 @@ object QueryCatalog {
     Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
 
-  /** Token / length stats per document (whitespace tokenization). */
+  /** Token / length stats per document (whitespace tokenization) — runs
+    * the allocation-free TokenCount kernel, so this oracle gates the
+    * kernel's split-equivalence on the real corpus. */
   val t2TokenStats: GraftQuery = GraftQuery(
     "t2_token_stats",
     (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
           length(col("text")).as("n_chars_text"),
-          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id, length(text) AS n_chars_text,
             len(string_split_regex(trim(text), '\s+')) AS n_tokens

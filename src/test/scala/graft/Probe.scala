@@ -188,6 +188,22 @@ object Probe {
       val packs = graft.operators.Corpus.packSequences(docs, "doc_id", "text", 2048, 4)
         .agg(max($"pack_id")).head().getLong(0)
       println(s"PACKS max pack_id: $packs")
+      val shards = graft.operators.Corpus.shuffleToShards(docs, "doc_id", 7, seed = 1L)
+        .groupBy("shard").count().orderBy("shard")
+        .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")
+      println(s"SHARDS $shards")
+      val temper = graft.operators.Corpus.temperatureMixture(
+          docs.withColumn("tier", when($"source".isin("src0", "src1", "src2"), "big")
+            .otherwise("rest")), "doc_id", "tier", alpha = 0.5, seed = 1L)
+        .groupBy("tier").count().orderBy("tier").collect().mkString(" ")
+      println(s"TEMPER-MIX kept $temper")
+      val budgeted = graft.operators.Corpus.tokenBudgetMixture(
+        docs, "doc_id", "text", "source", Map("src0" -> 500L), seed = 1L)
+      val src0Toks = budgeted.where($"source" === "src0")
+        .agg(coalesce(sum($"n_tokens"), lit(0L))).head().getLong(0)
+      println(s"TOKEN-BUDGET src0 kept $src0Toks/500 tokens, " +
+        s"rows ${budgeted.count()}/${docs.count()}" +
+        (if (src0Toks <= 500L) "" else " (BAD)"))
       // trained bi-encoder through the rank seam: Word2Vec fit on the real
       // corpus, rerank a shortlist, top rerank_score must be a valid cosine
       val w2v = graft.functions.Word2VecEmbedder.fit(
@@ -669,6 +685,86 @@ object Probe {
           c.vectorSearch(p,
             Seq(graft.store.VectorSearchField("text", "spark query table join")), limit = 10).count()
         }
+      spark.stop()
+
+    case "c13-bisect" :: rest =>
+      // Stage 16 (window-exchange map side) costs ~90 cpu-s for 500k slim
+      // rows; the same projection under partial agg costs 9. Bisect which
+      // ingredient of scan->project->exchange carries it.
+      val dir = rest.headOption.getOrElse("/tmp/graft_sf10")
+      val spark = session()
+      import spark.implicits._
+      val docs = Tables.load(spark, dir, "documents")
+        .withColumn("domain",
+          when(col("source").isin((0 to 13).map(i => s"src$i"): _*), "head")
+            .when(col("source").isin((14 to 17).map(i => s"src$i"): _*), "mid")
+            .otherwise("tail"))
+      def slim(): org.apache.spark.sql.DataFrame = docs
+        .where(col("domain").isNotNull)
+        .select(col("doc_id"), col("domain"),
+          col("domain").cast("string").as("__src"),
+          graft.functions.TextFunctions.mix64(col("doc_id"), 0x425544474554L ^ 13L).as("__draw"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("__bucket", shiftright(col("__draw"), 56).cast("int"))
+      def cpuS(): Double = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1e9
+      def meas(label: String)(f: => Long): Unit = {
+        val c0 = cpuS(); val t0 = System.nanoTime()
+        val n = f
+        println(f"[c13-bisect] $label: rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s cpu=${cpuS() - c0}%.1f s")
+      }
+      meas("A scan+project only")(slim().count())
+      meas("B + exchange (repartition by src,bucket)")(
+        slim().repartition(col("__src"), col("__bucket")).count())
+      meas("C + sort within partitions")(
+        slim().repartition(col("__src"), col("__bucket"))
+          .sortWithinPartitions(col("__src"), col("__bucket"), col("__draw"), col("doc_id")).count())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__src"), col("__bucket"))
+        .orderBy(col("__draw"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      meas("D + full window cumsum")(
+        slim().withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L))).count())
+      meas("A2 scan+project again (warm)")(slim().count())
+      spark.stop()
+
+    case "c13-leak" :: rest =>
+      // Repeated-invocation residency probe for tokenBudgetMixture: the
+      // first decade run showed per-pass CPU escalating 20x at fixed work
+      // (38 -> 799 cpu-s at 500k docs) — classic full-GC storm from
+      // something retained across calls. Print wall + GC time + live heap
+      // after a forced GC per call to localize the accumulation.
+      val dir = rest.headOption.getOrElse("/tmp/graft_sf10")
+      val spark = session()
+      val docs = Tables.load(spark, dir, "documents")
+      def gcMs(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      val mode = rest.drop(1).headOption.getOrElse("")
+      val forceGc = mode == "gc"
+      val catalogFn = graft.queries.QueryCatalog.all
+        .find(_.name == "c13_token_budget").get.fn
+      // "const": same catalog pipeline but over constant 3-token texts —
+      // isolates tokenization garbage from the window/join machinery
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (mode == "const") (s, d) =>
+          graft.operators.Corpus.tokenBudgetMixture(
+            Tables.load(s, d, "documents").withColumn("text", lit("a b c")),
+            "doc_id", "text", "source", Map("src0" -> 5000L), seed = 13L)
+        else catalogFn
+      for (i <- 1 to 6) {
+        val g0 = gcMs(); val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9; val g1 = gcMs()
+        if (forceGc) { System.gc(); Thread.sleep(500) }
+        val rt = Runtime.getRuntime
+        println(f"[c13-leak] call $i: rows=$n wall=$wall%.2f s gc=${g1 - g0} ms " +
+          f"heap=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f MB")
+      }
+      println(s"[c13-leak] docs ref kept: ${docs.columns.length} cols")
       spark.stop()
 
     case other =>

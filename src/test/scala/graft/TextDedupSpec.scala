@@ -445,6 +445,27 @@ class TextDedupSpec extends AnyFunSuite {
       docs, "id", "text", "source", Map.empty, defaultBudget = 0L).count() == 0)
   }
 
+  test("TokenCount kernel == size(split(trim(text), raw ws regex)) on adversarial + fuzzed strings") {
+    val adversarial = Seq(
+      "", " ", "  ", "\t", "\t\t", "\n", "\r\n", " \t", "\t ", " \t ",
+      "a", " a ", "a b", "a  b", "\ta b", "a b\t", "\ta b\t", "a\t\tb",
+      "a\nb\rc", " \t a \t ", "", "xy",
+      "word", "many words here", "trailing space ", " leading",
+      "héllo wörld", "日本語 テスト", "mixed ascii 日本 text",
+      "a b", // NBSP is NOT \s: one token? no — split on \s+ leaves it intact
+      "\t\n\r ", "a ", " a", "a\n", "\na")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab \t\n\ré日"
+    val fuzzed = (1 to 500).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val all = (adversarial ++ fuzzed).zipWithIndex.map(_.swap).toDF("id", "t")
+    val diff = all.select(
+        graft.functions.TextFunctions.tokenCount(col("t")).as("kernel"),
+        size(split(trim(col("t")), "\\s+")).as("ref"), col("t"))
+      .where(col("kernel") =!= col("ref")).collect()
+    assert(diff.isEmpty, s"kernel diverges on: ${diff.take(5).mkString(", ")}")
+  }
+
   test("redactPii scrubs emails, IPv4s, and phone runs; prose survives") {
     val rows = Seq(
       (1L, "write to First.Last+tag@sub.example.co.uk today"),
