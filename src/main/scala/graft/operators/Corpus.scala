@@ -844,6 +844,32 @@ object Corpus {
     if (alpha == 0.5) math.sqrt(nMin.toDouble / n.toDouble)
     else math.pow(nMin.toDouble / n.toDouble, 1.0 - alpha)
 
+  /** Materialize [[shuffleToShards]]'s layout on disk: one directory per
+    * shard (parquet partitionBy), each holding exactly one file whose row
+    * ORDER is the shard's draw order — the written order IS the rank, so
+    * no position column ships and nothing beyond the one shard exchange
+    * runs (the full rows, text included, shuffle exactly once; no window,
+    * no join). A training epoch is then `spark.read` of the shard
+    * directories in file order, and the layout is bit-reproducible from
+    * (corpus, seed) alone. `coords ≡ shuffleToShards` is spec-pinned:
+    * shard k's file rows are exactly the (shard = k, pos-ascending)
+    * sequence of the coordinate frame.
+    */
+  def writeShards(
+      docs: DataFrame, idCol: String, dir: String,
+      numShards: Int, seed: Long = 0L): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    docs
+      .withColumn("__draw",
+        TextFunctions.mix64(idHash64(docs, idCol), shardDrawSeed(seed)))
+      .withColumn("shard", pmod(col("__draw"), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__draw"), col(idCol))
+      .drop("__draw")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(dir)
+  }
+
   private[graft] def budgetDrawSeed(seed: Long): Long = seed ^ 0x425544474554L // "BUDGET"
 
   /** Token-budget mixture selection — mixtures are really specified in

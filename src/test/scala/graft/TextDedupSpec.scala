@@ -403,6 +403,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards: one file per shard, file row order == shuffleToShards pos order") {
+    val docs = (0 until 1400).map(i => (i.toLong, s"text of d$i")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    graft.operators.Corpus.writeShards(docs, "id", dir, numShards = 7, seed = 3L)
+    val coords = graft.operators.Corpus.shuffleToShards(docs, "id", numShards = 7, seed = 3L)
+      .as[(Long, Int, Long)].collect()
+    for (k <- 0 until 7) {
+      val files = new java.io.File(s"$dir/shard=$k")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $k has ${files.length} files")
+      // single file, single row group: read order is the written order
+      val got = spark.read.parquet(files.head.getPath)
+        .select("id").as[Long].collect().toSeq
+      val want = coords.filter(_._2 == k).sortBy(_._3).map(_._1).toSeq
+      assert(got == want, s"shard $k order diverges from shuffleToShards")
+    }
+  }
+
   test("tokenBudgetMixture: striped == naive, budgets bind exactly, default uncapped") {
     // ~4600 tokens in 'web' (400 docs x 8..15 tokens), ~330 in 'code'
     val docs = ((0 until 400).map(i => (i.toLong, "web", ("tok " * (8 + i % 8)).trim)) ++
