@@ -47,6 +47,7 @@ object Bench {
       "t8_repetition_stats", "t10_dedup_spans", "t11_gopher_rules",
       "t12_lang_id_trained", "t13_bpe_tokens", "t14_shard_shuffle",
       "c3_sample_mixture", "c12_temperature_mixture", "c13_token_budget",
+      "c14_pipeline_compose",
       "c6_perplexity", "c7_quality_classifier", "c8_c4_clean", "c9_ngram_lm",
       "c10_dsir_weights",
       "d1_minhash_lsh_pairs",

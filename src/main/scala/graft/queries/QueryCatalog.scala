@@ -882,6 +882,28 @@ object QueryCatalog {
         .orderBy(col("doc_id")),
     Some(C13OracleSql.sql))
 
+  /** The full deterministic sampling pipeline chained under ONE user
+    * seed: mixture sample → split assignment → keep train → epoch
+    * shuffle-to-shards. Gates the hash-family INTERACTION design (each
+    * stage draws from a distinct tagged family so chaining under one
+    * seed stays independent); the oracle composes all three draw replays
+    * in one WITH clause (C14OracleSql).
+    */
+  val c14PipelineCompose: GraftQuery = GraftQuery(
+    "c14_pipeline_compose",
+    (s, dir) => {
+      val sampled = graft.operators.Corpus.sampleMixture(
+        t(s, dir, "documents"), "doc_id", "source",
+        C14OracleSql.weights, C14OracleSql.defaultWeight, C14OracleSql.seed)
+      val train = graft.operators.Corpus.assignSplits(
+          sampled, "doc_id", C14OracleSql.splits, C14OracleSql.seed)
+        .where(col("split") === "train")
+      graft.operators.Corpus.shuffleToShards(
+          train, "doc_id", C14OracleSql.numShards, C14OracleSql.seed)
+        .orderBy(col("doc_id"))
+    },
+    Some(C14OracleSql.sql))
+
   /** Deterministic epoch shuffle into shards: shard = pmod of the seeded
     * splitmix64 draw, pos = within-shard rank of (draw, id) — one hash
     * exchange, no global sort. The oracle replays draw, shard, and rank
@@ -4636,6 +4658,7 @@ object QueryCatalog {
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
     c10DsirWeights, c11DsirSelect, c12TemperatureMixture, c13TokenBudget,
+    c14PipelineCompose,
     d1MinhashLsh, d2Simhash, d2bSimhashR5, d3DedupGroups, d4Deduplicate,
     d5Decontaminate, d6DedupAgainst,
     e1EmbeddingPairs, e2SemDedup,

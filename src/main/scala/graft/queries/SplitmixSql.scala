@@ -25,26 +25,30 @@ object SplitmixSql {
     (BigInt(seed) * BigInt("11400714819323198485")) mod BigInt("18446744073709551616")
 
   /** CTE chain computing `u` = top 24 bits of mix64(doc_id, seed) next to
-    * the given passthrough columns; terminates in a relation named `m3`
-    * with columns (passthrough..., u). `from` is the relation scanned by
-    * the first link (the passthrough columns must exist on it). */
-  def drawCtes(seed: Long, passthrough: String, from: String = "documents"): String =
-    s"""m0 AS (SELECT $passthrough,
+    * the given passthrough columns; terminates in a relation named
+    * `<p>3` with columns (passthrough..., u). `from` is the relation
+    * scanned by the first link (the passthrough columns must exist on
+    * it); `p` renames the chain so several draws compose in one WITH
+    * clause (the c14 pipeline oracle). */
+  def drawCtes(seed: Long, passthrough: String, from: String = "documents",
+      p: String = "m"): String =
+    s"""${p}0 AS (SELECT $passthrough,
        |    xor(doc_id::HUGEINT, ${seedMixed(seed)}::HUGEINT) AS z FROM $from),
-       |m1 AS (SELECT $passthrough, ${mul("xor(z, z >> 30)", C1)} AS z FROM m0),
-       |m2 AS (SELECT $passthrough, ${mul("xor(z, z >> 27)", C2)} AS z FROM m1),
-       |m3 AS (SELECT $passthrough, xor(z, z >> 31) >> 40 AS u FROM m2)""".stripMargin
+       |${p}1 AS (SELECT $passthrough, ${mul("xor(z, z >> 30)", C1)} AS z FROM ${p}0),
+       |${p}2 AS (SELECT $passthrough, ${mul("xor(z, z >> 27)", C2)} AS z FROM ${p}1),
+       |${p}3 AS (SELECT $passthrough, xor(z, z >> 31) >> 40 AS u FROM ${p}2)""".stripMargin
 
   /** [[drawCtes]] but keeping the FULL 64-bit avalanche, folded to the
     * SIGNED BIGINT the JVM Long orders/mods by (the T6 rule); terminates
-    * in a relation named `m3` with columns (passthrough..., b). */
-  def signedCtes(seed: Long, passthrough: String, from: String = "documents"): String =
-    s"""m0 AS (SELECT $passthrough,
+    * in a relation named `<p>3` with columns (passthrough..., b). */
+  def signedCtes(seed: Long, passthrough: String, from: String = "documents",
+      p: String = "m"): String =
+    s"""${p}0 AS (SELECT $passthrough,
        |    xor(doc_id::HUGEINT, ${seedMixed(seed)}::HUGEINT) AS z FROM $from),
-       |m1 AS (SELECT $passthrough, ${mul("xor(z, z >> 30)", C1)} AS z FROM m0),
-       |m2 AS (SELECT $passthrough, ${mul("xor(z, z >> 27)", C2)} AS z FROM m1),
-       |m3 AS (SELECT $passthrough,
+       |${p}1 AS (SELECT $passthrough, ${mul("xor(z, z >> 30)", C1)} AS z FROM ${p}0),
+       |${p}2 AS (SELECT $passthrough, ${mul("xor(z, z >> 27)", C2)} AS z FROM ${p}1),
+       |${p}3 AS (SELECT $passthrough,
        |    CASE WHEN xor(z, z >> 31) >= 9223372036854775808::HUGEINT
        |         THEN (xor(z, z >> 31) - 18446744073709551616::HUGEINT)::BIGINT
-       |         ELSE xor(z, z >> 31)::BIGINT END AS b FROM m2)""".stripMargin
+       |         ELSE xor(z, z >> 31)::BIGINT END AS b FROM ${p}2)""".stripMargin
 }
