@@ -45,6 +45,7 @@ object SqlRegistrations {
     "vec_max_abs" -> (es => VectorAggregate(es.head, "maxAbs").toAggregateExpression()),
     "simhash64" -> (es => SimHash64(es.head)),
     "lang_id" -> (es => LangId(es.head)),
+    "token_count" -> (es => TokenCount(es.head)),
     "embed_text" -> (es => EmbedText(es.head, intArg(es, 1, 64))),
     "minhash_signature" -> (es =>
       MinHashSignature(es.head, intArg(es, 1, 128), intArg(es, 2, 1))),
