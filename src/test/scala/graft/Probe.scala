@@ -729,6 +729,25 @@ object Probe {
       meas("A2 scan+project again (warm)")(slim().count())
       spark.stop()
 
+    case "shards-scale" :: rest =>
+      // Time the epoch materialization (full rows incl. text shuffle once,
+      // write one ordered file per shard) at a generated corpus size.
+      val dir = rest.headOption.getOrElse("/tmp/graft_sf10")
+      val shards = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val docs = Tables.load(spark, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_shards_scale_").toString
+      for (pass <- 1 to 3) {
+        val t0 = System.nanoTime()
+        graft.operators.Corpus.writeShards(docs, "doc_id", out, shards, seed = 3L)
+        println(f"[shards-scale] pass $pass: $shards shards from $dir " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val files = new java.io.File(out).listFiles().count(_.getName.startsWith("shard="))
+      val rows = spark.read.parquet(out).count()
+      println(s"[shards-scale] layout: $files shard dirs, $rows rows")
+      spark.stop()
+
     case "c13-leak" :: rest =>
       // Repeated-invocation residency probe for tokenBudgetMixture: the
       // first decade run showed per-pass CPU escalating 20x at fixed work
