@@ -452,8 +452,19 @@ object Bench {
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu_sec_per_pass":$cpuJson,"host_cpus":$hostCpus,"sf":"$sfDir","detail":"$detailPath"}""")
+    val headlineLine =
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu_sec_per_pass":$cpuJson,"host_cpus":$hostCpus,"sf":"$sfDir","detail":"$detailPath"}"""
+    // Belt and braces for the driver's parser: the headline ALSO lands in
+    // a repo-path file (r16 verdict #1 — three rounds of "parsed": null
+    // from sbt-decorated stdout; build.sbt's StdoutOutput strips the
+    // decoration at the source, this file survives any capture).
+    val headlinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE",
+      "/root/repo/bench_headline.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(headlinePath),
+      (headlineLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] headline write failed: ${e.getMessage}") }
+    println(headlineLine)
     spark.stop()
   }
 }

@@ -186,8 +186,11 @@ object TextFunctions {
 
   /** Whitespace token count — the allocation-free [[TokenCount]] kernel,
     * bit-identical to `size(split(trim(text), "\\s+"))` (equivalence
-    * property-pinned in TextDedupSpec). */
-  def tokenCount(text: Column): Column = c(TokenCount(e(text)))
+    * property-pinned in TextDedupSpec). Non-string inputs coerce through
+    * a string cast, preserving the old split-form's implicit coercion
+    * (the expression itself requires StringType exactly); the cast is a
+    * no-op on string columns (SimplifyCasts removes it). */
+  def tokenCount(text: Column): Column = c(TokenCount(e(text.cast("string"))))
 
   /** BPE-ish token count: letter runs, single digits, punctuation marks —
     * the GPT-2 pre-tokenizer shape, regex-only so it stays in codegen.

@@ -849,11 +849,20 @@ object Corpus {
     * ORDER is the shard's draw order — the written order IS the rank, so
     * no position column ships and nothing beyond the one shard exchange
     * runs (the full rows, text included, shuffle exactly once; no window,
-    * no join). A training epoch is then `spark.read` of the shard
-    * directories in file order, and the layout is bit-reproducible from
-    * (corpus, seed) alone. `coords ≡ shuffleToShards` is spec-pinned:
-    * shard k's file rows are exactly the (shard = k, pos-ascending)
-    * sequence of the coordinate frame.
+    * no join). A training epoch is then [[readShards]] (or a plain
+    * `spark.read` of the shard directories in file order), and the layout
+    * is bit-reproducible from (corpus, seed) alone. `coords ≡
+    * shuffleToShards` is spec-pinned: shard k's file rows are exactly the
+    * (shard = k, pos-ascending) sequence of the coordinate frame.
+    *
+    * The one-file-per-shard contract is PINNED against
+    * `spark.sql.files.maxRecordsPerFile`: the writer sets the per-write
+    * option to 0 (unlimited), so a session-level rolling knob — a common
+    * prod setting — cannot silently split a shard mid-order (r16 verdict
+    * #5; spec provokes a would-split row count). Each shard value's rows
+    * all live in one task (hash partitioning on the shard key), so each
+    * shard directory receives exactly one file even when several shards
+    * co-reside in a task.
     */
   def writeShards(
       docs: DataFrame, idCol: String, dir: String,
@@ -867,10 +876,47 @@ object Corpus {
       .sortWithinPartitions(col("shard"), col("__draw"), col(idCol))
       .drop("__draw")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("maxRecordsPerFile", "0")
       .partitionBy("shard").parquet(dir)
   }
 
+  /** Epoch reader for a [[writeShards]] layout: the documents with their
+    * (shard, pos) coordinates reconstructed from the FILE layout — pos is
+    * the row's position within its shard file (`_metadata.row_index`), so
+    * the frame equals [[shuffleToShards]]'s coordinates exactly
+    * (spec-pinned) without any column having been stored. `row_index` is
+    * per-file and split-stable: a reader that splits a large shard file
+    * into several input partitions still reconstructs the same positions,
+    * which closes the ADVICE r16 caveat about multi-split reads.
+    *
+    * Refuses loudly if any shard directory holds more than one data file
+    * (a foreign writer or a rolled file would make row order ≠ rank):
+    * the check is one driver-side listing of numShards directories —
+    * corpus-size-independent. */
+  def readShards(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val shardDirs = fs.listStatus(path).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("shard="))
+    val multi = shardDirs.filter { d =>
+      fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > 1
+    }
+    require(multi.isEmpty,
+      s"readShards($dir): ${multi.length} shard dir(s) hold >1 parquet file " +
+        s"(first: ${multi.headOption.map(_.getPath.getName).getOrElse("")}) — " +
+        "row order is only the rank for writeShards' one-file-per-shard layout")
+    spark.read.parquet(dir)
+      .withColumn("pos", col("_metadata.row_index"))
+  }
+
   private[graft] def budgetDrawSeed(seed: Long): Long = seed ^ 0x425544474554L // "BUDGET"
+
+  /** One-slot registry of [[tokenBudgetMixture]]'s slim persisted frame
+    * (the [[Dedup.lastScaleSig]] pattern): the next call releases the
+    * previous call's persist, so a session never pins more than one. */
+  private val lastBudgetBase =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Token-budget mixture selection — mixtures are really specified in
     * TOKENS, not documents ("40B tokens of web, 5B of code"): per domain,
@@ -889,13 +935,30 @@ object Corpus {
     * contiguous draw ranges AND uniformly sized, the draw being uniform),
     * per-(domain, bucket) window cumsums run with domains×buckets-way
     * parallelism, and the driver prefix-sums the |domains|·buckets bucket
-    * totals (corpus-independent collect) into broadcast offsets —
-    * tok_start = offset + within-bucket cumsum equals the global
-    * per-domain cumsum exactly. That equivalence is what the c13 oracle
-    * proves: DuckDB computes the NAIVE single global window per domain.
-    * The frame scans twice (totals + window); at 100 TB pre-project or
-    * persist the slim (id, domain, draw, n_tokens) frame — ~40 B/doc —
-    * rather than tokenize twice.
+    * totals (corpus-SIZE-independent collect — but |domains|·buckets
+    * driver rows, so `sourceCol` must be a low-cardinality domain column,
+    * not e.g. a per-URL key) into broadcast offsets — tok_start = offset
+    * + within-bucket cumsum equals the global per-domain cumsum exactly.
+    * That equivalence is what the c13 oracle proves: DuckDB computes the
+    * NAIVE single global window per domain.
+    *
+    * Text is tokenized ONCE: the slim (id, domain, draw, n_tokens) frame
+    * (~40 B/doc) persists inside the operator before the totals pass, so
+    * the window pass reads the cache instead of re-running the most
+    * expensive kernel over all text (r16 verdict #4). The persist lives
+    * in a one-slot registry (the [[Dedup]] signature-cache pattern): the
+    * next call releases the previous call's frame, so a session never
+    * pins more than one — a caller interleaving two mixtures before
+    * executing the first recomputes from lineage, exactly, at the cost of
+    * a second tokenize.
+    *
+    * NOTE this operator (like [[temperatureMixture]]) runs an EAGER Spark
+    * job at call time — the totals pass — unlike the lazy operators in
+    * this file; compose accordingly. Determinism relies on DISTINCT ids:
+    * the (draw, id) tie-break makes the per-domain order total (the
+    * [[shuffleToShards]] precondition). Documents with NULL text have a
+    * NULL token count and are dropped (they never contribute to a budget
+    * and never select).
     *
     * Domains absent from `budgets` get `defaultBudget` (default: no cap).
     * Rows with a NULL domain are dropped. Output: (idCol, sourceCol,
@@ -919,9 +982,15 @@ object Corpus {
         TextFunctions.mix64(idHash64(docs, idCol), budgetDrawSeed(seed)).as("__draw"),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__bucket", bucketCol)
-    // |domains| x buckets rows — corpus-size-independent driver state
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastBudgetBase.getAndSet(base)
+    if (prev != null && (prev ne base)) prev.unpersist(false)
+    // |domains| x buckets rows — corpus-size-independent driver state.
+    // This job also MATERIALIZES the slim persist above, so the window
+    // pass below never re-tokenizes (ExplainCheck gates it). The sum is
+    // NULL for an all-NULL-text group — coalesce, don't NPE (ADVICE r16).
     val totals = base.groupBy(col("__src"), col("__bucket"))
-      .agg(sum(col("n_tokens")).as("__tot"))
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val offsets = totals.groupBy(_._1).toSeq.flatMap { case (src, ts) =>
       // ascending signed bucket order == ascending signed draw order
@@ -963,6 +1032,11 @@ object Corpus {
     * itself ever shuffles and the decision is stable across runs,
     * retries, and partition layouts. Rows with a NULL domain are dropped
     * (no count, no threshold).
+    *
+    * NOTE: the count aggregate is an EAGER Spark job at call time (the
+    * rates must be known to build the plan-literal thresholds), unlike
+    * the lazy operators in this file — compose accordingly. The driver
+    * state is |domains| rows, so `sourceCol` must be low-cardinality.
     */
   def temperatureMixture(
       docs: DataFrame, idCol: String, sourceCol: String,

@@ -421,6 +421,45 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards pins one-file-per-shard against maxRecordsPerFile; readShards reconstructs coords") {
+    // 2000 rows / 4 shards = ~500 rows per shard: a session-level
+    // maxRecordsPerFile=50 WOULD roll each shard into ~10 files (breaking
+    // "file row order IS the rank") unless the writer pins the option
+    val docs = (0 until 2000).map(i => (i.toLong, s"text of d$i")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_pin_").toString
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+      graft.operators.Corpus.writeShards(docs, "id", dir, numShards = 4, seed = 9L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    for (k <- 0 until 4) {
+      val files = new java.io.File(s"$dir/shard=$k")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"shard $k rolled into ${files.length} files under maxRecordsPerFile")
+    }
+    // the epoch reader: (shard, pos) from the file layout alone must equal
+    // shuffleToShards' coordinate frame row for row
+    val got = graft.operators.Corpus.readShards(spark, dir)
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    val want = graft.operators.Corpus.shuffleToShards(docs, "id", numShards = 4, seed = 9L)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "readShards coords diverge from shuffleToShards")
+    // a foreign second file in a shard dir must refuse, not mis-rank
+    val extra = new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(extra.toPath,
+      new java.io.File(extra.getParentFile, "part-foreign.parquet").toPath)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Corpus.readShards(spark, dir)
+    }
+    assert(ex.getMessage.contains("one-file-per-shard"))
+  }
+
   test("tokenBudgetMixture: striped == naive, budgets bind exactly, default uncapped") {
     // ~4600 tokens in 'web' (400 docs x 8..15 tokens), ~330 in 'code'
     val docs = ((0 until 400).map(i => (i.toLong, "web", ("tok " * (8 + i % 8)).trim)) ++
