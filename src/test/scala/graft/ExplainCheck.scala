@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Plan inspection + assertions for scale-critical queries.
   * Run: sbt "Test/runMain graft.ExplainCheck"
@@ -159,6 +160,69 @@ object ExplainCheck {
     check("t13_bpe_tokens", "BPE count lookup broadcasts the vocab side")(
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         !p.contains("CartesianProduct"))
+
+    // c12: the temperature mixture's keep decision is a scan-fused
+    // map-side filter — the corpus never joins, aggregates, or hash-
+    // shuffles (the count pass ran eagerly at construction; the returned
+    // plan is the decision only). rangepartitioning = the catalog's
+    // output orderBy.
+    check("c12_temperature_mixture", "temperature keep-filter is scan-fused (no join/agg/hash shuffle)")(
+      p => !p.contains("Join") && !p.contains("HashAggregate") &&
+        "Exchange hashpartitioning".r.findAllIn(p).isEmpty)
+
+    // t14 + c13 contract gates on the OPERATOR plans (the catalog entries
+    // append an output orderBy for the oracle, which adds a legitimate
+    // global sort) — AQE off for the inspection so exchanges are visible
+    {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      def gate(name: String, what: String)(
+          plan: org.apache.spark.sql.execution.SparkPlan)(
+          ok: org.apache.spark.sql.execution.SparkPlan => Boolean): Unit =
+        if (!ok(plan)) failures ::= s"$name: $what"
+        else println(s"CHECK OK $name: $what")
+      def hashExchanges(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collectWithSubqueries {
+          case e: ShuffleExchangeLike
+              if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+      def globalSorts(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collectWithSubqueries {
+          case s: org.apache.spark.sql.execution.SortExec if s.global => s
+        }
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val docs = Tables.load(spark, dir, "documents")
+        // t14: exactly ONE hash exchange (the window's shard
+        // partitioning), no global sort anywhere
+        val t14 = graft.operators.Corpus.shuffleToShards(
+          docs, "doc_id", numShards = 7, seed = 3L).queryExecution.executedPlan
+        gate("t14_shard_shuffle", "exactly one hash exchange, no global sort")(t14)(
+          p => hashExchanges(p).length == 1 && globalSorts(p).isEmpty)
+        // c13: one hash exchange (the striped window) + one broadcast for
+        // the offsets — never a sort-merge join or a global sort; and the
+        // text is tokenized ONCE: every TokenCount lives inside the
+        // persisted slim frame (InMemoryTableScan), none in the live plan
+        val c13 = graft.operators.Corpus.tokenBudgetMixture(
+            docs.withColumn("domain", col("source")),
+            "doc_id", "text", "domain", Map("src0" -> 1000L), seed = 13L)
+          .queryExecution.executedPlan
+        gate("c13_token_budget",
+          "one hash exchange + broadcast offsets, no SMJ/global sort")(c13)(p =>
+          hashExchanges(p).length == 1 && globalSorts(p).isEmpty &&
+            !p.toString.contains("SortMergeJoin") &&
+            p.toString.contains("BroadcastHashJoin"))
+        gate("c13_token_budget", "text tokenized once (no TokenCount outside the cached slim frame)")(c13)(p =>
+          p.collectWithSubqueries { case n =>
+            n.expressions.flatMap(_.collect {
+              case t: graft.functions.TokenCount => t })
+          }.flatten.isEmpty &&
+            p.collectWithSubqueries {
+              case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+            }.nonEmpty)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
 
     // train-split must be a filter cut, not orderBy+limit: a GlobalLimit
     // would funnel the whole train relation through one partition
