@@ -180,22 +180,35 @@ object Dsir {
       .orderBy(col("log_weight").desc, col(idCol).asc)
       .limit(n)
 
-  /** Gumbel-top-k importance RESAMPLING (the paper's selection: sampling
-    * without replacement ∝ exp(log_weight)): key_i = log_weight_i + G_i
-    * with G_i = −ln(−ln U_i) and U_i drawn deterministically per document
-    * from splitmix64(seed, id) — reproducible at any partition layout
-    * (the m20 splits lesson), different seeds give independent draws.
-    * `idCol` must be castable to bigint. */
-  def resample(
+  /** Per-document Gumbel keys for [[resample]]: `(idCol, n_grams,
+    * log_weight, gumbel_key)` with key_i = log_weight_i + G_i,
+    * G_i = −ln(−ln U_i), and U_i the 53-bit-mantissa uniform in (0, 1]
+    * built from splitmix64(seed, id) — u's construction is all exact
+    * IEEE ops (shift, ·2⁻⁵³, +2⁻⁵⁴), so u is bit-identical across
+    * engines and the c15 oracle replays the whole key behind the c9
+    * round(4) transcendental convention. Exposed so the correctness
+    * query can rank by the ROUNDED key (rounding-stable rank, the c11
+    * convention) while [[resample]] keeps the paper's exact-key order. */
+  def gumbelKeys(
       docs: DataFrame, idCol: String, textCol: String, m: Model,
-      n: Int, seed: Long): DataFrame = {
+      seed: Long): DataFrame = {
     val z = TextFunctions.mix64(col(idCol).cast("long"), seed)
     // 53-bit mantissa uniform in (0, 1]: u = (z >>> 11) · 2⁻⁵³ + 2⁻⁵⁴
     val u = shiftrightunsigned(z, 11).cast("double") *
       lit(1.0 / 9007199254740992.0) + lit(Math.pow(2, -54))
     logWeights(docs, idCol, textCol, m)
       .withColumn("gumbel_key", col("log_weight") - log(-log(u)))
+  }
+
+  /** Gumbel-top-k importance RESAMPLING (the paper's selection: sampling
+    * without replacement ∝ exp(log_weight)): the `n` best Gumbel keys
+    * ([[gumbelKeys]]) — a TakeOrdered, no full sort. Deterministic and
+    * partition-layout-independent (the m20 splits lesson); different
+    * seeds give independent draws. `idCol` must be castable to bigint. */
+  def resample(
+      docs: DataFrame, idCol: String, textCol: String, m: Model,
+      n: Int, seed: Long): DataFrame =
+    gumbelKeys(docs, idCol, textCol, m, seed)
       .orderBy(col("gumbel_key").desc, col(idCol).asc)
       .limit(n)
-  }
 }

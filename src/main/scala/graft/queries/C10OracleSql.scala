@@ -92,4 +92,33 @@ object C10OracleSql {
        |FROM dsir_tk tk LEFT JOIN dsir_agg agg USING (doc_id)
        |ORDER BY log_weight DESC, tk.doc_id
        |LIMIT $SelectN""".stripMargin
+
+  val ResampleSeed = 41L
+
+  /** c15: Gumbel-top-k importance RESAMPLING — the paper's actual
+    * selection (sampling without replacement ∝ exp(log_weight)), replayed
+    * mechanism-for-mechanism: splitmix64(seed, doc_id) full avalanche →
+    * u = (z >>> 11)·2⁻⁵³ + 2⁻⁵⁴ (exact IEEE ops, bit-identical across
+    * engines) → key = log_weight − ln(−ln u) → top-k. `ln` spread is
+    * absorbed by round(4) (the c9 convention); both sides rank by the
+    * ROUNDED key with an id tiebreak (the c11 convention), so the
+    * selected set is rounding-stable. */
+  val resampleSql: String = {
+    val m64 = "18446744073709551616::HUGEINT"
+    s"""WITH $ctes,
+       |g0 AS (SELECT doc_id, xor(doc_id::HUGEINT,
+       |    ${SplitmixSql.seedMixed(ResampleSeed)}::HUGEINT) AS z FROM documents),
+       |g1 AS (SELECT doc_id, ${SplitmixSql.mul("xor(z, z >> 30)", SplitmixSql.C1)} AS z FROM g0),
+       |g2 AS (SELECT doc_id, ${SplitmixSql.mul("xor(z, z >> 27)", SplitmixSql.C2)} AS z FROM g1),
+       |g3 AS (SELECT doc_id,
+       |    ((xor(z, z >> 31) % $m64) >> 11)::DOUBLE / 9007199254740992.0
+       |      + 5.551115123125783e-17 AS u FROM g2)
+       |SELECT tk.doc_id,
+       |  round(coalesce(agg.s, 0.0) - ln(-ln(g3.u)), 4) + 0.0 AS gumbel_key
+       |FROM dsir_tk tk
+       |LEFT JOIN dsir_agg agg USING (doc_id)
+       |JOIN g3 USING (doc_id)
+       |ORDER BY gumbel_key DESC, tk.doc_id
+       |LIMIT $SelectN""".stripMargin
+  }
 }

@@ -1091,6 +1091,32 @@ object QueryCatalog {
     },
     Some(C10OracleSql.selectSql))
 
+  /** DSIR Gumbel-top-k resample (c15): the paper's actual selection —
+    * sampling without replacement ∝ exp(log_weight) via Gumbel keys
+    * key = log_weight − ln(−ln u), u built bit-exactly from
+    * splitmix64(seed, doc_id). Both sides rank by the ROUNDED key with
+    * an id tiebreak (the c11 rounding-stable-rank convention); the
+    * oracle replays mix64 → u → key → top-k from scratch
+    * (C10OracleSql.resampleSql). DsirSpec separately pins the tilt
+    * property (higher weight ⇒ higher selection frequency) and resample
+    * determinism on the exact keys. */
+  val c15DsirResample: GraftQuery = GraftQuery(
+    "c15_dsir_resample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.operators.Dsir.fit(
+        docs.where(col("lang") === C10OracleSql.TargetLang), "text",
+        docs, "text",
+        dim = C10OracleSql.Dim, ngrams = 2, alpha = C10OracleSql.Alpha)
+      graft.operators.Dsir.gumbelKeys(docs, "doc_id", "text", m,
+          C10OracleSql.ResampleSeed)
+        .select(col("doc_id"),
+          (round(col("gumbel_key"), 4) + lit(0.0)).as("gumbel_key"))
+        .orderBy(col("gumbel_key").desc, col("doc_id").asc)
+        .limit(C10OracleSql.SelectN)
+    },
+    Some(C10OracleSql.resampleSql))
+
   /** C4 line/page cleaning (c8): the published Raffel et al. 2020 §2.2
     * heuristics over a deterministically synthesized multi-line corpus
     * (the driver corpus has no newlines or punctuation, so the query
@@ -4658,7 +4684,7 @@ object QueryCatalog {
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
     c10DsirWeights, c11DsirSelect, c12TemperatureMixture, c13TokenBudget,
-    c14PipelineCompose,
+    c14PipelineCompose, c15DsirResample,
     d1MinhashLsh, d2Simhash, d2bSimhashR5, d3DedupGroups, d4Deduplicate,
     d5Decontaminate, d6DedupAgainst,
     e1EmbeddingPairs, e2SemDedup,
