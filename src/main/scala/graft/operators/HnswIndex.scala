@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   * partition), and partitioning is hash-by-id with a sort within
   * partitions, so rebuilding over identical data yields identical graphs.
   */
+// serialVersionUID pinned to the persisted-blob value: method additions
+// must never orphan existing homes (field/layout changes bump
+// HnswIndex.FormatVersion instead, which re-keys the home)
+@SerialVersionUID(18148164732676662L)
 final class HnswGraph(
     val dim: Int,
     val m: Int,
@@ -44,6 +48,22 @@ final class HnswGraph(
     val metric: String = HnswIndex.MetricCosine) extends Serializable {
 
   def size: Int = ids.length
+
+  /** Driver-heap footprint of the graph's primitive arrays (headers
+    * approximated at 16 B per nested array) — the [[LocalResidency]]
+    * accounting unit. */
+  def residentBytes: Long = {
+    var b = 8L * ids.length + 4L * vecs.length + 8L * norms.length
+    var i = 0
+    while (i < neighbors.length) {
+      val layers = neighbors(i)
+      var l = 0
+      while (l < layers.length) { b += 4L * layers(l).length + 16L; l += 1 }
+      b += 16L
+      i += 1
+    }
+    b
+  }
 
   // pgvector's three operator classes (reference default vector_cosine_ops,
   // pipeline.rs:526-543; vector_l2_ops / vector_ip_ops for raw vectors):
@@ -562,23 +582,44 @@ class HnswIndex private[operators] (
     * paths remain the scale tier: same graphs, same results, executor
     * parallelism, no driver residency requirement. Results are identical
     * to [[search]] (same per-graph search, same merge order). */
-  @transient private lazy val localGraphs: Array[HnswGraph] = {
-    val spark = graphs.sparkSession
-    import spark.implicits._
-    val blobs = graphs.select(col("pid"), col("graph")).as[(Int, Array[Byte])]
-      .collect()
-    // deserialize the partition graphs CONCURRENTLY: the blobs are
-    // independent and graphCache is a TrieMap, while one thread walking
-    // numPartitions object streams is minutes of cold-start at 5M nodes
-    // (measured ~8 min single-threaded at sf100, ~1 min across 8 cores)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    Await.result(
-      Future.sequence(blobs.toSeq.map { case (pid, bytes) =>
-        Future(HnswIndex.graphFor(cacheKey, pid, bytes))
-      }), Duration.Inf).toArray
+  @transient private val localGraphsRef =
+    new java.util.concurrent.atomic.AtomicReference[Array[HnswGraph]](null)
+
+  private def localGraphs: Array[HnswGraph] = {
+    val cur = localGraphsRef.get()
+    if (cur != null) { LocalResidency.touch("hnsw", cacheKey); cur }
+    else {
+      val spark = graphs.sparkSession
+      import spark.implicits._
+      val blobs = graphs.select(col("pid"), col("graph")).as[(Int, Array[Byte])]
+        .collect()
+      // deserialize the partition graphs CONCURRENTLY: the blobs are
+      // independent and graphCache is a TrieMap, while one thread walking
+      // numPartitions object streams is minutes of cold-start at 5M nodes
+      // (measured ~8 min single-threaded at sf100, ~1 min across 8 cores)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val built = Await.result(
+        Future.sequence(blobs.toSeq.map { case (pid, bytes) =>
+          Future(HnswIndex.graphFor(cacheKey, pid, bytes))
+        }), Duration.Inf).toArray
+      if (localGraphsRef.compareAndSet(null, built))
+        LocalResidency.register("hnsw", cacheKey,
+          built.iterator.map(_.residentBytes).sum)(() => releaseLocal())
+      localGraphsRef.get()
+    }
+  }
+
+  /** Drop the driver-local tier (residency eviction / family
+    * invalidation): the instance reference AND the shared deserialized-
+    * graph cache entries for this home. The next [[searchLocal]]
+    * re-collects and re-registers — bit-identical results, one job. */
+  private[graft] def releaseLocal(): Unit = {
+    localGraphsRef.set(null)
+    HnswIndex.dropGraphCache(cacheKey)
+    LocalResidency.release("hnsw", cacheKey)
   }
 
   /** In-process top-k (see [[localGraphs]]): returns (id, cosine) pairs
@@ -675,10 +716,13 @@ object HnswIndex {
   // graphs (keyed by (home, pid))
   private val family =
     new IndexStore.Family[HnswIndex]("hnsw", FormatVersion)({ idx =>
-      idx.graphs.unpersist(); idx.releaseProbe()
+      idx.graphs.unpersist(); idx.releaseProbe(); idx.releaseLocal()
     })
   private val graphCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), HnswGraph]
+
+  private[operators] def dropGraphCache(home: String): Unit =
+    graphCache.keys.filter(_._1 == home).foreach(graphCache.remove)
 
   private[operators] def graphFor(key: String, pid: Int, bytes: Array[Byte]): HnswGraph =
     graphCache.getOrElseUpdate((key, pid), deserialize(bytes))

@@ -98,6 +98,9 @@ class IvfIndex private[operators] (
 
   def searchLocal(query: Array[Float], k: Int, nprobe: Int,
       idCol: String): Seq[(Long, Double)] = {
+    // residency key: instance identity + idCol (the cache is per-instance)
+    val resKey = Integer.toHexString(System.identityHashCode(this)) + "/" + idCol
+    if (localPostingsCache.contains(idCol)) LocalResidency.touch("ivf", resKey)
     val (dim, postings) = localPostingsCache.getOrElseUpdate(idCol, {
       val spark = data.sparkSession
       import spark.implicits._
@@ -119,8 +122,13 @@ class IvfIndex private[operators] (
         idArr(c)(i) = id
         System.arraycopy(v, 0, flatArr(c), i * d, d)
       }
-      (d, (0 until k).filter(counts(_) > 0)
+      val built = (d, (0 until k).filter(counts(_) > 0)
         .map(c => c -> (idArr(c), flatArr(c))).toMap)
+      LocalResidency.register("ivf", resKey,
+        built._2.valuesIterator
+          .map { case (is, fl) => 8L * is.length + 4L * fl.length }.sum)(
+        () => { localPostingsCache.remove(idCol); () })
+      built
     })
     val ranked = IvfIndex.rankCentroids(centroids, query, metric, nprobe)
     import graft.functions.VectorKernels
@@ -200,6 +208,16 @@ class IvfIndex private[operators] (
       try { r.unpersist(false); () } catch { case _: Throwable => () }
     }
     probeRddCache.clear()
+  }
+
+  /** Drop the driver-local postings tier + its residency entries
+    * (source rewrite / family eviction). */
+  private[graft] def releaseLocal(): Unit = {
+    localPostingsCache.keys.foreach { idCol =>
+      LocalResidency.release("ivf",
+        Integer.toHexString(System.identityHashCode(this)) + "/" + idCol)
+    }
+    localPostingsCache.clear()
   }
 
   /** Prepared single-query distributed probe: rank centroids on the
@@ -294,7 +312,7 @@ object IvfIndex {
   // home resolution / session cache / manifest prune — shared layer
   private val family =
     new IndexStore.Family[IvfIndex]("ivf", FormatVersion)({ idx =>
-      idx.data.unpersist(); idx.releaseProbe()
+      idx.data.unpersist(); idx.releaseProbe(); idx.releaseLocal()
     })
 
   /** The family's on-disk root (spec introspection). */

@@ -138,6 +138,7 @@ object IvfPq {
     family.invalidate(home)
     localCodesCache.remove(home)
     localVecCache.remove(home)
+    LocalResidency.release("ivfpq", home)
   }
 
   /** Drop every cached home served for a SOURCE path, including the
@@ -147,6 +148,7 @@ object IvfPq {
     family.invalidateSource(sourcePath).foreach { h =>
       localCodesCache.remove(h)
       localVecCache.remove(h)
+      LocalResidency.release("ivfpq", h)
     }
 
   /** The candidate stage on its own: driver-side probe selection → a
@@ -292,7 +294,15 @@ object IvfPq {
       }
       (idx, d, flat)
     })
+    // one residency entry covers both snapshots (they resolve together);
+    // register on every handle acquisition — replace + LRU enforce
+    LocalResidency.register("ivfpq", home,
+      codes.valuesIterator
+        .map { case (is, cs) => 8L * is.length + cs.length.toLong }.sum
+        + vecIdx.residentBytes + 4L * vecFlat.length)(
+      () => { localCodesCache.remove(home); localVecCache.remove(home); () })
     (query: Array[Float], k: Int) => {
+    LocalResidency.touch("ivfpq", home)
     val r = math.max(if (rerank > 0) rerank else 10 * k, k)
     val probed = IvfIndex.rankCentroids(h.centroids, query, metric, nprobe)
     // ADC shortlist: copies carry identical scores when codes encode raw

@@ -189,6 +189,8 @@ object VectorSearch {
     private val keys = new Array[Long](cap)
     private val has = new Array[Boolean](cap)
     private val vals = new Array[Int](cap)
+    /** Heap footprint of the three backing arrays (residency accounting). */
+    def residentBytes: Long = cap * (8L + 1L + 4L)
     @inline private def slot(id: Long): Int = {
       var h = id * -0x61c8864680b583ebL
       h ^= (h >>> 32)
