@@ -75,6 +75,15 @@ object Bench {
     // v9b/v9d/v5d distributed legs and the v*c local legs).
     val localQueryCache =
       scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Float])]]
+    def envInt(name: String, d: Int): Int =
+      sys.env.get(name).map(_.trim.toInt).getOrElse(d)
+    // HNSW build partition count: 8 is the committed sf0.1..sf100(64-d)
+    // shape; the 1024-d 5M run needs >= 16 (a graph blob must serialize
+    // under the JVM's 2 GB byte-array limit: 5M/16 x 1024 x 4 B = 1.28 GB)
+    val hnswParts = envInt("SPARK_GRAFT_HNSW_PARTS", 8)
+    // IVF spill assignment: 3 = the recall default; 1 = single assignment
+    // (the reference IVFFlat shape, and the 1024-d residency condition)
+    val ivfNassign = envInt("SPARK_GRAFT_IVF_NASSIGN", 3)
     // v9b: the PRUNED HNSW batch serving shape (ef = 64, 10 queries) —
     // the catalog's v15 exact-twin (ef = N) is the correctness gate, this
     // is the latency number a serving deployment would see. Served through
@@ -92,7 +101,7 @@ object Bench {
             .collect().toSeq.sortBy(_._1))
         val idx = graft.operators.HnswIndex.serveOrBuild(
           s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
-          m = 16, efConstruction = 64, numPartitions = 8)
+          m = 16, efConstruction = 64, numPartitions = hnswParts)
         val hits = idx.serveBatchDistributed(queries, 10, ef = 64)
         queries.flatMap { case (qid, _) =>
           hits(qid).map { case (id, sc) => (qid, id, sc) }
@@ -110,8 +119,6 @@ object Bench {
     // The one-off scale-headroom runs (sf30/sf100) override via env so the
     // list count scales with the corpus the way a production deployment
     // would (nlist=0 → ~√N); the defaults are untouched for driver runs.
-    def envInt(name: String, d: Int): Int =
-      sys.env.get(name).map(_.trim.toInt).getOrElse(d)
     val hnswLocal: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       (s, dir) => {
         import s.implicits._
@@ -124,7 +131,7 @@ object Bench {
           emb.where(col("vec_id") < 10)
             .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
             .collect().toSeq.sortBy(_._1))
-        val p = graft.operators.AnnServing.LocalParams(numPartitions = 8, ef = 64)
+        val p = graft.operators.AnnServing.LocalParams(numPartitions = hnswParts, ef = 64)
         // resolve-once handle, probe 1000x: the production serving shape
         // (per-probe serveLocal re-stats the source home each call)
         val probe = graft.operators.AnnServing.localProber(s, "hnsw",
@@ -153,7 +160,8 @@ object Bench {
             .collect().toSeq.sortBy(_._1))
         val p = graft.operators.AnnServing.LocalParams(
           nlist = envInt("SPARK_GRAFT_IVF_NLIST", 16),
-          nprobe = envInt("SPARK_GRAFT_IVF_NPROBE", 4))
+          nprobe = envInt("SPARK_GRAFT_IVF_NPROBE", 4),
+          nassign = ivfNassign)
         val probe = graft.operators.AnnServing.localProber(s, "ivf",
           s"$dir/embeddings.parquet", emb, "vec_id", "embedding", p)
         var hits: Seq[(Long, Long, Double)] = Nil
@@ -203,7 +211,8 @@ object Bench {
         val nlist = envInt("SPARK_GRAFT_IVF_NLIST", 16)
         val nprobe = envInt("SPARK_GRAFT_IVF_NPROBE", 4)
         val idx = graft.operators.IvfIndex.serveOrBuild(
-          s, s"$dir/embeddings.parquet", emb, "embedding", nlist = nlist)
+          s, s"$dir/embeddings.parquet", emb, "embedding", nlist = nlist,
+          nassign = ivfNassign)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 5)
           hits = queries.flatMap { case (qid, qv) =>
@@ -291,7 +300,7 @@ object Bench {
             .as[Array[Float]]).head()
         val idx = graft.operators.HnswIndex.serveOrBuild(
           s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
-          m = 16, efConstruction = 64, numPartitions = 8)
+          m = 16, efConstruction = 64, numPartitions = hnswParts)
         idx.serveDistributed(q, 10, ef = 64).toSeq.toDF("vec_id", "score")
       }
     // v9d: steady-state single-query DISTRIBUTED serving — 50 sequential
@@ -313,7 +322,7 @@ object Bench {
             .collect().toSeq.sortBy(_._1))
         val idx = graft.operators.HnswIndex.serveOrBuild(
           s, s"$dir/embeddings.parquet", emb, "embedding", "vec_id",
-          m = 16, efConstruction = 64, numPartitions = 8)
+          m = 16, efConstruction = 64, numPartitions = hnswParts)
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 5)
           hits = queries.flatMap { case (qid, qv) =>

@@ -119,6 +119,9 @@ object GenData {
     val nDocs = args(1).toLong
     val nVecs = args(2).toLong
     val seed = if (args.length > 3) args(3).toLong else 42L
+    // optional 5th arg: embedding dimension (default 64, the driver-data
+    // width; 1024 = the reference's published operating width)
+    val dim = if (args.length > 4) args(4).toInt else 64
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName("graft-gendata")
@@ -128,9 +131,12 @@ object GenData {
     spark.sparkContext.setLogLevel("WARN")
     documents(spark, nDocs, seed)
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    embeddings(spark, nVecs, 64, seed)
-      .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"wrote $nDocs docs + $nVecs vecs to $outDir")
+    // keep parquet files in the ~0.5-1 GB class at any width (random
+    // floats don't compress): 8 files at 64-d, 32 at 1024-d x 5M
+    val embParts = math.max(8, (nVecs * dim * 4L / (768L << 20)).toInt)
+    embeddings(spark, nVecs, dim, seed)
+      .repartition(embParts).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"wrote $nDocs docs + $nVecs vecs (dim=$dim) to $outDir")
     spark.stop()
   }
 }

@@ -24,7 +24,9 @@ object AnnServing {
       // hnsw build (HnswIndex.serveOrBuild defaults) + probe width
       hnswM: Int = 16, efConstruction: Int = 64, numPartitions: Int = 0,
       ef: Int = 0,
-      // ivf (IvfIndex.serveOrBuild default nlist = 0 → ~√N)
+      // ivf (IvfIndex.serveOrBuild default nlist = 0 → ~√N; nassign
+      // below is shared with ivfpq — 1 = single assignment, the
+      // reference IVFFlat shape; 3 = the spill-copy recall default)
       nlist: Int = 0, nprobe: Int = 4,
       // ivfpq (IvfPq.searchLocal defaults)
       pqNlist: Int = 16, m: Int = 8, kCent: Int = 32, nassign: Int = 3,
@@ -45,7 +47,7 @@ object AnnServing {
         .searchLocal(query, k, params.ef)
     case "ivf" =>
       IvfIndex.serveOrBuild(spark, sourcePath, df, vecCol, params.nlist,
-          params.metric)
+          params.metric, params.nassign)
         .searchLocal(query, k, params.nprobe, idCol)
     case "ivfpq" =>
       IvfPq.searchLocal(spark, sourcePath, df, idCol, vecCol, query, k,
@@ -75,7 +77,7 @@ object AnnServing {
         (q, k) => idx.searchLocal(q, k, params.ef)
       case "ivf" =>
         val idx = IvfIndex.serveOrBuild(spark, sourcePath, df, vecCol,
-          params.nlist, params.metric)
+          params.nlist, params.metric, params.nassign)
         (q, k) => idx.searchLocal(q, k, params.nprobe, idCol)
       case "ivfpq" =>
         IvfPq.localProbe(spark, sourcePath, df, idCol, vecCol,
@@ -113,7 +115,7 @@ object AnnServing {
         (q, k) => idx.serveDistributed(q, k, params.ef).toSeq
       case "ivf" =>
         val idx = IvfIndex.serveOrBuild(spark, sourcePath, df, vecCol,
-          params.nlist, params.metric)
+          params.nlist, params.metric, params.nassign)
         (q, k) => idx.serveDistributed(q, k, params.nprobe, idCol).toSeq
       case other => throw new IllegalArgumentException(
         s"unknown ANN family '$other' — distributedProber serves " +

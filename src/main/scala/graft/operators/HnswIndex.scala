@@ -623,11 +623,33 @@ class HnswIndex private[operators] (
   }
 
   /** In-process top-k (see [[localGraphs]]): returns (id, cosine) pairs
-    * best-first, ties by id — no DataFrame, no job. */
+    * best-first, ties by id — no DataFrame, no job.
+    *
+    * The forest's graphs probe CONCURRENTLY when
+    * `graft.hnsw.localParallelism` > 1 (default: available cores): each
+    * graph is searched by one thread and the per-graph results merge
+    * under the same (score desc, id asc) order, so results are
+    * bit-identical to the sequential walk (HnswSpec pins it) — the
+    * forest layout's in-process probe then costs ~one graph's search,
+    * not numPartitions of them, on a multi-core serving box. Set the
+    * knob to 1 for a single-threaded probe (the apples-to-apples shape
+    * against the reference's one-graph in-process number). */
   def searchLocal(query: Array[Float], k: Int, ef: Int = 0): Seq[(Long, Double)] = {
     val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
-    localGraphs.iterator.flatMap(_.search(query, k, efEff))
-      .toArray
+    val gs = localGraphs
+    val perGraph: Seq[Array[(Long, Double)]] =
+      if (HnswIndex.localParallelism <= 1 || gs.length <= 1)
+        gs.toSeq.map(_.search(query, k, efEff))
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        Await.result(
+          Future.traverse(gs.toSeq)(g => Future(g.search(query, k, efEff))),
+          Duration.Inf)
+      }
+    perGraph.toArray.flatten
       .sortBy { case (id, s) => (-s, id) }
       .take(k)
       .toSeq
@@ -710,6 +732,12 @@ object HnswIndex {
   /** Per-partition vector budget: graphs stay executor-memory-sized; more
     * data means more graphs, never bigger ones. */
   val DefaultPartitionBudget = 100000
+
+  /** Thread budget for [[HnswIndex.searchLocal]]'s forest probe
+    * (1 = sequential). Results are identical at any setting. */
+  @volatile var localParallelism: Int =
+    sys.props.get("graft.hnsw.localParallelism").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
 
   // session cache of served indexes (keyed by resolved persisted home,
   // shared serve/prune layer) and executor-local cache of deserialized

@@ -331,11 +331,12 @@ object IvfIndex {
       df: => DataFrame,
       vecCol: String,
       nlist: Int = 0,
-      metric: String = MetricCosine): IvfIndex = {
-    val home = indexPathFor(spark, sourcePath, nlist, metric = metric)
+      metric: String = MetricCosine,
+      nassign: Int = 3): IvfIndex = {
+    val home = indexPathFor(spark, sourcePath, nlist, nassign, metric)
     family.serve(spark, home, sourcePath) {
       pruneLegacyRootHomes(spark, sourcePath)
-      loadOrBuild(spark, home, df, vecCol, nlist, metric)
+      loadOrBuild(spark, home, df, vecCol, nlist, metric, nassign)
     }
   }
 
@@ -606,7 +607,8 @@ object IvfIndex {
       df: => DataFrame,
       vecCol: String,
       nlist: Int = 0,
-      metric: String = MetricCosine): IvfIndex = {
+      metric: String = MetricCosine,
+      nassign: Int = 3): IvfIndex = {
     checkMetric(metric)
     if (existsAt(spark, path)) {
       val loaded = load(spark, path, vecCol)
@@ -615,7 +617,7 @@ object IvfIndex {
       if (nlist <= 0 || loaded.centroids.length == nlist) return loaded
       delete(spark, path)
     }
-    val idx = build(spark, df, vecCol, nlist, metric = metric)
+    val idx = build(spark, df, vecCol, nlist, metric = metric, nassign = nassign)
     idx.save(path)
     idx.data.unpersist()
     load(spark, path, vecCol)

@@ -168,6 +168,24 @@ class HnswSpec extends AnyFunSuite {
     idx.graphs.unpersist()
   }
 
+  test("parallel forest probe is bit-identical to the sequential walk") {
+    val idx = HnswIndex.build(spark, emb, "embedding", "vec_id",
+      m = 16, efConstruction = 64, numPartitions = 4)
+    val queries = emb.where($"vec_id" < 8)
+      .select($"embedding").as[Array[Float]].collect().toSeq
+    val prev = HnswIndex.localParallelism
+    try {
+      for (q <- queries) {
+        HnswIndex.localParallelism = 1
+        val seqHits = idx.searchLocal(q, 10, ef = 64)
+        HnswIndex.localParallelism = 8
+        assert(idx.searchLocal(q, 10, ef = 64) == seqHits,
+          "parallel probe diverged from sequential")
+      }
+    } finally HnswIndex.localParallelism = prev
+    idx.graphs.unpersist()
+  }
+
   test("prepared serveDistributed: bit-identical to search on a tie-planted forest, one job per probe, released with the instance") {
     // plant bitwise-duplicate vectors under fresh ids so the top-k frontier
     // carries score ties that only the (score desc, id asc) total order
