@@ -58,7 +58,8 @@ object Bench {
       "s6_vector_search_chunked", "s7_hybrid_search", "s10_filtered_search",
       "x1_transform_sentiment", "x2_sessions", "x9_transform_ner",
       "c1_corpus_curate",
-      "m1_linear_regression").filter(n => only.forall(_.contains(n)))
+      "m1_linear_regression", "m1b_train_docs")
+      .filter(n => only.forall(_.contains(n)))
 
     // s4_ingest times the store's ingest leg (upsert → chunk → embed →
     // tsvector re-sync) in isolation; the s4/s6 entries then reuse the
@@ -333,8 +334,29 @@ object Bench {
           }
         hits.toDF("query_id", "vec_id", "score")
       }
+    // m1b: the train-family leg that runs on ANY corpus dir (m1 reads the
+    // TPC-H lineitem, which generated scale corpora don't have): a full
+    // Trainer lifecycle — snapshot → MLlib linear fit → registry →
+    // predict — over the documents table, so the sf1..sf100 decade
+    // measures training at 5M rows (r16 verdict #6). Each pass re-trains;
+    // the leg is fit-bound and expected ~linear in docs.
+    val trainDocs: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = graft.Tables.load(s, dir, "documents")
+          .select(
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("double").as("tc"),
+            col("n_chars").cast("double").as("n_chars"))
+        val reg = java.nio.file.Files.createTempDirectory("graft_m1b_reg_").toString
+        val tr = new graft.ml.Trainer(s, reg)
+        tr.train("m1b_lin", "regression", docs, Some("n_chars"), "linear",
+          testSize = 0.0)
+        tr.registry.predict("m1b_lin", docs.limit(100)).select(col("prediction"))
+      }
     val queries = SparkEntry.queries +
-      ("s4_ingest" -> ingest) + ("v9_knn_hnsw" -> hnswServe) +
+      ("s4_ingest" -> ingest) + ("m1b_train_docs" -> trainDocs) +
+      ("v9_knn_hnsw" -> hnswServe) +
       ("v9b_hnsw_batch" -> hnswBatch) + ("v9d_hnsw_serve" -> hnswServeSteady) +
       ("v5d_ivf_serve" -> ivfServeSteady) +
       ("v9c_hnsw_local" -> hnswLocal) + ("v5c_ivf_local" -> ivfLocal) +
