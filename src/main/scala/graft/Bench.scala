@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scale-run insurance: a 100 GB heap's worst-case full GC exceeds
+      // the default 120 s heartbeat window — the 5M 1024-d HNSW build was
+      // killed mid-write by HeartbeatReceiver, not by any real failure
+      .config("spark.network.timeout", "1200s")
+      .config("spark.executor.heartbeatInterval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

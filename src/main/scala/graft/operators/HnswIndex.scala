@@ -823,9 +823,27 @@ object HnswIndex {
       val b = new HnswGraphBuilder(mm, efc, sd ^ (pid.toLong * 0x9e3779b97f4a7c15L), mtr)
       it.foreach { case (id, v) => b.add(id, v) }
       if (b.size == 0) Iterator.empty
-      else Iterator((pid, serialize(b.freeze())))
+      else {
+        // freeze+serialize transiently triples a partition's residency
+        // (flat vector copy + a doubling serialization buffer). The
+        // insert loops above parallelize freely, but P wide partitions
+        // all entering this section together allocate P × ~3 GB at
+        // 1024-d × 312k nodes in one burst — the 5M 1024-d build died
+        // here (multi-minute full GC → heartbeat timeout → job kill).
+        // Bound the burst: at most `freezePermits` concurrent
+        // freeze+serialize sections per JVM (a per-executor constraint,
+        // exactly like a memory-bounded columnar writer).
+        HnswIndex.freezeGate.acquire()
+        try Iterator((pid, serialize(b.freeze())))
+        finally HnswIndex.freezeGate.release()
+      }
     }.toDF("pid", "graph")
   }
+
+  /** Concurrency bound for the freeze+serialize tail of a graph build
+    * (see [[buildGraphBlobs]]); `-Dgraft.hnsw.freezePermits=N`, default 4. */
+  private[operators] val freezeGate = new java.util.concurrent.Semaphore(
+    sys.props.get("graft.hnsw.freezePermits").map(_.toInt).getOrElse(4))
 
   /** pid range reserved per delta segment: graph partition ids must be
     * unique across CONCURRENT appenders (the executor graph cache and
