@@ -37,6 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sets (the sf100 condition) — forward a raised collect ceiling
   sys.env.get("SPARK_DRIVER_MAX_RESULT").toSeq
     .map(v => s"-Dspark.driver.maxResultSize=$v") ++
+  // extra JVM flags for scale runs (e.g. SPARK_GRAFT_JVM_OPTS=
+  // "-XX:+UseParallelGC": G1's humongous machinery wedged the JVM at a
+  // safepoint under GB-class blob allocation in the 1024-d 5M build)
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty)) ++
   // forward graft.* tuning props (e.g. -Dgraft.lsh.inlineVerifyMaxBytes=0)
   // into the forked run/test JVMs
   sys.props.toSeq.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" }

@@ -756,7 +756,13 @@ object HnswIndex {
     graphCache.getOrElseUpdate((key, pid), deserialize(bytes))
 
   private[operators] def serialize(g: HnswGraph): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
+    // presize to the graph's known footprint: the default 32-byte buffer
+    // doubles ~25 times for a wide graph, each doubling a full copy of a
+    // (by then) GB-class array — at 1024-d that tail was most of the
+    // serialize cost and a humongous-allocation storm for G1
+    val est = g.residentBytes + (g.residentBytes >> 3) + (1 << 16)
+    val bos = new java.io.ByteArrayOutputStream(
+      math.min(est, Int.MaxValue - 16L).toInt)
     val oos = new java.io.ObjectOutputStream(bos)
     try oos.writeObject(g) finally oos.close()
     bos.toByteArray
