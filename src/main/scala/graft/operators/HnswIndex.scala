@@ -596,15 +596,22 @@ class HnswIndex private[operators] (
       // deserialize the partition graphs CONCURRENTLY: the blobs are
       // independent and graphCache is a TrieMap, while one thread walking
       // numPartitions object streams is minutes of cold-start at 5M nodes
-      // (measured ~8 min single-threaded at sf100, ~1 min across 8 cores)
+      // (measured ~8 min single-threaded at sf100, ~1 min across 8 cores).
+      // Each slot's BYTES drop as soon as its graph exists — holding the
+      // full blob set AND the full graph set doubles residency for the
+      // whole cold-start (at 1024-d × 5M that double is ~21 GB).
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
       val built = Await.result(
-        Future.sequence(blobs.toSeq.map { case (pid, bytes) =>
-          Future(HnswIndex.graphFor(cacheKey, pid, bytes))
-        }), Duration.Inf).toArray
+        Future.sequence(blobs.indices.map { i =>
+          Future {
+            val (pid, bytes) = blobs(i)
+            blobs(i) = null
+            HnswIndex.graphFor(cacheKey, pid, bytes)
+          }
+        }.toSeq), Duration.Inf).toArray
       if (localGraphsRef.compareAndSet(null, built))
         LocalResidency.register("hnsw", cacheKey,
           built.iterator.map(_.residentBytes).sum)(() => releaseLocal())
@@ -696,7 +703,19 @@ class HnswIndex private[operators] (
     val fs = IndexStore.fsFor(spark, path)
     val target = fs.makeQualified(new Path(path))
     IndexStore.publishAtomic(fs, target) { tmp =>
-      graphs.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "data").toString)
+      // Bound WRITE concurrency, not write volume: a parquet writer task
+      // buffers its in-flight binary cell (pages + snappy in/out), so P
+      // concurrent tasks × a GB-class blob is P × ~2 GB of heap at once —
+      // the 1024-d × 5M save OOM'd exactly here with 32 writers. The
+      // blobs are already cached (build materialized them), so coalesce
+      // costs nothing and each of the few writer tasks streams its blobs
+      // sequentially. Knob: -Dgraft.hnsw.saveWriters (default 4).
+      val writers = sys.props.get("graft.hnsw.saveWriters").map(_.toInt)
+        .getOrElse(4)
+      val out =
+        if (graphs.rdd.getNumPartitions > writers) graphs.coalesce(writers)
+        else graphs
+      out.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "data").toString)
       IndexStore.writeString(fs, new Path(tmp, HnswIndex.Sidecar),
         s"""{"m":$m,"efConstruction":$efConstruction,"metric":"$metric"}""")
     }
