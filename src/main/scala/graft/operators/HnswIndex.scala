@@ -436,13 +436,30 @@ final class HnswGraphBuilder(m: Int, efConstruction: Int, seed: Long,
 }
 
 /** A forest of per-partition HNSW graphs as a DataFrame of serialized
-  * blobs: `(pid int, graph binary)`. See [[HnswGraph]] for the model. */
+  * blob PARTS: `(pid int, part int, graph binary)`. A graph serializes
+  * into N ≤ [[HnswIndex.blobPartBytes]] parts (the reference chunks model
+  * bytes into 100 MB `pgml.files` rows the same way,
+  * pgml-extension/src/orm/model.rs:296-310) so no parquet cell, row
+  * group, or in-flight writer buffer is ever GB-class at wide dims —
+  * the 1024-d × 5M forest's single-cell layout died on both the write
+  * (writer-heap burst) and the read (vectored-read timeout over a
+  * 1.4 GB column chunk). INVARIANT: each pid's parts are contiguous and
+  * part-ascending within a DataFrame partition (builds emit a pid from
+  * one task; loads re-group — see [[HnswIndex.blobFrame]]), which is
+  * what lets every read path reassemble without per-query shuffles.
+  * See [[HnswGraph]] for the model.
+  *
+  * `collectSrc`, when given, is an UN-grouped twin of `graphs` that the
+  * driver-local tier collects instead: reassembly on the driver needs no
+  * partition co-location, so a local-only serving session skips the
+  * load-time grouping exchange and the columnar cache entirely. */
 class HnswIndex private[operators] (
     val graphs: DataFrame,
     val cacheKey: String,
     val m: Int,
     val efConstruction: Int,
-    val metric: String = HnswIndex.MetricCosine) extends Serializable {
+    val metric: String = HnswIndex.MetricCosine,
+    collectSrc: Option[DataFrame] = None) extends Serializable {
 
   /** ANN top-k by cosine similarity: per-partition graph search, then a
     * (partitions × k)-row global merge. `ef` defaults to
@@ -456,11 +473,10 @@ class HnswIndex private[operators] (
     val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
     val q = query
     val kk = k
-    val hits = graphs.select(col("pid"), col("graph")).as[(Int, Array[Byte])]
+    val hits = graphs.select(col("pid"), col("part"), col("graph"))
+      .as[(Int, Int, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (pid, bytes) =>
-          HnswIndex.graphFor(ck, pid, bytes).search(q, kk, efEff)
-        }
+        HnswIndex.graphsFromParts(ck, it).flatMap(_.search(q, kk, efEff))
       }.toDF(idName, "score")
     hits.orderBy(col("score").desc, col(idName).asc).limit(k)
   }
@@ -485,16 +501,27 @@ class HnswIndex private[operators] (
   // this matters the driver-local tier is the designed serving shape.
   @transient private lazy val probeRddRef =
     new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.rdd.RDD[(Int, Array[Byte])]](null)
+      org.apache.spark.rdd.RDD[(Int, Int, Array[Byte])]](null)
 
-  private def probeRdd: org.apache.spark.rdd.RDD[(Int, Array[Byte])] = {
+  private def probeRdd: org.apache.spark.rdd.RDD[(Int, Int, Array[Byte])] = {
     val cur = probeRddRef.get()
     if (cur != null) cur
     else {
       val spark = graphs.sparkSession
       import spark.implicits._
-      val built = graphs.select(col("pid"), col("graph"))
-        .as[(Int, Array[Byte])].rdd
+      // derive from the RAW part frame when one exists (loaded indexes):
+      // the prepared tier then never materializes the plan paths'
+      // columnar cache — at a wide 5M forest that cache is a second
+      // ~21 GB resident copy built from GB-class batch buffers. The
+      // repartition+sort re-establishes the grouping invariant the
+      // object rows need; built (mem:) indexes use their already-grouped
+      // cached frame directly.
+      val src = collectSrc
+        .map(_.repartition(col("pid"))
+          .sortWithinPartitions(col("pid"), col("part")))
+        .getOrElse(graphs)
+      val built = src.select(col("pid"), col("part"), col("graph"))
+        .as[(Int, Int, Array[Byte])].rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (probeRddRef.compareAndSet(null, built)) {
         built.count() // materialize: every later probe is cache-resident
@@ -530,9 +557,7 @@ class HnswIndex private[operators] (
     val q = query
     val kk = k
     probeRdd.mapPartitions { it =>
-      it.flatMap { case (pid, bytes) =>
-        HnswIndex.graphFor(ck, pid, bytes).search(q, kk, efEff)
-      }
+      HnswIndex.graphsFromParts(ck, it).flatMap(_.search(q, kk, efEff))
     }.collect()
       .sortBy { case (id, s) => (-s, id) }
       .take(k)
@@ -556,8 +581,7 @@ class HnswIndex private[operators] (
     val qs = queries
     val kk = k
     val partials = probeRdd.mapPartitions { it =>
-      it.flatMap { case (pid, bytes) =>
-        val g = HnswIndex.graphFor(ck, pid, bytes)
+      HnswIndex.graphsFromParts(ck, it).flatMap { g =>
         qs.iterator.flatMap { case (qid, q) =>
           g.search(q, kk, efEff).iterator.map { case (id, s) => (qid, id, s) }
         }
@@ -591,31 +615,55 @@ class HnswIndex private[operators] (
     else {
       val spark = graphs.sparkSession
       import spark.implicits._
-      val blobs = graphs.select(col("pid"), col("graph")).as[(Int, Array[Byte])]
-        .collect()
-      // deserialize the partition graphs CONCURRENTLY: the blobs are
+      // collect from the UN-grouped source when one exists: driver-side
+      // reassembly needs no partition co-location, so the local tier
+      // skips the blobFrame grouping exchange (and at a loaded 5M-node
+      // forest, a full columnar-cache materialization) entirely
+      val blobs = collectSrc.getOrElse(graphs)
+        .select(col("pid"), col("part"), col("graph"))
+        .as[(Int, Int, Array[Byte])].collect()
+      // deserialize the partition graphs CONCURRENTLY: the pids are
       // independent and graphCache is a TrieMap, while one thread walking
       // numPartitions object streams is minutes of cold-start at 5M nodes
       // (measured ~8 min single-threaded at sf100, ~1 min across 8 cores).
-      // Each slot's BYTES drop as soon as its graph exists — holding the
-      // full blob set AND the full graph set doubles residency for the
+      // Each pid's part BYTES drop as soon as its graph exists — holding
+      // the full blob set AND the full graph set doubles residency for the
       // whole cold-start (at 1024-d × 5M that double is ~21 GB).
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
+      val byPid: Seq[(Int, Seq[Int])] = blobs.indices
+        .groupBy(i => blobs(i)._1).toSeq
+        .map { case (pid, is) => pid -> is.sortBy(i => blobs(i)._2).toSeq }
       val built = Await.result(
-        Future.sequence(blobs.indices.map { i =>
+        Future.sequence(byPid.map { case (pid, is) =>
           Future {
-            val (pid, bytes) = blobs(i)
-            blobs(i) = null
-            HnswIndex.graphFor(cacheKey, pid, bytes)
+            val parts = new Array[Array[Byte]](is.length)
+            var j = 0
+            while (j < is.length) {
+              val (_, part, bytes) = blobs(is(j))
+              require(part == j, s"HNSW home $cacheKey pid $pid: blob part " +
+                s"$part found at index $j — part set incomplete or reordered")
+              parts(j) = bytes
+              blobs(is(j)) = null
+              j += 1
+            }
+            HnswIndex.graphForParts(cacheKey, pid, parts)
           }
-        }.toSeq), Duration.Inf).toArray
-      if (localGraphsRef.compareAndSet(null, built))
+        }), Duration.Inf).toArray
+      if (localGraphsRef.compareAndSet(null, built)) {
         LocalResidency.register("hnsw", cacheKey,
           built.iterator.map(_.residentBytes).sum)(() => releaseLocal())
-      localGraphsRef.get()
+        built
+      } else {
+        // another thread won the install; serve the witness — and if a
+        // concurrent invalidation already nulled it again, serve OUR
+        // build (an unregistered snapshot: correct results, GC'd with
+        // this call) rather than NPE-ing on a re-read (ADVICE r17)
+        val witness = localGraphsRef.get()
+        if (witness != null) witness else built
+      }
     }
   }
 
@@ -678,10 +726,10 @@ class HnswIndex private[operators] (
     val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
     val qs = queries
     val kk = k
-    val hits = graphs.select(col("pid"), col("graph")).as[(Int, Array[Byte])]
+    val hits = graphs.select(col("pid"), col("part"), col("graph"))
+      .as[(Int, Int, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (pid, bytes) =>
-          val g = HnswIndex.graphFor(ck, pid, bytes)
+        HnswIndex.graphsFromParts(ck, it).flatMap { g =>
           qs.iterator.flatMap { case (qid, q) =>
             g.search(q, kk, efEff).iterator.map { case (id, s) => (qid, id, s) }
           }
@@ -703,13 +751,13 @@ class HnswIndex private[operators] (
     val fs = IndexStore.fsFor(spark, path)
     val target = fs.makeQualified(new Path(path))
     IndexStore.publishAtomic(fs, target) { tmp =>
-      // Bound WRITE concurrency, not write volume: a parquet writer task
-      // buffers its in-flight binary cell (pages + snappy in/out), so P
-      // concurrent tasks × a GB-class blob is P × ~2 GB of heap at once —
-      // the 1024-d × 5M save OOM'd exactly here with 32 writers. The
-      // blobs are already cached (build materialized them), so coalesce
-      // costs nothing and each of the few writer tasks streams its blobs
-      // sequentially. Knob: -Dgraft.hnsw.saveWriters (default 4).
+      // Bound WRITE concurrency: a parquet writer task buffers its
+      // in-flight binary cell (pages + snappy in/out), so P concurrent
+      // tasks × a cell is P × ~2 cells of heap at once. With blob PARTS
+      // every cell is ≤ blobPartBytes (the GB-class single-cell layout
+      // that OOM'd the 1024-d × 5M save with 32 writers is gone), so the
+      // default bound is now just a sane writer count; raise it for wide
+      // forests on big hosts. Knob: -Dgraft.hnsw.saveWriters (default 4).
       val writers = sys.props.get("graft.hnsw.saveWriters").map(_.toInt)
         .getOrElse(4)
       val out =
@@ -730,8 +778,10 @@ object HnswIndex {
   // v3: the r16 builder rework (DHeap candidate/result queues, unrolled
   // dist accumulation) changes edge selection on distance ties and ulp-
   // level distances — rebuilds no longer bit-reproduce v2 homes, so v2
-  // homes must not take v3 delta segments (review finding, this round)
-  private val FormatVersion = 3
+  // homes must not take v3 delta segments (review finding, r16)
+  // v4: blob-PART layout (pid, part, graph) — single-cell v3 homes would
+  // read with a missing part column, so they are re-keyed away (r18)
+  private val FormatVersion = 4
 
   /** pgvector's three operator classes (pipeline.rs:526-543; the reference
     * default is vector_cosine_ops). The metric is a BUILD-time property —
@@ -771,25 +821,104 @@ object HnswIndex {
   private[operators] def dropGraphCache(home: String): Unit =
     graphCache.keys.filter(_._1 == home).foreach(graphCache.remove)
 
-  private[operators] def graphFor(key: String, pid: Int, bytes: Array[Byte]): HnswGraph =
-    graphCache.getOrElseUpdate((key, pid), deserialize(bytes))
+  private[operators] def graphForParts(
+      key: String, pid: Int, parts: Array[Array[Byte]]): HnswGraph =
+    graphCache.getOrElseUpdate((key, pid), deserializeParts(parts))
 
-  private[operators] def serialize(g: HnswGraph): Array[Byte] = {
-    // presize to the graph's known footprint: the default 32-byte buffer
-    // doubles ~25 times for a wide graph, each doubling a full copy of a
-    // (by then) GB-class array — at 1024-d that tail was most of the
-    // serialize cost and a humongous-allocation storm for G1
-    val est = g.residentBytes + (g.residentBytes >> 3) + (1 << 16)
-    val bos = new java.io.ByteArrayOutputStream(
-      math.min(est, Int.MaxValue - 16L).toInt)
-    val oos = new java.io.ObjectOutputStream(bos)
-    try oos.writeObject(g) finally oos.close()
-    bos.toByteArray
+  /** Blob part-size ceiling (bytes). Every serialized graph is stored as
+    * N parts of at most this size — the reference's own model-bytes
+    * pattern (`pgml.files` chunks at 100 MB,
+    * pgml-extension/src/orm/model.rs:296-310) — so parquet cells, row
+    * groups, writer buffers, and shuffle records all stay in the
+    * ~100 MB class no matter the vector width, and the JVM's 2 GB
+    * byte-array ceiling can never bind. `var` for spec-forced
+    * multi-part layouts on tiny graphs; knob
+    * `-Dgraft.hnsw.blobPartBytes` for deployments. */
+  @volatile private[graft] var blobPartBytes: Int =
+    sys.props.get("graft.hnsw.blobPartBytes").map(_.toInt)
+      .getOrElse(100 << 20)
+
+  /** OutputStream that seals ≤`chunk`-byte parts as it fills. The first
+    * buffer is presized to the (estimated, cap-bounded) payload so small
+    * graphs serialize into exactly one right-sized part with no doubling
+    * copies; once sealed, subsequent parts allocate at the cap. */
+  private[operators] final class ChunkedBytesOutputStream(first: Int, chunk: Int)
+      extends java.io.OutputStream {
+    private val done = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    private var buf = new Array[Byte](math.max(first, 64))
+    private var n = 0
+    private def roll(): Unit =
+      if (n == buf.length) { done += buf; buf = new Array[Byte](chunk); n = 0 }
+    override def write(b: Int): Unit = {
+      roll(); buf(n) = b.toByte; n += 1
+    }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off
+      var rem = len
+      while (rem > 0) {
+        roll()
+        val take = math.min(rem, buf.length - n)
+        System.arraycopy(b, o, buf, n, take)
+        n += take; o += take; rem -= take
+      }
+    }
+    def parts: Array[Array[Byte]] =
+      if (n == 0 && done.nonEmpty) done.toArray
+      else (done :+ java.util.Arrays.copyOf(buf, n)).toArray
   }
 
-  private[operators] def deserialize(bytes: Array[Byte]): HnswGraph = {
-    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+  /** Serialize a graph into ≤[[blobPartBytes]]-sized parts (always ≥ 1,
+    * part order = stream order). */
+  private[operators] def serializeParts(g: HnswGraph): Array[Array[Byte]] = {
+    val cap = blobPartBytes
+    val est = math.min(g.residentBytes + (g.residentBytes >> 3) + (1 << 16),
+      cap.toLong).toInt
+    val out = new ChunkedBytesOutputStream(est, cap)
+    val oos = new java.io.ObjectOutputStream(out)
+    try oos.writeObject(g) finally oos.close()
+    out.parts
+  }
+
+  /** Deserialize from parts WITHOUT concatenating them: the object stream
+    * reads straight across part boundaries via SequenceInputStream, so
+    * peak residency is parts + graph, never parts + copy + graph. */
+  private[operators] def deserializeParts(parts: Array[Array[Byte]]): HnswGraph = {
+    val streams: java.util.Enumeration[java.io.InputStream] =
+      new java.util.Enumeration[java.io.InputStream] {
+        private var i = 0
+        def hasMoreElements: Boolean = i < parts.length
+        def nextElement(): java.io.InputStream = {
+          val s = new java.io.ByteArrayInputStream(parts(i)); i += 1; s
+        }
+      }
+    val ois = new java.io.ObjectInputStream(
+      new java.io.SequenceInputStream(streams))
     try ois.readObject().asInstanceOf[HnswGraph] finally ois.close()
+  }
+
+  /** Reassemble graphs from an iterator of (pid, part, bytes) rows whose
+    * pids arrive in contiguous part-ascending runs (the blob-frame
+    * invariant). A cached (home, pid) graph short-circuits the bytes; an
+    * out-of-order or incomplete run refuses loudly rather than feeding
+    * the deserializer a torn stream. */
+  private[operators] def graphsFromParts(
+      key: String, it: Iterator[(Int, Int, Array[Byte])]): Iterator[HnswGraph] = {
+    val b = it.buffered
+    new Iterator[HnswGraph] {
+      def hasNext: Boolean = b.hasNext
+      def next(): HnswGraph = {
+        val pid = b.head._1
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        while (b.hasNext && b.head._1 == pid) {
+          val (_, part, bytes) = b.next()
+          require(part == parts.length, s"HNSW home $key pid $pid: blob " +
+            s"part $part arrived at index ${parts.length} — the blob frame " +
+            "must group each pid's parts contiguously, part-ascending")
+          parts += bytes
+        }
+        graphForParts(key, pid, parts.toArray)
+      }
+    }
   }
 
   /** Build a forest over `df(idCol, vecCol)`. Partition count defaults to
@@ -850,19 +979,23 @@ object HnswIndex {
       if (b.size == 0) Iterator.empty
       else {
         // freeze+serialize transiently triples a partition's residency
-        // (flat vector copy + a doubling serialization buffer). The
-        // insert loops above parallelize freely, but P wide partitions
-        // all entering this section together allocate P × ~3 GB at
+        // (flat vector copy + the serialization buffer). The insert
+        // loops above parallelize freely, but P wide partitions all
+        // entering this section together allocate P × ~3 GB at
         // 1024-d × 312k nodes in one burst — the 5M 1024-d build died
         // here (multi-minute full GC → heartbeat timeout → job kill).
         // Bound the burst: at most `freezePermits` concurrent
         // freeze+serialize sections per JVM (a per-executor constraint,
-        // exactly like a memory-bounded columnar writer).
+        // exactly like a memory-bounded columnar writer). Parts emit
+        // from ONE task, so the (pid, part) runs the read paths rely on
+        // are contiguous by construction.
         HnswIndex.freezeGate.acquire()
-        try Iterator((pid, serialize(b.freeze())))
-        finally HnswIndex.freezeGate.release()
+        val parts =
+          try serializeParts(b.freeze())
+          finally HnswIndex.freezeGate.release()
+        parts.iterator.zipWithIndex.map { case (bytes, i) => (pid, i, bytes) }
       }
-    }.toDF("pid", "graph")
+    }.toDF("pid", "part", "graph")
   }
 
   /** Concurrency bound for the freeze+serialize tail of a graph build
@@ -962,8 +1095,9 @@ object HnswIndex {
         (meta \ "metric").extractOpt[String].getOrElse(MetricCosine))
       rows.sortBy(_._1).foreach { case (id, v) => b.add(id, v) }
       graft.store.DeltaTable.publishSegmentLocal(s"$path/delta", seg,
-        Seq("pid" -> "int", "graph" -> "bytes"),
-        Seq(Seq(pid, serialize(b.freeze()))))
+        Seq("pid" -> "int", "part" -> "int", "graph" -> "bytes"),
+        serializeParts(b.freeze()).zipWithIndex
+          .map { case (bytes, i) => Seq(pid, i, bytes) }.toSeq)
     }
     graft.store.DeltaTable.commitSegment(path, seg)
     invalidate(path)
@@ -997,8 +1131,9 @@ object HnswIndex {
       dataDir.mkdirs()
       graft.store.DeltaTable.writeParquetLocal(
         new java.io.File(dataDir, "part-00000-local.parquet"),
-        Seq("pid" -> "int", "graph" -> "bytes"),
-        Seq(Seq(0, serialize(b.freeze()))))
+        Seq("pid" -> "int", "part" -> "int", "graph" -> "bytes"),
+        serializeParts(b.freeze()).zipWithIndex
+          .map { case (bytes, i) => Seq(0, i, bytes) }.toSeq)
       IndexStore.writeString(fs, new Path(tmp, Sidecar),
         s"""{"m":$m,"efConstruction":$efConstruction,"metric":"$metric"}""")
     }
@@ -1038,10 +1173,14 @@ object HnswIndex {
   private val BlobSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("pid",
       org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("part",
+      org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("graph",
       org.apache.spark.sql.types.BinaryType)))
 
-  private def blobFrame(spark: SparkSession, path: String): DataFrame = {
+  /** The raw part rows (no grouping guarantee) — what driver-side
+    * reassembly collects. */
+  private def blobFrameRaw(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.schema(BlobSchema).parquet(s"$path/data")
     val segs = IndexStore.committedDeltaSegs(spark, path)
     if (segs.isEmpty) base
@@ -1052,6 +1191,17 @@ object HnswIndex {
         .where(col("seg").isin(segs.map(Integer.valueOf): _*))
         .drop("seg"))
   }
+
+  private def blobFrame(spark: SparkSession, path: String): DataFrame =
+    // re-establish the build-time invariant the executor read paths rely
+    // on — each pid's parts contiguous and part-ascending in ONE
+    // partition: the parquet reader splits a multi-part file at row-group
+    // boundaries, so a raw scan can hand a task half a graph. One bounded
+    // exchange at load/materialization time (cached thereafter); the
+    // driver-local tier bypasses it via blobFrameRaw.
+    blobFrameRaw(spark, path)
+      .repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col("part"))
 
   /** Load a persisted forest. Graph blobs deserialize lazily per executor
     * (and stay cached there keyed by the home path), so repeated queries
@@ -1066,8 +1216,11 @@ object HnswIndex {
     val metric = (meta \ "metric").extractOpt[String].getOrElse(MetricCosine)
     // serve from memory: an HNSW graph is an in-RAM structure by design
     // (the reference's index pages live in the DB's shared buffers);
-    // without the cache every query re-reads the full blob table
-    new HnswIndex(blobFrame(spark, path).cache(), path, m, efc, metric)
+    // without the cache every query re-reads the full blob table. The
+    // raw frame rides along for the driver-local tier's collect (no
+    // grouping exchange, no columnar-cache materialization).
+    new HnswIndex(blobFrame(spark, path).cache(), path, m, efc, metric,
+      collectSrc = Some(blobFrameRaw(spark, path)))
   }
 
   /** Load if `path` holds a compatible forest, else build from `df` and

@@ -342,11 +342,62 @@ class HnswSpec extends AnyFunSuite {
       m = 8, efConstruction = 32, numPartitions = 2)
     val b = HnswIndex.build(spark, emb.limit(500), "embedding", "vec_id",
       m = 8, efConstruction = 32, numPartitions = 2)
-    val ba = a.graphs.orderBy("pid").select("graph").as[Array[Byte]].collect()
-    val bb = b.graphs.orderBy("pid").select("graph").as[Array[Byte]].collect()
+    val ba = a.graphs.orderBy("pid", "part").select("graph").as[Array[Byte]].collect()
+    val bb = b.graphs.orderBy("pid", "part").select("graph").as[Array[Byte]].collect()
     assert(ba.length == bb.length)
     ba.zip(bb).foreach { case (x, y) => assert(java.util.Arrays.equals(x, y)) }
     a.graphs.unpersist(); b.graphs.unpersist()
+  }
+
+  test("wide-blob persistence: multi-part save→load→serve round trip (r17 verdict #1)") {
+    // force the part cap far below one graph's serialized size, so this
+    // tiny forest exercises exactly the layout a 1024-d × 5M forest
+    // writes: N bounded parts per pid, reassembled on every read path
+    // (the reference chunks model bytes into 100 MB pgml.files rows the
+    // same way, pgml-extension/src/orm/model.rs:296-310)
+    val prevCap = HnswIndex.blobPartBytes
+    HnswIndex.blobPartBytes = 16 << 10 // 16 KB
+    try {
+      val idx = HnswIndex.build(spark, emb.limit(600), "embedding", "vec_id",
+        m = 8, efConstruction = 32, numPartitions = 2)
+      // the in-memory frame is already multi-part per pid
+      val partsPerPid = idx.graphs.groupBy("pid")
+        .count().select("count").as[Long].collect()
+      assert(partsPerPid.forall(_ > 1),
+        s"expected >1 part per pid at a 16 KB cap, got ${partsPerPid.toSeq}")
+      val home = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_parts_").toString + "/idx"
+      idx.save(home)
+      val q = emb.where($"vec_id" === 7).select("embedding").as[Array[Float]].head()
+      val want = idx.search(q, 10, ef = 64, idName = "vec_id")
+        .as[(Long, Double)].collect().toSeq
+      HnswIndex.invalidate(home)
+      val loaded = HnswIndex.load(spark, home)
+      // every read path reassembles identically: plan-based search,
+      // prepared distributed probe, driver-local tier
+      assert(loaded.search(q, 10, ef = 64, idName = "vec_id")
+        .as[(Long, Double)].collect().toSeq == want, "plan-based search diverged")
+      assert(loaded.serveDistributed(q, 10, ef = 64).toSeq == want,
+        "prepared distributed probe diverged")
+      assert(loaded.searchLocal(q, 10, ef = 64) == want,
+        "driver-local tier diverged")
+      // delta append on a parted home: the local single-graph appender
+      // writes parts too, and search unions them
+      HnswIndex.appendSegmentLocal(spark, home,
+        Seq((900000L, emb.where($"vec_id" === 7)
+          .select("embedding").as[Array[Float]].head())))
+      HnswIndex.invalidate(home)
+      val withDelta = HnswIndex.load(spark, home)
+      // the appended node duplicates vec 7's embedding: both score 1.0,
+      // ties resolve by id — top-2 must be exactly (7, 900000)
+      val top2 = withDelta.searchLocal(q, 2, ef = 600).map(_._1)
+      assert(top2 == Seq(7L, 900000L),
+        s"delta-appended duplicate not served from the parted home: $top2")
+      withDelta.graphs.unpersist()
+      loaded.graphs.unpersist()
+      idx.graphs.unpersist()
+      HnswIndex.invalidate(home)
+    } finally HnswIndex.blobPartBytes = prevCap
   }
 
   // ---- commit-protocol probes (the DeltaTableSpec suite for index homes) ----
@@ -387,10 +438,11 @@ class HnswSpec extends AnyFunSuite {
     val segs = new java.io.File(s"$home/delta").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("seg=")).map(_.getName).toSet
     assert(segs.size == 2, s"expected 2 delta segments, got $segs")
-    // pid blocks keyed on the segment number never collide
+    // pid blocks keyed on the segment number never collide (rows are
+    // (pid, part) parts now — uniqueness holds per pair)
     HnswIndex.invalidate(home)
     val pids = HnswIndex.load(spark, home).graphs
-      .select("pid").as[Int].collect().toSeq
+      .select("pid", "part").as[(Int, Int)].collect().toSeq
     assert(pids.distinct.size == pids.size, s"pid collision across segments: $pids")
     assert(servedIds(home, 1000L).contains(1000L), "first appender's vectors lost")
     assert(servedIds(home, 2000L).contains(2000L), "second appender's vectors lost")
