@@ -96,10 +96,17 @@ class IvfIndex private[operators] (
   @transient private lazy val localPostingsCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Map[Int, (Array[Long], Array[Float])])]
 
+  // residency-key base: a process-unique instance number, NOT
+  // System.identityHashCode — identity hashes collide between live
+  // instances, and a collision lets one index's register/release evict
+  // or replace ANOTHER's accounting entry (ADVICE r17)
+  @transient private lazy val resInstance: Long =
+    IvfIndex.resInstanceCounter.incrementAndGet()
+  private def resKeyFor(idCol: String): String = s"ivf-$resInstance/$idCol"
+
   def searchLocal(query: Array[Float], k: Int, nprobe: Int,
       idCol: String): Seq[(Long, Double)] = {
-    // residency key: instance identity + idCol (the cache is per-instance)
-    val resKey = Integer.toHexString(System.identityHashCode(this)) + "/" + idCol
+    val resKey = resKeyFor(idCol)
     if (localPostingsCache.contains(idCol)) LocalResidency.touch("ivf", resKey)
     val (dim, postings) = localPostingsCache.getOrElseUpdate(idCol, {
       val spark = data.sparkSession
@@ -214,8 +221,7 @@ class IvfIndex private[operators] (
     * (source rewrite / family eviction). */
   private[graft] def releaseLocal(): Unit = {
     localPostingsCache.keys.foreach { idCol =>
-      LocalResidency.release("ivf",
-        Integer.toHexString(System.identityHashCode(this)) + "/" + idCol)
+      LocalResidency.release("ivf", resKeyFor(idCol))
     }
     localPostingsCache.clear()
   }
@@ -266,6 +272,11 @@ class IvfIndex private[operators] (
 }
 
 object IvfIndex {
+
+  /** Monotone instance numbers for [[IvfIndex.resKeyFor]] — never reused,
+    * so two live indexes can never share a residency entry. */
+  private[operators] val resInstanceCounter =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   private val Sidecar = "centroids.json"
   // bump when the on-disk layout or assignment scheme changes: the format

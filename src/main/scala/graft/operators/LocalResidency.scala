@@ -17,14 +17,22 @@ package graft.operators
   * (one collect job), bit-identical results.
   *
   * Knob: `-Dgraft.ann.localResidencyMaxBytes=N` or set [[maxBytes]]
-  * directly; 0 (the default) = uncapped, today's behavior. Explicit
-  * [[evict]]/[[evictAll]] work regardless of the cap.
+  * directly; 0 = uncapped. The DEFAULT is ON at half the JVM's max heap
+  * (r17 verdict #8): a serving box that never touches a second family
+  * pays nothing, and the 40 GB three-tier co-residency OOM cannot happen
+  * out of the box. Explicit [[evict]]/[[evictAll]] work regardless of
+  * the cap.
   */
 object LocalResidency {
 
-  /** Total driver-heap budget for local ANN tiers; 0 = uncapped. */
+  /** Total driver-heap budget for local ANN tiers; 0 = uncapped.
+    * Default: half of `Runtime.maxMemory` — graph/posting arrays are the
+    * dominant resident class in a serving JVM, and half the heap leaves
+    * room for probe transients, the blob collect, and Spark's own
+    * driver-side state. */
   @volatile var maxBytes: Long =
-    sys.props.get("graft.ann.localResidencyMaxBytes").map(_.toLong).getOrElse(0L)
+    sys.props.get("graft.ann.localResidencyMaxBytes").map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 2)
 
   private final case class Entry(bytes: Long, evict: () => Unit)
 

@@ -24,6 +24,17 @@ class AnnResidencySpec extends AnyFunSuite {
   private def probe(family: String, q: Array[Float]): Seq[(Long, Double)] =
     AnnServing.serveLocal(spark, family, src, emb, "vec_id", "embedding", q, 10, p)
 
+  test("the cap defaults ON at half the JVM heap (no knob set)") {
+    // r17 verdict #8: without a default, a serving JVM sized for one
+    // family is OOM'd by a stray probe on another. The spec JVM sets no
+    // -Dgraft.ann.localResidencyMaxBytes, so the object must have
+    // initialized to maxMemory/2 (every mutating test restores its
+    // saved previous value, so the init value is still observable).
+    assert(sys.props.get("graft.ann.localResidencyMaxBytes").isEmpty)
+    assert(LocalResidency.maxBytes == Runtime.getRuntime.maxMemory() / 2,
+      s"default cap ${LocalResidency.maxBytes} != maxMemory/2")
+  }
+
   test("under a byte cap, a stray probe on another family evicts LRU instead of accumulating") {
     val q = queryVec(3L)
     LocalResidency.evictAll()
