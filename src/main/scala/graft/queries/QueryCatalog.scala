@@ -918,6 +918,29 @@ object QueryCatalog {
         .orderBy(col("doc_id")),
     Some(T14OracleSql.sql))
 
+  /** Epoch WRITE→READ round trip (r17 verdict #5): writeShards
+    * materializes the one-file-per-shard layout (row order = draw order,
+    * no stored position), readShards reconstructs (shard, pos) from
+    * `_metadata.row_index` — the frame must equal the coordinate replay
+    * exactly, document text included (md5), proving the write→read epoch
+    * contract end to end under the driver's hash gate. */
+  val t15ReadShards: GraftQuery = GraftQuery(
+    "t15_read_shards",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        "graft_t15_shards_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+      graft.operators.Corpus.writeShards(
+        docs.select(col("doc_id"), col("text")), "doc_id", out,
+        T15OracleSql.numShards, T15OracleSql.seed)
+      graft.operators.Corpus.readShards(s, out)
+        .select(col("doc_id"), col("shard"), col("pos"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(T15OracleSql.sql))
+
   /** PII redaction (C4-style scrubbing): email → IPv4 → phone-shaped
     * regexp_replace chain. The corpus text carries no PII, so the query
     * plants a deterministic PII suffix on every document and redacts it —
@@ -4680,7 +4703,7 @@ object QueryCatalog {
     t1DedupExact, t2TokenStats, t3QualityScore, t4BpeishCount, t5LangId,
     t6Fingerprint, t7PackSequences, t8RepetitionStats, t9RedactPii,
     t10DedupSpans, t11GopherRules, t12LangIdTrained, t13BpeTokens,
-    t14ShardShuffle,
+    t14ShardShuffle, t15ReadShards,
     c1CorpusCurate, c2CorpusCurateNearDup, c3SampleMixture, c4CurateStream,
     c5AssignSplits, c6Perplexity, c7QualityClassifier, c8C4Clean, c9NgramLm,
     c10DsirWeights, c11DsirSelect, c12TemperatureMixture, c13TokenBudget,
