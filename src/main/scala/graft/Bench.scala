@@ -51,6 +51,7 @@ object Bench {
       "t5_lang_id", "t6_fingerprint", "t7_pack_sequences",
       "t8_repetition_stats", "t10_dedup_spans", "t11_gopher_rules",
       "t12_lang_id_trained", "t13_bpe_tokens", "t14_shard_shuffle",
+      "t15_read_shards",
       "c3_sample_mixture", "c12_temperature_mixture", "c13_token_budget",
       "c14_pipeline_compose",
       "c6_perplexity", "c7_quality_classifier", "c8_c4_clean", "c9_ngram_lm",
@@ -84,9 +85,29 @@ object Bench {
     def envInt(name: String, d: Int): Int =
       sys.env.get(name).map(_.trim.toInt).getOrElse(d)
     // HNSW build partition count: 8 is the committed sf0.1..sf100(64-d)
-    // shape; the 1024-d 5M run needs >= 16 (a graph blob must serialize
-    // under the JVM's 2 GB byte-array limit: 5M/16 x 1024 x 4 B = 1.28 GB)
+    // shape; wide/5M runs raise it for build parallelism and per-graph
+    // memory (blob-part persistence has removed the old 2 GB
+    // byte-array/cell constraint — parts cap at ~100 MB at any width)
     val hnswParts = envInt("SPARK_GRAFT_HNSW_PARTS", 8)
+    // Per-probe latency samples for the serving legs (r17 verdict #7):
+    // the leg totals are means over 50/1000 sequential probes; at wide
+    // dims the per-query variance (graph residency misses, GC) is the
+    // SLA number. Samples collect only during the TIMED passes (warm-up
+    // cold builds would pollute the distribution) and land as p50/p99
+    // per leg in the detail file.
+    val latRecording = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val latSamples = scala.collection.concurrent.TrieMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    def timedProbe[T](leg: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (latRecording.get()) {
+        val buf = latSamples.getOrElseUpdate(leg,
+          scala.collection.mutable.ArrayBuffer.empty[Double])
+        buf.synchronized { buf += (System.nanoTime() - t0) / 1e6 }
+      }
+      r
+    }
     // IVF spill assignment: 3 = the recall default; 1 = single assignment
     // (the reference IVFFlat shape, and the 1024-d residency condition)
     val ivfNassign = envInt("SPARK_GRAFT_IVF_NASSIGN", 3)
@@ -173,7 +194,8 @@ object Bench {
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            probe(qv, 10).map { case (id, sc) => (qid, id, sc) }
+            timedProbe("v5c_ivf_local")(probe(qv, 10))
+              .map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }
@@ -197,7 +219,8 @@ object Bench {
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            probe(qv, 10).map { case (id, sc) => (qid, id, sc) }
+            timedProbe("v24c_ivfpq_local")(probe(qv, 10))
+              .map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }
@@ -222,7 +245,8 @@ object Bench {
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 5)
           hits = queries.flatMap { case (qid, qv) =>
-            idx.serveDistributed(qv, 10, nprobe, "vec_id").take(1)
+            timedProbe("v5d_ivf_serve")(
+              idx.serveDistributed(qv, 10, nprobe, "vec_id")).take(1)
               .map { case (id, s) => (qid, id, s) }
           }
         hits.toDF("query_id", "vec_id", "score")
@@ -334,7 +358,8 @@ object Bench {
           hits = queries.flatMap { case (qid, qv) =>
             // headOption: an empty probe yields no row instead of
             // aborting the whole bench run on NoSuchElementException
-            idx.serveDistributed(qv, 10, ef = 64).take(1)
+            timedProbe("v9d_hnsw_serve")(
+              idx.serveDistributed(qv, 10, ef = 64)).take(1)
               .map { case (id, s) => (qid, id, s) }
           }
         hits.toDF("query_id", "vec_id", "score")
@@ -375,6 +400,7 @@ object Bench {
     // warm-up failures surface in the timed loop below; don't hide them here
     for (w <- headline)
       try queries(w)(spark, sfDir).count() catch { case _: Throwable => }
+    latRecording.set(true)
 
     // Load evidence: three consecutive driver benches (r6/r7/r8) were
     // polluted by co-located machine load and needed manual re-runs to
@@ -410,22 +436,32 @@ object Bench {
     def taskDirs(): Seq[java.io.File] =
       Option(new java.io.File("/proc/self/task").listFiles()).map(_.toSeq)
         .getOrElse(Nil)
-    def schedstatWaitNs(): Long =
+    // PER-TID maps, not sums: threads that exit between two samples made
+    // a summed delta NEGATIVE (r17's detail file recorded runq -1.6 s,
+    // invol -7445). Deltas sum max(0, after - before) per surviving tid
+    // (new tids count from 0; exited tids' partial counts drop — a small
+    // undercount, never a sign flip).
+    def schedstatWaitByTid(): Map[String, Long] =
       try taskDirs().map { d =>
-        try readProc(new java.io.File(d, "schedstat")).trim.split("\\s+")(1).toLong
-        catch { case _: Throwable => 0L }
-      }.sum
-      catch { case _: Throwable => -1L }
-    def involCtxt(): Long =
+        d.getName -> (try readProc(new java.io.File(d, "schedstat"))
+            .trim.split("\\s+")(1).toLong
+          catch { case _: Throwable => 0L })
+      }.toMap
+      catch { case _: Throwable => Map.empty }
+    def involCtxtByTid(): Map[String, Long] =
       try taskDirs().map { d =>
-        try readProc(new java.io.File(d, "status")).linesIterator
-          .find(_.startsWith("nonvoluntary_ctxt_switches"))
-          .map(_.split("\\s+")(1).toLong).getOrElse(0L)
-        catch { case _: Throwable => 0L }
-      }.sum
-      catch { case _: Throwable => -1L }
-    final case class Steal(cpuNs: Long, waitNs: Long, ctxt: Long)
-    def stealNow(): Steal = Steal(processCpuNs(), schedstatWaitNs(), involCtxt())
+        d.getName -> (try readProc(new java.io.File(d, "status")).linesIterator
+            .find(_.startsWith("nonvoluntary_ctxt_switches"))
+            .map(_.split("\\s+")(1).toLong).getOrElse(0L)
+          catch { case _: Throwable => 0L })
+      }.toMap
+      catch { case _: Throwable => Map.empty }
+    def tidDelta(before: Map[String, Long], after: Map[String, Long]): Long =
+      after.iterator.map { case (tid, v) =>
+        math.max(0L, v - before.getOrElse(tid, 0L)) }.sum
+    final case class Steal(cpuNs: Long, waitNs: Map[String, Long],
+        ctxt: Map[String, Long])
+    def stealNow(): Steal = Steal(processCpuNs(), schedstatWaitByTid(), involCtxtByTid())
 
     // A query that throws must NOT contribute its (near-zero) failure time —
     // that would silently IMPROVE the headline. Record it as -1 and leave it
@@ -450,7 +486,7 @@ object Bench {
       passLoads += loadavg()
       val s1 = stealNow()
       passSteals += (((s1.cpuNs - s0.cpuNs) / 1e9,
-        (s1.waitNs - s0.waitNs) / 1e9, s1.ctxt - s0.ctxt))
+        tidDelta(s0.waitNs, s1.waitNs) / 1e9, tidDelta(s0.ctxt, s1.ctxt)))
       pass
     }
     val results = headline.flatMap { name =>
@@ -480,8 +516,16 @@ object Bench {
     // artifact (r14/r15 "parsed": null). stdout carries one COMPACT line —
     // totals + per-leg medians, ~¼ the bytes — printed LAST so a tail
     // capture always keeps it whole; the detail path rides along in it.
+    val latJson = latSamples.toSeq.sortBy(_._1).map { case (leg, buf) =>
+      val sorted = buf.synchronized { buf.toArray }.sorted
+      def pct(p: Double): Double =
+        sorted(math.max(0, math.min(sorted.length - 1,
+          math.ceil(p * sorted.length).toInt - 1)))
+      "\"" + leg +
+        f"""\":{"p50_ms":${pct(0.50)}%.3f,"p99_ms":${pct(0.99)}%.3f,"max_ms":${sorted.last}%.3f,"n":${sorted.length}}"""
+    }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"latency_ms":$latJson,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/tmp/graft_bench_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
@@ -494,8 +538,10 @@ object Bench {
     // a repo-path file (r16 verdict #1 — three rounds of "parsed": null
     // from sbt-decorated stdout; build.sbt's StdoutOutput strips the
     // decoration at the source, this file survives any capture).
+    // cwd-relative default (ADVICE r17): a checkout elsewhere writes its
+    // own copy instead of failing every run against a hardcoded /root/repo
     val headlinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE",
-      "/root/repo/bench_headline.json")
+      "bench_headline.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(headlinePath),
       (headlineLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
