@@ -763,7 +763,18 @@ class HnswIndex private[operators] (
       val out =
         if (graphs.rdd.getNumPartitions > writers) graphs.coalesce(writers)
         else graphs
-      out.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "data").toString)
+      out.write.mode(SaveMode.Overwrite)
+        // parquet-mr checks page/row-group size only every 100 RECORDS by
+        // default (parquet.{page,block}.size.row.check.min) — at ~100 MB
+        // blob parts that is 10 GB buffered before the first check, and
+        // the column writer's CapacityByteArrayOutputStream overflows
+        // Integer.MAX_VALUE (measured: the 1024-d × 5M save died exactly
+        // there). Check after every record: each part becomes its own
+        // page, row groups flush at ~1 part, and writer buffering stays
+        // in the one-part class.
+        .option("parquet.page.size.row.check.min", "1")
+        .option("parquet.block.size.row.check.min", "1")
+        .parquet(new Path(tmp, "data").toString)
       IndexStore.writeString(fs, new Path(tmp, HnswIndex.Sidecar),
         s"""{"m":$m,"efConstruction":$efConstruction,"metric":"$metric"}""")
     }
