@@ -166,7 +166,8 @@ object Bench {
         var hits: Seq[(Long, Long, Double)] = Nil
         for (_ <- 1 to 100)
           hits = queries.flatMap { case (qid, qv) =>
-            probe(qv, 10).map { case (id, sc) => (qid, id, sc) }
+            timedProbe("v9c_hnsw_local")(probe(qv, 10))
+              .map { case (id, sc) => (qid, id, sc) }
           }
         hits.toDF("query_id", "vec_id", "score")
       }
