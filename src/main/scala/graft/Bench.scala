@@ -525,8 +525,16 @@ object Bench {
       "\"" + leg +
         f"""\":{"p50_ms":${pct(0.50)}%.3f,"p99_ms":${pct(0.99)}%.3f,"max_ms":${sorted.last}%.3f,"n":${sorted.length}}"""
     }.mkString("{", ",", "}")
+    // Self-describing artifact: the 256-d 5M record shipped without its
+    // build knobs and the round record had to guess them — pin every
+    // env-tunable that changes what a scale artifact measured.
+    val envJson = {
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val jvm = sys.env.getOrElse("SPARK_GRAFT_JVM_OPTS", "")
+      f"""{"hnsw_parts":$hnswParts,"ivf_nlist":${envInt("SPARK_GRAFT_IVF_NLIST", 16)},"ivf_nprobe":${envInt("SPARK_GRAFT_IVF_NPROBE", 4)},"ivf_nassign":$ivfNassign,"cpus":"$cpus","driver_mem":"$mem","jvm_opts":"$jvm"}"""
+    }
     val fullJson =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"latency_ms":$latJson,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"latency_ms":$latJson,"env":$envJson,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/tmp/graft_bench_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

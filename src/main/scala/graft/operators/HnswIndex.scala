@@ -459,7 +459,8 @@ class HnswIndex private[operators] (
     val m: Int,
     val efConstruction: Int,
     val metric: String = HnswIndex.MetricCosine,
-    collectSrc: Option[DataFrame] = None) extends Serializable {
+    collectSrc: Option[DataFrame] = None,
+    numPids: Int = 0) extends Serializable {
 
   /** ANN top-k by cosine similarity: per-partition graph search, then a
     * (partitions × k)-row global merge. `ef` defaults to
@@ -516,8 +517,14 @@ class HnswIndex private[operators] (
       // repartition+sort re-establishes the grouping invariant the
       // object rows need; built (mem:) indexes use their already-grouped
       // cached frame directly.
+      // pid-exact partition count: repartition(col) alone yields
+      // spark.sql.shuffle.partitions partitions (mostly EMPTY at small
+      // forests) and every probe job then schedules that many tasks —
+      // measured 1.6× on per-request latency at sf0.1 (32 tasks for an
+      // 8-graph forest). One partition per pid keeps a probe wave at
+      // exactly forest-size tasks.
       val src = collectSrc
-        .map(_.repartition(col("pid"))
+        .map(_.repartition(math.max(1, numPids), col("pid"))
           .sortWithinPartitions(col("pid"), col("part")))
         .getOrElse(graphs)
       val built = src.select(col("pid"), col("part"), col("graph"))
@@ -692,8 +699,15 @@ class HnswIndex private[operators] (
   def searchLocal(query: Array[Float], k: Int, ef: Int = 0): Seq[(Long, Double)] = {
     val efEff = if (ef > 0) math.max(ef, k) else math.max(4 * k, efConstruction)
     val gs = localGraphs
+    // parallel dispatch only pays when a graph's search outweighs a
+    // thread wakeup (~0.1-1 ms on a loaded pool): at sub-ms tiny-forest
+    // probes the Future fan-out measured ~3× the whole sequential walk
+    // (clean r18 board, 8×250-node graphs), while the 5M wide-dim forests
+    // it was built for clear the gate by 20×. Results are identical
+    // either way (same per-graph search, same merge order).
+    val parallelWorthIt = gs.exists(_.size >= HnswIndex.localParallelMinNodes)
     val perGraph: Seq[Array[(Long, Double)]] =
-      if (HnswIndex.localParallelism <= 1 || gs.length <= 1)
+      if (HnswIndex.localParallelism <= 1 || gs.length <= 1 || !parallelWorthIt)
         gs.toSeq.map(_.search(query, k, efEff))
       else {
         import scala.concurrent.{Await, Future}
@@ -818,6 +832,14 @@ object HnswIndex {
   @volatile var localParallelism: Int =
     sys.props.get("graft.hnsw.localParallelism").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Smallest per-graph node count at which the parallel forest probe
+    * engages (below it, thread dispatch outweighs the search itself —
+    * measured ~3× a tiny forest's sequential walk). Knob
+    * `-Dgraft.hnsw.localParallelMinNodes`; results identical either way. */
+  @volatile var localParallelMinNodes: Int =
+    sys.props.get("graft.hnsw.localParallelMinNodes").map(_.toInt)
+      .getOrElse(8192)
 
   // session cache of served indexes (keyed by resolved persisted home,
   // shared serve/prune layer) and executor-local cache of deserialized
@@ -1203,15 +1225,31 @@ object HnswIndex {
         .drop("seg"))
   }
 
+  /** The pid count of a persisted home (one tiny job — the blob table is
+    * numPids×parts rows). Every [[blobFrame]] over a home must use THIS
+    * count so plans canonicalize identically: `unpersist` on a
+    * re-derived frame only drops the CacheManager entry when the plan
+    * (partition count included) matches what [[load]] cached. */
+  private def pidCountOf(spark: SparkSession, path: String): Int =
+    blobFrameRaw(spark, path).select("pid").distinct().count().toInt
+
   private def blobFrame(spark: SparkSession, path: String): DataFrame =
+    blobFrame(spark, path, pidCountOf(spark, path))
+
+  private def blobFrame(spark: SparkSession, path: String, nPids: Int): DataFrame =
     // re-establish the build-time invariant the executor read paths rely
     // on — each pid's parts contiguous and part-ascending in ONE
     // partition: the parquet reader splits a multi-part file at row-group
     // boundaries, so a raw scan can hand a task half a graph. One bounded
     // exchange at load/materialization time (cached thereafter); the
-    // driver-local tier bypasses it via blobFrameRaw.
+    // driver-local tier bypasses it via blobFrameRaw. The partition count
+    // is the FOREST size, not spark.sql.shuffle.partitions: a cached plan
+    // keeps its shuffle partitioning (AQE does not re-coalesce it), and
+    // every query/probe over the frame schedules one task per partition —
+    // default-200 mostly-empty partitions cost 1.6× per-request latency
+    // at an 8-graph forest.
     blobFrameRaw(spark, path)
-      .repartition(col("pid"))
+      .repartition(math.max(1, nPids), col("pid"))
       .sortWithinPartitions(col("pid"), col("part"))
 
   /** Load a persisted forest. Graph blobs deserialize lazily per executor
@@ -1230,8 +1268,9 @@ object HnswIndex {
     // without the cache every query re-reads the full blob table. The
     // raw frame rides along for the driver-local tier's collect (no
     // grouping exchange, no columnar-cache materialization).
-    new HnswIndex(blobFrame(spark, path).cache(), path, m, efc, metric,
-      collectSrc = Some(blobFrameRaw(spark, path)))
+    val nPids = pidCountOf(spark, path)
+    new HnswIndex(blobFrame(spark, path, nPids).cache(), path, m, efc, metric,
+      collectSrc = Some(blobFrameRaw(spark, path)), numPids = nPids)
   }
 
   /** Load if `path` holds a compatible forest, else build from `df` and
