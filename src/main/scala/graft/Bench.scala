@@ -33,6 +33,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Opt-in job trace (SPARK_GRAFT_BENCH_TRACE=/path): every Spark job's
+    // start/end with its thread-local description lands in one file, so a
+    // slow leg can be attributed — its own jobs vs background maintenance
+    // (merges, index rebuilds) bleeding into it. The timed loops label
+    // their jobs (guide §1.5); background threads carry no label, which is
+    // exactly what makes them visible here.
+    val traceWriter: Option[java.io.PrintWriter] =
+      sys.env.get("SPARK_GRAFT_BENCH_TRACE").map { tp =>
+        new java.io.PrintWriter(new java.io.FileWriter(tp, false))
+      }
+    def traceLine(s: String): Unit = traceWriter.foreach { w =>
+      w.synchronized { w.println(s"${System.currentTimeMillis()} $s"); w.flush() }
+    }
+    traceWriter.foreach { _ =>
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("-")
+          val nTasks = js.stageInfos.map(_.numTasks).sum
+          traceLine(s"JOB_START id=${js.jobId} tasks=$nTasks desc=$desc")
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          traceLine(s"JOB_END   id=${je.jobId}")
+      })
+    }
+
     // SPARK_GRAFT_BENCH_QUERIES=name1,name2 restricts the run to a subset
     // (used for the one-off scale-headroom runs at generated SFs, where
     // only the corpus-proportional legs are of interest and the TPC-H
@@ -399,8 +425,13 @@ object Bench {
     // then measure 3 passes and report the PER-QUERY MEDIAN: one pass
     // cannot distinguish an 80% regression from scheduler noise.
     // warm-up failures surface in the timed loop below; don't hide them here
-    for (w <- headline)
+    for (w <- headline) {
+      spark.sparkContext.setJobDescription(s"bench:$w:warm")
+      traceLine(s"LEG_START $w:warm")
       try queries(w)(spark, sfDir).count() catch { case _: Throwable => }
+      traceLine(s"LEG_END   $w:warm")
+    }
+    spark.sparkContext.setJobDescription(null)
     latRecording.set(true)
 
     // Load evidence: three consecutive driver benches (r6/r7/r8) were
@@ -426,6 +457,17 @@ object Bench {
     // (a pass whose wall doubles with flat CPU time was starved, not
     // regressed), /proc/self/schedstat field 2 (ns runnable-but-waiting —
     // direct runqueue contention), and nonvoluntary context switches.
+    // Hypervisor steal (/proc/stat cpu col 8, ticks): co-tenant VMs pause
+    // our vCPUs without raising loadavg or guest runq wait — the one
+    // contention signal the r18 roaming-slow-window investigation found
+    // that the existing counters cannot see. Per-pass deltas land in the
+    // detail file; a pass with high steal is a machine artifact, not a
+    // code regression.
+    def stealTicks(): Long =
+      try readProc(new java.io.File("/proc/stat")).linesIterator
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+"))
+        .filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     def processCpuNs(): Long =
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
@@ -461,8 +503,9 @@ object Bench {
       after.iterator.map { case (tid, v) =>
         math.max(0L, v - before.getOrElse(tid, 0L)) }.sum
     final case class Steal(cpuNs: Long, waitNs: Map[String, Long],
-        ctxt: Map[String, Long])
-    def stealNow(): Steal = Steal(processCpuNs(), schedstatWaitByTid(), involCtxtByTid())
+        ctxt: Map[String, Long], hvSteal: Long)
+    def stealNow(): Steal = Steal(processCpuNs(), schedstatWaitByTid(),
+      involCtxtByTid(), stealTicks())
 
     // A query that throws must NOT contribute its (near-zero) failure time —
     // that would silently IMPROVE the headline. Record it as -1 and leave it
@@ -473,21 +516,31 @@ object Bench {
     val nPasses = 3
     val passLoads = scala.collection.mutable.ArrayBuffer[Seq[Double]](loadavg())
     val passSteals = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
-    val perPass: Seq[Seq[(String, Double)]] = (1 to nPasses).map { _ =>
+    val passHvSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ticksPerSec = 100.0 // USER_HZ; Linux fixes it at 100 on every arch here
+    val perPass: Seq[Seq[(String, Double)]] = (1 to nPasses).map { p =>
       val s0 = stealNow()
       val pass = headline.flatMap { name =>
         queries.get(name).map { fn =>
+          spark.sparkContext.setJobDescription(s"bench:$name:p$p")
+          traceLine(s"LEG_START $name:p$p")
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          traceLine(f"LEG_END   $name:p$p $dt%.3f")
+          name -> (if (ok) dt else -1.0)
         }
       }
+      spark.sparkContext.setJobDescription(null)
       passLoads += loadavg()
       val s1 = stealNow()
       passSteals += (((s1.cpuNs - s0.cpuNs) / 1e9,
         tidDelta(s0.waitNs, s1.waitNs) / 1e9, tidDelta(s0.ctxt, s1.ctxt)))
+      passHvSteal +=
+        (if (s0.hvSteal < 0 || s1.hvSteal < 0) -1.0
+         else (s1.hvSteal - s0.hvSteal) / ticksPerSec)
       pass
     }
     val results = headline.flatMap { name =>
@@ -511,6 +564,7 @@ object Bench {
     val cpuJson = passSteals.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
     val waitJson = passSteals.map(s => f"${s._2}%.1f").mkString("[", ",", "]")
     val ctxtJson = passSteals.map(_._3.toString).mkString("[", ",", "]")
+    val hvStealJson = passHvSteal.map(s => f"$s%.1f").mkString("[", ",", "]")
     // The FULL record (per-pass arrays, loadavg, steal counters) goes to a
     // FILE: the driver captures only the tail of stdout, and two rounds
     // running the full line was truncated head-first into an unparseable
@@ -534,7 +588,7 @@ object Bench {
       f"""{"hnsw_parts":$hnswParts,"ivf_nlist":${envInt("SPARK_GRAFT_IVF_NLIST", 16)},"ivf_nprobe":${envInt("SPARK_GRAFT_IVF_NPROBE", 4)},"ivf_nassign":$ivfNassign,"cpus":"$cpus","driver_mem":"$mem","jvm_opts":"$jvm"}"""
     }
     val fullJson =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"latency_ms":$latJson,"env":$envJson,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passesJson,"loadavg_per_pass":$loadJson,"cpu_sec_per_pass":$cpuJson,"runq_wait_sec_per_pass":$waitJson,"invol_ctxt_per_pass":$ctxtJson,"hv_steal_sec_per_pass":$hvStealJson,"latency_ms":$latJson,"env":$envJson,"host_cpus":$hostCpus,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/tmp/graft_bench_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

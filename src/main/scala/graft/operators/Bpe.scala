@@ -187,7 +187,8 @@ object Bpe {
     * mapPartitions with the BROADCAST model instead — still over the
     * vocabulary-sized distinct-pretoken frame only, the corpus-side
     * plumbing identical. Volatile so tests can pin a regime. */
-  @volatile var literalMaxMerges: Int = 2048
+  @volatile var literalMaxMerges: Int =
+    sys.props.get("graft.bpe.literalMaxMerges").map(_.trim.toInt).getOrElse(2048)
 
   /** Per-document BPE token counts: (idCol, n_pretokens, n_bpe_tokens).
     * `maxSteps` bounds the per-word merge iterations of the

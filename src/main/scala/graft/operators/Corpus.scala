@@ -58,7 +58,14 @@ object Corpus {
     * lambda an expression re-evaluates per window, turning the gram pass
     * quadratic in document length. */
   private def ngramHashes(toks: Column, n: Int): Column =
-    transform(ngrams(toks, n), g => md5(g))
+    // xxhash64, not md5: the gram key never leaves the plan (the d5 result
+    // is doc_ids; its oracle joins RAW gram strings), so the only
+    // requirements are determinism and collision-resistance at corpus
+    // gram cardinality — xxhash64 is ~an order of magnitude cheaper per
+    // gram than md5 and makes the semi-join key an 8-byte long instead of
+    // a 32-char hex string (guide §2.3 "narrower types": smaller
+    // broadcast, cheaper probe)
+    transform(ngrams(toks, n), g => xxhash64(g))
 
   /** Benchmark decontamination — drop every corpus document sharing ANY
     * n-token window with the benchmark/eval corpus (the eval-leakage gate

@@ -97,30 +97,37 @@ final class HnswGraph(
 
   /** Best-first search of one layer (Malkov & Yashunin alg. 2): bounded
     * result heap of `ef`, expand until the closest open candidate is worse
-    * than the worst kept result. */
+    * than the worst kept result. Runs on the builder's primitive [[DHeap]]s
+    * — the old `PriorityQueue[(Double, Int)]` allocated a boxed tuple and
+    * compared through a boxed Ordering per visited node, which at ~ef·M
+    * visits per probe was the serving path's hottest allocation site (the
+    * same fix the builder got in an earlier round). Kept/evicted sets are
+    * unchanged: the bound tests (`dc > res.topD`, `d < res.topD`) and the
+    * evict-worst rule are identical, and the caller re-sorts by
+    * (-score, id) so heap-internal tie order never reaches the output. */
   private def searchLayer(
       q: Array[Float], qNorm: Double, eps: Array[Int], ef: Int, layer: Int)
-      : scala.collection.mutable.PriorityQueue[(Double, Int)] = {
+      : DHeap = {
     val visited = new java.util.BitSet(size)
     // candidates: min-heap on distance; results: max-heap (worst on top)
-    val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), Double](_._1).reverse)
-    val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), Double](_._1))
+    val cand = new DHeap(isMin = true, cap0 = math.max(ef, 16))
+    val res = new DHeap(isMin = false, cap0 = math.max(ef + 1, 16))
     var i = 0
     while (i < eps.length) {
       val ep = eps(i)
       if (!visited.get(ep)) {
         visited.set(ep)
         val d = cosDist(q, qNorm, ep)
-        cand.enqueue((d, ep)); res.enqueue((d, ep))
+        cand.push(d, ep); res.push(d, ep)
       }
       i += 1
     }
     var done = false
     while (!done && cand.nonEmpty) {
-      val (dc, c) = cand.dequeue()
-      if (res.size >= ef && dc > res.head._1) done = true
+      val dc = cand.topD
+      val c = cand.topN
+      cand.pop()
+      if (res.size >= ef && dc > res.topD) done = true
       else {
         val nbs = neighbors(c)(layer)
         var j = 0
@@ -129,9 +136,9 @@ final class HnswGraph(
           if (!visited.get(nb)) {
             visited.set(nb)
             val d = cosDist(q, qNorm, nb)
-            if (res.size < ef || d < res.head._1) {
-              cand.enqueue((d, nb)); res.enqueue((d, nb))
-              if (res.size > ef) { res.dequeue(); () }
+            if (res.size < ef || d < res.topD) {
+              cand.push(d, nb); res.push(d, nb)
+              if (res.size > ef) res.pop()
             }
           }
           j += 1
@@ -167,11 +174,14 @@ final class HnswGraph(
       }
       l -= 1
     }
-    searchLayer(q, qn, Array(ep), math.max(ef, k), 0)
-      .dequeueAll.toArray
-      .map { case (d, node) => (ids(node), toScore(d)) }
-      .sortBy { case (id, s) => (-s, id) }
-      .take(k)
+    val res = searchLayer(q, qn, Array(ep), math.max(ef, k), 0)
+    val out = new Array[(Long, Double)](res.size)
+    var oi = out.length - 1
+    while (res.nonEmpty) { // max-heap drains worst-first; fill back-to-front
+      out(oi) = (ids(res.topN), toScore(res.topD))
+      res.pop(); oi -= 1
+    }
+    out.sortBy { case (id, s) => (-s, id) }.take(k)
   }
 }
 

@@ -29,6 +29,13 @@ object QueryCatalog {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** [[t]] with the tiny-input scan spread (Tables.loadSpread) — used by
+    * the legs whose scan-stage per-row work (gram hashing, LM probes,
+    * batched model inference) measured as the leg's dominant cost and
+    * parallelizes cleanly; a no-op at production input sizes. */
+  private def tS(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadSpread(spark, dir, name)
+
   // ---------------------------------------------------------------- relational
 
   /** Pricing-summary aggregation (grouped agg with partial/map-side combine). */
@@ -679,7 +686,7 @@ object QueryCatalog {
   val d5Decontaminate: GraftQuery = GraftQuery(
     "d5_decontaminate",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tS(s, dir, "documents")
       graft.operators.Corpus.decontaminate(
           docs, "doc_id", "text",
           docs.where(col("doc_id") % 97 === 0), "text", n = 8)
@@ -1027,7 +1034,7 @@ object QueryCatalog {
   val c9NgramLm: GraftQuery = GraftQuery(
     "c9_ngram_lm",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tS(s, dir, "documents")
       graft.operators.Corpus.ngramLmStats(
           docs, "doc_id", "text",
           docs.where(col("doc_id") % 7 === 0), "text",
@@ -3936,7 +3943,7 @@ object QueryCatalog {
     "x9_transform_ner",
     (s, dir) => {
       x9Fit(s, dir)
-      val docs = t(s, dir, "documents")
+      val docs = tS(s, dir, "documents")
       val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
       val synth = docs.select(col("doc_id"), x9Synth(toks, col("text")).as("text9"))
       graft.operators.Transform(synth, "token-classification", "text9",
