@@ -35,6 +35,22 @@ object Dedup {
     * concurrent-builders corner. */
   private val lastScaleSig =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  /** One-slot registries for [[simhashPairs]]' sketch frame and
+    * [[exactAgainst]]'s corpus-hash / bloom-positive frames — the same
+    * bounded-pinning discipline as [[lastScaleSig]]: the next call
+    * releases the previous call's persist, so a session never pins more
+    * than one copy per operator family. */
+  private val lastSimhashSk =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val lastAgainstCh =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val lastAgainstPos =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def swapSlot(
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      next: DataFrame): Unit =
+    Option(slot.getAndSet(next)).filter(_ ne next)
+      .foreach(s => try { s.unpersist(); () } catch { case _: Throwable => () })
 
   /** Exact dedup: one representative (min id) + duplicate count per
     * identical content. */
@@ -369,13 +385,26 @@ object Dedup {
       textCol: String,
       expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
+    // persist the corpus-hash column: the bloom build AND the exact
+    // verify semi-join both need it, and without the cache each would
+    // re-scan the corpus text + recompute md5 — at 100 TB that is two
+    // full corpus passes where one suffices (the cached column is
+    // ~48 B/row, spilling to disk past storage memory).
     val ch = corpus.select(md5(col(textCol)).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapSlot(lastAgainstCh, ch)
     val items = if (expectedItems > 0) expectedItems else math.max(1L, ch.count())
     val bf = ch.stat.bloomFilter("__h", items, fpp)
     val bfB = batch.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((h: String) => h != null && bfB.value.mightContainString(h))
     val b = batch.select(col(idCol), md5(col(textCol)).as("__h"))
+    // persist the bloom-positive rows (duplicates + the fpp sliver — the
+    // small side by the operator's contract): they feed BOTH the matched
+    // broadcast and the confirmed join, and each consumer would
+    // otherwise re-scan the batch text + md5 + bloom probe.
     val positives = b.where(mightContain(col("__h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapSlot(lastAgainstPos, positives)
     // Verify with the CORPUS STREAMING and the small side broadcast-built:
     // Spark only broadcast-builds the LEFT of inner/right-outer joins, so
     // `positives left_semi corpus` would shuffle the whole corpus hash set
@@ -388,7 +417,9 @@ object Dedup {
     val confirmed = positives
       .join(broadcast(matched), Seq("__h"), "left_semi")
       .select(col(idCol)).withColumn("__dup", lit(true))
-    b.select(col(idCol)).join(broadcast(confirmed), Seq(idCol), "left")
+    // id frame straight off the batch (same rows as b.select(idCol), but
+    // column-pruned at the scan — no md5 evaluation for the id list)
+    batch.select(col(idCol)).join(broadcast(confirmed), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
@@ -446,7 +477,17 @@ object Dedup {
     val widths = Array.tabulate(nParts)(i =>
       if (i == 0) 64 - (64 / nParts) * (nParts - 1) else 64 / nParts)
     val offsets = widths.scanLeft(0)(_ + _).init
+    // persist the (id, sketch) frame: the band self-join's build and probe
+    // sides would otherwise EACH re-run the full text scan + simhash64
+    // fold (measured: two 1-task jobs of 0.7-1.0 s each at sf0.1, i.e.
+    // two corpus scans at any scale — the sketch is 16 B/row, so caching
+    // it costs ~nothing next to recomputing it). A/B'd WITHOUT a
+    // pre-sketch spread exchange: the exchange cost ~2 extra cpu-s for
+    // no wall win at sf0.1, so the sketch computes wherever the scan
+    // runs and only the cached 16 B/row frame fans out.
     val sk = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapSlot(lastSimhashSk, sk)
     def part(i: Int): Column =
       shiftrightunsigned(col("sk"), offsets(i))
         .bitwiseAND(lit((1L << widths(i)) - 1))

@@ -3206,8 +3206,12 @@ object QueryCatalog {
     "t13_bpe_tokens",
     (s, dir) => {
       val model = T13OracleSql.fitted(s, dir)
+      // tS: the BPE encode is scan-fused per-row work (merge-walk over
+      // every pretoken) — a single-row-group input serializes it on one
+      // core (measured: a 1.0 s single-task stage at sf0.1); size-gated
+      // no-op at production input sizes
       graft.operators.Bpe.tokenCounts(
-          t(s, dir, "documents"), "doc_id", "text", model)
+          tS(s, dir, "documents"), "doc_id", "text", model)
         .orderBy(col("doc_id"))
     },
     None,
@@ -4527,6 +4531,9 @@ object QueryCatalog {
     "x2_sessions",
     (s, dir) => {
       import s.implicits._
+      // (spread A/B'd and rejected: parallelizing the map-stage object
+      // deserialize via a round-robin exchange cost ~3 cpu-s for a
+      // ~0.06 s wall win at sf0.1 — a bad trade for the low-core pass)
       val ev = t(s, dir, "events").as[graft.streaming.EventRow]
       graft.streaming.EventStreams.sessionize(ev, gapMinutes = 30)
         .select(col("user_id"), col("n_events"), (round(col("sum_value"), 4) + lit(0.0)).as("sum_value"))

@@ -38,14 +38,23 @@ object Probe {
       val sfDir = opts.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
       val n = opts.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
       val spark = session()
+      // process-CPU per pass alongside wall: hypervisor steal inflates
+      // wall but not the JVM's own CPU time, so on a noisy host the CPU
+      // column is the steal-insensitive "did the work shrink" signal
+      // (parallelism changes show in min-wall instead)
+      def cpuNs(): Long =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
       for (q <- queries) {
         val fn = SparkEntry.queries(q)
         try fn(spark, sfDir).count() catch { case e: Throwable => println(s"WARM FAIL $q: $e") }
-        val times = (1 to n).map { _ =>
-          val t0 = System.nanoTime(); fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        println(f"MEDIAN $q%-28s ${times(n / 2)}%.3f s  (min ${times.head}%.3f max ${times.last}%.3f)")
+        val samples = (1 to n).map { _ =>
+          val c0 = cpuNs(); val t0 = System.nanoTime(); fn(spark, sfDir).count()
+          ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
+        }
+        val times = samples.map(_._1).sorted
+        val cpus = samples.map(_._2).sorted
+        println(f"MEDIAN $q%-28s ${times(n / 2)}%.3f s  (min ${times.head}%.3f max ${times.last}%.3f)  cpu med ${cpus(n / 2)}%.2f min ${cpus.head}%.2f")
       }
       spark.stop()
 
