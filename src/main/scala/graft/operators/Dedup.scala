@@ -234,9 +234,16 @@ object Dedup {
       // runs inline as pairs stream out of the join; only VERIFIED
       // near-dup pairs reach the distinct. One join, two shuffles total —
       // the payload blow-up is bounded by the corpus-size gate above.
+      // persist here too (the scale regime always did): the a/b sides
+      // below each re-derive `banded`, and WITHOUT the cache each would
+      // recompute the k-hash minhash family over every group — measured
+      // ~half of d1's CPU at sf0.1 duplicated. One-slot registry, same
+      // bounded-pinning discipline as the scale branch.
       val sig = groups.select(col("g"), size(col("toks")).as("sz"),
         thCol.as("th"),
         minhashSignature(concat_ws(" ", col("toks")), k, shingle).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      swapSlot(lastScaleSig, sig)
       val banded = sig.select(col("g"), col("sz"), col("th"),
         bandCols(col("sig")).as(Seq("band", "bucket")))
       val a = banded.select(col("band"), col("bucket"),
