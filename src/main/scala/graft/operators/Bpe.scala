@@ -186,9 +186,19 @@ object Bpe {
     * steps × table; above the gate the per-word encoding runs as
     * mapPartitions with the BROADCAST model instead — still over the
     * vocabulary-sized distinct-pretoken frame only, the corpus-side
-    * plumbing identical. Volatile so tests can pin a regime. */
+    * plumbing identical. Volatile so tests can pin a regime.
+    *
+    * Default 0 = always broadcast (r18): the stepped literal plan costs
+    * ~1.3 s of pure driver Catalyst work PER QUERY (measured: analysis +
+    * optimization + physical planning of 24 chained HOF projections,
+    * independent of corpus size) versus ~0.2 s for the broadcast regime
+    * computing the identical counts (BpeSpec pins regime equality; the
+    * t13 oracle is regime-blind) — and at any realistic vocabulary the
+    * broadcast regime is the only viable shape anyway. The literal fold
+    * stays as the SQL-replayable reference encoder, opt-in via this
+    * knob / `-Dgraft.bpe.literalMaxMerges`. */
   @volatile var literalMaxMerges: Int =
-    sys.props.get("graft.bpe.literalMaxMerges").map(_.trim.toInt).getOrElse(2048)
+    sys.props.get("graft.bpe.literalMaxMerges").map(_.trim.toInt).getOrElse(0)
 
   /** Per-document BPE token counts: (idCol, n_pretokens, n_bpe_tokens).
     * `maxSteps` bounds the per-word merge iterations of the
@@ -209,12 +219,19 @@ object Bpe {
           .map { case ((a, b), r) => s"$a$Sep$b" -> r }.toMap)
         // the merge steps run over the DISTINCT pretokens
         // (vocabulary-sized), chained as successive projections so each
-        // step's expression is evaluated once
-        var words = distinctWords
-          .withColumn("__s", regexp_replace(col("w"), "(?<=.)(?=.)", Sep))
-        (1 to maxSteps).foreach { _ =>
-          words = words.withColumn("__s", step(rankLit, col("__s")))
-        }
+        // step's expression is evaluated once. The chain is stacked as
+        // raw Project nodes and analyzed ONCE (ColumnBridge
+        // .stackProjections): every public Dataset transformation
+        // re-analyzes the whole growing plan eagerly, so a select/
+        // withColumn loop costs O(steps²) analyzer work over the HOF
+        // lambdas — measured 0.7–1.1 s of pure driver construct time per
+        // t13 call, more than the encode itself
+        val words = org.apache.spark.sql.graftbridge.ColumnBridge
+          .stackProjections(distinctWords,
+            Seq(("w", col("w")),
+              ("__s", regexp_replace(col("w"), "(?<=.)(?=.)", Sep))) +:
+            (1 to maxSteps).map(_ =>
+              Seq(("w", col("w")), ("__s", step(rankLit, col("__s"))))))
         words.select(col("w"), size(split(col("__s"), Sep)).as("__c"))
       } else {
         // big-model regime: broadcast the model, encode each distinct

@@ -33,6 +33,35 @@ object Probe {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
+    case "phases" :: rest =>
+      // driver-side attribution of a leg's pre-first-job gap: constructs
+      // the DataFrame, then walks the lazy queryExecution phases one at a
+      // time so analysis / optimization / physical planning / execution
+      // each get their own wall number (guide §7.3 — planning time can
+      // itself be the bottleneck; this tells you whether a "slow query"
+      // is actually a slow plan)
+      val (queries, opts) = rest.partition(SparkEntry.queries.contains)
+      val sfDir = opts.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
+      val n = opts.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
+      val spark = session()
+      for (q <- queries) {
+        val fn = SparkEntry.queries(q)
+        try fn(spark, sfDir).count() catch { case e: Throwable => println(s"WARM FAIL $q: $e") }
+        for (p <- 1 to n) {
+          def ms[A](f: => A): (Double, A) = {
+            val t0 = System.nanoTime(); val r = f
+            ((System.nanoTime() - t0) / 1e6, r)
+          }
+          val (tc, df) = ms(fn(spark, sfDir))
+          val (ta, _) = ms(df.queryExecution.analyzed)
+          val (to, _) = ms(df.queryExecution.optimizedPlan)
+          val (tp, _) = ms(df.queryExecution.executedPlan)
+          val (tr, _) = ms(df.count())
+          println(f"PHASES $q p$p construct=$tc%.0f analyze=$ta%.0f optimize=$to%.0f plan=$tp%.0f run=$tr%.0f ms")
+        }
+      }
+      spark.stop()
+
     case "time" :: rest =>
       val (queries, opts) = rest.partition(SparkEntry.queries.contains)
       val sfDir = opts.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
