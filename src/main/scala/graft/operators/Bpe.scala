@@ -21,18 +21,23 @@ import graft.functions.TextFunctions
   *    (subword-nmt) fits too, and why fit cost is independent of corpus
   *    size once the dictionary is aggregated. A bounded deterministic
   *    sample caps even the dictionary pass (the PQ/centroid-fit pattern).
-  *  - SERVE: encoding is PLAN-PURE — no UDF, no driver loop. The merge
-  *    ranks ride the plan as a map literal; each BPE step (find the
-  *    lowest-rank adjacent pair, merge ALL its occurrences left-to-right)
-  *    is a pure Column fold over the word's token string, and steps chain
-  *    as successive projections over the DISTINCT-pretoken frame
-  *    (vocabulary-sized — constant work per distinct word, not per
-  *    occurrence). Documents then take one broadcast join from pretoken
-  *    to token count and a map-side sum: the corpus streams once and
-  *    never shuffles for encoding.
-  *  - The whole serving computation — pair candidates, rank argmin, the
-  *    left-to-right merge fold — is SQL-replayable, so the t13 oracle
-  *    simulates the SAME steps in DuckDB from the merge table alone.
+  *  - SERVE (default regime): the model BROADCASTS and each DISTINCT
+  *    pretoken is encoded executor-side by the JVM encoder inside
+  *    mapPartitions — the per-word work is vocabulary-sized, and the
+  *    corpus side stays plan-pure (one broadcast join from pretoken to
+  *    token count and a map-side sum: the corpus streams once and never
+  *    shuffles for encoding).
+  *  - SERVE (opt-in literal regime, `graft.bpe.literalMaxMerges` /
+  *    [[literalMaxMerges]]): encoding is PLAN-PURE — no UDF, no driver
+  *    loop. The merge ranks ride the plan as a map literal; each BPE step
+  *    (find the lowest-rank adjacent pair, merge ALL its occurrences
+  *    left-to-right) is a pure Column fold over the word's token string,
+  *    and steps chain as successive projections over the distinct-pretoken
+  *    frame. This regime is the SQL-replayable reference encoder — the
+  *    t13 oracle simulates the SAME steps in DuckDB from the merge table
+  *    alone — but its stepped plan costs O(steps) Catalyst work per query,
+  *    so the broadcast regime serves by default; BpeSpec pins the two
+  *    regimes output-identical.
   *
   * Token strings are chr(31)-joined; U+001F itself is RESERVED — a
   * pre-token equal to the unit separator (the only way the regex can
@@ -213,8 +218,13 @@ object Bpe {
         regexp_extract_all(col(textCol), lit(TextFunctions.bpeishPattern), lit(0)),
         t => t =!= Sep).as("__pt"))
     val distinctWords = pretoks.select(explode(col("__pt")).as("w")).distinct()
+    // empty models always take the broadcast arm: with no merges the
+    // literal regime would still build the full maxSteps chain of
+    // identity HOF steps (the slow plan shape the default exists to
+    // avoid) to compute what encodeWord returns immediately — the
+    // code-point split. Output-identical by construction either way.
     val counts =
-      if (model.merges.length <= literalMaxMerges) {
+      if (model.merges.nonEmpty && model.merges.length <= literalMaxMerges) {
         val rankLit = typedLit(model.merges.zipWithIndex
           .map { case ((a, b), r) => s"$a$Sep$b" -> r }.toMap)
         // the merge steps run over the DISTINCT pretokens

@@ -46,10 +46,32 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val lastAgainstPos =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  /** One-slot registry for [[lshGroupCandidates]]' groups frame — the
+    * tokenized corpus, the largest intermediate in the dedup family. It
+    * used to be `.cache()`d with no release at all: every call pinned a
+    * (g, ids, toks) copy for the session lifetime (unbounded storage pin
+    * at 100 TB). Same bounded discipline as the other slots. */
+  private val lastGroups =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private[graft] def slotFrames: Seq[DataFrame] =
+    Seq(lastScaleSig, lastSimhashSk, lastAgainstCh, lastAgainstPos, lastGroups)
+      .flatMap(s => Option(s.get()))
   private def swapSlot(
       slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
       next: DataFrame): Unit =
-    Option(slot.getAndSet(next)).filter(_ ne next)
+    Option(slot.getAndSet(next))
+      .filter { prev =>
+        // Spark's CacheManager matches cache entries by CANONICALIZED PLAN
+        // (sameResult), not object identity. When a repeated call re-derives
+        // a plan-identical frame (the memoized loader makes inputs
+        // plan-identical), its persist() was a no-op against the EXISTING
+        // entry — unpersisting `prev` here would evict the entry BOTH
+        // frames share, leaving the fresh call silently uncached and
+        // recomputing the sketch/signature on every join side. Keep the
+        // shared entry; release only genuinely different plans.
+        (prev ne next) &&
+          !prev.queryExecution.analyzed.sameResult(next.queryExecution.analyzed)
+      }
       .foreach(s => try { s.unpersist(); () } catch { case _: Throwable => () })
 
   /** Exact dedup: one representative (min id) + duplicate count per
@@ -183,7 +205,14 @@ object Dedup {
     val groups = base
       .groupBy(xxhash64(col("toks")).as("g"))
       .agg(collect_list(col("id")).as("ids"), first(col("toks")).as("toks"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded pinning (r18 verdict #2): the tokenized-corpus frame gets the
+    // same one-slot release the signature frames have had since r15 —
+    // without it every d1/d3/d4/c2 call pinned another full-corpus copy
+    // for the session lifetime. MEMORY_AND_DISK, not the cache() default:
+    // a corpus that outgrows storage memory must spill, not recompute the
+    // tokenize on every consumer.
+    swapSlot(lastGroups, groups)
 
     // verify-strategy choice (see [[inlineVerifyMaxCorpusBytes]]): the
     // Catalyst size estimate of the INPUT plan — file-size-derived for
@@ -278,8 +307,7 @@ object Dedup {
       // ~(8k+16) B/group copy per call for the session lifetime. One-slot
       // registry instead of an eager checkpoint: the candidates must stay
       // a lazy plan (LshShuffleSpec pins the slim band exchange in it).
-      Option(Dedup.lastScaleSig.getAndSet(sig)).filter(_ ne sig)
-        .foreach(s => try { s.unpersist(); () } catch { case _: Throwable => () })
+      swapSlot(lastScaleSig, sig)
       val banded = sig.select(col("g"), col("sz"),
         bandCols(col("sig")).as(Seq("band", "bucket")))
       val a = banded.select(col("band"), col("bucket"),

@@ -3197,10 +3197,14 @@ object QueryCatalog {
     })
 
   /** Fit BPE tokenization (t13): a genuinely FIT byte-pair encoder
-    * (Sennrich et al. 2016 — the t4 regex counter's trained sibling)
-    * serving plan-pure token counts; the generated oracle receives ONLY
-    * the merge table and re-runs the whole encoder in DuckDB (recursive
-    * lowest-rank merge steps with the same left-to-right fold).
+    * (Sennrich et al. 2016 — the t4 regex counter's trained sibling).
+    * The default serve path is the broadcast-model JVM encoder over the
+    * distinct-pretoken frame (plan-pure corpus side); the plan-pure
+    * literal-fold regime is opt-in via graft.bpe.literalMaxMerges, with
+    * regime equality pinned by BpeSpec. The generated oracle receives
+    * ONLY the merge table and re-runs the whole encoder in DuckDB
+    * (recursive lowest-rank merge steps with the same left-to-right
+    * fold) — it is regime-blind.
     */
   val t13BpeTokens: GraftQuery = GraftQuery(
     "t13_bpe_tokens",

@@ -171,7 +171,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * but none may overlap a merge's snapshot or publish. */
   private def withSyncLock[A](pipeline: String)(body: => A): A = {
     val l = Collection.lockFor(pipelineKey(pipeline)).readLock()
-    l.lock(); try body finally l.unlock()
+    traced("lock:sync-acquire")(l.lock()); try body finally l.unlock()
   }
 
   /** Exclusive-side lock: full rewrites, pipeline removal, and the two
@@ -179,6 +179,86 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
   private def withExclusiveLock[A](pipeline: String)(body: => A): A = {
     val l = Collection.lockFor(pipelineKey(pipeline)).writeLock()
     l.lock(); try body finally l.unlock()
+  }
+
+  // ---- documents-table writer coordination, the pipeline locks' twin for
+  // the corpus table itself: appenders (upserts, delete tombstones) hold
+  // the shared side; the background staged compaction's snapshot and
+  // publish phases (and full rewrites) hold the exclusive side.
+  private def docsKey: String = new java.io.File(docsPath).getAbsolutePath
+  private def withDocsAppendLock[A](body: => A): A = {
+    val l = Collection.lockFor(docsKey).readLock()
+    l.lock(); try body finally l.unlock()
+  }
+  private def withDocsExclusiveLock[A](body: => A): A = {
+    val l = Collection.lockFor(docsKey).writeLock()
+    l.lock(); try body finally l.unlock()
+  }
+
+  /** How fragmented the documents table may get before a compaction is
+    * scheduled (same budget the old inline compactIfNeeded used). */
+  private val docsMaxSegments = 16
+
+  /** Schedule the documents-table compaction on the background merge
+    * thread. The old inline `compactIfNeeded` ran the O(corpus) rewrite in
+    * the FOREGROUND of whichever micro-batch tripped the 16-segment budget
+    * — a 0.5 s spike at sf0.1 and an unbounded stall at 100 TB, exactly
+    * the failure mode the pipeline tables' staged merge already solves.
+    * Same one-per-path dedup guard and [[Collection.pendingMerges]]
+    * visibility (awaitMaintenance blocks on it). */
+  private def scheduleDocsCompaction(): Unit =
+    if (DeltaTable.compactionDue(docsPath, docsMaxSegments)) {
+      val key = docsKey
+      val done = scala.concurrent.Promise[Unit]()
+      if (Collection.pendingMerges.putIfAbsent(key, done.future).isEmpty) {
+        Collection.mergeEc.execute { () =>
+          try { runStagedDocsCompaction(); done.success(()); () }
+          catch { case e: Throwable => done.failure(e); () }
+          finally { Collection.pendingMerges.remove(key); () }
+        }
+      }
+    }
+
+  /** Staged compaction of the documents table — the three-phase protocol
+    * of [[runStagedMerge]] without the derived-index arms: snapshot the
+    * segment/manifest/marker names under the exclusive lock, compact from
+    * exactly those names with no lock held (appends keep landing), then
+    * hard-link the late segments/manifests in and swap — appenders hold
+    * the shared lock for their whole commit, so the snapshot and the
+    * publish always cut at segment boundaries. A delete's full rewrite
+    * bumps the docs generation and the publish aborts. */
+  private[store] def runStagedDocsCompaction(): Unit = {
+    val key = docsKey
+    val gen0 = Collection.generationOf(key).get()
+    if (!DeltaTable.compactionDue(docsPath, docsMaxSegments)) return
+    val snap = withDocsExclusiveLock {
+      if (!DeltaTable.exists(docsPath)) return
+      DeltaTable.snapshotNames(docsPath)
+    }
+    val staged = docsPath + "_mergestage"
+    deleteRec(new java.io.File(staged))
+    try
+      DeltaTable.stageBase(
+        DeltaTable.readSnapshot(spark, docsPath, snap, "source_uuid"),
+        staged, sortCols = Seq("source_uuid"))
+    catch {
+      case e: Throwable =>
+        deleteRec(new java.io.File(staged))
+        // a concurrent full rewrite deleted the snapshot's files out from
+        // under the build — that IS the abort path, not an error
+        if (Collection.generationOf(key).get() != gen0) return
+        throw e
+    }
+    val aborted = withDocsExclusiveLock {
+      if (Collection.generationOf(key).get() != gen0) true
+      else {
+        DeltaTable.carryLate(docsPath, staged, snap)
+        DeltaTable.publishStaged(staged, docsPath)
+        false
+      }
+    }
+    if (aborted) deleteRec(new java.io.File(staged))
+    else DeltaTable.warmReadCaches(spark, docsPath, "source_uuid")
   }
 
   private def readState(pipeline: String): Option[SyncState] = {
@@ -267,6 +347,10 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // declares and what Spark reads back as TimestampType
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    // shared docs lock from the old-rows read through the segment commit:
+    // the background compaction's publish swaps the table's files, and an
+    // unlocked read racing it could open a just-retired path
+    withDocsAppendLock {
     // the one remaining corpus touch — the touched documents' stored
     // created_at — reads DRIVER-SIDE when the layout allows (In-pruned to
     // the docs' own segments, same supersession rule); the distributed
@@ -303,8 +387,8 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       outRows, uuids, docCol = "source_uuid"))
     traced("up:changelog")(appendChangelogLocal(
       sortedUuids.map(u => u -> lastByUuid(u))))
-    traced("up:compact-check")(DeltaTable.compactIfNeeded(spark, docsPath,
-      "source_uuid", maxSegments = 16, sortCols = Seq("source_uuid")))
+    } // withDocsAppendLock
+    traced("up:compact-check")(scheduleDocsCompaction())
     true
   }
 
@@ -326,8 +410,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     // upsert is statement-ordered, and an id expression evaluated after the
     // window exchange would make "which duplicate wins" nondeterministic.
     // monotonically_increasing_id is order-consistent with batch (partition)
-    // order when evaluated pre-shuffle; the EAGER localCheckpoint freezes
-    // the stamped values so no later re-execution can reassign them.
+    // order when evaluated pre-shuffle.
     // micro-batch upserts run on the AQE-off session clone, like the delta
     // sync path: adaptive execution materializes every shuffle stage of
     // the dedup window + merge join as its OWN Spark job, which on a
@@ -340,18 +423,28 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       if (docJsons.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 20))
         microSpark(1)
       else spark
-    val stamped0 = traced("up:stamp-checkpoint")(docJsons
+    val stamped0 = docJsons
       .select(col("document").cast("string").as("document"))
       .withColumn("_seq", monotonically_increasing_id())
-      .localCheckpoint())
     val stamped = sess.createDataFrame(stamped0.rdd, stamped0.schema)
-    val incoming = stamped
+    // ONE eager checkpoint AFTER the dedup window, not before it: the
+    // bulk path has four independent consumers of `incoming` (the batchN
+    // audit, the olds broadcast, the merged segment write, and the
+    // manifest id frame), and checkpointing only the stamped rows made
+    // every consumer re-run the json parse + md5 + window — three extra
+    // full-batch passes per bulk upsert (guide §5 reuse). Freezing the
+    // post-dedup rows keeps the same stability guarantee (the stamped
+    // _seq values and the window's pick are materialized in one job, so
+    // no later re-execution can reassign them) at a strictly smaller
+    // storage footprint, and created_at is frozen with them.
+    val incoming = traced("up:incoming-checkpoint")(stamped
       .withColumn("source_uuid", md5(get_json_object(col("document"), "$.id")))
       .withColumn("created_at", current_timestamp())
       // last occurrence of a uuid within the batch wins
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("source_uuid")).orderBy(col("_seq").desc)))
       .where(col("_rn") === 1).drop("_rn", "_seq")
+      .localCheckpoint())
 
     // The documents table is a delta table keyed by source_uuid: an upsert
     // appends ONE batch-sized segment holding the batch's post-merge rows
@@ -422,6 +515,9 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           coalesce(col("old_created"), col("created_at")).as("created_at"))
         .withColumn("row_id", xxhash64(col("source_uuid")))
         .select("row_id", "source_uuid", "document", "created_at")
+      // shared docs lock around the commit (segment + manifest + marker):
+      // the background compaction's snapshot/publish must cut at a
+      // segment boundary, never mid-append
       idsLocal match {
         case Some(_) =>
           // small batch: ONE action materializes the post-merge rows on
@@ -432,27 +528,31 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           // scan per batch) disappears entirely. A 0-row batch publishes
           // nothing (no segment, no changelog batch — the pre-fast-path
           // behavior appendChangelogFromSeg's dir guard provided).
-          val rows = traced("up:merge-collect")(upserted.collect().toSeq)
-          if (rows.nonEmpty) {
-            import scala.jdk.CollectionConverters._
-            val local = sess.createDataFrame(rows.asJava, upserted.schema)
-            traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, local,
-              incoming.select("source_uuid"), docCol = "source_uuid",
-              sortCols = Seq("source_uuid"),
-              coalesceTo = math.max(1, rows.size / DeltaTable.RowsPerDeltaFile),
-              knownIds = idsLocal))
-            traced("up:changelog")(appendChangelog(
-              local.select(col("source_uuid"), col("document"))))
+          withDocsAppendLock {
+            val rows = traced("up:merge-collect")(upserted.collect().toSeq)
+            if (rows.nonEmpty) {
+              import scala.jdk.CollectionConverters._
+              val local = sess.createDataFrame(rows.asJava, upserted.schema)
+              traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, local,
+                incoming.select("source_uuid"), docCol = "source_uuid",
+                sortCols = Seq("source_uuid"),
+                coalesceTo = math.max(1, rows.size / DeltaTable.RowsPerDeltaFile),
+                knownIds = idsLocal))
+              traced("up:changelog")(appendChangelog(
+                local.select(col("source_uuid"), col("document"))))
+            }
           }
         case None =>
-          val seg = traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, upserted,
-            incoming.select("source_uuid"), docCol = "source_uuid",
-            sortCols = Seq("source_uuid"),
-            coalesceTo =
-              if (batchN <= DeltaTable.CoalesceBatchMax)
-                math.max(1, (batchN / DeltaTable.RowsPerDeltaFile).toInt)
-              else 0,
-            knownIds = idsLocal))
+          val seg = withDocsAppendLock {
+            traced("up:append-docs")(DeltaTable.appendDelta(sess, docsPath, upserted,
+              incoming.select("source_uuid"), docCol = "source_uuid",
+              sortCols = Seq("source_uuid"),
+              coalesceTo =
+                if (batchN <= DeltaTable.CoalesceBatchMax)
+                  math.max(1, (batchN / DeltaTable.RowsPerDeltaFile).toInt)
+                else 0,
+              knownIds = idsLocal))
+          }
           // record the batch's FINAL (post-merge) documents for
           // incremental sync by reading back the segment just written —
           // an O(batch) file scan; re-evaluating `upserted` here would
@@ -460,8 +560,7 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
           // bulk re-ingest)
           traced("up:changelog")(appendChangelogFromSeg(seg, sess))
       }
-      traced("up:compact-check")(DeltaTable.compactIfNeeded(spark, docsPath, "source_uuid",
-        maxSegments = 16, sortCols = Seq("source_uuid")))
+      traced("up:compact-check")(scheduleDocsCompaction())
       ()
     }
     traced("up:prune-changelog")(pruneChangelog()) // keep upsert-only collections bounded too
@@ -491,7 +590,13 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     * derived tables, the Delta `DELETE WHERE` shape), paid once per delete
     * instead of a corpus-wide semi-join on every search.
     */
-  def deleteDocuments(filterJson: String): Unit = {
+  def deleteDocuments(filterJson: String): Unit = withDocsExclusiveLock {
+    // a delete REWRITES the corpus's visible row set: abort any in-flight
+    // background docs compaction (its staged base predates the tombstones'
+    // manifest rows only by name-diff — safe — but the legacy
+    // writeSnapshot branch swaps the whole dir, so the generation bump is
+    // what keeps a racing publish from resurrecting pre-delete files)
+    Collection.generationOf(docsKey).incrementAndGet()
     val resolver = FilterCompiler.jsonStringResolver(col("document"))
     val pred = FilterCompiler.compile(filterJson, resolver)
     // Materialize the doomed ids DURABLY before the documents snapshot swap
@@ -1264,75 +1369,106 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     if (!due) return
     afterSnapshot()
 
-    // --- phase 2: build
+    // --- phase 2: build — the per-table compactions (and the index
+    // rebuilds once the staged embeddings exist on disk) are independent
+    // Spark jobs over different tables, so they run CONCURRENTLY on the
+    // merge's own small pool (guide §2.6 — overlap independent jobs;
+    // NOT maintenanceEc, whose threads the foreground micro-batches
+    // need while this build runs). A shorter build shrinks the window
+    // where merge work competes with serving batches.
     val staged = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def stagePath(live: String): String = {
+    def stagePath(live: String): String = staged.synchronized {
       val st = live + "_mergestage"
       deleteRec(new java.io.File(st)) // a crashed prior merge's leftover
       staged(live) = st
       st
     }
     try {
-      p.fields.foreach { f =>
-        for (kind <- tableKinds) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Collection.mergeBuildEc
+      val buildFuts: Seq[Future[Unit]] = p.fields.flatMap { f =>
+        val kindFuts: Map[String, Future[Unit]] = tableKinds.flatMap { kind =>
           val path = tablePath(p.name, f.name, kind)
-          snaps.get(path).foreach { snap =>
-            DeltaTable.stageBase(DeltaTable.readSnapshot(spark, path, snap),
-              stagePath(path), sortCols = Seq("document_id", "chunk_index"))
+          snaps.get(path).map { snap =>
+            kind -> Future {
+              DeltaTable.stageBase(DeltaTable.readSnapshot(spark, path, snap),
+                stagePath(path), sortCols = Seq("document_id", "chunk_index"))
+            }
           }
-        }
+        }.toMap
         val embP = tablePath(p.name, f.name, "embeddings")
-        f.semanticSearch.foreach { _ =>
-          staged.get(embP).foreach { stagedEmb =>
+        // index rebuilds read the STAGED embeddings from disk, so they
+        // start when that table's compaction lands; the three families
+        // are themselves independent
+        val idxF: Future[Unit] =
+          if (f.semanticSearch.isEmpty || !kindFuts.contains("embeddings"))
+            Future.unit
+          else kindFuts("embeddings").flatMap { _ =>
+            val stagedEmb = staged.synchronized(staged(embP))
             def embRows = spark.read.parquet(stagedEmb)
-            val vecs = embRows.drop("seg", "hid")
-            f.vectorIndex.foreach { nlist =>
-              val ivfP = tablePath(p.name, f.name, "ivf")
-              if (snaps.contains(ivfP)) {
-                graft.operators.IvfIndex.loadOrBuild(
-                  spark, stagePath(ivfP), vecs, "embedding", nlist)
-                ()
+            def vecs = embRows.drop("seg", "hid")
+            val ivfF = Future {
+              f.vectorIndex.foreach { nlist =>
+                val ivfP = tablePath(p.name, f.name, "ivf")
+                if (snaps.contains(ivfP)) {
+                  graft.operators.IvfIndex.loadOrBuild(
+                    spark, stagePath(ivfP), vecs, "embedding", nlist)
+                  ()
+                }
               }
             }
-            f.hnswIndex.foreach { case (m, efc) =>
-              val hp = tablePath(p.name, f.name, "hnsw")
-              if (snaps.contains(hp)) {
-                // stored content hids; legacy (pre-hid) tables derive from
-                // the staged seg column (all 0) — same ids the old inline
-                // rebuild would have produced post-compaction
-                val keyed =
-                  if (embRows.columns.contains("hid")) embRows.drop("seg")
-                  else embRows.withColumn("hid", hidCol(col("seg"))).drop("seg")
-                val idx = graft.operators.HnswIndex.build(
-                  spark, keyed, "embedding", "hid", m, efc)
-                idx.save(stagePath(hp))
-                idx.graphs.unpersist()
-                ()
+            val hnswF = Future {
+              f.hnswIndex.foreach { case (m, efc) =>
+                val hp = tablePath(p.name, f.name, "hnsw")
+                if (snaps.contains(hp)) {
+                  // stored content hids; legacy (pre-hid) tables derive from
+                  // the staged seg column (all 0) — same ids the old inline
+                  // rebuild would have produced post-compaction
+                  val keyed =
+                    if (embRows.columns.contains("hid")) embRows.drop("seg")
+                    else embRows.withColumn("hid", hidCol(col("seg"))).drop("seg")
+                  val idx = graft.operators.HnswIndex.build(
+                    spark, keyed, "embedding", "hid", m, efc)
+                  idx.save(stagePath(hp))
+                  idx.graphs.unpersist()
+                  ()
+                }
               }
             }
-            if (f.binaryIndex) {
-              val bp = tablePath(p.name, f.name, "binsig")
-              if (snaps.contains(bp)) {
-                val sigs = vecs.select(col("document_id"), col("chunk_index"),
-                  graft.functions.VecFunctions.vecSignPack(col("embedding")).as("sig"))
-                DeltaTable.stageBase(sigs, stagePath(bp),
-                  sortCols = Seq("document_id", "chunk_index"))
+            val binF = Future {
+              if (f.binaryIndex) {
+                val bp = tablePath(p.name, f.name, "binsig")
+                if (snaps.contains(bp)) {
+                  val sigs = vecs.select(col("document_id"), col("chunk_index"),
+                    graft.functions.VecFunctions.vecSignPack(col("embedding")).as("sig"))
+                  DeltaTable.stageBase(sigs, stagePath(bp),
+                    sortCols = Seq("document_id", "chunk_index"))
+                }
               }
             }
+            Future.sequence(Seq(ivfF, hnswF, binF)).map(_ => ())
           }
-        }
         // a binsig table whose field no longer wants it still compacts
-        if (!f.binaryIndex) {
-          val bp = tablePath(p.name, f.name, "binsig")
-          snaps.get(bp).foreach { snap =>
-            DeltaTable.stageBase(DeltaTable.readSnapshot(spark, bp, snap),
-              stagePath(bp), sortCols = Seq("document_id", "chunk_index"))
+        val binOrphanF: Future[Unit] =
+          if (f.binaryIndex) Future.unit
+          else Future {
+            val bp = tablePath(p.name, f.name, "binsig")
+            snaps.get(bp).foreach { snap =>
+              DeltaTable.stageBase(DeltaTable.readSnapshot(spark, bp, snap),
+                stagePath(bp), sortCols = Seq("document_id", "chunk_index"))
+            }
           }
-        }
+        kindFuts.values.toSeq :+ idxF :+ binOrphanF
       }
+      // surface the FIRST failure after all builds settle: a still-running
+      // sibling writing into a just-deleted stage dir would resurrect it
+      val settled = buildFuts.map(fut => scala.util.Try(Await.result(fut, Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
     } catch {
       case e: Throwable =>
-        staged.values.foreach(st => deleteRec(new java.io.File(st)))
+        staged.synchronized(staged.values.toSeq)
+          .foreach(st => deleteRec(new java.io.File(st)))
         // a full rewrite landing mid-build deletes the snapshot's files out
         // from under the build's readers — that IS the abort path (the
         // rewrite already produced the compacted state), not an error
@@ -1374,6 +1510,12 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
       }
     }
     if (aborted) staged.values.foreach(st => deleteRec(new java.io.File(st)))
+    // re-prime the published tables' read caches on THIS thread: the next
+    // micro-batch sync otherwise pays one manifest re-collect + schema
+    // re-infer per table on its latency-critical path
+    else staged.keys
+      .filterNot(p => p.endsWith("_ivf") || p.endsWith("_hnsw"))
+      .foreach(DeltaTable.warmReadCaches(spark, _))
   }
 
   /** Sync-time HNSW forest rebuild for a field configured with
@@ -2108,6 +2250,24 @@ object Collection {
           private val n = new java.util.concurrent.atomic.AtomicInteger(0)
           override def newThread(r: Runnable): Thread = {
             val t = new Thread(r, s"graft-maintenance-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
+  /** Small pool for the INTERNAL parallelism of one merge's build phase
+    * (per-table compactions + index rebuilds are independent Spark jobs).
+    * Deliberately separate from [[maintenanceEc]]: a multi-second merge
+    * build occupying the maintenance threads would starve the foreground
+    * micro-batch chains that pool exists for, inverting the
+    * background-merge latency contract. */
+  private[store] lazy val mergeBuildEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-merge-build-${n.getAndIncrement()}")
             t.setDaemon(true)
             t
           }

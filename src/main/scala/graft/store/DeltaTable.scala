@@ -1326,6 +1326,25 @@ object DeltaTable {
     }
   }
 
+  /** Re-prime the read-path caches a staged publish just invalidated
+    * (schema + doc→latest-seg manifest literal map) so the NEXT reader —
+    * typically a latency-bound micro-batch sync — finds them warm instead
+    * of paying the re-infer + manifest re-collect on its critical path.
+    * Advisory: runs on the merge thread after publish; a racing reader
+    * that gets there first simply pays the collect itself, as before. */
+  private[graft] def warmReadCaches(
+      spark: SparkSession, path: String, docCol: String = "document_id"): Unit =
+    try if (exists(path)) {
+      readParquetCached(spark, path)
+      if (hasManifest(path)) { cachedLatest(spark, path, docCol); () }
+    } catch { case _: Throwable => () }
+
+  /** The [[compactIfNeeded]] trigger condition alone (pure listings, no
+    * job) — for callers that run the compaction itself on a background
+    * thread instead of the write path. */
+  def compactionDue(path: String, maxSegments: Int = 8): Boolean =
+    exists(path) && (segmentCount(path) > maxSegments || forcedByManifest(path))
+
   /** Rewrite to a single fresh segment when the table has fragmented past
     * `maxSegments`. Returns true when a compaction ran (callers must then
     * rebuild anything keyed on (doc, chunk, seg)). */

@@ -51,8 +51,19 @@ object ColumnBridge {
       // fixed-point iteration cap (and a Dataset-API loop re-analyzes
       // the growing plan quadratically)
       val resolved = analyzer
-        .execute(Project(exprs, LocalRelation(plan.output)))
-        .asInstanceOf[Project].projectList
+        .execute(Project(exprs, LocalRelation(plan.output))) match {
+        // the analyzer rewrites some expressions OUT of Project form
+        // (a generator via ExtractGenerator, window functions via
+        // ExtractWindowExpressions, aggregates) — surface that as a
+        // contract error here rather than an opaque ClassCastException
+        // or a late failure at the terminal Dataset construction
+        case p: Project => p.projectList
+        case other => throw new IllegalArgumentException(
+          "stackProjections only supports plain projection expressions " +
+            "(no generators, window functions, or aggregates); step " +
+            s"${proj.map(_._1).mkString(", ")} analyzed to a " +
+            s"${other.getClass.getSimpleName} node")
+      }
       plan = Project(resolved, plan)
     }
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)

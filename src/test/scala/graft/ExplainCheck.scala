@@ -131,6 +131,18 @@ object ExplainCheck {
     check("d6_dedup_against", "bloom prefilter; corpus streams, never sort-merge shuffled")(
       p => p.contains("LeftSemi") && p.contains("BroadcastHashJoin") &&
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the r18 scan-reuse shape: d2's 16 B (id, sk) sketch frame must stay
+    // PERSISTED — both band-join sides read the InMemoryRelation instead
+    // of re-running the text scan + simhash64 fold (two corpus passes at
+    // any scale). A refactor that drops the persist silently restores the
+    // double scan; this gate pins the plan shape the r18 win depends on.
+    check("d2_simhash_pairs", "sketch frame persisted: both band sides read InMemoryTableScan [id, sk]")(
+      p => "InMemoryTableScan \\[id#\\d+L?, sk#\\d+".r.findAllIn(p).size >= 2)
+    // …and d6's slim persisted projections (corpus __h hashes + bloom
+    // positives) likewise: the final plan's joins must read cached frames,
+    // never re-derive md5 from the corpus/batch text
+    check("d6_dedup_against", "corpus-hash + positives frames persisted (InMemoryTableScan over __h)")(
+      p => "InMemoryTableScan \\[[^\\]]*__h#\\d+".r.findAllIn(p).size >= 2)
     // the quality classifier at default dim serves MAP-SIDE: weights are
     // a plan literal and the per-doc fold runs over the bucket array —
     // no join, no aggregation, the corpus streams once through the scan

@@ -36,10 +36,16 @@ object Probe {
     case "phases" :: rest =>
       // driver-side attribution of a leg's pre-first-job gap: constructs
       // the DataFrame, then walks the lazy queryExecution phases one at a
-      // time so analysis / optimization / physical planning / execution
-      // each get their own wall number (guide §7.3 — planning time can
-      // itself be the bottleneck; this tells you whether a "slow query"
-      // is actually a slow plan)
+      // time so optimization / physical planning / execution each get
+      // their own wall number (guide §7.3 — planning time can itself be
+      // the bottleneck; this tells you whether a "slow query" is
+      // actually a slow plan). Attribution caveats (deliberate): Dataset
+      // construction analyzes EAGERLY, so `construct` INCLUDES analysis
+      // and `analyze` always prints ~0; `df.count()` builds its own
+      // QueryExecution, so `run` includes the count plan's
+      // analysis/optimization/planning on top of execution. The useful
+      // signals are `construct+analyze` (analysis), `optimize`, `plan`,
+      // and `run` minus the other columns' sum (as a rough floor).
       val (queries, opts) = rest.partition(SparkEntry.queries.contains)
       val sfDir = opts.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
       val n = opts.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
@@ -581,6 +587,104 @@ object Probe {
         println(f"pass $pass: add $tAdd%.3f s (${tAdd * 1e6 / n}%.1f us/insert), " +
           f"freeze $tSer%.3f s, nodes ${g.size}")
       }
+
+    case "s4-trace" :: rest =>
+      // EXACT bench-leg replicas of s4_ingest and s4_sync_steady (the
+      // bench's e2e pipeline: splitter only + hash embed + tsvector, NO
+      // ann indexes — ingest-jobs/delta-jobs probe a heavier indexed
+      // shape), with wall + process-CPU per pass and a job census on the
+      // last pass. Run with SPARK_GRAFT_TRACE=1 for Collection's
+      // per-section walls.
+      val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      val n = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val spark = session()
+      import spark.implicits._
+      def cpuNs(): Long =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
+      def benchPipeline(chunkSize: Int) = graft.store.Pipeline("p",
+        Seq(graft.store.PipelineField("text", splitter = Some((chunkSize, 0)),
+          semanticSearch = Some(graft.functions.HashEmbedder(64)),
+          fullTextSearch = true)))
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (j.time,
+            j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct.mkString(" | ")))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, desc) = starts.getOrDefault(j.jobId, (j.time, "?"))
+          jobs.add((j.jobId, j.time - t0, desc))
+        }
+      }
+      def census[A](label: String)(f: => A): A = {
+        jobs.clear(); starts.clear()
+        spark.sparkContext.addSparkListener(listener)
+        val r = f
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
+        import scala.jdk.CollectionConverters._
+        val js = jobs.asScala.toSeq.sortBy(_._1)
+        println(f"CENSUS $label: ${js.size} jobs, job-time sum ${js.map(_._2).sum / 1e3}%.3f s")
+        js.foreach { case (id, ms, desc) =>
+          println(f"  job $id%4d ${ms / 1e3}%7.3f s  ${desc.take(110)}") }
+        r
+      }
+      // ---- s4_ingest: re-ingest the full corpus into a REUSED warehouse
+      val whI = java.nio.file.Files.createTempDirectory("graft_s4t_ing_").toString
+      def ingestPass(): Unit = {
+        val c = new graft.store.Collection(spark, "docs", whI)
+        val pp = benchPipeline(100000)
+        c.upsertDocuments(
+          Tables.load(spark, sfDir, "documents").select(
+            to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))).as("document")))
+        c.syncPipeline(pp)
+        c.chunks(pp, "text").select("document_id").count()
+        ()
+      }
+      ingestPass(); ingestPass() // warm ×2 (JIT + merge-path warm)
+      for (p <- 1 to n) {
+        val c0 = cpuNs(); val t0 = System.nanoTime()
+        if (p == n) census("s4_ingest")(ingestPass()) else ingestPass()
+        println(f"INGEST pass $p wall ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+          f"cpu ${(cpuNs() - c0) / 1e9}%.2f s")
+      }
+      // ---- s4_sync_steady: 8 single-doc micro-batches, mergeEvery=4
+      val whS = java.nio.file.Files.createTempDirectory("graft_s4t_std_").toString
+      val cS = new graft.store.Collection(spark, "docs", whS)
+      val pS = benchPipeline(99998)
+      cS.upsertDocuments(
+        Tables.load(spark, sfDir, "documents").select(
+          to_json(struct(col("doc_id").as("id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("document")))
+      cS.syncPipeline(pS)
+      cS.mergeEvery = 4
+      val rev = new java.util.concurrent.atomic.AtomicLong(0)
+      def steadyPass(label: String): Unit = {
+        val batchTimes = (1 to 8).map { _ =>
+          val r = rev.incrementAndGet()
+          val t0 = System.nanoTime()
+          cS.upsertDocuments(Seq(
+            s"""{"id": 2, "text": "steady ingest probe revision $r of document two"}""")
+            .toDF("document"))
+          val t1 = System.nanoTime()
+          cS.syncPipelineIncremental(pS)
+          ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+        }
+        println(s"STEADY $label batches " +
+          batchTimes.map { case (u, s) => f"$u%.3f+$s%.3f" }
+            .mkString("[", ",", "]"))
+      }
+      steadyPass("warm")
+      for (p <- 1 to n) {
+        val c0 = cpuNs(); val t0 = System.nanoTime()
+        if (p == n) census("s4_sync_steady")(steadyPass(s"p$p"))
+        else steadyPass(s"p$p")
+        println(f"STEADY pass $p wall ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+          f"cpu ${(cpuNs() - c0) / 1e9}%.2f s")
+      }
+      spark.stop()
 
     case "ingest-jobs" :: rest =>
       // job census of the FULL first sync (bench s4_ingest shape): upsert
