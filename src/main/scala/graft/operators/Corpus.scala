@@ -322,22 +322,24 @@ object Corpus {
     // totals plus the two join sides — would each re-run the full
     // reference explode+aggregate otherwise (the reference is
     // Wikipedia-scale in the CCNet deployment this models)
+    //
+    // 64-bit gram fingerprints (codegen xxhash64) are taken BEFORE the
+    // fit aggregate, so the fit exchange ships fixed-width (k, gid) keys
+    // — never the up-to-5-token gram strings (guide §2.3 narrower keys;
+    // the map-side partial agg then also hashes longs, not strings). The
+    // scoring side likewise carries only (id, pos, k, gid, hid). Exactness
+    // modulo 64-bit collisions (~n²/2⁶⁵ expected spurious merges;
+    // negligible at Wikipedia-scale vocabularies, the same risk class
+    // KenLM's hashed probing tables accept — and the same contract the
+    // string-keyed fit already carried on its join side, where a collision
+    // produced a duplicate lookup match).
     val counts = ngramRows(lmCorpus, lmTextCol, Nil, order)
-      .groupBy(col("k"), col("g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("k"), xxhash64(col("g")).as("__gid"))
+      .agg(count(lit(1)).as("__c"))
       .localCheckpoint()
-    // 64-bit gram fingerprints (codegen xxhash64): the count frame stays
-    // STRING-keyed through the fit aggregate (exact counts; the fit
-    // exchange is LM-corpus-sized, a one-time cost KenLM pays too), but
-    // the SCORING side carries only fixed-width (id, pos, k, gid, hid)
-    // rows — gram/history strings are projected away before the joins, so
-    // even a broadcast fallback could never ship up-to-5-token strings
-    // per position. Exactness modulo 64-bit collisions (~n²/2⁶⁵ expected
-    // spurious matches; negligible at Wikipedia-scale vocabularies, the
-    // same risk class KenLM's hashed probing tables accept).
-    val cg = counts.select(col("k"), xxhash64(col("g")).as("__gid"),
-      col("__c").as("__cg"))
+    val cg = counts.select(col("k"), col("__gid"), col("__c").as("__cg"))
     val chist = counts.select((col("k") + 1).as("k"),
-      xxhash64(col("g")).as("__hid"), col("__c").as("__ch"))
+      col("__gid").as("__hid"), col("__c").as("__ch"))
     val rows = ngramRows(docs, textCol, Seq(col(idCol)), order)
       .select(col(idCol), col("pos"), col("k"),
         xxhash64(col("g")).as("__gid"), xxhash64(col("h")).as("__hid"))

@@ -3210,12 +3210,13 @@ object QueryCatalog {
     "t13_bpe_tokens",
     (s, dir) => {
       val model = T13OracleSql.fitted(s, dir)
-      // tS: the BPE encode is scan-fused per-row work (merge-walk over
-      // every pretoken) — a single-row-group input serializes it on one
-      // core (measured: a 1.0 s single-task stage at sf0.1); size-gated
-      // no-op at production input sizes
+      // plain loader, no tiny-input spread: the r18 spread was sized to
+      // the LITERAL regime's scan-fused merge chain; under the now-default
+      // broadcast encoder the distinct-pretoken mapPartitions re-evaluates
+      // its per-partition setup 32× for no wall win (re-A/B'd r19:
+      // spread 0.482 s wall / 5.28 cpu-s vs plain 0.448 s / 1.13 cpu-s)
       graft.operators.Bpe.tokenCounts(
-          tS(s, dir, "documents"), "doc_id", "text", model)
+          t(s, dir, "documents"), "doc_id", "text", model)
         .orderBy(col("doc_id"))
     },
     None,

@@ -588,6 +588,61 @@ object Probe {
           f"freeze $tSer%.3f s, nodes ${g.size}")
       }
 
+    case "serve-floor" :: rest =>
+      // how much of v9d/v5d's per-request latency is the irreducible
+      // local-mode job floor vs anything ours: times an EMPTY n-task job
+      // on a prepared cached RDD against serveDistributed percentiles
+      val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq.sortBy(_._1)
+      def pct(xs: Seq[Double], p: Double): Double = {
+        val s = xs.sorted
+        s(math.max(0, math.min(s.length - 1, math.ceil(p * s.length).toInt - 1)))
+      }
+      // empty prepared 8-task RDD job: the pure scheduling floor
+      val probeShape = spark.sparkContext.parallelize(1 to 8, 8).cache()
+      probeShape.count()
+      for (n <- Seq(8, 4, 1)) {
+        val rdd = spark.sparkContext.parallelize(1 to n, n).cache()
+        rdd.count()
+        val times = (1 to 200).map { _ =>
+          val t0 = System.nanoTime()
+          rdd.mapPartitions(it => it.map(_ + 1)).collect()
+          (System.nanoTime() - t0) / 1e6
+        }
+        println(f"FLOOR ${n}-task job: p50 ${pct(times, 0.5)}%.3f ms p99 ${pct(times, 0.99)}%.3f ms")
+      }
+      val idx = graft.operators.HnswIndex.serveOrBuild(
+        spark, s"$sfDir/embeddings.parquet", emb, "embedding", "vec_id",
+        m = 16, efConstruction = 64, numPartitions = 8)
+      idx.serveDistributed(queries.head._2, 10, ef = 64) // warm
+      val hnswTimes = (1 to 100).flatMap { _ =>
+        queries.take(2).map { case (_, q) =>
+          val t0 = System.nanoTime()
+          idx.serveDistributed(q, 10, ef = 64)
+          (System.nanoTime() - t0) / 1e6
+        }
+      }
+      println(f"SERVE v9d hnsw: p50 ${pct(hnswTimes, 0.5)}%.3f ms p99 ${pct(hnswTimes, 0.99)}%.3f ms")
+      val ivf = graft.operators.IvfIndex.serveOrBuild(
+        spark, s"$sfDir/embeddings.parquet", emb, "embedding", nlist = 16,
+        nassign = 3)
+      ivf.serveDistributed(queries.head._2, 10, 4, "vec_id") // warm
+      val ivfTimes = (1 to 100).flatMap { _ =>
+        queries.take(2).map { case (_, q) =>
+          val t0 = System.nanoTime()
+          ivf.serveDistributed(q, 10, 4, "vec_id")
+          (System.nanoTime() - t0) / 1e6
+        }
+      }
+      println(f"SERVE v5d ivf: p50 ${pct(ivfTimes, 0.5)}%.3f ms p99 ${pct(ivfTimes, 0.99)}%.3f ms")
+      spark.stop()
+
     case "s4-trace" :: rest =>
       // EXACT bench-leg replicas of s4_ingest and s4_sync_steady (the
       // bench's e2e pipeline: splitter only + hash embed + tsvector, NO
