@@ -195,6 +195,26 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
     l.lock(); try body finally l.unlock()
   }
 
+  /** Exclusive locks over EVERY pipeline dir, in sorted order — the docs
+    * compaction's publish must not swap the documents files out from
+    * under a sync's in-flight corpus scan (a full sync holds its
+    * pipeline's write lock for the whole chunk job; incremental syncs
+    * hold the read side). Lock ORDER is docs-then-pipelines everywhere
+    * (deleteDocuments takes the same order via cascadeDelete), so the
+    * two multi-lock holders can never deadlock. */
+  private def withAllPipelinesExclusive[A](body: => A): A = {
+    val collDir = new java.io.File(s"$warehouseDir/$name")
+    val nonPipeline = Set("documents", "searches", "search_results", "search_events")
+    val locks = Option(collDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !nonPipeline.contains(f.getName)
+        && !f.getName.startsWith("_") && !f.getName.endsWith("_tmp")
+        && !f.getName.endsWith("_old") && !f.getName.endsWith("_mergestage"))
+      .map(_.getAbsolutePath).sorted
+      .map(k => Collection.lockFor(k).writeLock())
+    locks.foreach(_.lock())
+    try body finally locks.reverse.foreach(_.unlock())
+  }
+
   /** How fragmented the documents table may get before a compaction is
     * scheduled (same budget the old inline compactIfNeeded used). */
   private val docsMaxSegments = 16
@@ -249,14 +269,19 @@ class Collection(spark: SparkSession, val name: String, warehouseDir: String) {
         if (Collection.generationOf(key).get() != gen0) return
         throw e
     }
-    val aborted = withDocsExclusiveLock {
+    // publish only when NO sync's corpus scan is in flight: a full sync
+    // chunks `documents` for minutes under its pipeline write lock, and
+    // swapping the docs dir mid-scan fails its tasks with
+    // FAILED_READ_FILE (seen at the 5M-doc decade run). Docs lock first,
+    // then every pipeline lock — the deleteDocuments order.
+    val aborted = withDocsExclusiveLock(withAllPipelinesExclusive {
       if (Collection.generationOf(key).get() != gen0) true
       else {
         DeltaTable.carryLate(docsPath, staged, snap)
         DeltaTable.publishStaged(staged, docsPath)
         false
       }
-    }
+    })
     if (aborted) deleteRec(new java.io.File(staged))
     else DeltaTable.warmReadCaches(spark, docsPath, "source_uuid")
   }
